@@ -1,0 +1,172 @@
+"""Zone model + table registry.
+
+The reference's medallion zones are four MySQL *databases*
+(source -> raw_db -> silver_db_mapping -> silver_db -> golden_db;
+reference: ETL_Pipeline_Entire/data_extraction.py:13-16,
+mapping.py:14-19, transformations_code.py:190-196, front_end.py:691-697).
+Here a zone is a directory of parquet tables plus temp-view
+registration, so every zone table is reachable from ``spark.sql`` and
+all movement between zones is a lazy DataFrame write — nothing is
+pulled to the driver.
+
+Also carries the PK/FK side metadata the mapper needs: Spark's catalog
+has no constraint objects (the reference introspects them from MySQL,
+mapping.py:39-65), so they travel as plain dicts.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Canonical fixture tables (TESTDATA.md) in FK-dependency order.
+FIXTURE_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: PK metadata for the fixture star schema (side metadata; Spark's
+#: catalog has no PK/FK — SURVEY §1.1).
+FIXTURE_PKS: dict[str, str] = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",  # composite in spirit; first key column
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+#: FK metadata: table -> {fk_column: (parent_table, parent_column)}.
+FIXTURE_FKS: dict[str, dict[str, tuple[str, str]]] = {
+    "nation": {"n_regionkey": ("region", "r_regionkey")},
+    "customer": {"c_nationkey": ("nation", "n_nationkey")},
+    "supplier": {"s_nationkey": ("nation", "n_nationkey")},
+    "orders": {"o_custkey": ("customer", "c_custkey")},
+    "lineitem": {
+        "l_orderkey": ("orders", "o_orderkey"),
+        "l_partkey": ("part", "p_partkey"),
+        "l_suppkey": ("supplier", "s_suppkey"),
+    },
+    "embeddings": {"vec_id": ("documents", "doc_id")},
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table (operator S1: full table scan).
+
+    Reference does ``SELECT * FROM t`` into pandas
+    (data_extraction.py:46); here it is a lazy parquet scan — Catalyst
+    prunes columns and pushes predicates down to the reader, so
+    "SELECT *" never actually happens unless the query needs it.
+
+    Nanosecond parquet timestamps (events.ts) arrive as long under
+    ``spark.sql.legacy.parquet.nanosAsLong`` and are normalized to a
+    microsecond TimestampType here — the fixture's values are exact
+    microseconds, so the conversion is lossless and matches DuckDB's
+    TIMESTAMP cast on the oracle side.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Register each fixture table as a temp view (query-surface entry Q1).
+
+    Mirrors the reference exposing every silver table to free SQL
+    (front_end.py:215-225) — after this, ``spark.sql`` covers the whole
+    SELECT surface.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables or FIXTURE_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+@dataclass
+class Zone:
+    """One medallion zone = a directory of parquet tables.
+
+    Replaces the reference's per-zone MySQL database + to_sql round-trip
+    (data_extraction.py:40-51 clones schema then inserts in 1,000-row
+    chunks through the driver). Spark writes schema with the data and
+    the write is executor-parallel.
+    """
+
+    root: str
+    name: str
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, self.name, table)
+
+    def list_tables(self) -> list[str]:
+        zdir = os.path.join(self.root, self.name)
+        if not os.path.isdir(zdir):
+            return []
+        return sorted(
+            d for d in os.listdir(zdir) if os.path.isdir(os.path.join(zdir, d))
+        )
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self.path(table))
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+        """S5 overwrite / S6 append sink (data_extraction.py:40-51,80)."""
+        df.write.mode(mode).parquet(self.path(table))
+
+    def drop(self, table: str) -> None:
+        """S7's ``DROP TABLE IF EXISTS`` analog (data_extraction.py:38-39)."""
+        import shutil
+
+        shutil.rmtree(self.path(table), ignore_errors=True)
+
+
+@dataclass
+class Warehouse:
+    """The four zones (S8 database DDL analog, front_end.py:850-859)."""
+
+    root: str
+    pks: dict[str, str] = field(default_factory=dict)
+    fks: dict[str, dict[str, tuple[str, str]]] = field(default_factory=dict)
+
+    @property
+    def raw(self) -> Zone:
+        return Zone(self.root, "raw")
+
+    @property
+    def silver_mapping(self) -> Zone:
+        return Zone(self.root, "silver_mapping")
+
+    @property
+    def silver(self) -> Zone:
+        return Zone(self.root, "silver")
+
+    @property
+    def golden(self) -> Zone:
+        return Zone(self.root, "golden")
+
+    def zone(self, name: str) -> Zone:
+        return Zone(self.root, name)

@@ -1,0 +1,136 @@
+"""Automatic schema mapper (operators J1-J5 + P1).
+
+Port of the reference's DatasetMapper (ETL_Pipeline_Entire/mapping.py):
+pairwise sweep over all tables, join-key inference with FK priority
+(mapping.py:140-149) then semantic column-name similarity
+(mapping.py:89-103, Word2Vec cosine >= 0.8), disambiguating projection
+aliases (mapping.py:105-127), merged pairs written once per pair,
+unmatched tables passed through (mapping.py:173-181).
+
+Spark-first decisions:
+* The *inference* is metadata logic over column names — it stays on the
+  driver (tens of strings), exactly like the reference. But instead of
+  a trained Word2Vec (non-deterministic, heavyweight for a name corpus)
+  we use a deterministic token/char similarity
+  (functions/fuzzy.name_similarity) with the same 0.8 acceptance
+  threshold; SURVEY §4.3.2 calls determinism > fidelity here.
+* The *joins* are plain ``df.join`` — Catalyst/AQE picks broadcast-hash
+  for dim tables and sort-merge for fact-fact, handles skew. The
+  reference ships SQL strings to MySQL (mapping.py:162-165).
+* P1 aliasing: every non-key column is suffixed ``_{table}``; the join
+  key appears once, unsuffixed — byte-for-byte the reference's naming
+  (mapping.py:117-123).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_zero_spark.functions.fuzzy import name_similarity
+
+#: Acceptance threshold for semantic column matches (mapping.py:22).
+SIMILARITY_THRESHOLD = 0.8
+
+
+def infer_join_key(
+    t1: str,
+    cols1: list[str],
+    t2: str,
+    cols2: list[str],
+    fks: dict[str, dict[str, tuple[str, str]]] | None = None,
+) -> tuple[str, str] | None:
+    """J2 then J3: returns (col_in_t1, col_in_t2) or None.
+
+    FK priority (mapping.py:140-149): if t1 declares an FK into t2 (or
+    vice versa), use that pair. Else semantic similarity over all column
+    pairs, best pair >= SIMILARITY_THRESHOLD (mapping.py:89-103).
+    """
+    fks = fks or {}
+    for c, (parent, pcol) in fks.get(t1, {}).items():
+        if parent == t2 and c in cols1 and pcol in cols2:
+            return (c, pcol)
+    for c, (parent, pcol) in fks.get(t2, {}).items():
+        if parent == t1 and pcol in cols1 and c in cols2:
+            return (pcol, c)
+    # exact shared name wins immediately (the degenerate similarity=1 case)
+    shared = [c for c in cols1 if c in cols2]
+    if shared:
+        return (shared[0], shared[0])
+    best: tuple[float, str, str] | None = None
+    for c1 in cols1:
+        for c2 in cols2:
+            sim = name_similarity(c1, c2)
+            if best is None or sim > best[0]:
+                best = (sim, c1, c2)
+    if best is not None and best[0] >= SIMILARITY_THRESHOLD:
+        return (best[1], best[2])
+    return None
+
+
+def merge_pair(
+    df1: DataFrame, t1: str, df2: DataFrame, t2: str, key1: str, key2: str
+) -> DataFrame:
+    """J1 + P1: inner equi-join with the reference's aliasing scheme
+    (mapping.py:105-127): key kept once unsuffixed; every other column
+    suffixed with its source table. Dim-sized sides broadcast
+    automatically under AQE; no hint needed."""
+    left = df1.select(
+        F.col(key1).alias("__join_key__"),
+        *[F.col(c).alias(f"{c}_{t1}") for c in df1.columns if c != key1],
+    )
+    right = df2.select(
+        F.col(key2).alias("__join_key__"),
+        *[F.col(c).alias(f"{c}_{t2}") for c in df2.columns if c != key2],
+    )
+    return left.join(right, on="__join_key__", how="inner").withColumnRenamed(
+        "__join_key__", key1
+    )
+
+
+@dataclass
+class DatasetMapper:
+    """J4/J5: the pairwise merge sweep (mapping.py:129-181).
+
+    ``tables``: name -> DataFrame; ``fks``: side metadata (Spark's
+    catalog has no FK objects — SURVEY §1.1).
+    """
+
+    tables: dict[str, DataFrame]
+    fks: dict[str, dict[str, tuple[str, str]]] = field(default_factory=dict)
+
+    def merge_tables(self) -> dict[str, DataFrame]:
+        """Double loop over pairs; each table participates in at most one
+        merge (both orders marked done, mapping.py:168-169); unmatched
+        tables pass through as-is (J5, mapping.py:173-181). Returns
+        {output_name: DataFrame} with merged pairs named
+        ``{t1}_{t2}_merged``."""
+        names = list(self.tables)
+        done: set[str] = set()
+        out: dict[str, DataFrame] = {}
+        for i, t1 in enumerate(names):
+            if t1 in done:
+                continue
+            for t2 in names[i + 1 :]:
+                if t2 in done:
+                    continue
+                key = infer_join_key(
+                    t1,
+                    self.tables[t1].columns,
+                    t2,
+                    self.tables[t2].columns,
+                    self.fks,
+                )
+                if key is None:
+                    continue
+                out[f"{t1}_{t2}_merged"] = merge_pair(
+                    self.tables[t1], t1, self.tables[t2], t2, key[0], key[1]
+                )
+                done.update((t1, t2))
+                break
+        for t in names:
+            if t not in done:
+                out[t] = self.tables[t]  # J5 passthrough
+        return out

@@ -1,0 +1,448 @@
+"""Declared query registry — the driver contract's substance.
+
+One entry per implemented operator from SURVEY.md §2. Each spec pairs a
+Spark DataFrame program with the equivalent ANSI SQL that DuckDB runs
+on the same parquet views (tables: region nation customer supplier part
+orders lineitem events documents embeddings). The driver compares
+row-count + schema + order-insensitive value hash at sf0.01, so:
+
+* every computed column is aliased identically on both sides;
+* double-valued aggregates are rounded identically on both sides (sum
+  order differs between engines in the last ulps);
+* LIMIT queries carry a total order (otherwise both engines are free to
+  return different prefixes);
+* integer SUMs are cast to BIGINT in DuckDB (it widens to HUGEINT).
+
+Specs with ``sql=None`` are non-SQL-expressible (learned/approximate/
+streaming) and get the driver's rows-only check; each of those has a
+self-consistency pytest instead (SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_zero_spark.catalog import load_table
+from etl_zero_spark.session import apply_runtime_confs
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    fn: SparkQuery
+    sql: str | None  # DuckDB oracle; None -> rows-only check
+    operator: str  # SURVEY §2 inventory id(s)
+    description: str
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, operator: str, sql: str | None, description: str = ""):
+    """Decorator registering a declared query."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_runtime_confs(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = QuerySpec(wrapped, sql, operator, description or fn.__doc__ or "")
+        return wrapped
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Flagship (SURVEY §7 M1): reference-shaped clean + aggregate on lineitem.
+# TPC-H-Q1-flavored pricing summary with the reference's {col}_{fn}
+# output naming (transformations_code.py:177-180).
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    "A1+S2+O2",
+    """
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      round(sum(l_quantity), 2)                                   AS l_quantity_sum,
+      round(sum(l_extendedprice), 2)                              AS l_extendedprice_sum,
+      round(sum(l_extendedprice * (1 - l_discount)), 2)           AS disc_price_sum,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS charge_sum,
+      round(avg(l_quantity), 4)                                   AS l_quantity_mean,
+      round(avg(l_extendedprice), 4)                              AS l_extendedprice_mean,
+      round(avg(l_discount), 4)                                   AS l_discount_mean,
+      count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    "Flagship: filtered multi-function group-by pricing summary on lineitem.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("l_quantity_sum"),
+            F.round(F.sum("l_extendedprice"), 2).alias("l_extendedprice_sum"),
+            F.round(F.sum(disc), 2).alias("disc_price_sum"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("charge_sum"),
+            F.round(F.avg("l_quantity"), 4).alias("l_quantity_mean"),
+            F.round(F.avg("l_extendedprice"), 4).alias("l_extendedprice_mean"),
+            F.round(F.avg("l_discount"), 4).alias("l_discount_mean"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.1 scans / incremental
+# --------------------------------------------------------------------------
+@query(
+    "s2_incremental_scan",
+    "S2",
+    """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+    FROM events WHERE event_id > 500
+    """,
+    "Predicate scan: the incremental-load delta fetch "
+    "(data_extraction.py:95-96); filter pushed to the parquet reader.",
+)
+def s2_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.col("event_id") > F.lit(500))
+
+
+@query(
+    "s3_watermark_probe",
+    "S3+A4",
+    "SELECT coalesce(max(event_id), 0) AS watermark FROM events",
+    "Watermark probe: MAX(key) with empty->0 default (data_extraction.py:86-92).",
+)
+def s3_watermark_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.coalesce(F.max("event_id"), F.lit(0).cast("long")).alias("watermark"))
+
+
+@query(
+    "s10_preview_head",
+    "S10+O1",
+    "SELECT * FROM customer ORDER BY c_custkey LIMIT 5",
+    "Deterministic LIMIT-5 preview (front_end.py:132,560) — ordered so "
+    "both engines agree on the prefix.",
+)
+def s10_preview_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").orderBy("c_custkey").limit(5)
+
+
+# --------------------------------------------------------------------------
+# §2.2 row-level transforms
+# --------------------------------------------------------------------------
+@query(
+    "p2_distinct_rows",
+    "P2",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "Exact dedup via DISTINCT (transformations_code.py:78-79).",
+)
+def p2_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").dropDuplicates()
+
+
+@query(
+    "p5_trim_strings",
+    "P5",
+    "SELECT c_custkey, trim(c_name) AS c_name, trim(c_mktsegment) AS c_mktsegment FROM customer",
+    "Whitespace trim on every string column (transformations_code.py:92-95).",
+)
+def p5_trim_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.trim(F.col("c_name")).alias("c_name"),
+        F.trim(F.col("c_mktsegment")).alias("c_mktsegment"),
+    )
+
+
+@query(
+    "p6_standardize_dates",
+    "P6",
+    "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_std FROM orders",
+    "Date standardization to yyyy-MM-dd STRING output "
+    "(transformations_code.py:97-110; name-based detection finds o_orderdate).",
+)
+def p6_standardize_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate_std"),
+    )
+
+
+@query(
+    "p7_p8_name_concat_split",
+    "P7+P8",
+    """
+    SELECT
+      p_partkey,
+      split_part(p_name, ' ', 1) AS first_name_split,
+      CASE WHEN strpos(p_name, ' ') > 0
+           THEN substr(p_name, strpos(p_name, ' ') + 1) END AS last_name_split,
+      trim(coalesce(split_part(p_name, ' ', 1), '')) || ' ' ||
+      trim(coalesce(CASE WHEN strpos(p_name, ' ') > 0
+           THEN substr(p_name, strpos(p_name, ' ') + 1) END, '')) AS full_name
+    FROM part
+    """,
+    "Name split (limit=1 semantics, missing part -> null) and pandas-exact "
+    "concat (empty side keeps the space) — transformations_code.py:112-127.",
+)
+def p7_p8_name_concat_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    s = F.split(F.col("p_name"), " ", 2)
+    first = s.getItem(0)
+    last = s.getItem(1)
+    part_expr = lambda c: F.trim(F.coalesce(c, F.lit("")))
+    return p.select(
+        "p_partkey",
+        first.alias("first_name_split"),
+        last.alias("last_name_split"),
+        F.concat(part_expr(first), F.lit(" "), part_expr(last)).alias("full_name"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+# --------------------------------------------------------------------------
+@query(
+    "j1_inner_equijoin",
+    "J1+P1",
+    """
+    SELECT o.o_orderkey, o.o_totalprice AS o_totalprice_orders,
+           c.c_name AS c_name_customer, c.c_mktsegment AS c_mktsegment_customer
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "Inner equi-join with the mapper's source-table column aliasing "
+    "(mapping.py:105-127); customer side broadcasts.",
+)
+def j1_inner_equijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("o_totalprice_orders"),
+        F.col("c_name").alias("c_name_customer"),
+        F.col("c_mktsegment").alias("c_mktsegment_customer"),
+    )
+
+
+@query(
+    "j5_revenue_by_nation",
+    "J1+A1 (multi-join)",
+    """
+    SELECT n.n_name, r.r_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    "TPC-H-Q5-shaped star join: fact shuffles once, every dim broadcasts.",
+)
+def j5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "j6_left_join",
+    "join family (left outer)",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    "Left outer join — reachable via the reference's free-SQL surface (Q1).",
+)
+def j6_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "j7_semi_join",
+    "join family (left semi)",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+    "Left-semi join (EXISTS).",
+)
+def j7_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "j8_anti_join",
+    "join family (left anti)",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+    """,
+    "Left-anti join (NOT EXISTS): customers with no high-value orders "
+    "(filtered so the anti set is non-empty at every SF).",
+)
+def j8_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregations
+# --------------------------------------------------------------------------
+@query(
+    "a1_multi_func_groupby",
+    "A1",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS o_totalprice_sum,
+           round(avg(o_totalprice), 4) AS o_totalprice_mean,
+           round(min(o_totalprice), 2) AS o_totalprice_min,
+           round(max(o_totalprice), 2) AS o_totalprice_max,
+           count(o_totalprice)         AS o_totalprice_count
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    "The reference's multi-key multi-function aggregation with "
+    "{col}_{fn} flattened naming (transformations_code.py:168-184).",
+)
+def a1_multi_func_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("o_totalprice_sum"),
+        F.round(F.avg("o_totalprice"), 4).alias("o_totalprice_mean"),
+        F.round(F.min("o_totalprice"), 2).alias("o_totalprice_min"),
+        F.round(F.max("o_totalprice"), 2).alias("o_totalprice_max"),
+        F.count("o_totalprice").alias("o_totalprice_count"),
+    )
+
+
+@query(
+    "a2_pie_aggregate",
+    "A2",
+    """
+    SELECT c_mktsegment, round(sum(c_acctbal), 2) AS c_acctbal_sum
+    FROM customer GROUP BY c_mktsegment
+    """,
+    "Chart-prep category sum (front_end.py:818).",
+)
+def a2_pie_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("c_acctbal_sum")
+    )
+
+
+@query(
+    "a3_histogram",
+    "A3",
+    """
+    WITH stats AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem)
+    SELECT least(cast(floor((l_quantity - mn) / ((mx - mn) / 10.0)) AS int), 9) AS bucket,
+           count(*) AS count
+    FROM lineitem, stats
+    WHERE l_quantity IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+    "Equal-width 10-bin histogram (front_end.py:798-806): tiny stats agg "
+    "broadcast into the bucket expression; scan is pruned to one column.",
+)
+def a3_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity")
+    stats = li.agg(F.min("l_quantity").alias("mn"), F.max("l_quantity").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / F.lit(10.0)
+    bucket = F.least(
+        F.floor((F.col("l_quantity") - F.col("mn")) / width).cast("int"), F.lit(9)
+    )
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .where(F.col("l_quantity").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "a5_count_rows",
+    "A5",
+    "SELECT count(*) AS n_rows FROM lineitem",
+    "Row count (the reference's len(df) status reporting).",
+)
+def a5_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+# --------------------------------------------------------------------------
+# §2.5 sort / top-k
+# --------------------------------------------------------------------------
+@query(
+    "o3_top_k",
+    "O3",
+    """
+    SELECT p.p_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_name
+    ORDER BY revenue DESC, p.p_name
+    LIMIT 10
+    """,
+    "Top-k by aggregate (text_to_sql.py:180's 'top 5 products' shape); "
+    "Spark plans TakeOrderedAndProject — no global sort.",
+)
+def o3_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "p_name")
+        .limit(10)
+    )

@@ -1,0 +1,110 @@
+"""Max-key incremental load (operators S2 + S3 + S6).
+
+Port of the reference's incremental extraction
+(ETL_Pipeline_Entire/data_extraction.py:59-107):
+
+* first run of a table -> full load (create-if-missing semantics,
+  data_extraction.py:63-81);
+* later runs -> probe ``MAX(key)`` in the target (S3,
+  data_extraction.py:86-92, default 0 on empty), then scan
+  ``WHERE key > watermark`` (S2, data_extraction.py:95-96) and append
+  (S6, data_extraction.py:102).
+
+Differences by design (SURVEY §7 hard-part 4): the reference keys on
+whatever the *first column* is and compares it as a quoted string
+(lexicographic); we key on a declared, typed key column so the
+comparison is typed and the predicate can be pushed into the scan
+(parquet min/max pruning / JDBC WHERE pushdown). At 100 TB the
+watermark probe is a metadata-only parquet min/max read plus one
+column scan — never a full materialization.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def watermark_probe(target: DataFrame, key: str, default=0):
+    """S3: ``SELECT MAX(key)`` with empty->default (data_extraction.py:86-92)."""
+    row = target.agg(F.max(F.col(key)).alias("w")).first()
+    w = row["w"] if row is not None else None
+    return default if w is None else w
+
+
+def incremental_scan(source: DataFrame, key: str, watermark) -> DataFrame:
+    """S2: predicate scan ``WHERE key > watermark`` (data_extraction.py:95-96).
+
+    Expressed declaratively so Catalyst pushes the filter to the parquet
+    footer (row-group pruning) or the JDBC query.
+    """
+    return source.where(F.col(key) > F.lit(watermark))
+
+
+@dataclass
+class IncrementalLoader:
+    """Stateful table-level incremental loader over a target zone.
+
+    ``run`` returns the number of *source-side phases* executed, mirroring
+    the reference's status strings (data_extraction.py:81,104) without
+    collecting data to the driver.
+    """
+
+    target_root: str
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.target_root, table)
+
+    def _exists(self, table: str) -> bool:
+        p = self._path(table)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
+        )
+
+    def full_refresh(self, source: DataFrame, table: str) -> None:
+        """Total refresh: drop + recreate + full copy
+        (data_extraction.py:28-56). Schema travels with the parquet write,
+        which subsumes the reference's SHOW CREATE TABLE clone (S7)."""
+        source.write.mode("overwrite").parquet(self._path(table))
+
+    def incremental(
+        self, spark: SparkSession, source: DataFrame, table: str, key: str, default=0
+    ) -> str:
+        """Incremental load (data_extraction.py:59-107). Returns which
+        branch ran: 'initial-full-load' or 'appended-delta'."""
+        if not self._exists(table):
+            self.full_refresh(source, table)
+            return "initial-full-load"
+        target = spark.read.parquet(self._path(table))
+        w = watermark_probe(target, key, default=default)
+        delta = incremental_scan(source, key, w)
+        delta.write.mode("append").parquet(self._path(table))
+        return "appended-delta"
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self._path(table))
+
+
+def schedule_etl_job(
+    spark: SparkSession,
+    loader: IncrementalLoader,
+    sources: dict[str, DataFrame],
+    spec: dict[str, dict],
+) -> dict[str, str]:
+    """Job-level dispatch (data_extraction.py:110-144): per table, run
+    full refresh or incremental per the extraction spec
+    ({table: {"mode": "full"|"incremental", "key": col}})."""
+    results: dict[str, str] = {}
+    for table, cfg in spec.items():
+        src = sources[table]
+        if cfg.get("mode", "full") == "incremental":
+            results[table] = loader.incremental(
+                spark, src, table, cfg["key"], cfg.get("default", 0)
+            )
+        else:
+            loader.full_refresh(src, table)
+            results[table] = "full-refresh"
+    return results
