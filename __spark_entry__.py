@@ -19,9 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _registry():
     # Import side effect: decorators populate QUERIES.
-    import etl_zero_spark.plans.registry as registry
+    from etl_zero_spark.plans.all_queries import QUERIES
 
-    return registry.QUERIES
+    return QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -39,12 +39,29 @@ def is_date_column(name: str, cutoff: float = 0.75) -> bool:
     )
 
 
+def _token_sim(a: str, b: str) -> float:
+    """Token-level similarity: exact or prefix containment counts as 1.0
+    (id ~ identifier, cust ~ customer — the abbreviation pattern column
+    names actually exhibit), else character ratio."""
+    if a == b or a.startswith(b) or b.startswith(a):
+        return 1.0
+    return difflib.SequenceMatcher(None, a, b).ratio()
+
+
 def name_similarity(a: str, b: str) -> float:
     """Similarity of two identifiers, used by the mapper's semantic
     join-key inference (mapping.py:79-103's Word2Vec cosine analog;
-    deterministic, no training): token-overlap Jaccard of
-    underscore-split tokens blended with character-level ratio."""
-    ta, tb = set(a.lower().split("_")), set(b.lower().split("_"))
-    jac = len(ta & tb) / len(ta | tb) if (ta | tb) else 0.0
+    deterministic, no training). Max of: token-overlap Jaccard of
+    underscore-split tokens, whole-string character ratio, and the
+    symmetric average of greedy best token matches (prefix-aware, so
+    customer_id ~ customer_identifier scores 1.0)."""
+    ta, tb = a.lower().split("_"), b.lower().split("_")
+    sa, sb = set(ta), set(tb)
+    jac = len(sa & sb) / len(sa | sb) if (sa | sb) else 0.0
     ratio = difflib.SequenceMatcher(None, a.lower(), b.lower()).ratio()
-    return max(jac, ratio)
+
+    def direction(xs: list[str], ys: list[str]) -> float:
+        return sum(max(_token_sim(x, y) for y in ys) for x in xs) / len(xs)
+
+    greedy = (direction(ta, tb) + direction(tb, ta)) / 2.0
+    return max(jac, ratio, greedy)

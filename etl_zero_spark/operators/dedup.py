@@ -1,0 +1,358 @@
+"""Deduplication family (north-star extension, SURVEY §2.11).
+
+The reference's only dedup is pandas ``drop_duplicates``
+(ETL_Pipeline_Entire/transformations_code.py:78-79); its only
+similarity machinery is driver-side difflib/Word2Vec over column
+*names* (transformations_code.py:11-35, mapping.py:67-103). This module
+is the data-scale generalization a training-data pipeline needs, built
+so every stage is a DataFrame op that survives 100 TB:
+
+* exact dedup        — hash-groupBy keep-min-id (one shuffle on a hash,
+                       not on full rows)
+* n-gram Jaccard     — exact shingle-overlap pairs (the verify oracle)
+* MinHash + LSH      — shingle -> 64 seeded min-hashes -> banded
+                       bucket-join -> exact-Jaccard rescore; the
+                       approximate-then-rescore physical pattern of
+                       SURVEY §4.3.3
+* SimHash            — 64-bit token-weight fingerprint, banded
+                       candidate join, Hamming verify
+* embedding cosine   — near-dup pairs over ``array<float>`` vectors
+
+Everything is native Column expressions (higher-order functions,
+xxhash64) — no Python UDFs, no driver materialization. Candidate
+generation is always a bucket equi-join (shuffle on bucket key), never
+an all-pairs cross join; the O(n^2) work only happens *within* buckets,
+which is the entire point of LSH at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared text -> token/shingle expressions
+# ---------------------------------------------------------------------------
+
+
+def tokens_expr(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped."""
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda x: x != F.lit("")
+    )
+
+
+def shingles_expr(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles; documents shorter than k words collapse
+    to their whole token string (so they still have one shingle).
+
+    Implementation note (the 40x pitfall): building k-grams with
+    ``transform(sequence(...), i -> element_at(toks, i+j))`` captures
+    the *outer* token expression inside the lambda, and Spark's
+    interpreted HOF evaluator re-computes the full regex tokenization
+    for every element access — O(words^2) per document. Instead we take
+    k shifted ``slice``s of the token array and ``zip_with`` them; every
+    lambda references only its own arguments, so tokenization runs a
+    constant number of times per row.
+    """
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    length = F.greatest(n - F.lit(k - 1), F.lit(0))
+    slices = [F.slice(toks, F.lit(i + 1), length) for i in range(k)]
+    zipped = slices[0]
+    for s in slices[1:]:
+        zipped = F.zip_with(zipped, s, lambda a, b: F.concat(a, F.lit(" "), b))
+    whole = F.array(F.array_join(toks, " "))
+    return F.array_distinct(F.when(n < F.lit(k), whole).otherwise(zipped))
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / F.nullif(union, F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup keeping the smallest id per text group.
+
+    Scale shape: groupBy on the text (Spark hashes it for the shuffle) —
+    equivalent to hash-groupBy on md5(text) but without risking hash
+    collisions silently merging distinct docs. One shuffle, map-side
+    partial min.
+    """
+    return df.groupBy(text_col).agg(F.min(id_col).alias(id_col)).select(id_col, text_col)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs (also the rescore verifier for MinHash)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs with word-k-shingle Jaccard >= threshold, computed by
+    exploding shingles and joining on the shingle (an inverted index —
+    the shuffle key is the shingle, so only documents *sharing* a
+    shingle ever meet; no cross join).
+
+    Columns: a_id, b_id (a_id < b_id), jaccard.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), k).alias("shingles")
+    ).withColumn("n_shingles", F.size("shingles"))
+    flat = sh.select("id", "n_shingles", F.explode("shingles").alias("shingle"))
+    a, b = flat.alias("a"), flat.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+#: 64 hash functions, 32 bands x 2 rows -> s-curve midpoint ~(1/32)^(1/2)=0.18,
+#: comfortably below the 0.3 verify threshold (high recall).
+MINHASH_HASHES = 64
+MINHASH_BANDS = 32
+
+
+def minhash_signature(shingles: Column, num_hashes: int = MINHASH_HASHES) -> Column:
+    """array<long> signature: per seed i, min over shingles of
+    xxhash64(shingle, i). Seeding by passing the seed as an extra hashed
+    column — deterministic across runs/executors (SURVEY §7 hard-part 2).
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    k: int = 3,
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = MINHASH_BANDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding with exact-Jaccard rescore.
+
+    Pipeline: shingle -> signature -> per-band hash -> explode bands ->
+    self-join on (band, band_hash) -> distinct candidate pairs ->
+    rescore with exact Jaccard on the shingle sets -> threshold filter.
+
+    Scale: the only shuffles are the band-bucket join (key = band hash,
+    uniformly distributed by construction) and the rescore join; the
+    signature itself is embarrassingly parallel. Candidate count is
+    governed by the band geometry, not n^2.
+    """
+    rows = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), k).alias("shingles")
+    )
+    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.slice("sig", i * rows + 1, rows), F.lit(i))
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "id", F.posexplode(band_arr).alias("band", "band_hash")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .dropDuplicates()
+    )
+    sh_a = sh.select(F.col("id").alias("a_id"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("b_id"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def dedup_keep_min(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Resolve near-dup pairs into a keep-set: drop every id that appears
+    as the greater member of a pair (keep-min-id policy, one anti-join).
+    Not full connected components — the standard single-pass policy used
+    by web-scale dedup pipelines; iterate to a fixpoint if transitive
+    closure is required."""
+    drop = pairs.select(F.col("b_id").alias(id_col)).dropDuplicates()
+    return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 x 16-bit bands -> candidates within Hamming<=3 guaranteed
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document: explode tokens, hash each, and for
+    every bit position accumulate +1/-1 by token frequency; bit b of the
+    fingerprint is the sign of sum_b.
+
+    Shape: explode (id, token-hash) by bit position and run two narrow
+    hash aggregations — (id, bit) -> signed sum, then (id) -> OR the
+    winning bits together. The obvious alternative (one groupBy(id) with
+    64 conditional-sum aggregate columns) generates pathological
+    whole-stage code (~35s compile/exec for 27k rows vs ~2s for this
+    shape). Map-side partial aggregation collapses the 64x explode
+    before the shuffle, so shuffled rows are 64/document regardless of
+    document length.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_expr(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bits = toks.select(
+        "id", "h", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit")
+    ).withColumn(
+        "c", F.when(F.expr("(h >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+    )
+    bitsum = bits.groupBy("id", "bit").agg(F.sum("c").alias("s"))
+    return bitsum.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs within Hamming distance ``max_hamming``.
+
+    Banding: split the 64-bit fingerprint into 4 16-bit bands; any pair
+    within Hamming<=3 shares at least one exact band (pigeonhole), so
+    the join on (band, value) has guaranteed recall. Verify step
+    computes the true Hamming distance with bit_count(xor).
+    Columns: a_id, b_id, hamming."""
+    fps = simhash_fingerprints(df, text_col, id_col)
+    band_arr = F.array(
+        *[
+            F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = fps.select(
+        "id", "simhash", F.posexplode(band_arr).alias("band", "band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .dropDuplicates()
+        .where(F.col("hamming") <= F.lit(max_hamming))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs of vectors with cosine >= threshold.
+
+    Exact baseline, GEMM-shaped: the corpus ships once as a broadcast
+    numpy matrix; rows stream through ``mapInPandas`` and each Arrow
+    batch scores against the matrix with one BLAS matmul, emitting only
+    the a<b pairs at/above threshold. A pair-join formulation would move
+    ``dim x n_pairs`` floats through Arrow — orders of magnitude more
+    bytes than the inputs. For corpora beyond broadcast size, shard with
+    similarity.lsh_bucketed_topk's buckets first and rescore per shard.
+    Columns: a_id, b_id, cosine (round 6).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from etl_zero_spark.operators.similarity import collect_normalized_matrix
+
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(collect_normalized_matrix(emb, id_col, vec_col))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    def gen(batches):
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_ids = pdf["a_id"].to_numpy()
+            a_mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["va"]])
+            norms = np.linalg.norm(a_mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (a_mat / norms) @ c_mat.T  # (batch, corpus)
+            ii, jj = np.nonzero((sims >= threshold) & (a_ids[:, None] < c_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "a_id": a_ids[ii],
+                    "b_id": c_ids[jj],
+                    "cosine": np.round(sims[ii, jj], 6),
+                }
+            )
+
+    rows = emb.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("va")
+    ).repartition(n_parts)
+    return rows.mapInPandas(gen, "a_id long, b_id long, cosine double")

@@ -1,0 +1,139 @@
+"""Text analysis operators (north-star extension, SURVEY §2.11).
+
+The reference's text handling is metadata-level fuzzy matching and an
+NL->SQL adapter (transformations_code.py:11-35, text_to_sql.py); a
+training-data pipeline needs *data-level* text features. Everything
+here is a native Column expression (length/regexp/array higher-order
+functions) so a 100 TB documents table is one codegen'd projection —
+no UDFs, no explode unless the operator is inherently row-expanding.
+
+Each operator has a DuckDB-expressible formula so the oracle can verify
+it exactly (the regex subset used is common to Java regex and RE2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_zero_spark.operators.dedup import tokens_expr
+
+#: BPE-ish token pattern: letter runs, digit runs, single non-space symbols.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny deterministic stopword lists for the language-ID heuristic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "no", "por"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"],
+}
+
+
+def word_count_expr(text: Column) -> Column:
+    return F.size(tokens_expr(text))
+
+
+def char_count_expr(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio_expr(text: Column) -> Column:
+    """Fraction of characters that are punctuation/symbols."""
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return F.round(punct / F.nullif(F.length(text).cast("double"), F.lit(0.0)), 6)
+
+
+def stopword_ratio_expr(text: Column, lang: str = "en") -> Column:
+    stops = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+    toks = tokens_expr(text)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.round(hits / F.nullif(F.size(toks).cast("double"), F.lit(0.0)), 6)
+
+
+def avg_word_len_expr(text: Column) -> Column:
+    toks = tokens_expr(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.round(total / F.nullif(F.size(toks).cast("double"), F.lit(0.0)), 6)
+
+
+def quality_score_expr(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards mid-length docs with
+    low punctuation density and some stopword mass — the standard
+    cheap pre-filter before expensive model-based scoring."""
+    n_words = word_count_expr(text).cast("double")
+    length_score = F.least(n_words / F.lit(50.0), F.lit(1.0))
+    punct_penalty = F.lit(1.0) - F.least(
+        punct_ratio_expr(text) * F.lit(4.0), F.lit(1.0)
+    )
+    stop_score = F.least(stopword_ratio_expr(text) * F.lit(5.0), F.lit(1.0))
+    return F.round(
+        (length_score + punct_penalty + stop_score) / F.lit(3.0), 6
+    )
+
+
+def bpe_token_count_expr(text: Column) -> Column:
+    """Token count under the BPE-ish regex (letter runs / digit runs /
+    single symbols) — the cheap proxy for LLM token budgeting."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens_expr(text)
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        stops = F.array(*[F.lit(s) for s in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return out
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Deterministic stopword-count language ID: argmax score with fixed
+    precedence (en > de > es > fr), 'und' (undetermined) when no
+    stopword hits at all."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    for lang in reversed(["en", "de", "es", "fr"]):  # build so 'en' wins ties
+        result = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(result)
+    return result
+
+
+def fingerprint_exprs(text: Column, k: int = 3) -> dict[str, Column]:
+    """Document fingerprints:
+    * ``content_md5`` — md5 of normalized text (lower, collapsed
+      whitespace): exact-dup key.
+    * ``min_shingle_md5`` — lexicographic min of md5 over word
+      k-shingles: a 1-hash MinHash usable as a cheap near-dup
+      pre-cluster key (winnowing-lite rolling fingerprint).
+    """
+    from etl_zero_spark.operators.dedup import shingles_expr
+
+    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    shingle_hashes = F.transform(shingles_expr(text, k), F.md5)
+    return {
+        "content_md5": F.md5(normalized),
+        "min_shingle_md5": F.array_min(shingle_hashes),
+    }
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-projection profile of a documents table: counts, ratios,
+    quality, token budget, language guess, fingerprints."""
+    t = F.col(text_col)
+    fps = fingerprint_exprs(t)
+    return df.select(
+        id_col,
+        char_count_expr(t).alias("n_chars"),
+        word_count_expr(t).alias("n_words"),
+        avg_word_len_expr(t).alias("avg_word_len"),
+        punct_ratio_expr(t).alias("punct_ratio"),
+        stopword_ratio_expr(t).alias("stopword_ratio"),
+        quality_score_expr(t).alias("quality_score"),
+        bpe_token_count_expr(t).alias("n_bpe_tokens"),
+        lang_id_expr(t).alias("lang_guess"),
+        fps["content_md5"].alias("content_md5"),
+        fps["min_shingle_md5"].alias("min_shingle_md5"),
+    )

@@ -1,0 +1,148 @@
+"""Event-time queries over the events fixture (SURVEY §2.9 batch side +
+§2.7 json).
+
+These are the *batch* formulations of the streaming operators — each
+window shape is expressed with plain date arithmetic so DuckDB can act
+as the oracle; streaming/events.py re-runs the same shapes under
+Structured Streaming and tests assert batch==stream equivalence
+(SURVEY §5.2 "self-consistency").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_zero_spark.catalog import load_table
+from etl_zero_spark.plans.registry import query
+
+#: Session gap for batch sessionization (seconds).
+SESSION_GAP_S = 1800
+
+
+@query(
+    "json1_extract_props",
+    "scalar fn: JSON extraction (F.get_json_object)",
+    """
+    SELECT event_id, CAST(props->>'$.k' AS INT) AS k
+    FROM events WHERE props IS NOT NULL
+    """,
+    "Typed field extraction from the JSON props payload.",
+)
+def json1_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.col("props").isNotNull()).select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@query(
+    "e1_tumbling_window",
+    "event-time: tumbling window aggregation",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "1-hour tumbling windows by event type (batch formulation of "
+    "F.window(ts, '1 hour'); streaming twin in streaming/events.py).",
+)
+def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+
+
+@query(
+    "e2_sliding_window",
+    "event-time: sliding window aggregation",
+    """
+    WITH offsets AS (SELECT * FROM (VALUES (0), (1)) AS t(off))
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - off * INTERVAL 1 HOUR AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS value_sum
+    FROM events, offsets
+    GROUP BY 1
+    """,
+    "2-hour windows sliding by 1 hour: each event lands in exactly two "
+    "windows — expressed as an explode over window offsets (the same "
+    "expansion Spark's F.window(ts, '2 hours', '1 hour') performs).",
+)
+def e2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    off = F.explode(F.sequence(F.lit(0), F.lit(1))).alias("off")
+    return (
+        ev.select("ts", "value", off)
+        .groupBy(
+            (
+                F.date_trunc("hour", F.col("ts"))
+                - F.make_interval(hours=F.col("off"))
+            ).alias("window_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+
+
+@query(
+    "e3_sessionize_batch",
+    "event-time: session windows (gap-based), batch formulation",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_S} * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(CAST(ts AS TIMESTAMP)) AS session_start,
+           max(CAST(ts AS TIMESTAMP)) AS session_end,
+           round(sum(value), 2) AS value_sum
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    "30-minute-gap sessionization via lag + cumulative flag — the batch "
+    "twin of F.session_window(ts, '30 minutes').",
+)
+def e3_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.lit(SESSION_GAP_S * 1_000_000)
+    new_session = (
+        (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(order))
+        > gap_us
+    ).cast("int")
+    return (
+        ev.withColumn("new_session", F.coalesce(new_session, F.lit(0)))
+        .withColumn("session_id", F.sum("new_session").over(cum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )

@@ -1,0 +1,396 @@
+"""Declared queries for the north-star operators (SURVEY §2.11):
+dedup family, similarity search, text analysis, multimodal columns.
+
+Oracle notes: the DuckDB formulations mirror the Spark expressions
+exactly — same tokenization (split on \\s+ of lowered text, empties
+dropped), same shingling (distinct word 3-grams, whole-text fallback
+under 3 tokens), same rounding. Learned/hashed operators (MinHash,
+SimHash, sign-LSH) are not SQL-expressible — they carry rows-only
+checks here and recall/precision assertions in tests/test_dedup.py and
+tests/test_similarity.py against the exact operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_zero_spark.catalog import load_table
+from etl_zero_spark.operators import dedup, multimodal, similarity, text
+from etl_zero_spark.plans.registry import query
+
+# DuckDB CTE fragments shared by several oracles.
+_DUCK_TOKENS = r"""
+words AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+  FROM documents
+)"""
+
+_DUCK_SHINGLES = (
+    _DUCK_TOKENS
+    + r""",
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)])
+         END AS shingles
+  FROM words
+)"""
+)
+
+_DUCK_FLAT_EMB = r"""
+flat AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM flat GROUP BY 1)"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dd1_exact_dedup",
+    "dedup: exact (hash-groupBy keep-min-id)",
+    "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+    "Exact text dedup keeping the smallest doc_id per group.",
+)
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+@query(
+    "dd2_ngram_jaccard_pairs",
+    "dedup: exact n-gram Jaccard pairs",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             len(list_intersect(a.shingles, b.shingles))::DOUBLE
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, round(jac, 6) AS jaccard FROM pairs WHERE jac >= 0.3
+    """,
+    "All near-duplicate pairs at word-3-shingle Jaccard >= 0.3, via an "
+    "inverted shingle index (explode+join) — never a cross join.",
+)
+def dd2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+
+
+@query(
+    "dd3_minhash_lsh_pairs",
+    "dedup: MinHash+LSH with exact rescore",
+    None,  # hash-based; recall vs dd2 asserted in tests/test_dedup.py
+    "MinHash (64 seeded hashes, 32x2 bands) banded candidate join + "
+    "exact-Jaccard rescore at 0.3.",
+)
+def dd3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, threshold=0.3)
+
+
+@query(
+    "dd4_simhash_pairs",
+    "dedup: SimHash banded candidates",
+    None,  # hash-based; Hamming properties asserted in tests/test_dedup.py
+    "64-bit SimHash fingerprints, 4x16-bit bands (guaranteed recall at "
+    "Hamming<=3), bit_count(xor) verify.",
+)
+def dd4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3)
+
+
+@query(
+    "dd5_embedding_neardup",
+    "dedup: embedding-cosine near-dup pairs",
+    f"""
+    WITH {_DUCK_FLAT_EMB},
+    dots AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.val * b.val) AS dot
+      FROM flat a JOIN flat b ON a.idx = b.idx AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT a_id, b_id, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots JOIN norms na ON a_id = na.vec_id JOIN norms nb ON b_id = nb.vec_id
+    WHERE dot / (na.nrm * nb.nrm) >= 0.4
+    """,
+    "Vector near-duplicate pairs at cosine >= 0.4 (exact; the fixture's "
+    "synthetic embeddings top out near 0.55 pairwise).",
+)
+def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, threshold=0.4)
+
+
+@query(
+    "dd6_dedup_keep_min",
+    "dedup: resolve pairs -> deduped table",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             len(list_intersect(a.shingles, b.shingles))::DOUBLE
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    WHERE d.doc_id NOT IN (SELECT DISTINCT b_id FROM pairs WHERE jac >= 0.3)
+    """,
+    "Documents surviving near-dup removal (keep-min-id policy, anti-join).",
+)
+def dd6_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+    return dedup.dedup_keep_min(docs.select("doc_id", "lang", "source"), pairs)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim1_cosine_topk",
+    "similarity: exact cosine top-k",
+    f"""
+    WITH {_DUCK_FLAT_EMB},
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.val * c.val) AS dot
+      FROM flat q JOIN flat c ON q.idx = c.idx
+      WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             round(dot / (nq.nrm * nc.nrm), 6) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dot / (nq.nrm * nc.nrm) DESC, neighbor_id) AS rk
+      FROM dots JOIN norms nq ON query_id = nq.vec_id
+                JOIN norms nc ON neighbor_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rank
+    FROM ranked WHERE rk <= 5
+    """,
+    "Exact brute-force cosine top-5 for the first 20 query vectors "
+    "(broadcast queries x corpus; the ANN baseline + rescorer).",
+)
+def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 20)
+    return similarity.brute_force_topk(queries_df, emb, k=5)
+
+
+@query(
+    "sim2_lsh_topk",
+    "similarity: sign-LSH bucketed ANN",
+    None,  # recall vs sim1 asserted in tests/test_similarity.py
+    "Random-hyperplane LSH (12 seeded planes, multi-probe Hamming-1) "
+    "bucket join + exact rescore — the 100 TB scale path.",
+)
+def sim2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 20)
+    return similarity.lsh_bucketed_topk(queries_df, emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_DUCK_TOK_LOCAL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')"
+
+
+@query(
+    "tx1_text_stats",
+    "text: length/word/ratio statistics",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_DUCK_TOK_LOCAL} AS toks FROM documents)
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_words,
+           round(list_sum(list_transform(toks, x -> length(x)))
+                 / nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS avg_word_len,
+           round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                 / nullif(CAST(length(text) AS DOUBLE), 0.0), 6) AS punct_ratio,
+           round(len(list_filter(toks, x -> list_contains(
+                   ['the','a','of','and','to','in','is','that','it','for'], x)))
+                 / nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS stopword_ratio
+    FROM t
+    """,
+    "Per-document char/word counts, avg word length, punctuation and "
+    "stopword ratios — one codegen'd projection.",
+)
+def tx1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.char_count_expr(t).alias("n_chars"),
+        text.word_count_expr(t).alias("n_words"),
+        text.avg_word_len_expr(t).alias("avg_word_len"),
+        text.punct_ratio_expr(t).alias("punct_ratio"),
+        text.stopword_ratio_expr(t).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "tx2_quality_tokens",
+    "text: quality score + BPE-ish token count",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_DUCK_TOK_LOCAL} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n_words,
+             round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                   / nullif(CAST(length(text) AS DOUBLE), 0.0), 6) AS punct_ratio,
+             round(len(list_filter(toks, x -> list_contains(
+                     ['the','a','of','and','to','in','is','that','it','for'], x)))
+                   / nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS stop_ratio,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+      FROM t
+    )
+    SELECT doc_id,
+           round((least(n_words / 50.0, 1.0)
+                  + (1.0 - least(punct_ratio * 4.0, 1.0))
+                  + least(stop_ratio * 5.0, 1.0)) / 3.0, 6) AS quality_score,
+           n_bpe_tokens
+    FROM m
+    """,
+    "Composite quality heuristic + LLM token-budget proxy count.",
+)
+def tx2_quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.quality_score_expr(t).alias("quality_score"),
+        text.bpe_token_count_expr(t).alias("n_bpe_tokens"),
+    )
+
+
+_DUCK_LANG_SCORE = (
+    "len(list_filter(toks, x -> list_contains({words}, x)))"
+)
+_LANG_LISTS = {
+    "en": "['the','a','of','and','to','in','is','that','it','for']",
+    "de": "['der','die','das','und','ist','nicht','ein','mit','für','auf']",
+    "es": "['el','la','de','que','y','en','un','es','no','por']",
+    "fr": "['le','la','de','et','un','est','que','pour','dans','ce']",
+}
+
+
+@query(
+    "tx3_lang_id",
+    "text: n-gram/stopword language ID heuristic",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOK_LOCAL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             {_DUCK_LANG_SCORE.format(words=_LANG_LISTS["en"])} AS s_en,
+             {_DUCK_LANG_SCORE.format(words=_LANG_LISTS["de"])} AS s_de,
+             {_DUCK_LANG_SCORE.format(words=_LANG_LISTS["es"])} AS s_es,
+             {_DUCK_LANG_SCORE.format(words=_LANG_LISTS["fr"])} AS s_fr
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_guess
+    FROM s
+    """,
+    "Deterministic stopword-count language ID (precedence en>de>es>fr).",
+)
+def tx3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id_expr(F.col("text")).alias("lang_guess"))
+
+
+@query(
+    "tx4_fingerprints",
+    "text: document fingerprinting",
+    f"""
+    WITH {_DUCK_SHINGLES}
+    SELECT d.doc_id,
+           md5(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g')) AS content_md5,
+           list_aggregate(list_transform(sh.shingles, s -> md5(s)), 'min') AS min_shingle_md5
+    FROM documents d JOIN sh ON d.doc_id = sh.doc_id
+    """,
+    "content_md5 (normalized exact-dup key) + min-shingle-md5 "
+    "(1-hash MinHash pre-cluster key).",
+)
+def tx4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = text.fingerprint_exprs(F.col("text"))
+    return docs.select(
+        "doc_id",
+        fps["content_md5"].alias("content_md5"),
+        fps["min_shingle_md5"].alias("min_shingle_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm1_multimodal_join",
+    "multimodal: text+embedding+metadata rows",
+    """
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           e.label AS cluster_label, len(e.embedding) AS embedding_dim
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    "The multimodal row: documents ⋈ embeddings on co-key (1-1 join).",
+)
+def mm1_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return multimodal.multimodal_rows(docs, emb)
+
+
+@query(
+    "mm2_decode_metadata",
+    "multimodal: binary payload decode plumbing (mapInPandas)",
+    """
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    "Binary media decode pass: payload fabricated from text (no binary "
+    "fixture ships), streamed through iterator mapInPandas; n_bytes is "
+    "real and oracle-checked, dimensions come from the documented stub.",
+)
+def mm2_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_payload_from_text(docs)
+    return multimodal.decode_metadata(media).select("media_id", "kind", "n_bytes")
+
+
+@query(
+    "mm3_frame_sample",
+    "multimodal: frame sampling (row-expanding mapInPandas)",
+    None,  # stub slicing is python-side; shape asserted in tests
+    "4 evenly spaced frame slices per media row, exploded inside the "
+    "Arrow stream.",
+)
+def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_payload_from_text(docs)
+    frames = multimodal.sample_frames(media, n_frames=4)
+    return frames.select(
+        "media_id", "frame_idx", F.length("frame_payload").alias("n_bytes")
+    )

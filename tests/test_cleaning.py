@@ -1,0 +1,105 @@
+"""Unit tests for the cleaning transforms (P2-P10) on edge-case literal
+DataFrames — the pandas parity traps from SURVEY §7 / FIXTURES.md."""
+
+import pytest
+from pyspark.sql import Row
+
+from etl_zero_spark.operators import cleaning
+
+
+def test_remove_duplicates(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["id", "v"])
+    assert cleaning.remove_duplicates(df).count() == 2
+
+
+def test_remove_null_rows(spark):
+    df = spark.createDataFrame([(1, "a"), (None, "b"), (2, None)], "id int, v string")
+    out = cleaning.remove_null_rows(df).collect()
+    assert [(r.id, r.v) for r in out] == [(1, "a")]
+
+
+def test_impute_nulls_numeric_mean_and_string_na(spark):
+    df = spark.createDataFrame(
+        [(1.0, "x"), (3.0, None), (None, "y")], "n double, s string"
+    )
+    out = {(r.n, r.s) for r in cleaning.impute_nulls(df).collect()}
+    assert (2.0, "y") in out  # mean(1,3)=2
+    assert (3.0, "N/A") in out
+
+
+def test_impute_nulls_all_null_column_stays_null(spark):
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b")], "n double, s string"
+    )
+    out = cleaning.impute_nulls(df).collect()
+    assert all(r.n is None for r in out)  # pandas fillna(NaN) is a no-op
+
+
+def test_trim_whitespace(spark):
+    df = spark.createDataFrame([("  a  ", 1)], ["s", "i"])
+    assert cleaning.trim_whitespace(df).first().s == "a"
+
+
+def test_standardize_dates_formats_and_garbage(spark):
+    df = spark.createDataFrame(
+        [
+            ("2021-03-04",),
+            ("04/03/2021",),  # dayfirst -> March 4th
+            ("4 Mar 2021",),
+            ("garbage",),
+            (None,),
+        ],
+        ["birth_date"],
+    )
+    vals = [r.birth_date for r in cleaning.standardize_dates(df).collect()]
+    assert vals[:3] == ["2021-03-04", "2021-03-04", "2021-03-04"]
+    assert vals[3] is None and vals[4] is None
+
+
+def test_standardize_dates_name_detection_only(spark):
+    # 'created' is not date-like by name -> untouched even if parseable
+    df = spark.createDataFrame([("2021-01-02", "2021-01-02")], ["created", "dob"])
+    row = cleaning.standardize_dates(df).first()
+    assert row.created == "2021-01-02" and row.dob == "2021-01-02"
+
+
+def test_concat_names_pandas_exact(spark):
+    df = spark.createDataFrame(
+        [("Ann", "Lee"), ("Bo", None), (None, None), (" Cy ", " Dee ")],
+        ["first_name", "last_name"],
+    )
+    vals = [r.full_name for r in cleaning.concat_names(df).collect()]
+    # pandas: strip(first) + " " + strip(last); null -> "" but space stays
+    assert vals == ["Ann Lee", "Bo ", " ", "Cy Dee"]
+
+
+def test_split_name_single_token_null_second(spark):
+    df = spark.createDataFrame(
+        [("Ann Lee",), ("Solo",), ("A B C",)], ["full_name"]
+    )
+    rows = cleaning.split_name(df).collect()
+    assert (rows[0].first_name_split, rows[0].last_name_split) == ("Ann", "Lee")
+    assert (rows[1].first_name_split, rows[1].last_name_split) == ("Solo", None)
+    assert (rows[2].first_name_split, rows[2].last_name_split) == ("A", "B C")
+
+
+def test_pipeline_fold_order(spark):
+    df = spark.createDataFrame(
+        [(" a ", " a "), (None, "b")], ["x", "y"]
+    )
+    out = cleaning.transform_data(df, ["trim_whitespace", "remove_null_rows", "remove_duplicates"])
+    rows = out.collect()
+    assert [(r.x, r.y) for r in rows] == [("a", "a")]
+
+
+def test_registry_covers_reference_transforms():
+    # the 7 reference transforms (transformations_code.py:130-138)
+    assert set(cleaning.TRANSFORMATIONS) == {
+        "remove_duplicates",
+        "remove_null_rows",
+        "impute_nulls",
+        "trim_whitespace",
+        "standardize_dates",
+        "concat_names",
+        "split_name",
+    }

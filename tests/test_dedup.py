@@ -1,0 +1,78 @@
+"""Self-consistency tests for the hash-based dedup operators (SURVEY
+§5.2 rows-only side): MinHash recall vs the exact Jaccard oracle,
+SimHash banding guarantees, keep-min resolution."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_zero_spark.catalog import load_table
+from etl_zero_spark.operators import dedup
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def test_minhash_recall_and_precision(spark, docs):
+    exact = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    approx = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    # precision 1.0 by construction (exact rescore) ...
+    assert set(approx) <= set(exact)
+    for pair, jac in approx.items():
+        assert jac == pytest.approx(exact[pair], abs=1e-6)
+    # ... and banding recall must be high (32x2 bands @ t=0.3)
+    if exact:
+        assert len(approx) / len(exact) >= 0.8
+
+
+def test_simhash_pairs_verified_hamming(spark, docs):
+    pairs = dedup.simhash_pairs(docs, max_hamming=3)
+    assert pairs.where(F.col("hamming") > 3).count() == 0
+    fps = dedup.simhash_fingerprints(docs)
+    # fingerprints are deterministic across runs
+    a = {(r.id, r.simhash) for r in fps.collect()}
+    b = {(r.id, r.simhash) for r in dedup.simhash_fingerprints(docs).collect()}
+    assert a == b
+
+
+def test_identical_texts_are_caught_by_all_signatures(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (3, "completely different words about spark catalyst optimizer plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = dedup.ngram_jaccard_pairs(df, threshold=0.99).collect()
+    assert [(r.a_id, r.b_id) for r in exact] == [(1, 2)]
+    mh = dedup.minhash_lsh_pairs(df, threshold=0.99).collect()
+    assert [(r.a_id, r.b_id) for r in mh] == [(1, 2)]
+    sh = dedup.simhash_pairs(df, max_hamming=0).collect()
+    assert [(r.a_id, r.b_id) for r in sh] == [(1, 2)]
+
+
+def test_dedup_keep_min(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+    kept = dedup.dedup_keep_min(docs, pairs)
+    n_docs, n_kept = docs.count(), kept.count()
+    n_dropped = pairs.select("b_id").distinct().count()
+    assert n_kept == n_docs - n_dropped
+    # survivors ⊆ input
+    assert kept.join(docs, "doc_id", "left_anti").count() == 0
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(5, "same"), (2, "same"), (9, "other")], ["doc_id", "text"]
+    )
+    out = {(r.doc_id, r.text) for r in dedup.exact_dedup(df).collect()}
+    assert out == {(2, "same"), (9, "other")}

@@ -1,0 +1,43 @@
+"""Incremental-load semantics (S2/S3/S6): create-if-missing full load,
+watermark probe with default, delta append — data_extraction.py:59-107
+parity at the semantic level."""
+
+from etl_zero_spark.sources.incremental import (
+    IncrementalLoader,
+    incremental_scan,
+    watermark_probe,
+)
+
+
+def test_watermark_probe_default_on_empty(spark):
+    df = spark.createDataFrame([], "k long, v string")
+    assert watermark_probe(df, "k", default=0) == 0
+
+
+def test_watermark_probe_max(spark):
+    df = spark.createDataFrame([(3, "a"), (7, "b")], ["k", "v"])
+    assert watermark_probe(df, "k") == 7
+
+
+def test_incremental_scan_pushes_predicate(spark):
+    df = spark.createDataFrame([(1,), (5,), (9,)], ["k"])
+    out = incremental_scan(df, "k", 5)
+    assert [r.k for r in out.collect()] == [9]
+    assert "Filter" in out._jdf.queryExecution().simpleString()
+
+
+def test_loader_full_then_delta(spark, tmp_path):
+    loader = IncrementalLoader(str(tmp_path))
+    src1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    assert loader.incremental(spark, src1, "t", "k") == "initial-full-load"
+    assert loader.read(spark, "t").count() == 2
+
+    # source grows; only the delta (k>2) must be appended
+    src2 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["k", "v"])
+    assert loader.incremental(spark, src2, "t", "k") == "appended-delta"
+    rows = {(r.k, r.v) for r in loader.read(spark, "t").collect()}
+    assert rows == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+
+    # idempotent when no new keys
+    loader.incremental(spark, src2, "t", "k")
+    assert loader.read(spark, "t").count() == 4

@@ -3,7 +3,7 @@
 
 import pytest
 
-from etl_zero_spark.plans.registry import QUERIES
+from etl_zero_spark.plans.all_queries import QUERIES
 from tests.conftest import SF_ORACLE
 from tests.oracle_harness import compare, duckdb_connection
 
