@@ -6,5 +6,6 @@ import etl_zero_spark.plans.registry  # noqa: F401  (core: scans/transforms/join
 import etl_zero_spark.plans.analytics  # noqa: F401  (windows/set ops/grouping)
 import etl_zero_spark.plans.events_queries  # noqa: F401  (event-time/json)
 import etl_zero_spark.plans.northstar  # noqa: F401  (dedup/similarity/text/multimodal)
+import etl_zero_spark.plans.streaming_queries  # noqa: F401  (availableNow streaming)
 
 from etl_zero_spark.plans.registry import QUERIES  # noqa: F401

@@ -1,0 +1,180 @@
+"""Streaming operators over the events fixture.
+
+The reference's only "streaming" is an every-N-minutes re-run of the
+max-key incremental load (scheduler.py:252-264 + data_extraction.py:
+59-107) — a hand-rolled micro-batch source. Structured Streaming is the
+engine-native version: the file source discovers new files, offsets
+replace the max-key watermark, and ``Trigger.AvailableNow`` reproduces
+the one-shot run (scheduler.py:236-250). Everything here is a standard
+streaming DataFrame program — no custom state store code except the
+``applyInPandasWithState`` example, which is the documented extension
+point for operators Spark lacks.
+
+Batch equivalence (SURVEY §5.2): each window shape has a batch twin in
+plans/events_queries.py; tests assert stream(availableNow, complete
+output) == batch on the same fixture. That is the oracle for operators
+DuckDB cannot replay.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: Explicit source schema (streams cannot infer). ``ts`` arrives as long
+#: (nanos) under spark.sql.legacy.parquet.nanosAsLong, normalized below.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _stage_events_dir(sf_dir: str) -> str:
+    """The file stream source requires a *directory* to tail; the fixture
+    is a single read-only file. Stage a symlink into a per-sf_dir temp
+    directory (idempotent, never touches the fixture)."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"etlzero_events_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming read of the events table. One file today;
+    on a live lake the same code tails the directory as micro-batches
+    (the offset log plays the reference's stored-watermark role)."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(_stage_events_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of e1_tumbling_window: 1-hour tumbling windows by
+    event type, late data bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "value_sum")
+    )
+
+
+def sliding_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of e2_sliding_window: 2-hour windows sliding 1 hour."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "value_sum")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of e3_sessionize_batch via the native
+    ``session_window`` (dynamic gap-merged windows). Emits per-session
+    start, event count and value sum per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful exact dedup on event_id with bounded state
+    (dropDuplicatesWithinWatermark) — the streaming analog of P2 whose
+    state is evicted once the watermark passes, so it runs forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+RUNNING_STATE_SCHEMA = "user_id long, n_events long, value_sum double"
+RUNNING_OUTPUT_SCHEMA = "user_id long, n_events long, value_sum double"
+
+
+def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, value sum) across micro-batches — the extension
+    point for semantics no built-in stateful operator covers."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, round(s, 6)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_sum": [round(s, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType="n_events long, value_sum double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming plan one-shot (Trigger.AvailableNow — the
+    reference's run-once scheduling, scheduler.py:236-250) into a memory
+    sink and return the result table."""
+    spark = stream_df.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,60 @@
+"""End-to-end pipeline interpreter test: the scheduler-analog 3-stage
+DAG over a temp warehouse, on the sf0.001 fixture."""
+
+from datetime import datetime, timedelta
+
+from etl_zero_spark.catalog import FIXTURE_FKS, Warehouse
+from etl_zero_spark.plans.jobspec import next_run_delay, run_pipeline
+
+
+def test_full_pipeline(spark, tmp_path):
+    wh = Warehouse(str(tmp_path), fks=FIXTURE_FKS)
+    spec = {
+        "extraction": {
+            "orders": {"mode": "full"},
+            "customer": {"mode": "incremental", "key": "c_custkey"},
+        },
+        "mapping": True,
+        "transformations": ["trim_whitespace", "remove_duplicates"],
+        "aggregation": {
+            "customer_orders_merged": {
+                "group_by": ["o_orderstatus_orders"],
+                "aggregations": {"o_totalprice_orders": ["sum", "count"]},
+            }
+        },
+    }
+    result = run_pipeline(spark, spec, "/root/testdata/sf0.001", wh)
+
+    assert result.extracted == {
+        "orders": "full-refresh",
+        "customer": "initial-full-load",
+    }
+    # FK o_custkey -> c_custkey pairs the two tables (alphabetical sweep
+    # order puts customer first)
+    assert result.mapped == ["customer_orders_merged"]
+    merged = wh.silver_mapping.read(spark, "customer_orders_merged")
+    assert "o_totalprice_orders" in merged.columns
+    assert merged.count() == 1500  # every order has a customer
+
+    assert "transformed_customer_orders_merged" in result.transformed
+    agg = wh.silver.read(spark, "agg_customer_orders_merged")
+    assert set(agg.columns) == {
+        "o_orderstatus_orders",
+        "o_totalprice_orders_sum",
+        "o_totalprice_orders_count",
+    }
+    assert agg.count() >= 1
+
+    # second run: incremental branch appends nothing new
+    result2 = run_pipeline(spark, spec, "/root/testdata/sf0.001", wh)
+    assert result2.extracted["customer"] == "appended-delta"
+    assert wh.raw.read(spark, "customer").count() == 150
+
+
+def test_next_run_delay():
+    now = datetime(2026, 1, 1, 12, 0)
+    assert next_run_delay({"mode": "once"}, now) == timedelta(0)
+    assert next_run_delay(
+        {"mode": "once"}, now, target=datetime(2026, 1, 1, 12, 30)
+    ) == timedelta(minutes=30)
+    assert next_run_delay({"mode": "every", "minutes": 7}, now) == timedelta(minutes=7)

@@ -1,0 +1,81 @@
+"""Streaming operators: batch==stream equivalence (the oracle for
+operators DuckDB can't replay — SURVEY §5.2), stateful dedup, custom
+state. All runs are one-shot (availableNow) on the events fixture."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_zero_spark.catalog import load_table
+from etl_zero_spark.plans.all_queries import QUERIES
+from etl_zero_spark.streaming import events as sev
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    return sev.read_events_stream(spark, SF_SMOKE)
+
+
+def _rowset(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.select(*cols).collect()}
+
+
+def test_stream_reads_events(spark, stream):
+    out = sev.run_available_now(stream.select("event_id", "ts"), "t_raw", "append")
+    batch = load_table(spark, SF_SMOKE, "events")
+    assert out.count() == batch.count()
+    assert dict(out.dtypes)["ts"] == "timestamp"
+
+
+def test_tumbling_batch_equivalence(spark, stream):
+    got = sev.run_available_now(sev.tumbling_agg(stream), "t_tumble")
+    want = QUERIES["e1_tumbling_window"].fn(spark, SF_SMOKE)
+    cols = ["window_start", "event_type", "n_events", "value_sum"]
+    assert _rowset(got, cols) == _rowset(want, cols)
+
+
+def test_sliding_batch_equivalence(spark, stream):
+    got = sev.run_available_now(sev.sliding_agg(stream), "t_slide")
+    want = QUERIES["e2_sliding_window"].fn(spark, SF_SMOKE)
+    cols = ["window_start", "n_events", "value_sum"]
+    assert _rowset(got, cols) == _rowset(want, cols)
+
+
+def test_session_batch_equivalence(spark, stream):
+    got = sev.run_available_now(sev.session_agg(stream), "t_sess")
+    want = QUERIES["e3_sessionize_batch"].fn(spark, SF_SMOKE).select(
+        "user_id",
+        F.col("session_start"),
+        "n_events",
+        "value_sum",
+    )
+    cols = ["user_id", "session_start", "n_events", "value_sum"]
+    assert _rowset(got, cols) == _rowset(want, cols)
+
+
+def test_dedup_within_watermark(spark, stream):
+    out = sev.run_available_now(
+        sev.dedup_within_watermark(stream), "t_dedup", "append"
+    )
+    batch = load_table(spark, SF_SMOKE, "events")
+    assert out.count() == batch.select("event_id").distinct().count()
+
+
+def test_running_user_totals_matches_batch(spark, stream):
+    got = sev.run_available_now(
+        sev.running_user_totals(stream), "t_state", "update"
+    )
+    # update mode may emit one row per user per micro-batch; the LAST row
+    # per user is the final state. availableNow on one file = one batch.
+    final = {r.user_id: (r.n_events, r.value_sum) for r in got.collect()}
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .collect()
+    }
+    assert final == want
