@@ -50,10 +50,19 @@ def main() -> None:
     spark = get_spark(app_name="etl-zero-spark-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: touch the fact table + python worker pool (not timed)
+    # warm-up (not timed): fact-table scan + the Python worker pool —
+    # local[N] lazily forks N pyspark workers on the first Arrow stage,
+    # which is environment startup cost, not operator cost.
     from etl_zero_spark.catalog import load_table
 
     load_table(spark, sf_dir, "lineitem").limit(10).count()
+
+    def _noop(it):
+        yield from it
+
+    spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
+        _noop, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

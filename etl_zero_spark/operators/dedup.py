@@ -111,7 +111,12 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col), k).alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
     flat = sh.select("id", "n_shingles", F.explode("shingles").alias("shingle"))
-    a, b = flat.alias("a"), flat.alias("b")
+    # shuffle_hash, not broadcast: the inverted index is O(corpus) rows —
+    # near the broadcast threshold it makes planning flaky (single-thread
+    # relation builds), and at real scale broadcasting it is impossible.
+    # Identical shuffles on both sides also let AQE reuse the exchange,
+    # so the shingle expression is computed once.
+    a, b = flat.hint("shuffle_hash").alias("a"), flat.hint("shuffle_hash").alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(
@@ -186,7 +191,7 @@ def minhash_lsh_pairs(
     )
     banded = sig.select(
         "id", F.posexplode(band_arr).alias("band", "band_hash")
-    )
+    ).hint("shuffle_hash")  # O(corpus x bands) rows — never broadcast
     a, b = banded.alias("a"), banded.alias("b")
     candidates = (
         a.join(
@@ -281,7 +286,7 @@ def simhash_pairs(
     )
     banded = fps.select(
         "id", "simhash", F.posexplode(band_arr).alias("band", "band_val")
-    )
+    ).hint("shuffle_hash")  # O(corpus x bands) rows — never broadcast
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

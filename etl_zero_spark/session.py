@@ -69,7 +69,9 @@ def get_spark(
         # 128 MiB split targets: good parquet scan granularity at any scale.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.driver.memory", "8g")
+        # local[N] runs every executor thread inside the driver JVM — size
+        # it for N concurrent tasks or later queries in a session pay GC.
+        .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
     )
     for k, v in RUNTIME_CONFS.items():
