@@ -159,22 +159,53 @@ def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFr
     )
 
 
+#: State-store partition cap for one-shot runs. Streaming stateful
+#: stages spin up one state store per shuffle partition; under a vanilla
+#: session (200 partitions) that is 200 store instances per stateful
+#: stage for a single micro-batch — pure fixed overhead at any fixture
+#: size, and the reason a contended driver run can blow its wall-clock
+#: budget on three streaming queries. On a real cluster with real volume
+#: the caller sizes partitions; the cap only applies to this one-shot
+#: helper.
+ONESHOT_SHUFFLE_PARTITIONS = 16
+
+
 def run_available_now(
     stream_df: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
     """Execute a streaming plan one-shot (Trigger.AvailableNow — the
     reference's run-once scheduling, scheduler.py:236-250) into a memory
-    sink and return the result table."""
+    sink and return the result table.
+
+    Hardened for driver-owned vanilla sessions: shuffle partitions are
+    temporarily capped (state-store count == shuffle partitions), the
+    checkpoint location is unique per run (no cross-run collisions), and
+    the session conf is restored afterward.
+    """
+    import tempfile
+    import uuid
+
     spark = stream_df.sparkSession
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
+    checkpoint = os.path.join(
+        tempfile.gettempdir(), f"etlzero_ckpt_{name}_{uuid.uuid4().hex[:12]}"
     )
-    query.awaitTermination()
+    try:
+        if int(prev) > ONESHOT_SHUFFLE_PARTITIONS:
+            spark.conf.set(conf_key, str(ONESHOT_SHUFFLE_PARTITIONS))
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, prev)
     return spark.table(name)
