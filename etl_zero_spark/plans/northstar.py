@@ -124,12 +124,13 @@ def dd4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dots JOIN norms na ON a_id = na.vec_id JOIN norms nb ON b_id = nb.vec_id
     WHERE dot / (na.nrm * nb.nrm) >= 0.4
     """,
-    "Vector near-duplicate pairs at cosine >= 0.4 (exact; the fixture's "
+    "Vector near-duplicate pairs at cosine >= 0.4 (exact, distributed "
+    "block-pair GEMM — no driver materialization; the fixture's "
     "synthetic embeddings top out near 0.55 pairwise).",
 )
 def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_neardup_pairs(emb, threshold=0.4)
+    return dedup.embedding_neardup_pairs_blocked(emb, threshold=0.4)
 
 
 @query(
@@ -153,6 +154,21 @@ def dd6_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3)
     return dedup.dedup_keep_min(docs.select("doc_id", "lang", "source"), pairs)
+
+
+@query(
+    "dd8_neardup_lsh",
+    "dedup: distributed LSH-bucketed embedding near-dup",
+    None,  # hash-bucketed; precision/recall vs dd5 asserted in tests/test_similarity.py
+    "Embedding near-dup pairs via per-bucket GEMM (groupBy (table, "
+    "bucket) + applyInPandas): the approximate-then-exact-rescore scale "
+    "path for dd5. Geometry here (3 planes x 12 tables) is sized for "
+    "the fixture's low 0.4 threshold; real near-dup regimes (0.9+) use "
+    "the pruning defaults.",
+)
+def dd8_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_neardup_pairs(emb, threshold=0.4, n_planes=3, n_tables=12)
 
 
 # ---------------------------------------------------------------------------
@@ -182,26 +198,43 @@ def dd6_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rank
     FROM ranked WHERE rk <= 5
     """,
-    "Exact brute-force cosine top-5 for the first 20 query vectors "
-    "(broadcast queries x corpus; the ANN baseline + rescorer).",
+    "Exact cosine top-5 for the first 20 query vectors — distributed "
+    "block GEMM (corpus shuffles once into hash blocks, queries fan "
+    "out, window merge); no driver materialization.",
 )
 def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 20)
-    return similarity.brute_force_topk(queries_df, emb, k=5)
+    return similarity.brute_force_topk_distributed(queries_df, emb, k=5)
 
 
 @query(
     "sim2_lsh_topk",
-    "similarity: sign-LSH bucketed ANN",
+    "similarity: sign-LSH bucketed ANN (broadcast kernel)",
     None,  # recall vs sim1 asserted in tests/test_similarity.py
-    "Random-hyperplane LSH (12 seeded planes, multi-probe Hamming-1) "
-    "bucket join + exact rescore — the 100 TB scale path.",
+    "Random-hyperplane LSH (6 seeded planes x 6 tables, multi-probe "
+    "Hamming-1) with exact rescore of the candidate union — the "
+    "single-node broadcast baseline for sim3.",
 )
 def sim2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 20)
     return similarity.lsh_bucketed_topk(queries_df, emb, k=5)
+
+
+@query(
+    "sim3_lsh_distributed",
+    "similarity: distributed sign-LSH ANN (cogrouped bucket GEMM)",
+    None,  # recall vs sim1 asserted in tests/test_similarity.py
+    "The 100 TB ANN path: bucket ids as DataFrame columns (seeded "
+    "hyperplanes regenerate per-executor — nothing broadcast, no "
+    "driver collect), multi-probe by Column bit-flips, per-bucket GEMM "
+    "rescore via cogrouped applyInPandas, global window top-k.",
+)
+def sim3_lsh_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 20)
+    return similarity.lsh_partitioned_topk(queries_df, emb, k=5)
 
 
 # ---------------------------------------------------------------------------
