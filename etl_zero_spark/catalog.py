@@ -143,6 +143,37 @@ class Zone:
 
         shutil.rmtree(self.path(table), ignore_errors=True)
 
+    def write_csv(self, df: DataFrame, table: str, mode: str = "overwrite") -> str:
+        """S9 CSV sink (mapping.py:183-185 ``self.dataset.to_csv``).
+
+        Executor-parallel, header on, values quoted where needed — unlike
+        the reference's single-threaded driver-side ``to_csv``. Returns
+        the directory written (Spark CSV targets are directories of
+        part files — one per task, which is what makes the write scale).
+        """
+        path = self.path(table) + "_csv"
+        (
+            df.write.mode(mode)
+            .option("header", True)
+            # the CSV *writer* trims cell whitespace by default — a data
+            # sink must be lossless, so quote-and-keep instead
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
+            .csv(path)
+        )
+        return path
+
+    def read_csv(self, spark: SparkSession, table: str, schema=None) -> DataFrame:
+        """Read back an S9 CSV table; pass the original schema to avoid
+        the inference scan (and its string-typed surprises)."""
+        path = self.path(table) + "_csv"
+        reader = spark.read.option("header", True)
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", True)
+        return reader.csv(path)
+
 
 @dataclass
 class Warehouse:

@@ -218,9 +218,76 @@ def dedup_keep_min(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
     """Resolve near-dup pairs into a keep-set: drop every id that appears
     as the greater member of a pair (keep-min-id policy, one anti-join).
     Not full connected components — the standard single-pass policy used
-    by web-scale dedup pipelines; iterate to a fixpoint if transitive
-    closure is required."""
+    by web-scale dedup pipelines; see ``dedup_transitive`` when chains
+    (A~B~C with A!~C) must collapse to one survivor per component."""
     drop = pairs.select(F.col("b_id").alias(id_col)).dropDuplicates()
+    return df.join(drop, id_col, "left_anti")
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Label each node in the similarity graph with the min id of its
+    connected component: min-label propagation to a fixpoint.
+
+    Each round: every node takes min(own label, neighbors' labels); the
+    min id floods outward one hop per round, so rounds = graph diameter
+    (near-dup components are short chains in practice; `max_iter` is a
+    safety rail, and convergence is detected with a count — the only
+    scalar the driver sees). `localCheckpoint` truncates the lineage so
+    plan size stays O(1) per round instead of O(rounds). For adversarial
+    long-chain graphs the O(log n) alternating small-star/large-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce") drops
+    in behind the same signature.
+
+    Output: (id, label) for every node that appears in ``pairs``.
+    """
+    sym = pairs.select(
+        F.col("a_id").alias("id"), F.col("b_id").alias("nbr")
+    ).unionAll(pairs.select(F.col("b_id").alias("id"), F.col("a_id").alias("nbr")))
+    edges = sym.dropDuplicates(["id", "nbr"]).localCheckpoint(eager=True)
+    labels = edges.select("id").dropDuplicates().withColumn("label", F.col("id"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+            .groupBy("id")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_transitive(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Transitive-closure dedup: one survivor (the min id) per connected
+    component of the pair graph. Documents in no pair pass through.
+
+    Where this differs from single-pass ``dedup_keep_min``: pairs
+    {(2,3), (1,3)} — the single pass drops only b-sides {3} and keeps
+    {1, 2}, but 1~3~2 makes them one transitive group whose sole
+    survivor is 1.
+    """
+    comp = connected_components(pairs)
+    drop = comp.where(F.col("label") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
     return df.join(drop, id_col, "left_anti")
 
 

@@ -126,6 +126,46 @@ def next_run_delay(
     return timedelta(minutes=spec_schedule.get("minutes", 5))
 
 
+def run_scheduled(
+    run: Any,
+    schedule: dict[str, Any],
+    *,
+    clock: Any,
+    sleep: Any,
+    target: datetime | None = None,
+    max_runs: int | None = None,
+) -> int:
+    """The scheduler run-loop (scheduler.py:211-269) with an injectable
+    clock and sleeper so it tests without real sleeping.
+
+    * ``mode: "once"`` — sleep until ``target`` (scheduler.py:236-250's
+      sleep-until), execute once, return 1.
+    * ``mode: "every"`` — execute every N minutes like
+      ``schedule.every(N).minutes`` (scheduler.py:252-264): the first
+      run happens one interval after start, then the loop re-arms.
+      ``max_runs`` bounds the loop (None = run forever, the reference's
+      busy loop).
+
+    ``run`` is any zero-arg callable — typically
+    ``lambda: run_pipeline(spark, spec, src, wh)``. Returns the number
+    of completed runs. Only scheduling lives here: the data path is
+    entirely inside ``run`` and stays lazy/distributed.
+    """
+    mode = schedule.get("mode", "once")
+    if mode == "once":
+        delay = next_run_delay(schedule, clock(), target)
+        if delay > timedelta(0):
+            sleep(delay.total_seconds())
+        run()
+        return 1
+    runs = 0
+    while max_runs is None or runs < max_runs:
+        sleep(next_run_delay(schedule, clock()).total_seconds())
+        run()
+        runs += 1
+    return runs
+
+
 def load_spec(path: str) -> dict[str, Any]:
     with open(path) as fh:
         return json.load(fh)

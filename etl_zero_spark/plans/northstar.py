@@ -157,6 +157,42 @@ def dd6_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dd7_dedup_transitive",
+    "dedup: transitive resolution (connected components)",
+    f"""
+    WITH RECURSIVE {_DUCK_SHINGLES},
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))) >= 0.3
+    ),
+    edges AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    label AS (SELECT u AS id, min(v) AS mn FROM reach GROUP BY u)
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    LEFT JOIN label l ON d.doc_id = l.id
+    WHERE l.id IS NULL OR least(l.mn, d.doc_id) = d.doc_id
+    """,
+    "One survivor (min doc_id) per connected component of the near-dup "
+    "graph — min-label propagation to a fixpoint; collapses chains "
+    "A~B~C that single-pass keep-min leaves partially duplicated.",
+)
+def dd7_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+    return dedup.dedup_transitive(docs.select("doc_id", "lang", "source"), pairs)
+
+
+@query(
     "dd8_neardup_lsh",
     "dedup: distributed LSH-bucketed embedding near-dup",
     None,  # hash-bucketed; precision/recall vs dd5 asserted in tests/test_similarity.py

@@ -144,6 +144,25 @@ def s10_preview_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "customer").orderBy("c_custkey").limit(5)
 
 
+@query(
+    "s9_csv_sink",
+    "S9",
+    "SELECT * FROM customer",
+    "CSV sink round-trip (mapping.py:183-185 to_csv): write customer to "
+    "an executor-parallel headered CSV directory, read it back with the "
+    "original schema — the written bytes must reproduce the table.",
+)
+def s9_csv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_zero_spark.catalog import Zone
+
+    c = load_table(spark, sf_dir, "customer")
+    zone = Zone(tempfile.mkdtemp(prefix="etlzero_s9_"), "golden")
+    zone.write_csv(c, "customer")
+    return zone.read_csv(spark, "customer", schema=c.schema)
+
+
 # --------------------------------------------------------------------------
 # §2.2 row-level transforms
 # --------------------------------------------------------------------------

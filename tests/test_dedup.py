@@ -70,6 +70,39 @@ def test_dedup_keep_min(spark, docs):
     assert kept.join(docs, "doc_id", "left_anti").count() == 0
 
 
+def test_transitive_dedup_collapses_chains(spark):
+    """pairs {(2,3), (1,3)}: single-pass keep-min keeps {1, 2} (only
+    b-sides drop), but 1~3~2 is one component -> transitive keeps {1}."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"d{i}") for i in [1, 2, 3, 9]]
+    )
+    pairs = spark.createDataFrame(
+        [Row(a_id=2, b_id=3), Row(a_id=1, b_id=3)]
+    )
+    single = {r.doc_id for r in dedup.dedup_keep_min(docs, pairs).collect()}
+    assert single == {1, 2, 9}
+    trans = {r.doc_id for r in dedup.dedup_transitive(docs, pairs).collect()}
+    assert trans == {1, 9}
+
+
+def test_connected_components_long_chain(spark):
+    """A 5-link chain needs multiple propagation rounds; every node must
+    end labeled with the chain minimum."""
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame(
+        [Row(a_id=i, b_id=i + 1) for i in range(10, 15)]
+        + [Row(a_id=100, b_id=101)]
+    )
+    labels = {r.id: r.label for r in dedup.connected_components(pairs).collect()}
+    assert {k: v for k, v in labels.items() if k < 100} == {
+        i: 10 for i in range(10, 16)
+    }
+    assert labels[100] == labels[101] == 100
+
+
 def test_exact_dedup_keeps_min_id(spark):
     df = spark.createDataFrame(
         [(5, "same"), (2, "same"), (9, "other")], ["doc_id", "text"]

@@ -41,3 +41,19 @@ def test_loader_full_then_delta(spark, tmp_path):
     # idempotent when no new keys
     loader.incremental(spark, src2, "t", "k")
     assert loader.read(spark, "t").count() == 4
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    """S9 (mapping.py:183-185): header on, quoting preserves commas and
+    whitespace, schema-specified read-back reproduces the rows."""
+    from etl_zero_spark.catalog import Zone
+
+    zone = Zone(str(tmp_path), "golden")
+    df = spark.createDataFrame(
+        [(1, "plain", 1.5), (2, "comma, inside", -0.25), (3, "  padded  ", None)],
+        "id long, name string, score double",
+    )
+    path = zone.write_csv(df, "t")
+    assert path.endswith("t_csv")
+    back = zone.read_csv(spark, "t", schema=df.schema)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}

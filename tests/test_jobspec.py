@@ -4,7 +4,7 @@ DAG over a temp warehouse, on the sf0.001 fixture."""
 from datetime import datetime, timedelta
 
 from etl_zero_spark.catalog import FIXTURE_FKS, Warehouse
-from etl_zero_spark.plans.jobspec import next_run_delay, run_pipeline
+from etl_zero_spark.plans.jobspec import next_run_delay, run_pipeline, run_scheduled
 
 
 def test_full_pipeline(spark, tmp_path):
@@ -58,3 +58,64 @@ def test_next_run_delay():
         {"mode": "once"}, now, target=datetime(2026, 1, 1, 12, 30)
     ) == timedelta(minutes=30)
     assert next_run_delay({"mode": "every", "minutes": 7}, now) == timedelta(minutes=7)
+
+
+class FakeTime:
+    """Injectable clock + sleeper: sleeping advances the clock, no real
+    waiting (scheduler.py:236-264 semantics without wall time)."""
+
+    def __init__(self, start: datetime):
+        self.now = start
+        self.sleeps: list[float] = []
+
+    def clock(self) -> datetime:
+        return self.now
+
+    def sleep(self, seconds: float) -> None:
+        self.sleeps.append(seconds)
+        self.now += timedelta(seconds=seconds)
+
+
+def test_run_scheduled_one_shot_sleeps_until_target():
+    ft = FakeTime(datetime(2026, 1, 1, 12, 0))
+    ran = []
+    n = run_scheduled(
+        lambda: ran.append(ft.now),
+        {"mode": "once"},
+        clock=ft.clock,
+        sleep=ft.sleep,
+        target=datetime(2026, 1, 1, 12, 45),
+    )
+    assert n == 1
+    assert ft.sleeps == [45 * 60.0]
+    assert ran == [datetime(2026, 1, 1, 12, 45)]
+
+
+def test_run_scheduled_one_shot_past_target_runs_immediately():
+    ft = FakeTime(datetime(2026, 1, 1, 12, 0))
+    ran = []
+    run_scheduled(
+        lambda: ran.append(ft.now),
+        {"mode": "once"},
+        clock=ft.clock,
+        sleep=ft.sleep,
+        target=datetime(2026, 1, 1, 11, 0),
+    )
+    assert ft.sleeps == []  # target already passed -> no sleep
+    assert ran == [datetime(2026, 1, 1, 12, 0)]
+
+
+def test_run_scheduled_recurring_two_ticks():
+    ft = FakeTime(datetime(2026, 1, 1, 12, 0))
+    ran = []
+    n = run_scheduled(
+        lambda: ran.append(ft.now),
+        {"mode": "every", "minutes": 10},
+        clock=ft.clock,
+        sleep=ft.sleep,
+        max_runs=2,
+    )
+    assert n == 2
+    # schedule.every(N).minutes fires one interval after start, then re-arms
+    assert ran == [datetime(2026, 1, 1, 12, 10), datetime(2026, 1, 1, 12, 20)]
+    assert ft.sleeps == [600.0, 600.0]
