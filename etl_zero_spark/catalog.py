@@ -201,3 +201,26 @@ class Warehouse:
 
     def zone(self, name: str) -> Zone:
         return Zone(self.root, name)
+
+    #: Zone names, in medallion order (front_end.py:850-859).
+    ZONES = ("raw", "silver_mapping", "silver", "golden")
+
+    def create_databases(self, spark: SparkSession, prefix: str = "") -> list[str]:
+        """S8 catalog parity: materialize the four zones as real catalog
+        databases (front_end.py:691,850-859 ``CREATE DATABASE``), each
+        LOCATION'd inside the warehouse root so ``saveAsTable`` lands in
+        the same directory layout the Zone file API uses. ``prefix``
+        namespaces the databases (shared metastores)."""
+        made = []
+        for z in self.ZONES:
+            name = f"{prefix}{z}"
+            loc = os.path.join(self.root, z).replace("'", "")
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS {name} LOCATION '{loc}'")
+            made.append(name)
+        return made
+
+    def drop_databases(self, spark: SparkSession, prefix: str = "") -> None:
+        """S8's DROP DATABASE analog (front_end.py:850-859), CASCADE like
+        the reference's drop-and-recreate reset."""
+        for z in self.ZONES:
+            spark.sql(f"DROP DATABASE IF EXISTS {prefix}{z} CASCADE")

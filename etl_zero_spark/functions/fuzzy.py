@@ -39,6 +39,57 @@ def is_date_column(name: str, cutoff: float = 0.75) -> bool:
     )
 
 
+def word2vec_name_similarity(all_columns: list[str], seed: int = 42):
+    """J3 alternative backend: seeded ``pyspark.ml.feature.Word2Vec``
+    over the underscore-tokenized column-name corpus, reproducing the
+    reference's learned matcher (mapping.py:67-77: Word2Vec(
+    vector_size=100, window=5, min_count=1) on tokenized names;
+    cosine of averaged token vectors, mapping.py:79-87).
+
+    The corpus is metadata-scale (tens of names), so the model trains in
+    one tiny Spark job and the vectors collect to a dict; returns a
+    ``(a, b) -> float`` callable to plug into ``infer_join_key``.
+    Seeding makes it deterministic (SURVEY §7 hard-part 2) — the
+    default ``name_similarity`` stays primary because on a name-sized
+    corpus Word2Vec geometry is mostly random init, exactly as in the
+    reference.
+    """
+    import numpy as np
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    corpus = spark.createDataFrame(
+        [(c.lower().split("_"),) for c in all_columns], ["tokens"]
+    )
+    model = Word2Vec(
+        vectorSize=100,
+        windowSize=5,
+        minCount=1,
+        seed=seed,
+        inputCol="tokens",
+        outputCol="vec",
+    ).fit(corpus)
+    vecs = {r["word"]: np.array(r["vector"]) for r in model.getVectors().collect()}
+
+    def col_vec(name: str) -> "np.ndarray | None":
+        toks = [vecs[t] for t in name.lower().split("_") if t in vecs]
+        if not toks:
+            return None
+        return np.mean(toks, axis=0)
+
+    def sim(a: str, b: str) -> float:
+        va, vb = col_vec(a), col_vec(b)
+        if va is None or vb is None:
+            return 0.0
+        denom = float(np.linalg.norm(va) * np.linalg.norm(vb))
+        if denom == 0.0:
+            return 0.0
+        return float(va @ vb / denom)
+
+    return sim
+
+
 def _token_sim(a: str, b: str) -> float:
     """Token-level similarity: exact or prefix containment counts as 1.0
     (id ~ identifier, cust ~ customer — the abbreviation pattern column

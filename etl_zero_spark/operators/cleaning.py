@@ -25,7 +25,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import NumericType, StringType
+from pyspark.sql.types import IntegralType, NumericType, StringType
 
 from etl_zero_spark.functions.dates import standardize_date_expr
 from etl_zero_spark.functions.fuzzy import find_best_column, is_date_column
@@ -56,15 +56,39 @@ def remove_null_rows(df: DataFrame) -> DataFrame:
 
 def impute_nulls(df: DataFrame) -> DataFrame:
     """P4: numeric -> column mean, string -> "N/A"
-    (transformations_code.py:84-90). Means come from a single agg job
-    over all numeric columns (one pass, map-side partial aggregation).
+    (transformations_code.py:84-90). Means and null counts come from a
+    single agg job over all numeric columns (one pass, map-side partial
+    aggregation).
+
+    Pandas type parity: in pandas any column holding nulls is already
+    float64, so mean-imputation keeps the exact fractional mean and the
+    column stays float; columns without nulls keep their dtype. We
+    reproduce both: integer columns that actually contain nulls promote
+    to double before filling (a naive ``na.fill`` would silently
+    truncate mean 2.5 to 2), untouched columns keep their type. That
+    schema decision is data-dependent, which is exactly why this
+    transform keeps its one eager scalar agg — the only eager step in
+    the transform library, and it reads one row.
     """
     nums = _numeric_cols(df)
     if nums:
-        means_row = df.agg(*[F.avg(F.col(c)).alias(c) for c in nums]).first()
-        means = {c: means_row[c] for c in nums if means_row[c] is not None}
-        if means:
-            df = df.na.fill(means)
+        aggs = [F.avg(F.col(c)).alias(f"avg::{c}") for c in nums] + [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls::{c}") for c in nums
+        ]
+        row = df.agg(*aggs).first()
+        int_types = {
+            f.name for f in df.schema.fields if isinstance(f.dataType, IntegralType)
+        }
+        fills = {
+            c: row[f"avg::{c}"]
+            for c in nums
+            if row[f"nulls::{c}"] and row[f"avg::{c}"] is not None
+        }
+        promote = [c for c in fills if c in int_types]
+        if promote:
+            df = df.withColumns({c: F.col(c).cast("double") for c in promote})
+        if fills:
+            df = df.na.fill(fills)
     strs = _string_cols(df)
     if strs:
         df = df.na.fill("N/A", subset=strs)

@@ -41,14 +41,19 @@ def infer_join_key(
     t2: str,
     cols2: list[str],
     fks: dict[str, dict[str, tuple[str, str]]] | None = None,
+    sim_fn=None,
 ) -> tuple[str, str] | None:
     """J2 then J3: returns (col_in_t1, col_in_t2) or None.
 
     FK priority (mapping.py:140-149): if t1 declares an FK into t2 (or
     vice versa), use that pair. Else semantic similarity over all column
     pairs, best pair >= SIMILARITY_THRESHOLD (mapping.py:89-103).
+    ``sim_fn`` overrides the name-similarity backend (default: the
+    deterministic difflib-based ``name_similarity``; see
+    ``fuzzy.word2vec_name_similarity`` for the learned parity backend).
     """
     fks = fks or {}
+    sim_fn = sim_fn or name_similarity
     for c, (parent, pcol) in fks.get(t1, {}).items():
         if parent == t2 and c in cols1 and pcol in cols2:
             return (c, pcol)
@@ -62,7 +67,7 @@ def infer_join_key(
     best: tuple[float, str, str] | None = None
     for c1 in cols1:
         for c2 in cols2:
-            sim = name_similarity(c1, c2)
+            sim = sim_fn(c1, c2)
             if best is None or sim > best[0]:
                 best = (sim, c1, c2)
     if best is not None and best[0] >= SIMILARITY_THRESHOLD:
@@ -95,11 +100,24 @@ class DatasetMapper:
     """J4/J5: the pairwise merge sweep (mapping.py:129-181).
 
     ``tables``: name -> DataFrame; ``fks``: side metadata (Spark's
-    catalog has no FK objects — SURVEY §1.1).
+    catalog has no FK objects — SURVEY §1.1). ``backend`` selects the
+    J3 name-similarity: "difflib" (default, deterministic) or
+    "word2vec" (reference parity — trains a seeded Spark ML Word2Vec on
+    the column-name corpus at sweep time, mirroring the reference
+    training in its constructor, mapping.py:34-37,67-77).
     """
 
     tables: dict[str, DataFrame]
     fks: dict[str, dict[str, tuple[str, str]]] = field(default_factory=dict)
+    backend: str = "difflib"
+
+    def _sim_fn(self):
+        if self.backend == "word2vec":
+            from etl_zero_spark.functions.fuzzy import word2vec_name_similarity
+
+            all_cols = [c for df in self.tables.values() for c in df.columns]
+            return word2vec_name_similarity(all_cols)
+        return name_similarity
 
     def merge_tables(self) -> dict[str, DataFrame]:
         """Double loop over pairs; each table participates in at most one
@@ -110,6 +128,7 @@ class DatasetMapper:
         names = list(self.tables)
         done: set[str] = set()
         out: dict[str, DataFrame] = {}
+        sim_fn = self._sim_fn()
         for i, t1 in enumerate(names):
             if t1 in done:
                 continue
@@ -122,6 +141,7 @@ class DatasetMapper:
                     t2,
                     self.tables[t2].columns,
                     self.fks,
+                    sim_fn=sim_fn,
                 )
                 if key is None:
                     continue

@@ -35,6 +35,18 @@ def test_impute_nulls_all_null_column_stays_null(spark):
     assert all(r.n is None for r in out)  # pandas fillna(NaN) is a no-op
 
 
+def test_impute_nulls_integer_promotes_like_pandas(spark):
+    """Integer column with nulls: pandas holds it as float64 and fills
+    the exact mean — a naive Spark na.fill would truncate 2.5 to 2."""
+    df = spark.createDataFrame(
+        [(1, 7), (4, 8), (None, 9)], "n int, untouched int"
+    )
+    out = cleaning.impute_nulls(df)
+    assert dict(out.dtypes)["n"] == "double"
+    assert dict(out.dtypes)["untouched"] == "int"  # no nulls -> dtype kept
+    assert sorted(r.n for r in out.collect()) == [1.0, 2.5, 4.0]
+
+
 def test_trim_whitespace(spark):
     df = spark.createDataFrame([("  a  ", 1)], ["s", "i"])
     assert cleaning.trim_whitespace(df).first().s == "a"

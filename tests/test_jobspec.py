@@ -51,6 +51,21 @@ def test_full_pipeline(spark, tmp_path):
     assert wh.raw.read(spark, "customer").count() == 150
 
 
+def test_warehouse_catalog_databases(spark, tmp_path):
+    """S8 parity: the four zones exist as real catalog databases
+    (front_end.py:691,850-859), located inside the warehouse root."""
+    wh = Warehouse(str(tmp_path))
+    made = wh.create_databases(spark, prefix="t8_")
+    assert made == ["t8_raw", "t8_silver_mapping", "t8_silver", "t8_golden"]
+    names = {d.name for d in spark.catalog.listDatabases()}
+    assert set(made) <= names
+    spark.range(3).write.saveAsTable("t8_golden.probe")
+    assert spark.table("t8_golden.probe").count() == 3
+    wh.drop_databases(spark, prefix="t8_")
+    names = {d.name for d in spark.catalog.listDatabases()}
+    assert not ({"t8_raw", "t8_golden"} & names)
+
+
 def test_next_run_delay():
     now = datetime(2026, 1, 1, 12, 0)
     assert next_run_delay({"mode": "once"}, now) == timedelta(0)

@@ -40,6 +40,38 @@ def test_merge_pair_aliasing(spark):
     assert out.count() == 1
 
 
+def test_word2vec_backend_matches_token_permutations(spark):
+    """The learned backend (seeded Spark ML Word2Vec, reference
+    mapping.py:67-103 parity): identical token multisets average to the
+    same vector (cosine 1.0), so permuted names must match; disjoint
+    random-vector names must not reach the 0.8 threshold; the whole
+    thing must be deterministic across calls."""
+    from etl_zero_spark.functions.fuzzy import word2vec_name_similarity
+
+    cols = ["customer_id", "id_customer", "order_total", "alpha", "zq"]
+    sim = word2vec_name_similarity(cols)
+    assert sim("customer_id", "id_customer") == 1.0
+    key = mapper.infer_join_key(
+        "t1", ["customer_id", "a"], "t2", ["id_customer", "b"], {}, sim_fn=sim
+    )
+    assert key == ("customer_id", "id_customer")
+    sim2 = word2vec_name_similarity(cols)
+    for a in cols:
+        for b in cols:
+            assert sim(a, b) == sim2(a, b)  # seeded -> reproducible
+
+
+def test_merge_tables_word2vec_backend(spark):
+    tables = {
+        "orders": spark.createDataFrame([(1, 10)], ["o_orderkey", "o_custkey"]),
+        "customer": spark.createDataFrame([(10, "A")], ["c_custkey", "c_name"]),
+        "lonely": spark.createDataFrame([(99,)], ["z_col"]),
+    }
+    out = mapper.DatasetMapper(tables, FIXTURE_FKS, backend="word2vec").merge_tables()
+    assert "orders_customer_merged" in out  # FK priority unaffected by backend
+    assert "lonely" in out
+
+
 def test_merge_tables_sweep_and_passthrough(spark):
     tables = {
         "orders": spark.createDataFrame([(1, 10)], ["o_orderkey", "o_custkey"]),
