@@ -224,7 +224,9 @@ def dedup_keep_min(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
     return df.join(drop, id_col, "left_anti")
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iter: int = 50, shuffle_partitions: int | None = 32
+) -> DataFrame:
     """Label each node in the similarity graph with the min id of its
     connected component: min-label propagation to a fixpoint.
 
@@ -238,38 +240,56 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     algorithm (Kiveris et al., "Connected Components in MapReduce") drops
     in behind the same signature.
 
+    ``shuffle_partitions`` temporarily caps the loop's shuffles (restored
+    afterward): the working set is the PAIR GRAPH, orders of magnitude
+    smaller than the corpus that produced it, and the checkpointed
+    iterations otherwise inherit a corpus-sized partition count and
+    drown in per-stage overhead (200-partition vanilla session: 4.5x
+    slower on the fixture). Size it to the expected pair count — or pass
+    None at cluster scale to inherit the session setting.
+
     Output: (id, label) for every node that appears in ``pairs``.
     """
-    sym = pairs.select(
-        F.col("a_id").alias("id"), F.col("b_id").alias("nbr")
-    ).unionAll(pairs.select(F.col("b_id").alias("id"), F.col("a_id").alias("nbr")))
-    edges = sym.dropDuplicates(["id", "nbr"]).localCheckpoint(eager=True)
-    labels = edges.select("id").dropDuplicates().withColumn("label", F.col("id"))
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("id", "nbr"), "nbr")
-            .groupBy("id")
-            .agg(F.min("label").alias("nbr_label"))
+    spark = pairs.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
+    try:
+        if shuffle_partitions is not None and int(prev) > shuffle_partitions:
+            spark.conf.set(conf_key, str(shuffle_partitions))
+        sym = pairs.select(
+            F.col("a_id").alias("id"), F.col("b_id").alias("nbr")
+        ).unionAll(
+            pairs.select(F.col("b_id").alias("id"), F.col("a_id").alias("nbr"))
         )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
+        edges = sym.dropDuplicates(["id", "nbr"]).localCheckpoint(eager=True)
+        labels = edges.select("id").dropDuplicates().withColumn("label", F.col("id"))
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+                .groupBy("id")
+                .agg(F.min("label").alias("nbr_label"))
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+            new_labels = (
+                labels.join(nbr_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", "label")
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set(conf_key, prev)
     return labels
 
 
