@@ -27,8 +27,9 @@ import time
 HEADLINE = [
     # reference-parity core
     "q1_pricing_summary",
+    "j1_inner_equijoin",
     "j5_revenue_by_nation",
-    "a1_multi_func_groupby",
+    "a1_a2_multi_func_groupby",
     "a3_histogram",
     "o3_top_k",
     "cd_count_distinct",
@@ -40,11 +41,12 @@ HEADLINE = [
     "dd3_minhash_lsh_pairs",
     "dd4_simhash_pairs",
     "dd5_embedding_neardup",
+    "dd7_dedup_transitive",
     "dd8_neardup_lsh",
     "sim1_cosine_topk",
     "sim2_lsh_topk",
     "sim3_lsh_distributed",
-    "tx1_text_stats",
+    "tx1_tx2_stats_quality",
     "tx4_fingerprints",
 ]
 
@@ -93,6 +95,10 @@ def main() -> None:
     print(
         json.dumps(
             {
+                # Schema v2 (R2+): 'value'/'queries' are WARM min-of-3
+                # timings (v1 recorded one contended cold run). Automated
+                # round-over-round diffs must check this field first.
+                "bench_schema_version": 2,
                 "metric": (
                     "headline-query warm wall time "
                     f"({len(HEADLINE)} queries: parity core + dedup/similarity/text; "

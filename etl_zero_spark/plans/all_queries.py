@@ -2,10 +2,15 @@
 ``registry.QUERIES`` is fully populated. ``__spark_entry__`` and
 ``bench.py`` import this, not the individual modules."""
 
+# Import order IS registration order, and the driver records correctness
+# rows for the first 50 registered queries: keep the total set <= 50 (48
+# as of R3) and keep northstar + streaming AHEAD of analytics so the
+# multimodal/streaming queries can never fall outside the window again
+# (the R2 regression: mm1-mm3/st1-st3 sat at positions 51-56).
 import etl_zero_spark.plans.registry  # noqa: F401  (core: scans/transforms/joins/aggs)
-import etl_zero_spark.plans.analytics  # noqa: F401  (windows/set ops/grouping)
 import etl_zero_spark.plans.events_queries  # noqa: F401  (event-time/json)
 import etl_zero_spark.plans.northstar  # noqa: F401  (dedup/similarity/text/multimodal)
 import etl_zero_spark.plans.streaming_queries  # noqa: F401  (availableNow streaming)
+import etl_zero_spark.plans.analytics  # noqa: F401  (windows/set ops/grouping)
 
 from etl_zero_spark.plans.registry import QUERIES  # noqa: F401

@@ -75,140 +75,103 @@ def w2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "w3_lag_lead",
-    "window: lag/lead",
-    """
-    SELECT user_id, event_id, value,
-           lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
-           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
-    FROM events
-    """,
-    "Per-user previous/next event value in event-time order.",
-)
-def w3_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "user_id",
-        "event_id",
-        "value",
-        F.lag("value").over(w).alias("prev_value"),
-        F.lead("value").over(w).alias("next_value"),
-    )
-
-
-@query(
-    "w4_rank_dense_rank",
-    "window: rank/dense_rank",
+    "w3_w4_lag_lead_rank",
+    "window: lag/lead + rank/dense_rank",
     """
     SELECT p_brand, p_partkey, p_retailprice,
+           lag(p_retailprice)  OVER (PARTITION BY p_brand
+                 ORDER BY p_retailprice DESC, p_partkey) AS prev_price,
+           lead(p_retailprice) OVER (PARTITION BY p_brand
+                 ORDER BY p_retailprice DESC, p_partkey) AS next_price,
            rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
            dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank
     FROM part
     """,
-    "Rank + dense_rank of parts by price within brand (ties share rank).",
+    "lag/lead over a totally-ordered window (unique p_partkey "
+    "tiebreaker keeps them deterministic) plus rank/dense_rank over the "
+    "tie-bearing price order (ties share rank) — both window families "
+    "in one pass over part.",
 )
-def w4_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def w3_w4_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
-    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    w_uniq = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    w_tie = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
     return p.select(
         "p_brand",
         "p_partkey",
         "p_retailprice",
-        F.rank().over(w).alias("price_rank"),
-        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.lag("p_retailprice").over(w_uniq).alias("prev_price"),
+        F.lead("p_retailprice").over(w_uniq).alias("next_price"),
+        F.rank().over(w_tie).alias("price_rank"),
+        F.dense_rank().over(w_tie).alias("price_dense_rank"),
     )
 
 
 @query(
-    "set1_union_all",
-    "set op: UNION ALL",
+    "set1_set2_set3_ops",
+    "set ops: UNION ALL + INTERSECT + EXCEPT",
     """
-    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    SELECT 'union_all' AS op, c_nationkey AS nationkey FROM customer
     UNION ALL
-    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    SELECT 'union_all' AS op, s_nationkey AS nationkey FROM supplier
+    UNION ALL
+    SELECT 'intersect' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey AS nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey AS nationkey FROM supplier)
     """,
-    "Bag union of customer and supplier nation keys.",
+    "All three set operations over customer/supplier nation keys in one "
+    "tagged result: bag union, set intersect, and set difference "
+    "(df.subtract ≡ EXCEPT DISTINCT; exceptAll would be bag semantics).",
 )
-def set1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
-    )
-    return c.unionByName(s)
-
-
-@query(
-    "set2_intersect",
-    "set op: INTERSECT",
-    """
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-    "Nations having both customers and suppliers (set semantics).",
-)
-def set2_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set1_set2_set3_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "nationkey")
+    return (
+        tag(c, "union_all")
+        .unionByName(tag(s, "union_all"))
+        .unionByName(tag(c.intersect(s), "intersect"))
+        .unionByName(tag(c.subtract(s), "except"))
+    )
 
 
 @query(
-    "set3_except",
-    "set op: EXCEPT",
+    "g1_g2_rollup_cube",
+    "grouping: ROLLUP + CUBE",
     """
-    SELECT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-    "Nations with customers but no suppliers (set semantics — "
-    "df.subtract ≡ EXCEPT DISTINCT; exceptAll would be bag semantics).",
-)
-def set3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
-
-
-@query(
-    "g1_rollup",
-    "grouping: ROLLUP",
-    """
-    SELECT o_orderstatus, o_orderpriority,
+    SELECT 'rollup' AS op, o_orderstatus, o_orderpriority,
            count(*) AS n_orders, round(sum(o_totalprice), 2) AS o_totalprice_sum
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'cube' AS op, o_orderstatus, o_orderpriority,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS o_totalprice_sum
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
-    "Hierarchical subtotals (status, status+priority, grand total).",
+    "Hierarchical subtotals (ROLLUP: status, status+priority, grand "
+    "total) and all grouping combinations (CUBE), tagged and unioned "
+    "over one table.",
 )
-def g1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g1_g2_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("o_totalprice_sum"),
+    ]
+    tag = lambda df, t: df.select(
+        F.lit(t).alias("op"), "o_orderstatus", "o_orderpriority",
+        "n_orders", "o_totalprice_sum",
     )
-
-
-@query(
-    "g2_cube",
-    "grouping: CUBE",
-    """
-    SELECT l_returnflag, l_linestatus,
-           count(*) AS n_rows, round(sum(l_quantity), 2) AS l_quantity_sum
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-    "All grouping combinations of returnflag x linestatus.",
-)
-def g2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("l_quantity"), 2).alias("l_quantity_sum"),
-    )
+    g1 = o.rollup("o_orderstatus", "o_orderpriority").agg(*aggs)
+    g2 = o.cube("o_orderstatus", "o_orderpriority").agg(*aggs)
+    return tag(g1, "rollup").unionByName(tag(g2, "cube"))
 
 
 @query(

@@ -281,26 +281,36 @@ _DUCK_TOK_LOCAL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x !
 
 
 @query(
-    "tx1_text_stats",
-    "text: length/word/ratio statistics",
+    "tx1_tx2_stats_quality",
+    "text: length/word/ratio statistics + quality score + BPE-ish tokens",
     f"""
-    WITH t AS (SELECT doc_id, text, {_DUCK_TOK_LOCAL} AS toks FROM documents)
-    SELECT doc_id,
-           length(text) AS n_chars,
-           len(toks) AS n_words,
-           round(list_sum(list_transform(toks, x -> length(x)))
-                 / nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS avg_word_len,
-           round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                 / nullif(CAST(length(text) AS DOUBLE), 0.0), 6) AS punct_ratio,
-           round(len(list_filter(toks, x -> list_contains(
-                   ['the','a','of','and','to','in','is','that','it','for'], x)))
-                 / nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS stopword_ratio
-    FROM t
+    WITH t AS (SELECT doc_id, text, {_DUCK_TOK_LOCAL} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(toks) AS n_words,
+             round(list_sum(list_transform(toks, x -> length(x)))
+                   / nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS avg_word_len,
+             round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                   / nullif(CAST(length(text) AS DOUBLE), 0.0), 6) AS punct_ratio,
+             round(len(list_filter(toks, x -> list_contains(
+                     ['the','a','of','and','to','in','is','that','it','for'], x)))
+                   / nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS stopword_ratio,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+      FROM t
+    )
+    SELECT doc_id, n_chars, n_words, avg_word_len, punct_ratio, stopword_ratio,
+           round((least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+                  + (1.0 - least(punct_ratio * 4.0, 1.0))
+                  + least(stopword_ratio * 5.0, 1.0)) / 3.0, 6) AS quality_score,
+           n_bpe_tokens
+    FROM m
     """,
     "Per-document char/word counts, avg word length, punctuation and "
-    "stopword ratios — one codegen'd projection.",
+    "stopword ratios, composite quality heuristic, and LLM token-budget "
+    "proxy count — one codegen'd projection.",
 )
-def tx1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tx1_tx2_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
@@ -310,39 +320,6 @@ def tx1_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.avg_word_len_expr(t).alias("avg_word_len"),
         text.punct_ratio_expr(t).alias("punct_ratio"),
         text.stopword_ratio_expr(t).alias("stopword_ratio"),
-    )
-
-
-@query(
-    "tx2_quality_tokens",
-    "text: quality score + BPE-ish token count",
-    f"""
-    WITH t AS (SELECT doc_id, text, {_DUCK_TOK_LOCAL} AS toks FROM documents),
-    m AS (
-      SELECT doc_id,
-             CAST(len(toks) AS DOUBLE) AS n_words,
-             round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
-                   / nullif(CAST(length(text) AS DOUBLE), 0.0), 6) AS punct_ratio,
-             round(len(list_filter(toks, x -> list_contains(
-                     ['the','a','of','and','to','in','is','that','it','for'], x)))
-                   / nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS stop_ratio,
-             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
-      FROM t
-    )
-    SELECT doc_id,
-           round((least(n_words / 50.0, 1.0)
-                  + (1.0 - least(punct_ratio * 4.0, 1.0))
-                  + least(stop_ratio * 5.0, 1.0)) / 3.0, 6) AS quality_score,
-           n_bpe_tokens
-    FROM m
-    """,
-    "Composite quality heuristic + LLM token-budget proxy count.",
-)
-def tx2_quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
         text.quality_score_expr(t).alias("quality_score"),
         text.bpe_token_count_expr(t).alias("n_bpe_tokens"),
     )

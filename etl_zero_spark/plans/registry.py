@@ -108,29 +108,24 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.1 scans / incremental
 # --------------------------------------------------------------------------
 @query(
-    "s2_incremental_scan",
-    "S2",
+    "s2_s3_incremental_scan",
+    "S2+S3+A4",
     """
-    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props,
+           (SELECT coalesce(max(event_id), 0) FROM events) AS src_watermark
     FROM events WHERE event_id > 500
     """,
-    "Predicate scan: the incremental-load delta fetch "
-    "(data_extraction.py:95-96); filter pushed to the parquet reader.",
+    "Incremental load in one plan: the watermark probe (MAX(key), "
+    "empty->0 default, data_extraction.py:86-92) rides the delta scan "
+    "(WHERE key > last, data_extraction.py:95-96) as a 1-row broadcast "
+    "scalar; the predicate is pushed to the parquet reader.",
 )
-def s2_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s2_s3_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.where(F.col("event_id") > F.lit(500))
-
-
-@query(
-    "s3_watermark_probe",
-    "S3+A4",
-    "SELECT coalesce(max(event_id), 0) AS watermark FROM events",
-    "Watermark probe: MAX(key) with empty->0 default (data_extraction.py:86-92).",
-)
-def s3_watermark_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.agg(F.coalesce(F.max("event_id"), F.lit(0).cast("long")).alias("watermark"))
+    wm = ev.agg(
+        F.coalesce(F.max("event_id"), F.lit(0).cast("long")).alias("src_watermark")
+    )
+    return ev.where(F.col("event_id") > F.lit(500)).crossJoin(F.broadcast(wm))
 
 
 @query(
@@ -317,44 +312,42 @@ def j6_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j7_semi_join",
-    "join family (left semi)",
+    "j7_j8_semi_anti_join",
+    "join family (left semi + left anti)",
     """
-    SELECT c.c_custkey, c.c_name FROM customer c
+    SELECT 'semi' AS op, c.c_custkey, c.c_name FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
-    """,
-    "Left-semi join (EXISTS).",
-)
-def j7_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
-
-
-@query(
-    "j8_anti_join",
-    "join family (left anti)",
-    """
-    SELECT c.c_custkey, c.c_name FROM customer c
+    UNION ALL
+    SELECT 'anti' AS op, c.c_custkey, c.c_name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
     """,
-    "Left-anti join (NOT EXISTS): customers with no high-value orders "
-    "(filtered so the anti set is non-empty at every SF).",
+    "Left-semi (EXISTS) and left-anti (NOT EXISTS) joins, tagged and "
+    "unioned; the anti threshold is chosen so its set is non-empty at "
+    "every SF.",
 )
-def j8_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def j7_j8_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    semi_o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
+    anti_o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
+    semi = (
+        c.join(semi_o, c.c_custkey == semi_o.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("op"), "c_custkey", "c_name")
+    )
+    anti = (
+        c.join(anti_o, c.c_custkey == anti_o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("op"), "c_custkey", "c_name")
+    )
+    return semi.unionByName(anti)
 
 
 # --------------------------------------------------------------------------
 # §2.4 aggregations
 # --------------------------------------------------------------------------
 @query(
-    "a1_multi_func_groupby",
-    "A1",
+    "a1_a2_multi_func_groupby",
+    "A1+A2",
     """
     SELECT o_orderstatus, o_orderpriority,
            round(sum(o_totalprice), 2) AS o_totalprice_sum,
@@ -364,35 +357,42 @@ def j8_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(o_totalprice)         AS o_totalprice_count
     FROM orders
     GROUP BY o_orderstatus, o_orderpriority
+    UNION ALL
+    SELECT o_orderstatus, 'ALL' AS o_orderpriority,
+           round(sum(o_totalprice), 2) AS o_totalprice_sum,
+           NULL, NULL, NULL, NULL
+    FROM orders
+    GROUP BY o_orderstatus
     """,
     "The reference's multi-key multi-function aggregation with "
-    "{col}_{fn} flattened naming (transformations_code.py:168-184).",
+    "{col}_{fn} flattened naming (transformations_code.py:168-184), "
+    "unioned with the A2 chart-prep single-function category sum "
+    "(front_end.py:818) tagged 'ALL'.",
 )
-def a1_multi_func_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a1_a2_multi_func_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+    a1 = o.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.round(F.sum("o_totalprice"), 2).alias("o_totalprice_sum"),
         F.round(F.avg("o_totalprice"), 4).alias("o_totalprice_mean"),
         F.round(F.min("o_totalprice"), 2).alias("o_totalprice_min"),
         F.round(F.max("o_totalprice"), 2).alias("o_totalprice_max"),
         F.count("o_totalprice").alias("o_totalprice_count"),
     )
-
-
-@query(
-    "a2_pie_aggregate",
-    "A2",
-    """
-    SELECT c_mktsegment, round(sum(c_acctbal), 2) AS c_acctbal_sum
-    FROM customer GROUP BY c_mktsegment
-    """,
-    "Chart-prep category sum (front_end.py:818).",
-)
-def a2_pie_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
-        F.round(F.sum("c_acctbal"), 2).alias("c_acctbal_sum")
+    null_d = F.lit(None).cast("double")
+    a2 = (
+        o.groupBy("o_orderstatus")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("o_totalprice_sum"))
+        .select(
+            "o_orderstatus",
+            F.lit("ALL").alias("o_orderpriority"),
+            "o_totalprice_sum",
+            null_d.alias("o_totalprice_mean"),
+            null_d.alias("o_totalprice_min"),
+            null_d.alias("o_totalprice_max"),
+            F.lit(None).cast("long").alias("o_totalprice_count"),
+        )
     )
+    return a1.unionByName(a2)
 
 
 @query(
