@@ -225,7 +225,12 @@ def dedup_keep_min(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 50, shuffle_partitions: int | None = 32
+    pairs: DataFrame,
+    max_iter: int = 50,
+    shuffle_partitions: int | None = 32,
+    use_reliable_checkpoint: bool = False,
+    checkpoint_dir: str | None = None,
+    allow_partial: bool = False,
 ) -> DataFrame:
     """Label each node in the similarity graph with the min id of its
     connected component: min-label propagation to a fixpoint.
@@ -234,11 +239,24 @@ def connected_components(
     min id floods outward one hop per round, so rounds = graph diameter
     (near-dup components are short chains in practice; `max_iter` is a
     safety rail, and convergence is detected with a count — the only
-    scalar the driver sees). `localCheckpoint` truncates the lineage so
+    scalar the driver sees). Checkpointing truncates the lineage so
     plan size stays O(1) per round instead of O(rounds). For adversarial
     long-chain graphs the O(log n) alternating small-star/large-star
     algorithm (Kiveris et al., "Connected Components in MapReduce") drops
     in behind the same signature.
+
+    Checkpoint tier: the default `localCheckpoint` stores blocks on
+    executor-local storage — fast, but NOT fault-tolerant: losing one
+    executor mid-loop kills the job unrecoverably. On a real cluster
+    pass ``use_reliable_checkpoint=True`` to write checkpoints through
+    the reliable store instead (``checkpoint_dir`` or a fresh local
+    tempdir when unset — point it at HDFS/S3 in production; the
+    SparkContext checkpoint dir is set on first use).
+
+    If the loop exhausts ``max_iter`` before the fixpoint, the labels
+    are WRONG for any component wider than the rounds run, so the
+    default raises; ``allow_partial=True`` downgrades that to a warning
+    for callers that only need a pre-clustering.
 
     ``shuffle_partitions`` temporarily caps the loop's shuffles (restored
     afterward): the working set is the PAIR GRAPH, orders of magnitude
@@ -251,8 +269,26 @@ def connected_components(
     Output: (id, label) for every node that appears in ``pairs``.
     """
     spark = pairs.sparkSession
+    if use_reliable_checkpoint:
+        sc = spark.sparkContext
+        if checkpoint_dir is None:
+            import tempfile
+
+            checkpoint_dir = tempfile.mkdtemp(prefix="etlzero_cc_ckpt_")
+        sc.setCheckpointDir(checkpoint_dir)
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     conf_key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(conf_key)
+    converged = False
+    changed: int | None = None  # max_iter=0 never enters the loop
     try:
         if shuffle_partitions is not None and int(prev) > shuffle_partitions:
             spark.conf.set(conf_key, str(shuffle_partitions))
@@ -261,7 +297,7 @@ def connected_components(
         ).unionAll(
             pairs.select(F.col("b_id").alias("id"), F.col("a_id").alias("nbr"))
         )
-        edges = sym.dropDuplicates(["id", "nbr"]).localCheckpoint(eager=True)
+        edges = ckpt(sym.dropDuplicates(["id", "nbr"]))
         labels = edges.select("id").dropDuplicates().withColumn("label", F.col("id"))
         for _ in range(max_iter):
             nbr_min = (
@@ -269,15 +305,13 @@ def connected_components(
                 .groupBy("id")
                 .agg(F.min("label").alias("nbr_label"))
             )
-            new_labels = (
-                labels.join(nbr_min, "id", "left")
-                .select(
+            new_labels = ckpt(
+                labels.join(nbr_min, "id", "left").select(
                     "id",
                     F.least(
                         F.col("label"), F.coalesce("nbr_label", "label")
                     ).alias("label"),
                 )
-                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")
@@ -287,14 +321,29 @@ def connected_components(
             )
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
     finally:
         spark.conf.set(conf_key, prev)
+    if not converged:
+        msg = (
+            f"connected_components did not reach a fixpoint within "
+            f"max_iter={max_iter} rounds ({changed} labels still changing); "
+            "labels are wrong for components wider than the rounds run — "
+            "raise max_iter (rounds needed = component diameter) or pass "
+            "allow_partial=True to accept a pre-clustering."
+        )
+        if allow_partial:
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        else:
+            raise RuntimeError(msg)
     return labels
 
 
 def dedup_transitive(
-    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", **cc_kwargs
 ) -> DataFrame:
     """Transitive-closure dedup: one survivor (the min id) per connected
     component of the pair graph. Documents in no pair pass through.
@@ -303,8 +352,12 @@ def dedup_transitive(
     {(2,3), (1,3)} — the single pass drops only b-sides {3} and keeps
     {1, 2}, but 1~3~2 makes them one transitive group whose sole
     survivor is 1.
+
+    ``cc_kwargs`` forward to :func:`connected_components` so cluster
+    callers can set max_iter / shuffle_partitions /
+    use_reliable_checkpoint without bypassing this wrapper.
     """
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, **cc_kwargs)
     drop = comp.where(F.col("label") != F.col("id")).select(
         F.col("id").alias(id_col)
     )

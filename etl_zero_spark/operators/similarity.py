@@ -59,8 +59,67 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 LSH_SEED = 42
-LSH_PLANES = 6  # h: planes (bits) per table
-LSH_TABLES = 6  # L: independent tables
+LSH_PLANES = 6  # h: planes (bits) per table (floor — see auto_geometry)
+LSH_TABLES = 6  # L: independent tables (floor — see auto_geometry)
+
+#: Cap on the rows a single (table, bucket[, sub]) group may feed one
+#: applyInPandas task. 4096 rows x 64 dim x 8 B ≈ 2 MiB of matrix and a
+#: ≤ 4096² GEMM (~128 MiB float64 scores) — far under task memory at
+#: any realistic dim. Matches dedup.BLOCK_ROWS so both exact and LSH
+#: tiers share one task-size contract.
+TARGET_BUCKET_ROWS = 4096
+
+
+def auto_geometry(
+    n: int,
+    threshold: float | None = None,
+    h_min: int = LSH_PLANES,
+    l_base: int = LSH_TABLES,
+    target_rows: int = TARGET_BUCKET_ROWS,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """Corpus-aware LSH geometry: (n_planes, n_tables) for ``n`` vectors.
+
+    A fixed h gives 2^h buckets per table, so the expected bucket
+    population is Θ(n / 2^h) — it grows linearly with the corpus and a
+    100x scale-up turns one bucket group into a multi-GiB pandas frame
+    (the R2 scale-killer). Here h grows with the corpus so the expected
+    bucket holds ≤ ``target_rows`` rows::
+
+        h = max(h_min, ceil(log2(n / target_rows)))
+
+    Raising h shrinks per-bucket collision probability p^h (p is the
+    per-plane agreement probability 1 - θ/π at the design angle), so L
+    scales up to hold the recall s-curve 1-(1-p^h)^L at its h_min
+    value: L = l_base / p^(h - h_min), capped at ``max_tables``.
+    ``threshold`` sets the design angle (cosine); None uses cosine 0.5
+    (θ=60°, p=2/3) — the conservative ANN regime. True near-dup
+    thresholds (0.9+) have p≈0.86+ and scale L far more slowly.
+    """
+    import math
+
+    h = max(h_min, math.ceil(math.log2(max(1.0, n / target_rows))))
+    if threshold is None:
+        p = 2.0 / 3.0
+    else:
+        p = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+    if h <= h_min or p >= 1.0:
+        tables = l_base
+    else:
+        tables = min(max_tables, math.ceil(l_base / (p ** (h - h_min))))
+    return h, tables
+
+
+def _bucket_block_counts(b: DataFrame, max_rows: int) -> DataFrame:
+    """Per-(table, bucket) sub-block count nb = ceil(rows / max_rows).
+
+    The aggregation shuffles on the same (table, bucket) key the
+    downstream cogroup uses, so AQE plans the join co-partitioned; the
+    driver never sees the counts.
+    """
+    return b.groupBy("table", "bucket").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(float(max_rows))).cast("int").alias("nb")
+    )
 
 
 def collect_normalized_matrix(
@@ -164,12 +223,18 @@ def _local_topk(
     q_ids: np.ndarray, sims: np.ndarray, c_ids: np.ndarray, k: int
 ) -> pd.DataFrame:
     """Per-query top-k of a (nq, nc) score matrix -> candidate rows
-    (query_id, neighbor_id, cosine). Self-pairs must be pre-masked."""
+    (query_id, neighbor_id, cosine). Self-pairs must be pre-masked.
+
+    Ties sort by (cosine desc, neighbor_id asc) — NOT block-local row
+    order — so a per-block top-k boundary cuts tied candidates exactly
+    where the global window (_global_topk) would, keeping the
+    distributed kernels bit-identical to the broadcast ones even when
+    duplicate vectors straddle a block edge."""
     out_q, out_n, out_c = [], [], []
     kk = min(k, sims.shape[1])
     for i in range(sims.shape[0]):
         s = sims[i]
-        top = np.argsort(-s, kind="stable")[:kk]
+        top = np.lexsort((c_ids, -s))[:kk]  # primary: cosine desc; tie: id asc
         top = top[s[top] > -np.inf]
         out_q.extend([q_ids[i]] * len(top))
         out_n.extend(c_ids[top])
@@ -199,6 +264,7 @@ def brute_force_topk_distributed(
     rows_per_block: int = BLOCK_ROWS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_replicated_rows: int = 50_000_000,
 ) -> DataFrame:
     """Exact cosine top-k with the corpus sharded into hash blocks
     instead of broadcast — the 100 TB-safe exact path.
@@ -210,8 +276,21 @@ def brute_force_topk_distributed(
     top-k per query; the global top-k is their merge, valid because the
     global i-th best neighbor is within the top-k of whichever block
     holds it. Output matches brute_force_topk bit-for-bit.
+
+    The |queries| x n_blocks fan-out is quadratic when the query set is
+    corpus-sized, so it is guarded: past ``max_replicated_rows``
+    replicated query rows the call refuses and points at
+    ``lsh_partitioned_topk``, whose bucket join scales in n, not n².
     """
     nb = _n_blocks(corpus, rows_per_block)
+    nq = queries.count()
+    if nq * nb > max_replicated_rows:
+        raise ValueError(
+            f"brute_force_topk_distributed would replicate {nq} query rows "
+            f"across {nb} corpus blocks ({nq * nb:,} rows > "
+            f"{max_replicated_rows:,}); this exact path is for probe-sized "
+            "query sets — use lsh_partitioned_topk for corpus-scale ANN."
+        )
     c = corpus.select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
     ).withColumn("b", F.pmod(F.xxhash64(F.col("cid")), F.lit(nb)))
@@ -272,11 +351,12 @@ def lsh_partitioned_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_planes: int = LSH_PLANES,
-    n_tables: int = LSH_TABLES,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     probes: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_rows: int | None = TARGET_BUCKET_ROWS,
 ) -> DataFrame:
     """Distributed ANN top-k: the scale path the broadcast
     ``lsh_bucketed_topk`` approximates on one node.
@@ -288,7 +368,23 @@ def lsh_partitioned_topk(
     bucket and emits a local top-k; a window merges globally. Shuffle
     keys are uniform by construction (sign bits of random projections).
     Recall follows the same s-curve as the broadcast variant.
+
+    Scale safety is two-layered. With ``n_planes=None`` the geometry is
+    corpus-aware (``auto_geometry``: planes grow with |corpus| so the
+    EXPECTED bucket stays under ``TARGET_BUCKET_ROWS``, tables grow to
+    hold recall). Independently, ``max_bucket_rows`` bounds the WORST
+    CASE: each (table, bucket) whose population exceeds the cap is
+    hash-split into nb = ceil(rows/cap) sub-blocks; corpus rows land in
+    one sub-block, query probes replicate across the bucket's
+    sub-blocks, and the cogroup key gains the sub id — so no task ever
+    materializes an unbounded pandas frame, even under geometry
+    mis-sizing or duplicate-heavy corpora. Per-pair cosines are
+    bitwise-equal across sub-blocks, so the global merge is unchanged.
     """
+    if n_planes is None or n_tables is None:
+        auto_h, auto_l = auto_geometry(corpus.count())
+        n_planes = n_planes if n_planes is not None else auto_h
+        n_tables = n_tables if n_tables is not None else auto_l
     buckets_udf = lsh_bucket_udf(n_planes, n_tables)
     c = _bucketed(corpus, "cid", "cv", buckets_udf, id_col, vec_col)
     q = _bucketed(queries, "query_id", "qv", buckets_udf, id_col, vec_col)
@@ -301,6 +397,19 @@ def lsh_partitioned_topk(
             "query_id", "qv", "table", F.explode(probe_arr).alias("bucket")
         )
 
+    group_cols = ["table", "bucket"]
+    if max_bucket_rows is not None:
+        counts = _bucket_block_counts(c, max_bucket_rows)
+        c = c.join(counts, ["table", "bucket"]).withColumn(
+            "sub", F.pmod(F.xxhash64(F.col("cid")), F.col("nb")).cast("int")
+        ).drop("nb")
+        # Query probes of empty buckets drop at this inner join — they
+        # had no candidates to score anyway.
+        q = q.join(counts, ["table", "bucket"]).withColumn(
+            "sub", F.explode(F.sequence(F.lit(0), F.col("nb") - 1))
+        ).drop("nb")
+        group_cols = ["table", "bucket", "sub"]
+
     def kernel(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(qpdf) or not len(cpdf):
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
@@ -311,8 +420,8 @@ def lsh_partitioned_topk(
         return _local_topk(q_ids, sims, c_ids, k)
 
     cand = (
-        q.groupby("table", "bucket")
-        .cogroup(c.groupby("table", "bucket"))
+        q.groupby(*group_cols)
+        .cogroup(c.groupby(*group_cols))
         .applyInPandas(kernel, "query_id long, neighbor_id long, cosine double")
     )
     return _global_topk(cand, k)
@@ -321,35 +430,105 @@ def lsh_partitioned_topk(
 def lsh_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
-    n_planes: int = LSH_PLANES,
-    n_tables: int = LSH_TABLES,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_rows: int | None = TARGET_BUCKET_ROWS,
 ) -> DataFrame:
     """Distributed LSH-bucketed near-duplicate pairs: group vectors by
     (table, bucket), all-pairs GEMM only WITHIN buckets, dedup across
     tables. Precision 1.0 (exact rescore); recall = 1-(1-p^h)^L with
-    p = 1 - theta/pi, so size (n_planes, n_tables) to the threshold:
-    the 0.9+ true-near-dup regime prunes hard at the defaults, while
-    low thresholds need fewer planes / more tables (see the test suite's
-    geometry for the fixture's 0.4)."""
+    p = 1 - theta/pi. With ``n_planes=None`` the geometry is sized by
+    ``auto_geometry`` (planes from |corpus| and the EXPECTED bucket
+    cap, tables from the threshold's design angle); explicit values
+    override (the 0.9+ true-near-dup regime prunes hard at the
+    defaults, while low thresholds need fewer planes / more tables —
+    see the test suite's geometry for the fixture's 0.4).
+
+    ``max_bucket_rows`` bounds the WORST-CASE group independently of
+    geometry: an oversized (table, bucket) is hash-split into
+    nb = ceil(rows/cap) sub-blocks and its all-pairs GEMM decomposes
+    into the nb·(nb+1)/2 sub-block PAIRS (the dd5 block-pair shape,
+    dedup.embedding_neardup_pairs_blocked) — each row replicates nb
+    times, every unordered row pair lands in exactly one (p1, p2)
+    group, and no task frame exceeds ~2x the cap even when the corpus
+    is one giant duplicate cluster."""
+    if n_planes is None or n_tables is None:
+        auto_h, auto_l = auto_geometry(emb.count(), threshold=threshold)
+        n_planes = n_planes if n_planes is not None else auto_h
+        n_tables = n_tables if n_tables is not None else auto_l
     buckets_udf = lsh_bucket_udf(n_planes, n_tables)
     b = _bucketed(emb, "id", "v", buckets_udf, id_col, vec_col)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
-        ids = pdf["id"].to_numpy()
-        mat = _stack_normalized(pdf["v"])
-        sims = mat @ mat.T
-        ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
-        return pd.DataFrame(
-            {"a_id": ids[ii], "b_id": ids[jj], "cosine": sims[ii, jj]}
+    if max_bucket_rows is None:
+
+        def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) < 2:
+                return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
+            ids = pdf["id"].to_numpy()
+            mat = _stack_normalized(pdf["v"])
+            sims = mat @ mat.T
+            ii, jj = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+            return pd.DataFrame(
+                {"a_id": ids[ii], "b_id": ids[jj], "cosine": sims[ii, jj]}
+            )
+
+        pairs = b.groupby("table", "bucket").applyInPandas(
+            kernel, "a_id long, b_id long, cosine double"
+        )
+    else:
+        counts = _bucket_block_counts(b, max_bucket_rows)
+        # Row with sub-block s meets sub-block t in group (min(s,t),
+        # max(s,t)): exploding t over 0..nb-1 lands each row in its nb
+        # pair-groups and each unordered row pair in exactly one group.
+        bs = (
+            b.join(counts, ["table", "bucket"])
+            .withColumn("sub", F.pmod(F.xxhash64(F.col("id")), F.col("nb")).cast("int"))
+            .withColumn("t", F.explode(F.sequence(F.lit(0), F.col("nb") - 1)))
+            .select(
+                "id", "v", "table", "bucket", "sub",
+                F.least("sub", "t").alias("p1"),
+                F.greatest("sub", "t").alias("p2"),
+            )
         )
 
-    pairs = b.groupby("table", "bucket").applyInPandas(
-        kernel, "a_id long, b_id long, cosine double"
-    )
+        def pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
+            if len(pdf) < 2:
+                return empty
+            p1, p2 = pdf["p1"].iat[0], pdf["p2"].iat[0]
+            if p1 == p2:
+                ids = pdf["id"].to_numpy()
+                mat = _stack_normalized(pdf["v"])
+                sims = mat @ mat.T
+                ii, jj = np.nonzero(
+                    (sims >= threshold) & (ids[:, None] < ids[None, :])
+                )
+                return pd.DataFrame(
+                    {"a_id": ids[ii], "b_id": ids[jj], "cosine": sims[ii, jj]}
+                )
+            left = pdf[pdf["sub"] == p1]
+            right = pdf[pdf["sub"] == p2]
+            if not len(left) or not len(right):
+                return empty
+            l_ids = left["id"].to_numpy()
+            r_ids = right["id"].to_numpy()
+            sims = _stack_normalized(left["v"]) @ _stack_normalized(right["v"]).T
+            ii, jj = np.nonzero(sims >= threshold)
+            la, rb = l_ids[ii], r_ids[jj]
+            return pd.DataFrame(
+                {
+                    "a_id": np.minimum(la, rb),
+                    "b_id": np.maximum(la, rb),
+                    "cosine": sims[ii, jj],
+                }
+            )
+
+        pairs = bs.groupby("table", "bucket", "p1", "p2").applyInPandas(
+            pair_kernel, "a_id long, b_id long, cosine double"
+        )
+
     return pairs.dropDuplicates(["a_id", "b_id"]).select(
         "a_id", "b_id", F.round("cosine", 6).alias("cosine")
     )

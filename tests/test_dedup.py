@@ -87,20 +87,60 @@ def test_transitive_dedup_collapses_chains(spark):
     assert trans == {1, 9}
 
 
-def test_connected_components_long_chain(spark):
+@pytest.mark.parametrize("reliable", [False, True])
+def test_connected_components_long_chain(spark, tmp_path, reliable):
     """A 5-link chain needs multiple propagation rounds; every node must
-    end labeled with the chain minimum."""
+    end labeled with the chain minimum — in both checkpoint tiers
+    (executor-local and the reliable store a cluster run needs)."""
     from pyspark.sql import Row
 
     pairs = spark.createDataFrame(
         [Row(a_id=i, b_id=i + 1) for i in range(10, 15)]
         + [Row(a_id=100, b_id=101)]
     )
-    labels = {r.id: r.label for r in dedup.connected_components(pairs).collect()}
+    labels = {
+        r.id: r.label
+        for r in dedup.connected_components(
+            pairs,
+            use_reliable_checkpoint=reliable,
+            checkpoint_dir=str(tmp_path / "ckpt") if reliable else None,
+        ).collect()
+    }
     assert {k: v for k, v in labels.items() if k < 100} == {
         i: 10 for i in range(10, 16)
     }
     assert labels[100] == labels[101] == 100
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iter without a fixpoint must fail loudly (the
+    labels would silently keep duplicates), unless the caller opts into
+    a partial pre-clustering."""
+    from pyspark.sql import Row
+
+    chain = spark.createDataFrame([Row(a_id=i, b_id=i + 1) for i in range(8)])
+    with pytest.raises(RuntimeError, match="max_iter"):
+        dedup.connected_components(chain, max_iter=2)
+    with pytest.warns(RuntimeWarning, match="max_iter"):
+        partial = dedup.connected_components(chain, max_iter=2, allow_partial=True)
+    assert partial.count() == 9
+
+
+def test_dedup_transitive_forwards_cc_kwargs(spark):
+    """Cluster callers tune the CC loop through dedup_transitive."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([Row(doc_id=i, text=f"d{i}") for i in range(8)])
+    pairs = spark.createDataFrame([Row(a_id=i, b_id=i + 1) for i in range(7)])
+    with pytest.raises(RuntimeError, match="max_iter"):
+        dedup.dedup_transitive(docs, pairs, max_iter=1)
+    out = {
+        r.doc_id
+        for r in dedup.dedup_transitive(
+            docs, pairs, max_iter=10, shuffle_partitions=8
+        ).collect()
+    }
+    assert out == {0}
 
 
 def test_exact_dedup_keeps_min_id(spark):

@@ -160,3 +160,124 @@ def test_lsh_cosines_are_exact_for_returned_pairs(spark, emb):
         key = (r.query_id, r.neighbor_id)
         if key in exact:
             assert r.cosine == pytest.approx(exact[key], abs=1e-6)
+
+
+def test_auto_geometry_scales_with_corpus():
+    """Planes must grow with the corpus so expected bucket rows stay
+    under the cap; tables must grow to hold the recall s-curve."""
+    h0, l0 = similarity.auto_geometry(1_000)
+    assert (h0, l0) == (similarity.LSH_PLANES, similarity.LSH_TABLES)
+    # 4096 * 2^12 vectors -> h = 12 keeps n / 2^h = TARGET rows exactly
+    h12, l12 = similarity.auto_geometry(similarity.TARGET_BUCKET_ROWS * 2**12)
+    assert h12 == 12
+    assert l12 > similarity.LSH_TABLES  # recall compensation
+    assert l12 <= 64
+    # near-dup regime (0.9+): p is high, tables scale far more slowly
+    _, l_neardup = similarity.auto_geometry(
+        similarity.TARGET_BUCKET_ROWS * 2**12, threshold=0.95
+    )
+    assert l_neardup < l12
+    # monotone in n
+    prev_h = 0
+    for n in [10**3, 10**5, 10**7, 10**9]:
+        h, _ = similarity.auto_geometry(n)
+        assert h >= prev_h
+        prev_h = h
+    # expected bucket population bounded at every probed n
+    for n in [10**5, 10**7, 10**9]:
+        h, _ = similarity.auto_geometry(n)
+        assert n / 2**h <= similarity.TARGET_BUCKET_ROWS
+
+
+def test_subblock_caps_group_rows_and_preserves_pairs(spark):
+    """Plant a corpus that forces one bucket far over the row cap
+    (1 plane -> 2 buckets for 120 vectors, cap 16): the sub-block path
+    must (a) actually split (nb > 1), (b) bound every cogroup input,
+    and (c) return exactly the pairs the unsplit kernel returns."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cap = 16
+
+    b = similarity._bucketed(
+        df, "id", "v", similarity.lsh_bucket_udf(1, 1), "vec_id", "embedding"
+    )
+    counts = similarity._bucket_block_counts(b, cap)
+    nbs = {r.nb for r in counts.collect()}
+    assert max(nbs) > 1  # the overflow actually triggers splitting
+    per_sub = (
+        b.join(counts, ["table", "bucket"])
+        .withColumn("sub", F.pmod(F.xxhash64(F.col("id")), F.col("nb")).cast("int"))
+        .groupBy("table", "bucket", "sub")
+        .count()
+        .collect()
+    )
+    # xxhash64 spread: no sub-block should exceed ~3x the cap
+    assert max(r["count"] for r in per_sub) <= 3 * cap
+
+    unsplit = {
+        tuple(r)
+        for r in similarity.lsh_neardup_pairs(
+            df, threshold=0.3, n_planes=1, n_tables=1, max_bucket_rows=None
+        ).collect()
+    }
+    split = {
+        tuple(r)
+        for r in similarity.lsh_neardup_pairs(
+            df, threshold=0.3, n_planes=1, n_tables=1, max_bucket_rows=cap
+        ).collect()
+    }
+    assert unsplit == split
+    assert len(split) > 0
+
+
+def test_partitioned_topk_subblock_matches_unsplit(spark, emb):
+    """sim3 with a tiny worst-case cap must return the same top-k as the
+    unsplit bucket cogroup — sub-blocking only re-tiles the GEMM."""
+    q = emb.where(F.col("vec_id") < 10)
+    unsplit = {
+        tuple(r)
+        for r in similarity.lsh_partitioned_topk(
+            q, emb, k=5, n_planes=6, n_tables=6, max_bucket_rows=None
+        ).collect()
+    }
+    split = {
+        tuple(r)
+        for r in similarity.lsh_partitioned_topk(
+            q, emb, k=5, n_planes=6, n_tables=6, max_bucket_rows=8
+        ).collect()
+    }
+    assert unsplit == split
+
+
+def test_brute_force_distributed_fanout_guard(spark, emb):
+    """Corpus-sized query sets must be refused by the exact path (the
+    |Q| x n_blocks replication is quadratic) and routed to LSH."""
+    with pytest.raises(ValueError, match="lsh_partitioned_topk"):
+        similarity.brute_force_topk_distributed(
+            emb, emb, k=5, rows_per_block=8, max_replicated_rows=1000
+        )
+
+
+def test_distributed_topk_tie_break_matches_broadcast(spark):
+    """Duplicate vectors (exact cosine ties) straddling block boundaries:
+    per-block top-k must break ties by neighbor_id like the global
+    window does, or a lower-id tied candidate is dropped in-block."""
+    import numpy as np
+
+    base = np.arange(1.0, 9.0)
+    rows = [(i, [float(x) for x in base]) for i in range(30)]  # 30 identical
+    rows += [(100, [float(x) for x in base + 5.0])]  # one distinct query anchor
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id").isin(0, 100))
+    ref = {tuple(r) for r in similarity.brute_force_topk(q, df, k=5).collect()}
+    dist = {
+        tuple(r)
+        for r in similarity.brute_force_topk_distributed(
+            q, df, k=5, rows_per_block=4
+        ).collect()
+    }
+    assert ref == dist
