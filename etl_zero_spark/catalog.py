@@ -210,11 +210,23 @@ class Warehouse:
         databases (front_end.py:691,850-859 ``CREATE DATABASE``), each
         LOCATION'd inside the warehouse root so ``saveAsTable`` lands in
         the same directory layout the Zone file API uses. ``prefix``
-        namespaces the databases (shared metastores)."""
+        namespaces the databases (shared metastores).
+
+        ``prefix`` must be a plain identifier fragment (it is spliced
+        into DDL), and the LOCATION path is escaped by doubling single
+        quotes — stripping them would silently point the database at a
+        different directory."""
+        import re
+
+        if prefix and not re.fullmatch(r"[A-Za-z0-9_]+", prefix):
+            raise ValueError(
+                f"prefix {prefix!r} is not a valid identifier fragment "
+                "(letters, digits, underscores only)"
+            )
         made = []
         for z in self.ZONES:
             name = f"{prefix}{z}"
-            loc = os.path.join(self.root, z).replace("'", "")
+            loc = os.path.join(self.root, z).replace("'", "''")
             spark.sql(f"CREATE DATABASE IF NOT EXISTS {name} LOCATION '{loc}'")
             made.append(name)
         return made
@@ -222,5 +234,12 @@ class Warehouse:
     def drop_databases(self, spark: SparkSession, prefix: str = "") -> None:
         """S8's DROP DATABASE analog (front_end.py:850-859), CASCADE like
         the reference's drop-and-recreate reset."""
+        import re
+
+        if prefix and not re.fullmatch(r"[A-Za-z0-9_]+", prefix):
+            raise ValueError(
+                f"prefix {prefix!r} is not a valid identifier fragment "
+                "(letters, digits, underscores only)"
+            )
         for z in self.ZONES:
             spark.sql(f"DROP DATABASE IF EXISTS {prefix}{z} CASCADE")

@@ -54,23 +54,46 @@ def remove_null_rows(df: DataFrame) -> DataFrame:
     return df.na.drop("any")
 
 
-def impute_nulls(df: DataFrame) -> DataFrame:
+def impute_nulls(df: DataFrame, lazy: bool = False) -> DataFrame:
     """P4: numeric -> column mean, string -> "N/A"
     (transformations_code.py:84-90). Means and null counts come from a
-    single agg job over all numeric columns (one pass, map-side partial
+    single agg over all numeric columns (one pass, map-side partial
     aggregation).
 
-    Pandas type parity: in pandas any column holding nulls is already
-    float64, so mean-imputation keeps the exact fractional mean and the
-    column stays float; columns without nulls keep their dtype. We
-    reproduce both: integer columns that actually contain nulls promote
-    to double before filling (a naive ``na.fill`` would silently
-    truncate mean 2.5 to 2), untouched columns keep their type. That
-    schema decision is data-dependent, which is exactly why this
-    transform keeps its one eager scalar agg — the only eager step in
-    the transform library, and it reads one row.
+    Pandas type parity (default, eager): in pandas any column holding
+    nulls is already float64, so mean-imputation keeps the exact
+    fractional mean and the column stays float; columns without nulls
+    keep their dtype. We reproduce both: integer columns that actually
+    contain nulls promote to double before filling (a naive ``na.fill``
+    would silently truncate mean 2.5 to 2), untouched columns keep
+    their type. That schema decision is data-dependent — Spark schemas
+    are static, so exact dtype parity REQUIRES the one eager scalar agg
+    (it reads one row; the only eager step in the transform library).
+
+    ``lazy=True`` trades that dtype nuance for a single Catalyst plan:
+    the stats ride a 1-row broadcast crossJoin (the ``histogram``
+    shape, aggregate.py) and each numeric column fills via
+    ``coalesce(col, avg)`` — values identical to the eager mode
+    (all-null columns stay null since their avg is null), but EVERY
+    integer column promotes to double, nulls present or not, because
+    the coalesce's least-common type is decided at plan time. Use it
+    inside P10 pipelines that must stay one plan end-to-end.
     """
     nums = _numeric_cols(df)
+    if lazy:
+        if nums:
+            stats = df.agg(*[F.avg(F.col(c)).alias(f"__avg__{c}") for c in nums])
+            df = (
+                df.crossJoin(F.broadcast(stats))
+                .withColumns(
+                    {c: F.coalesce(F.col(c), F.col(f"__avg__{c}")) for c in nums}
+                )
+                .drop(*[f"__avg__{c}" for c in nums])
+            )
+        strs = _string_cols(df)
+        if strs:
+            df = df.na.fill("N/A", subset=strs)
+        return df
     if nums:
         aggs = [F.avg(F.col(c)).alias(f"avg::{c}") for c in nums] + [
             F.sum(F.col(c).isNull().cast("long")).alias(f"nulls::{c}") for c in nums
@@ -147,6 +170,9 @@ TRANSFORMATIONS: dict[str, Callable[[DataFrame], DataFrame]] = {
     "remove_duplicates": remove_duplicates,
     "remove_null_rows": remove_null_rows,
     "impute_nulls": impute_nulls,
+    # single-plan variant for pipelines that must stay lazy end-to-end
+    # (uniform int->double promotion; see impute_nulls docstring)
+    "impute_nulls_lazy": lambda df: impute_nulls(df, lazy=True),
     "trim_whitespace": trim_whitespace,
     "standardize_dates": standardize_dates,
     "concat_names": concat_names,

@@ -65,11 +65,13 @@ FRAME_SCHEMA = StructType(
 
 
 class DecodeBackend:
-    """STUB — real decoding requires PIL/ffmpeg, absent here.
+    """Header-level decode is REAL (stdlib byte parsing of PNG IHDR,
+    JPEG SOFn, GIF logical-screen descriptors — no PIL/ffmpeg needed);
+    full pixel decode stays out of scope in this container.
 
-    ``fake_dimensions`` is a deterministic stand-in (derived from the
-    payload hash) so the distributed plumbing is fully testable; swap in
-    a real backend by overriding ``decode``.
+    ``fake_dimensions`` remains the deterministic stand-in for payloads
+    that are not actual media (e.g. the text-fabricated fixture), so the
+    distributed plumbing is testable on any bytes.
     """
 
     @staticmethod
@@ -78,15 +80,68 @@ class DecodeBackend:
         return (64 + h[0] % 192, 64 + h[1] % 192)
 
     @staticmethod
-    def decode(payload: bytes) -> tuple[int, int]:
-        try:
-            import PIL.Image  # noqa: F401
-        except ImportError:
-            raise NotImplementedError(
-                "real image decode unavailable in this container; "
-                "use fake_dimensions for plumbing tests"
+    def sniff_dimensions(payload: bytes) -> tuple[int, int] | None:
+        """(width, height) parsed from the container header, or None if
+        the bytes aren't recognizable PNG/JPEG/GIF.
+
+        * PNG: 8-byte signature, then the IHDR chunk is mandatory-first —
+          width/height are big-endian u32 at offsets 16/20.
+        * GIF: 'GIF87a'/'GIF89a', then little-endian u16 width/height.
+        * JPEG: walk the marker segments from SOI until a frame header
+          (SOF0-SOF15 except DHT/JPG/DAC); its payload is
+          [precision u8][height u16][width u16] big-endian.
+        """
+        if payload is None or len(payload) < 10:
+            return None
+        if (
+            payload[:8] == b"\x89PNG\r\n\x1a\n"
+            and len(payload) >= 24
+            and payload[12:16] == b"IHDR"
+        ):
+            return (
+                int.from_bytes(payload[16:20], "big"),
+                int.from_bytes(payload[20:24], "big"),
             )
-        raise NotImplementedError("real decode backend not wired yet")
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return (
+                int.from_bytes(payload[6:8], "little"),
+                int.from_bytes(payload[8:10], "little"),
+            )
+        if payload[:2] == b"\xff\xd8":  # JPEG SOI
+            i = 2
+            n = len(payload)
+            while i + 9 <= n:
+                if payload[i] != 0xFF:
+                    return None  # lost marker sync
+                marker = payload[i + 1]
+                if marker == 0xFF:  # fill byte
+                    i += 1
+                    continue
+                if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # no payload
+                    i += 2
+                    continue
+                seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+                if seg_len < 2:
+                    return None
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    if i + 9 <= n:
+                        return (
+                            int.from_bytes(payload[i + 7 : i + 9], "big"),
+                            int.from_bytes(payload[i + 5 : i + 7], "big"),
+                        )
+                    return None
+                i += 2 + seg_len
+        return None
+
+    @staticmethod
+    def decode(payload: bytes) -> tuple[int, int]:
+        dims = DecodeBackend.sniff_dimensions(payload)
+        if dims is not None:
+            return dims
+        raise NotImplementedError(
+            "payload is not PNG/JPEG/GIF; full pixel decode requires "
+            "PIL/ffmpeg, absent in this container"
+        )
 
 
 def attach_payload_from_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -102,18 +157,22 @@ def attach_payload_from_text(df: DataFrame, text_col: str = "text", id_col: str 
 
 
 def decode_metadata(media: DataFrame, rows_per_batch: int = 256) -> DataFrame:
-    """Decode-ish pass over binary payloads via iterator ``mapInPandas``:
-    streams Arrow batches, emits typed metadata (fake dims + real size +
-    sha1). The sha1/size are real; the dimensions come from the stub."""
+    """Decode pass over binary payloads via iterator ``mapInPandas``:
+    streams Arrow batches, emits typed metadata. Size/sha1 are real;
+    dimensions are REAL for recognizable media (PNG/JPEG/GIF header
+    parse, stdlib-only) and fall back to the deterministic stub for
+    other bytes (the text-fabricated fixture)."""
+
+    def _dims(payload: bytes | None) -> tuple[int, int]:
+        b = payload if payload is not None else b""
+        sniffed = DecodeBackend.sniff_dimensions(b)
+        return sniffed if sniffed is not None else DecodeBackend.fake_dimensions(b)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for start in range(0, len(pdf), rows_per_batch):
                 chunk = pdf.iloc[start : start + rows_per_batch]
-                dims = [
-                    DecodeBackend.fake_dimensions(p if p is not None else b"")
-                    for p in chunk["payload"]
-                ]
+                dims = [_dims(p) for p in chunk["payload"]]
                 yield pd.DataFrame(
                     {
                         "media_id": chunk["media_id"].values,

@@ -179,9 +179,19 @@ def run_available_now(
 
     Hardened for driver-owned vanilla sessions: shuffle partitions are
     temporarily capped (state-store count == shuffle partitions), the
-    checkpoint location is unique per run (no cross-run collisions), and
-    the session conf is restored afterward.
+    checkpoint location is unique per run and REMOVED after the run
+    completes (a one-shot memory-sink result is not resumable, so the
+    checkpoint has no value once the table exists), and the session
+    conf is restored afterward.
+
+    Concurrency note: the shuffle-partition cap mutates SESSION-global
+    conf for the duration of the run; a query racing on the same
+    SparkSession could observe it. This helper is for the one-shot
+    scheduler/driver path, which is single-threaded by construction —
+    long-running concurrent streams should set their own session conf
+    and call ``writeStream`` directly.
     """
+    import shutil
     import tempfile
     import uuid
 
@@ -208,4 +218,5 @@ def run_available_now(
         query.awaitTermination()
     finally:
         spark.conf.set(conf_key, prev)
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.table(name)

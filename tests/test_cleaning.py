@@ -105,13 +105,65 @@ def test_pipeline_fold_order(spark):
 
 
 def test_registry_covers_reference_transforms():
-    # the 7 reference transforms (transformations_code.py:130-138)
+    # the 7 reference transforms (transformations_code.py:130-138), plus
+    # the engine's single-plan imputation variant
     assert set(cleaning.TRANSFORMATIONS) == {
         "remove_duplicates",
         "remove_null_rows",
         "impute_nulls",
+        "impute_nulls_lazy",
         "trim_whitespace",
         "standardize_dates",
         "concat_names",
         "split_name",
     }
+
+
+def test_impute_nulls_lazy_matches_eager_values(spark):
+    """lazy=True must fill the same VALUES as the eager parity mode;
+    the documented difference is uniform int->double promotion."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, 1.5, None, "a"),
+            (2, None, None, None, None),
+            (3, 20, 4.5, None, "c"),
+        ],
+        "id int, i_nulls int, d_nulls double, all_null int, s string",
+    )
+    eager = cleaning.impute_nulls(df)
+    lazy = cleaning.impute_nulls(df, lazy=True)
+    # eager: i_nulls promotes (has nulls), id stays int (no nulls)
+    assert dict(eager.dtypes)["i_nulls"] == "double"
+    assert dict(eager.dtypes)["id"] == "int"
+    # lazy: every int promotes — documented plan-time decision
+    assert dict(lazy.dtypes)["id"] == "double"
+    e = {r["id"]: r for r in eager.collect()}
+    l = {int(r["id"]): r for r in lazy.collect()}
+    for k in e:
+        assert float(e[k]["i_nulls"]) == float(l[k]["i_nulls"])
+        assert float(e[k]["d_nulls"]) == float(l[k]["d_nulls"])
+        assert e[k]["all_null"] is None and l[k]["all_null"] is None
+        assert e[k]["s"] == l[k]["s"]
+    assert l[2]["i_nulls"] == 15.0 and l[2]["d_nulls"] == 3.0
+    assert l[2]["s"] == "N/A"
+    # composed pipeline stays one plan: no InMemory/collected boundary
+    assert "avg" in lazy._jdf.queryExecution().optimizedPlan().toString().lower()
+
+
+def test_impute_nulls_lazy_launches_no_job(spark):
+    """Composition must not execute anything: build the transform over a
+    plan that EXPLODES when evaluated — only the action may raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    bomb = spark.range(3).select(
+        F.col("id").cast("int").alias("id"),
+        F.assert_true(F.col("id") < 0).cast("int").alias("boom"),
+    )
+    out = cleaning.impute_nulls(bomb, lazy=True)  # must NOT raise
+    with pytest.raises(Exception):
+        out.collect()
+    with pytest.raises(Exception):
+        cleaning.impute_nulls(bomb)  # eager mode probes at composition

@@ -20,19 +20,86 @@ def test_decode_metadata_sha1_matches_hashlib(spark):
         assert 64 <= d.width < 256 and 64 <= d.height < 256
 
 
-def test_decode_backend_stub_raises_without_pil():
+def test_decode_backend_raises_on_unrecognized_bytes():
     try:
-        import PIL  # noqa: F401
+        multimodal.DecodeBackend.decode(b"not an image at all")
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
 
-        have_pil = True
-    except ImportError:
-        have_pil = False
-    if not have_pil:
-        try:
-            multimodal.DecodeBackend.decode(b"xx")
-            raise AssertionError("expected NotImplementedError")
-        except NotImplementedError:
-            pass
+
+def _real_png(width: int, height: int) -> bytes:
+    """A complete, valid PNG built with stdlib only (RGB, all-zero rows)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x00" * (3 * width) for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _real_jpeg_header(width: int, height: int) -> bytes:
+    """SOI + APP0(JFIF) + DQT filler + SOF0 carrying the dimensions —
+    the marker walk a header parser performs is fully exercised."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x48\x00\x48\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">H", height)
+        + struct.pack(">H", width)
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + dqt + sof0
+
+
+def test_sniff_dimensions_real_media():
+    png = _real_png(37, 21)
+    assert multimodal.DecodeBackend.sniff_dimensions(png) == (37, 21)
+    assert multimodal.DecodeBackend.decode(png) == (37, 21)
+
+    jpg = _real_jpeg_header(640, 480)
+    assert multimodal.DecodeBackend.sniff_dimensions(jpg) == (640, 480)
+
+    gif = b"GIF89a" + (13).to_bytes(2, "little") + (7).to_bytes(2, "little") + b"\x00" * 6
+    assert multimodal.DecodeBackend.sniff_dimensions(gif) == (13, 7)
+
+    assert multimodal.DecodeBackend.sniff_dimensions(b"plain text") is None
+    assert multimodal.DecodeBackend.sniff_dimensions(b"") is None
+
+
+def test_decode_metadata_real_dimensions_through_spark(spark):
+    """Real media bytes through the distributed decode pass: the parsed
+    dimensions must surface in the DataFrame, alongside the stub path
+    for unrecognized payloads."""
+    rows = [
+        (1, "image", bytearray(_real_png(37, 21)), "image/png"),
+        (2, "image", bytearray(_real_jpeg_header(640, 480)), "image/jpeg"),
+        (3, "image", bytearray(b"not media"), "application/octet-stream"),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.decode_metadata(media).collect()}
+    assert (out[1].width, out[1].height) == (37, 21)
+    assert (out[2].width, out[2].height) == (640, 480)
+    fake = multimodal.DecodeBackend.fake_dimensions(b"not media")
+    assert (out[3].width, out[3].height) == fake
+    assert out[1].n_bytes == len(_real_png(37, 21))
 
 
 def test_sample_frames_shape(spark):
