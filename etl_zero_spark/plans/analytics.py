@@ -160,18 +160,30 @@ def set1_set2_set3_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "over one table.",
 )
 def g1_g2_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ROLLUP's grouping sets are a subset of CUBE's, so ONE cube pass
+    # (one scan + one Expand + one shuffle) serves both: the rollup half
+    # is the cube minus the (priority-only) set, identified by
+    # grouping_id — bit 2 = first column (status) aggregated alone.
     o = load_table(spark, sf_dir, "orders")
-    aggs = [
+    cube_res = o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("o_totalprice_sum"),
-    ]
-    tag = lambda df, t: df.select(
-        F.lit(t).alias("op"), "o_orderstatus", "o_orderpriority",
-        "n_orders", "o_totalprice_sum",
+        F.grouping_id().alias("gid"),
     )
-    g1 = o.rollup("o_orderstatus", "o_orderpriority").agg(*aggs)
-    g2 = o.cube("o_orderstatus", "o_orderpriority").agg(*aggs)
-    return tag(g1, "rollup").unionByName(tag(g2, "cube"))
+    # No union — a post-aggregate gid filter would push into the Expand
+    # and split the cube back into two scans. Each row instead explodes
+    # into its tag list over the ~dozens-row aggregate output: rollup
+    # sets get ['rollup', 'cube'], the cube-only set ['cube'].
+    tags = F.when(
+        F.col("gid") != 2, F.array(F.lit("rollup"), F.lit("cube"))
+    ).otherwise(F.array(F.lit("cube")))
+    return cube_res.select(
+        F.explode(tags).alias("op"),
+        "o_orderstatus",
+        "o_orderpriority",
+        "n_orders",
+        "o_totalprice_sum",
+    )
 
 
 @query(

@@ -328,6 +328,10 @@ def j6_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "every SF.",
 )
 def j7_j8_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Each branch scans orders with its threshold PUSHED to the parquet
+    # reader (row-group stats prune most of a 100 TB fact before the
+    # join) — cheaper than sharing one unfiltered per-customer
+    # aggregation, which would scan and shuffle the full table.
     c = load_table(spark, sf_dir, "customer")
     semi_o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
     anti_o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
@@ -370,29 +374,39 @@ def j7_j8_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(front_end.py:818) tagged 'ALL'.",
 )
 def a1_a2_multi_func_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Both grouping granularities come from ONE grouping-sets pass (one
+    # scan + one Expand + one shuffle); two plain groupBys would scan
+    # orders twice. grouping_id: 0 = (status, priority), 1 = (status).
     o = load_table(spark, sf_dir, "orders")
-    a1 = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+    base = o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"]],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
         F.round(F.sum("o_totalprice"), 2).alias("o_totalprice_sum"),
         F.round(F.avg("o_totalprice"), 4).alias("o_totalprice_mean"),
         F.round(F.min("o_totalprice"), 2).alias("o_totalprice_min"),
         F.round(F.max("o_totalprice"), 2).alias("o_totalprice_max"),
         F.count("o_totalprice").alias("o_totalprice_count"),
+        F.grouping_id().alias("gid"),
     )
-    null_d = F.lit(None).cast("double")
-    a2 = (
-        o.groupBy("o_orderstatus")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("o_totalprice_sum"))
-        .select(
-            "o_orderstatus",
-            F.lit("ALL").alias("o_orderpriority"),
-            "o_totalprice_sum",
-            null_d.alias("o_totalprice_mean"),
-            null_d.alias("o_totalprice_min"),
-            null_d.alias("o_totalprice_max"),
-            F.lit(None).cast("long").alias("o_totalprice_count"),
-        )
+    # No union — a post-aggregate filter on gid would be pushed into the
+    # Expand and split the plan back into two scans. One conditional
+    # projection keeps it a single Aggregate: gid=1 rows become the A2
+    # shape (priority 'ALL', non-sum aggregates nulled) in place.
+    is_a2 = F.col("gid") == 1
+    null_if_a2 = lambda c: F.when(~is_a2, F.col(c)).alias(c)
+    return base.select(
+        "o_orderstatus",
+        F.when(is_a2, F.lit("ALL")).otherwise(F.col("o_orderpriority")).alias(
+            "o_orderpriority"
+        ),
+        "o_totalprice_sum",
+        null_if_a2("o_totalprice_mean"),
+        null_if_a2("o_totalprice_min"),
+        null_if_a2("o_totalprice_max"),
+        null_if_a2("o_totalprice_count"),
     )
-    return a1.unionByName(a2)
 
 
 @query(
