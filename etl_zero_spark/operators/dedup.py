@@ -224,6 +224,127 @@ def dedup_keep_min(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
     return df.join(drop, id_col, "left_anti")
 
 
+def _cc_checkpointer(spark, use_reliable_checkpoint: bool, checkpoint_dir: str | None):
+    """Per-round lineage truncation: executor-local by default, routed
+    through the reliable checkpoint store for cluster fault tolerance."""
+    if use_reliable_checkpoint:
+        sc = spark.sparkContext
+        if checkpoint_dir is None:
+            import tempfile
+
+            checkpoint_dir = tempfile.mkdtemp(prefix="etlzero_cc_ckpt_")
+        sc.setCheckpointDir(checkpoint_dir)
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    return ckpt
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    max_iter: int = 30,
+    shuffle_partitions: int | None = 32,
+    use_reliable_checkpoint: bool = False,
+    checkpoint_dir: str | None = None,
+    allow_partial: bool = False,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    rounds grow with log of component size, NOT graph diameter — the
+    scale path for adversarial long-chain graphs where min-label
+    propagation (``connected_components``) needs diameter rounds.
+
+    Each round rewires the edge set toward stars centered on component
+    minima: large-star links every neighbor larger than u to
+    m = min(neighborhood(u) ∪ {u}); small-star (on edges directed to
+    the smaller endpoint) links u and its smaller neighbors to their
+    minimum. The fixpoint is a forest of depth-1 stars whose centers
+    are the component minima; labels read straight off the edges.
+
+    Same output contract and kwargs as ``connected_components``.
+    """
+    spark = pairs.sparkSession
+    ckpt = _cc_checkpointer(spark, use_reliable_checkpoint, checkpoint_dir)
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key)
+    converged = False
+    try:
+        if shuffle_partitions is not None and int(prev) > shuffle_partitions:
+            spark.conf.set(conf_key, str(shuffle_partitions))
+        # Canonical edges directed to the smaller endpoint (u > v).
+        e = (
+            pairs.select(F.col("a_id").alias("x"), F.col("b_id").alias("y"))
+            .where(F.col("x") != F.col("y"))
+            .select(
+                F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
+            )
+            .dropDuplicates()
+        )
+        e = ckpt(e)
+        n_edges = e.count()
+        for _ in range(max_iter):
+            # large-star over the symmetric neighborhood view
+            sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            mins = sym.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m")
+            )
+            large = (
+                sym.join(mins, "u")
+                .where(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v"))
+                .dropDuplicates()
+            )
+            # small-star on the (u > v)-directed edges
+            mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                large.join(mins2, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+                .where(F.col("u") != F.col("v"))
+                .dropDuplicates()
+            )
+            small = ckpt(small)
+            new_count = small.count()
+            stable = new_count == n_edges and small.subtract(e).count() == 0
+            e, n_edges = small, new_count
+            if stable:
+                converged = True
+                break
+    finally:
+        spark.conf.set(conf_key, prev)
+    if not converged:
+        msg = (
+            f"connected_components_star did not stabilize within "
+            f"max_iter={max_iter} rounds; labels may be wrong — raise "
+            "max_iter (rounds ~ log(component size)) or pass "
+            "allow_partial=True to accept a pre-clustering."
+        )
+        if allow_partial:
+            import warnings
+
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        else:
+            raise RuntimeError(msg)
+    # Fixpoint edges are (node, component-min) stars; centers label
+    # themselves. min() guards the (converged-guaranteed) uniqueness.
+    members = e.groupBy("u").agg(F.min("v").alias("label")).select(
+        F.col("u").alias("id"), "label"
+    )
+    roots = (
+        e.select(F.col("v").alias("id"))
+        .subtract(e.select(F.col("u").alias("id")))
+        .withColumn("label", F.col("id"))
+    )
+    return members.union(roots)
+
+
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 50,
@@ -231,9 +352,13 @@ def connected_components(
     use_reliable_checkpoint: bool = False,
     checkpoint_dir: str | None = None,
     allow_partial: bool = False,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Label each node in the similarity graph with the min id of its
-    connected component: min-label propagation to a fixpoint.
+    connected component: min-label propagation to a fixpoint
+    (``algorithm="label"``), or the O(log n)-round alternating star
+    algorithm (``algorithm="star"`` — ``connected_components_star``)
+    for graphs whose diameter is not small.
 
     Each round: every node takes min(own label, neighbors' labels); the
     min id floods outward one hop per round, so rounds = graph diameter
@@ -268,23 +393,19 @@ def connected_components(
 
     Output: (id, label) for every node that appears in ``pairs``.
     """
+    if algorithm == "star":
+        return connected_components_star(
+            pairs,
+            max_iter=max_iter,
+            shuffle_partitions=shuffle_partitions,
+            use_reliable_checkpoint=use_reliable_checkpoint,
+            checkpoint_dir=checkpoint_dir,
+            allow_partial=allow_partial,
+        )
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm {algorithm!r}: use 'label' or 'star'")
     spark = pairs.sparkSession
-    if use_reliable_checkpoint:
-        sc = spark.sparkContext
-        if checkpoint_dir is None:
-            import tempfile
-
-            checkpoint_dir = tempfile.mkdtemp(prefix="etlzero_cc_ckpt_")
-        sc.setCheckpointDir(checkpoint_dir)
-
-        def ckpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
-
-    else:
-
-        def ckpt(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
-
+    ckpt = _cc_checkpointer(spark, use_reliable_checkpoint, checkpoint_dir)
     conf_key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(conf_key)
     converged = False

@@ -149,3 +149,45 @@ def test_exact_dedup_keeps_min_id(spark):
     )
     out = {(r.doc_id, r.text) for r in dedup.exact_dedup(df).collect()}
     assert out == {(2, "same"), (9, "other")}
+
+
+def _labels(df):
+    return {r.id: r.label for r in df.collect()}
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """The O(log n) alternating small-star/large-star backend must agree
+    with min-label propagation on chains, stars, cliques, random graphs
+    and disjoint components."""
+    import random
+
+    from pyspark.sql import Row
+
+    cases = {
+        "long_chain": [(i, i + 1) for i in range(30)],
+        "two_comps": [(1, 2), (2, 3), (10, 11), (12, 11)],
+        "star": [(50, 50 + i) for i in range(1, 8)],
+        "clique": [(i, j) for i in range(4) for j in range(i + 1, 4)],
+        "dup_and_reversed": [(5, 6), (6, 5), (5, 6)],
+    }
+    rng = random.Random(13)
+    cases["random"] = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(80)
+    ]
+    for name, edges in cases.items():
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame([Row(a_id=a, b_id=b) for a, b in edges])
+        want = _labels(dedup.connected_components(pairs))
+        got = _labels(dedup.connected_components_star(pairs))
+        assert got == want, f"{name}: star != label-prop"
+
+
+def test_star_cc_rounds_beat_diameter(spark):
+    """A 60-link chain (diameter 60) must converge in far fewer star
+    rounds than label propagation would need — the point of the
+    algorithm. max_iter=10 would make label propagation raise."""
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame([Row(a_id=i, b_id=i + 1) for i in range(60)])
+    labels = _labels(dedup.connected_components_star(pairs, max_iter=10))
+    assert labels == {i: 0 for i in range(61)}
