@@ -163,6 +163,45 @@ class Zone:
         )
         return path
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_col: str,
+        n_buckets: int = 64,
+        sort_col: str | None = None,
+    ) -> str:
+        """Bucketed parquet write: rows hash-partition into ``n_buckets``
+        files by ``bucket_col`` and sort within each bucket.
+
+        The 100 TB join lever: two tables bucketed on the same key with
+        the same bucket count equi-join WITHOUT a shuffle (Spark's scan
+        reports the hashed output partitioning, so SortMergeJoin skips
+        both exchanges) — the fact table's shuffle is paid once at write
+        time instead of on every join. Same for groupBy on the bucket
+        key. Registers a catalog table (bucket metadata lives in the
+        metastore) named ``{zone}_{table}_bucketed``; read it back with
+        ``read_bucketed``/``spark.table``, NOT ``spark.read.parquet``
+        (a bare path read loses the bucketing metadata).
+        """
+        name = f"{self.name}_{table}_bucketed"
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, bucket_col)
+            .sortBy(sort_col or bucket_col)
+            .option("path", self.path(table) + "_bucketed")
+            .saveAsTable(name)
+        )
+        return name
+
+    def read_bucketed(self, spark: SparkSession, table: str) -> DataFrame:
+        """Catalog read of a ``write_bucketed`` table (keeps the bucket
+        metadata that makes joins shuffle-free)."""
+        return spark.table(f"{self.name}_{table}_bucketed")
+
     def read_csv(self, spark: SparkSession, table: str, schema=None) -> DataFrame:
         """Read back an S9 CSV table; pass the original schema to avoid
         the inference scan (and its string-typed surprises)."""
