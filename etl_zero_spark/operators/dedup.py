@@ -288,6 +288,11 @@ def connected_components_star(
         )
         e = ckpt(e)
         n_edges = e.count()
+        # Same loop-width tightening as connected_components: shuffle
+        # width follows the materialized edge count, not the session.
+        if shuffle_partitions is not None:
+            loop_parts = max(1, min(shuffle_partitions, -(-n_edges // 10_000)))
+            spark.conf.set(conf_key, str(loop_parts))
         for _ in range(max_iter):
             # large-star over the symmetric neighborhood view
             sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -419,6 +424,14 @@ def connected_components(
             pairs.select(F.col("b_id").alias("id"), F.col("a_id").alias("nbr"))
         )
         edges = ckpt(sym.dropDuplicates(["id", "nbr"]))
+        # Tighten the loop's width to the MATERIALIZED edge count (the
+        # count is free — edges are already checkpointed): a few hundred
+        # near-dup pairs need 1 partition, not 32, and the loop pays
+        # per-task overhead twice per round per shuffle.
+        if shuffle_partitions is not None:
+            n_e = edges.count()
+            loop_parts = max(1, min(shuffle_partitions, -(-n_e // 10_000)))
+            spark.conf.set(conf_key, str(loop_parts))
         labels = edges.select("id").dropDuplicates().withColumn("label", F.col("id"))
         for _ in range(max_iter):
             nbr_min = (
