@@ -99,17 +99,72 @@ def ngram_jaccard_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """All pairs with word-k-shingle Jaccard >= threshold, computed by
     exploding shingles and joining on the shingle (an inverted index —
     the shuffle key is the shingle, so only documents *sharing* a
     shingle ever meet; no cross join).
 
+    ``prefix_filter`` adds the AllPairs/PPJoin prefix bound (Bayardo et
+    al., "Scaling Up All Pairs Similarity Search"): order every
+    document's shingles by a global total order (xxhash64) and index
+    only the first ``|d| - ceil(t*|d|) + 1`` of them — any pair at
+    Jaccard >= t must collide inside both prefixes, so the inverted
+    index shrinks to a (1-t) fraction of the corpus; candidates then
+    rescore exactly against the full arrays. The win grows with the
+    threshold (t=0.9 indexes ~10% of shingles), so the default (None)
+    auto-enables it at t >= 0.5 and keeps the single-pass counting join
+    below, where the prefix would barely prune but the rescore join
+    would re-shuffle the arrays.
+
     Columns: a_id, b_id (a_id < b_id), jaccard.
     """
+    if prefix_filter is None:
+        prefix_filter = threshold >= 0.5
     sh = df.select(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col), k).alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
+
+    if prefix_filter:
+        # Canonical global order via sortable (hash, shingle) structs —
+        # the struct sort keeps everything inside codegen (a comparator
+        # lambda would fall back to interpreted evaluation).
+        hashed = F.transform(
+            F.col("shingles"),
+            lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s")),
+        )
+        ordered = F.transform(F.array_sort(hashed), lambda st: st["s"])
+        # p = n - ceil(t*n) + 1; the epsilon guards float noise in t*n
+        # from rounding the prefix DOWN (which would lose recall).
+        p = (
+            F.col("n_shingles")
+            - F.ceil(F.lit(threshold) * F.col("n_shingles") - F.lit(1e-9))
+            + F.lit(1)
+        ).cast("int")
+        flat = sh.select(
+            "id", F.explode(F.slice(ordered, 1, p)).alias("shingle")
+        )
+        a, b = flat.hint("shuffle_hash").alias("a"), flat.hint("shuffle_hash").alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+            .dropDuplicates()
+        )
+        sh_a = sh.select(F.col("id").alias("a_id"), F.col("shingles").alias("sh_a"))
+        sh_b = sh.select(F.col("id").alias("b_id"), F.col("shingles").alias("sh_b"))
+        return (
+            cand.join(sh_a, "a_id")
+            .join(sh_b, "b_id")
+            .withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+            .where(F.col("jaccard") >= F.lit(threshold))
+            .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+        )
+
     flat = sh.select("id", "n_shingles", F.explode("shingles").alias("shingle"))
     # shuffle_hash, not broadcast: the inverted index is O(corpus) rows —
     # near the broadcast threshold it makes planning flaky (single-thread

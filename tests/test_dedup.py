@@ -191,3 +191,43 @@ def test_star_cc_rounds_beat_diameter(spark):
     pairs = spark.createDataFrame([Row(a_id=i, b_id=i + 1) for i in range(60)])
     labels = _labels(dedup.connected_components_star(pairs, max_iter=10))
     assert labels == {i: 0 for i in range(61)}
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.6, 0.9])
+def test_prefix_filter_matches_full_index(spark, docs, threshold):
+    """The AllPairs prefix filter must return EXACTLY the pairs of the
+    full inverted index at every threshold — it prunes candidates, never
+    results."""
+    full = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=threshold, prefix_filter=False
+        ).collect()
+    }
+    pref = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=threshold, prefix_filter=True
+        ).collect()
+    }
+    assert set(pref) == set(full)
+    for pair in full:
+        assert pref[pair] == pytest.approx(full[pair], abs=1e-6)
+
+
+def test_prefix_filter_planted_near_identical(spark):
+    """High-threshold regime (the real dedup use case): near-identical
+    long documents must be found through the tiny prefix index."""
+    base = " ".join(f"word{i}" for i in range(40))
+    variant = " ".join(f"word{i}" for i in range(39)) + " tail"
+    other = " ".join(f"zz{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, variant), (4, other)], ["doc_id", "text"]
+    )
+    found = {
+        (r.a_id, r.b_id)
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.8).collect()
+    }
+    assert (1, 2) in found  # identical
+    assert (1, 3) in found and (2, 3) in found  # one-word tail change
+    assert not any(4 in p for p in found)
