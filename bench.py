@@ -46,6 +46,7 @@ HEADLINE = [
     "sim1_cosine_topk",
     "sim2_lsh_topk",
     "sim3_lsh_distributed",
+    "sim4_ivf_topk",
     "tx1_tx2_stats_quality",
     "tx4_fingerprints",
 ]

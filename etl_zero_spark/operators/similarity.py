@@ -110,14 +110,16 @@ def auto_geometry(
     return h, tables
 
 
-def _bucket_block_counts(b: DataFrame, max_rows: int) -> DataFrame:
-    """Per-(table, bucket) sub-block count nb = ceil(rows / max_rows).
+def _bucket_block_counts(
+    b: DataFrame, max_rows: int, cols: list[str] = ("table", "bucket")
+) -> DataFrame:
+    """Per-group sub-block count nb = ceil(rows / max_rows).
 
-    The aggregation shuffles on the same (table, bucket) key the
-    downstream cogroup uses, so AQE plans the join co-partitioned; the
-    driver never sees the counts.
+    The aggregation shuffles on the same group key the downstream
+    cogroup uses, so AQE plans the join co-partitioned; the driver
+    never sees the counts.
     """
-    return b.groupBy("table", "bucket").agg(
+    return b.groupBy(*cols).agg(
         F.ceil(F.count(F.lit(1)) / F.lit(float(max_rows))).cast("int").alias("nb")
     )
 
@@ -255,6 +257,54 @@ def _global_topk(cand: DataFrame, k: int) -> DataFrame:
         .where(F.col("rank") <= F.lit(k))
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def _cogrouped_rescore(
+    q: DataFrame, c: DataFrame, group_cols: list[str], k: int,
+    max_group_rows: int | None,
+) -> DataFrame:
+    """Shared candidate-rescore tail of every partitioned ANN plan (the
+    LSH tier here and the IVF tier in ivf.py): cogroup queries x corpus
+    on ``group_cols``, exact float64 GEMM + per-group top-k inside each
+    group, global window merge.
+
+    ``max_group_rows`` bounds the WORST-CASE group independently of how
+    the partitioner was sized: each group whose corpus population
+    exceeds the cap is hash-split into nb = ceil(rows/cap) sub-blocks —
+    corpus rows land in one sub-block, query rows replicate across the
+    group's sub-blocks, and the cogroup key gains the sub id — so no
+    task ever materializes an unbounded pandas frame. Per-pair cosines
+    are bitwise-equal across sub-blocks, so the merge is unchanged.
+
+    ``q``: (query_id, qv, *group_cols); ``c``: (cid, cv, *group_cols).
+    Query rows whose group holds no corpus rows drop at the inner count
+    join — they had no candidates to score anyway.
+    """
+    if max_group_rows is not None:
+        counts = _bucket_block_counts(c, max_group_rows, group_cols)
+        c = c.join(counts, group_cols).withColumn(
+            "sub", F.pmod(F.xxhash64(F.col("cid")), F.col("nb")).cast("int")
+        ).drop("nb")
+        q = q.join(counts, group_cols).withColumn(
+            "sub", F.explode(F.sequence(F.lit(0), F.col("nb") - 1))
+        ).drop("nb")
+        group_cols = [*group_cols, "sub"]
+
+    def kernel(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        q_ids = qpdf["query_id"].to_numpy()
+        c_ids = cpdf["cid"].to_numpy()
+        sims = _stack_normalized(qpdf["qv"]) @ _stack_normalized(cpdf["cv"]).T
+        sims[q_ids[:, None] == c_ids[None, :]] = -np.inf  # exclude self
+        return _local_topk(q_ids, sims, c_ids, k)
+
+    cand = (
+        q.groupby(*group_cols)
+        .cogroup(c.groupby(*group_cols))
+        .applyInPandas(kernel, "query_id long, neighbor_id long, cosine double")
+    )
+    return _global_topk(cand, k)
 
 
 def brute_force_topk_distributed(
@@ -397,34 +447,7 @@ def lsh_partitioned_topk(
             "query_id", "qv", "table", F.explode(probe_arr).alias("bucket")
         )
 
-    group_cols = ["table", "bucket"]
-    if max_bucket_rows is not None:
-        counts = _bucket_block_counts(c, max_bucket_rows)
-        c = c.join(counts, ["table", "bucket"]).withColumn(
-            "sub", F.pmod(F.xxhash64(F.col("cid")), F.col("nb")).cast("int")
-        ).drop("nb")
-        # Query probes of empty buckets drop at this inner join — they
-        # had no candidates to score anyway.
-        q = q.join(counts, ["table", "bucket"]).withColumn(
-            "sub", F.explode(F.sequence(F.lit(0), F.col("nb") - 1))
-        ).drop("nb")
-        group_cols = ["table", "bucket", "sub"]
-
-    def kernel(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(qpdf) or not len(cpdf):
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
-        q_ids = qpdf["query_id"].to_numpy()
-        c_ids = cpdf["cid"].to_numpy()
-        sims = _stack_normalized(qpdf["qv"]) @ _stack_normalized(cpdf["cv"]).T
-        sims[q_ids[:, None] == c_ids[None, :]] = -np.inf
-        return _local_topk(q_ids, sims, c_ids, k)
-
-    cand = (
-        q.groupby(*group_cols)
-        .cogroup(c.groupby(*group_cols))
-        .applyInPandas(kernel, "query_id long, neighbor_id long, cosine double")
-    )
-    return _global_topk(cand, k)
+    return _cogrouped_rescore(q, c, ["table", "bucket"], k, max_bucket_rows)
 
 
 def lsh_neardup_pairs(

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_zero_spark.catalog import load_table
-from etl_zero_spark.operators import dedup, multimodal, similarity, text
+from etl_zero_spark.operators import dedup, ivf, multimodal, similarity, text
 from etl_zero_spark.plans.registry import query
 
 # DuckDB CTE fragments shared by several oracles.
@@ -271,6 +271,24 @@ def sim3_lsh_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 20)
     return similarity.lsh_partitioned_topk(queries_df, emb, k=5)
+
+
+@query(
+    "sim4_ivf_topk",
+    "similarity: IVF (k-means coarse quantizer) ANN",
+    None,  # learned partitioner; exactness-at-full-probe + recall vs sim1
+    # asserted in tests/test_ivf.py
+    "The learned-partition ANN tier: seeded distributed k-means trains "
+    "sqrt(n)-ish centroids on a bounded sample (the only broadcast "
+    "artifact), corpus vectors assign to their nearest cell, queries "
+    "probe their nprobe nearest cells, and the same cogrouped GEMM "
+    "rescore + worst-case sub-block machinery as sim3 merges the "
+    "top-k. Degrades gracefully to the exact result at nprobe=nlist.",
+)
+def sim4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 20)
+    return ivf.ivf_topk(queries_df, emb, k=5, nlist=16, nprobe=8)
 
 
 # ---------------------------------------------------------------------------
