@@ -3,8 +3,9 @@
 ``bench.py`` import this, not the individual modules."""
 
 # Import order IS registration order, and the driver records correctness
-# rows for the first 50 registered queries: keep the total set <= 50 (49
-# as of R3) and keep northstar + streaming AHEAD of analytics so the
+# rows for the first 50 registered queries: keep the total set <= 50 (50
+# EXACTLY as of R3 — consolidate before adding!) and keep northstar +
+# streaming AHEAD of analytics so the
 # multimodal/streaming queries can never fall outside the window again
 # (the R2 regression: mm1-mm3/st1-st3 sat at positions 51-56).
 import etl_zero_spark.plans.registry  # noqa: F401  (core: scans/transforms/joins/aggs)

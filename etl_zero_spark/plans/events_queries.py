@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_zero_spark.catalog import load_table
+from etl_zero_spark.operators.joins import asof_join
 from etl_zero_spark.plans.registry import query
 
 #: Session gap for batch sessionization (seconds).
@@ -146,3 +147,48 @@ def e3_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("value_sum"),
         )
     )
+
+
+@query(
+    "aj1_asof_join",
+    "join family: point-in-time (as-of) join",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS TIMESTAMP)
+                                  ORDER BY value) AS rn
+        FROM events WHERE event_type = 'purchase')
+      WHERE rn = 1
+    )
+    SELECT c.event_id, c.user_id, c.ts, c.value,
+           p.ts AS ts_right, p.value AS value_right
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    "Each click joined to that user's most recent purchase at or "
+    "before it (backward as-of, left-outer) — an operator Spark lacks, "
+    "composed as union + one window pass (operators/joins.asof_join); "
+    "the oracle is DuckDB's NATIVE ASOF LEFT JOIN. The right side is "
+    "deterministically deduped on (user_id, ts) so both engines face a "
+    "unique-match input.",
+)
+def aj1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purch = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("user_id", "ts").orderBy("value")),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return asof_join(clicks, purch, on="ts", by="user_id")

@@ -74,3 +74,125 @@ def test_salted_join_rejects_right_joins(spark):
     df = spark.range(5).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="big-side-preserving"):
         salted_join(df, df, "k", how="right")
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    from datetime import datetime
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", t(10), 1.0),
+            (2, "u1", t(20), 2.0),
+            (3, "u1", t(5), 3.0),   # before any right row
+            (4, "u2", t(30), 4.0),  # key with no right rows at all
+            (5, "u3", t(15), 5.0),  # equal-timestamp case
+        ],
+        "event_id long, user_id string, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", t(8), 100.0),
+            ("u1", t(18), 200.0),
+            ("u3", t(15), 300.0),  # exactly equal to left ts -> inclusive
+        ],
+        "user_id string, ts timestamp, price double",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(spark, asof_frames):
+    from etl_zero_spark.operators.joins import asof_join
+
+    left, right = asof_frames
+    got = {
+        r.event_id: (r.ts_right, r.price)
+        for r in asof_join(left, right, on="ts", by="user_id").collect()
+    }
+    assert got[1][1] == 100.0   # t=10 -> right t=8
+    assert got[2][1] == 200.0   # t=20 -> right t=18
+    assert got[3] == (None, None)  # nothing at or before t=5
+    assert got[4] == (None, None)  # key never on the right
+    assert got[5][1] == 300.0   # equal ts matches (inclusive)
+
+
+def test_asof_forward_semantics(spark, asof_frames):
+    from etl_zero_spark.operators.joins import asof_join
+
+    left, right = asof_frames
+    got = {
+        r.event_id: r.price
+        for r in asof_join(
+            left, right, on="ts", by="user_id", direction="forward"
+        ).collect()
+    }
+    assert got[1] == 200.0      # t=10 -> next right t=18
+    assert got[2] is None       # nothing at or after t=20
+    assert got[3] == 100.0      # t=5 -> next right t=8
+    assert got[4] is None
+    assert got[5] == 300.0      # equal ts inclusive forward too
+
+
+def test_asof_tolerance_nulls_far_matches(spark, asof_frames):
+    from etl_zero_spark.operators.joins import asof_join
+
+    left, right = asof_frames
+    at2 = {
+        r.event_id: r.price
+        for r in asof_join(
+            left, right, on="ts", by="user_id", tolerance_seconds=2
+        ).collect()
+    }
+    assert at2[1] == 100.0      # gap exactly 2s -> kept (inclusive bound)
+    assert at2[2] == 200.0      # gap exactly 2s -> kept
+    assert at2[5] == 300.0      # gap 0
+    at1 = {
+        r.event_id: r.price
+        for r in asof_join(
+            left, right, on="ts", by="user_id", tolerance_seconds=1
+        ).collect()
+    }
+    assert at1[1] is None       # 2s gap exceeds 1s tolerance -> nulled
+    assert at1[2] is None
+    assert at1[5] == 300.0      # gap 0 survives any tolerance
+
+
+def test_asof_duplicate_right_rows_deterministic(spark):
+    """Duplicate (by, on) right rows: the greatest payload struct wins,
+    and two runs agree."""
+    from datetime import datetime
+
+    from etl_zero_spark.operators.joins import asof_join
+
+    t0 = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, "u", t0, 0.0)], "event_id long, user_id string, ts timestamp, value double"
+    )
+    right = spark.createDataFrame(
+        [("u", t0, 1.0), ("u", t0, 2.0), ("u", t0, 3.0)],
+        "user_id string, ts timestamp, price double",
+    )
+    a = asof_join(left, right, on="ts", by="user_id").collect()
+    b = asof_join(left, right, on="ts", by="user_id").collect()
+    assert a == b
+    assert a[0].price == 3.0  # greatest struct
+
+
+def test_asof_single_shuffle_plan(spark, asof_frames):
+    """The whole as-of join must cost ONE exchange (the window's hash
+    partition on the by key) — no cartesian/nested-loop anywhere."""
+    from etl_zero_spark.operators.joins import asof_join
+
+    left, right = asof_frames
+    plan = asof_join(left, right, on="ts", by="user_id")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
