@@ -137,3 +137,56 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         fps["content_md5"].alias("content_md5"),
         fps["min_shingle_md5"].alias("min_shingle_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+#: Detector patterns for the PII kinds a pre-training corpus masks
+#: before anything downstream sees the text. Restricted to the regex
+#: subset whose semantics are IDENTICAL in Java regex (Spark executors)
+#: and RE2 (the DuckDB oracle): explicit character classes, bounded
+#: repetition, alternation and \b — no lookaround, no backreferences,
+#: no \w/\S shorthand (their unicode interpretations differ between
+#: engines). Order matters and is PII_ORDER: URLs mask first because
+#: an email or IPv4 embedded in a URL must not leave a partial URL
+#: behind after an inner replacement.
+PII_PATTERNS: dict[str, str] = {
+    "url": r"https?://[A-Za-z0-9./_%?=&#:~@+-]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b",
+}
+PII_ORDER = ["url", "email", "ipv4", "phone"]
+
+
+def pii_count_exprs(text: Column) -> dict[str, Column]:
+    """Per-kind occurrence counts on the RAW text (each detector runs
+    independently pre-mask, so an email inside a URL counts as both —
+    symmetric in the oracle, which also counts on raw text)."""
+    return {
+        f"n_{kind}": F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii_expr(text: Column) -> Column:
+    """Masked text: every detected span replaced by its kind tag
+    (``<URL>``, ``<EMAIL>``, ...), applied in PII_ORDER. A single
+    codegen'd chain of regexp_replace — no UDF, no explode."""
+    out = text
+    for kind in PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace ``text_col`` with its scrubbed form and append per-kind
+    counts — the corpus-hygiene pass a pipeline runs before dedup /
+    tokenization."""
+    counts = pii_count_exprs(F.col(text_col))
+    out = df
+    for name, expr in counts.items():
+        out = out.withColumn(name, expr)
+    return out.withColumn(text_col, scrub_pii_expr(F.col(text_col)))

@@ -300,9 +300,15 @@ _DUCK_TOK_LOCAL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x !
 
 @query(
     "tx1_tx2_stats_quality",
-    "text: length/word/ratio statistics + quality score + BPE-ish tokens",
+    "text: stats + quality + BPE-ish tokens + PII scrub",
     f"""
-    WITH t AS (SELECT doc_id, text, {_DUCK_TOK_LOCAL} AS toks FROM documents),
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOK_LOCAL} AS toks,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com see https://ex.io/d/' || CAST(doc_id AS VARCHAR)
+                  || ' ip 10.0.0.1 tel 555-867-5309' AS atext
+      FROM documents
+    ),
     m AS (
       SELECT doc_id,
              length(text) AS n_chars,
@@ -314,23 +320,47 @@ _DUCK_TOK_LOCAL = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x !
              round(len(list_filter(toks, x -> list_contains(
                      ['the','a','of','and','to','in','is','that','it','for'], x)))
                    / nullif(CAST(len(toks) AS DOUBLE), 0.0), 6) AS stopword_ratio,
-             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+             len(regexp_extract_all(atext, '{text.PII_PATTERNS["url"]}')) AS n_url,
+             len(regexp_extract_all(atext, '{text.PII_PATTERNS["email"]}')) AS n_email,
+             len(regexp_extract_all(atext, '{text.PII_PATTERNS["ipv4"]}')) AS n_ipv4,
+             len(regexp_extract_all(atext, '{text.PII_PATTERNS["phone"]}')) AS n_phone,
+             length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(atext,
+                 '{text.PII_PATTERNS["url"]}', '<URL>', 'g'),
+                 '{text.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+                 '{text.PII_PATTERNS["ipv4"]}', '<IPV4>', 'g'),
+                 '{text.PII_PATTERNS["phone"]}', '<PHONE>', 'g')) AS n_chars_scrubbed
       FROM t
     )
     SELECT doc_id, n_chars, n_words, avg_word_len, punct_ratio, stopword_ratio,
            round((least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
                   + (1.0 - least(punct_ratio * 4.0, 1.0))
                   + least(stopword_ratio * 5.0, 1.0)) / 3.0, 6) AS quality_score,
-           n_bpe_tokens
+           n_bpe_tokens, n_url, n_email, n_ipv4, n_phone, n_chars_scrubbed
     FROM m
     """,
     "Per-document char/word counts, avg word length, punctuation and "
-    "stopword ratios, composite quality heuristic, and LLM token-budget "
-    "proxy count — one codegen'd projection.",
+    "stopword ratios, composite quality heuristic, LLM token-budget "
+    "proxy count, and the PII scrub pass (url/email/ipv4/phone detect "
+    "+ mask; counts and scrubbed length verified against RE2 on text "
+    "augmented with doc_id-derived planted PII so the regexes are "
+    "exercised on every row) — one codegen'd projection, no UDFs.",
 )
 def tx1_tx2_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
+    # Planted PII derived from doc_id, identically on the oracle side:
+    # the fixture text itself is PII-free, so without this the scrub
+    # columns would hash-match trivially without testing the regexes.
+    aug = F.concat(
+        t,
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com see https://ex.io/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" ip 10.0.0.1 tel 555-867-5309"),
+    )
+    pii = text.pii_count_exprs(aug)
     return docs.select(
         "doc_id",
         text.char_count_expr(t).alias("n_chars"),
@@ -340,6 +370,11 @@ def tx1_tx2_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.stopword_ratio_expr(t).alias("stopword_ratio"),
         text.quality_score_expr(t).alias("quality_score"),
         text.bpe_token_count_expr(t).alias("n_bpe_tokens"),
+        pii["n_url"].alias("n_url"),
+        pii["n_email"].alias("n_email"),
+        pii["n_ipv4"].alias("n_ipv4"),
+        pii["n_phone"].alias("n_phone"),
+        F.length(text.scrub_pii_expr(aug)).alias("n_chars_scrubbed"),
     )
 
 

@@ -65,3 +65,76 @@ def test_jaccard_expr_bounds(spark):
     ).collect()
     assert [r.j1 for r in rows] == pytest.approx([1.0, 0.0, 0.5])
     assert all(r.j1 == r.j2 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# PII scrub: Java-regex vs RE2 parity and masking semantics
+# ---------------------------------------------------------------------------
+
+NASTY_PII = [
+    "plain text no pii",
+    "mail me at bob.smith+x@ex-ample.co.uk today",
+    "see https://ex.io/a?b=1&c=2#frag and http://x.y/z_%20q",
+    "server at 10.0.0.1 and 192.168.255.254, call 555-867-5309",
+    "edge:trailing email a@b.io",
+    "https://a.b/c",
+    "email-in-url https://site.com/u/a@b.com/page stays one URL",
+    "unicode für 10.1.2.3 nearby",
+    "10.0.0.1",
+    "a@b.io text 1.2.3.4 x 999-123-4567 y http://q.r",
+    "phones 123-456-7890 123.456.7890 123 456 7890",
+    "not-phone 12-3456-7890, not-ip 1234.5.6.7",
+    "",
+]
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from etl_zero_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(NASTY_PII)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in T.scrub_pii(df).collect()}
+    assert rows[0].text == "plain text no pii"
+    assert rows[1].text == "mail me at <EMAIL> today" and rows[1].n_email == 1
+    assert rows[2].text == "see <URL> and <URL>" and rows[2].n_url == 2
+    assert rows[3].text == "server at <IPV4> and <IPV4>, call <PHONE>"
+    assert rows[6].text == "email-in-url <URL> stays one URL"
+    assert rows[10].n_phone == 3
+    assert rows[11].n_phone == 0 and rows[11].n_ipv4 == 0  # lookalikes stay
+    assert rows[12].text == ""
+
+
+def test_scrub_pii_parity_with_re2_oracle(spark):
+    """The declared query's hash depends on Java regex and RE2 agreeing
+    on these patterns — pin that agreement on adversarial strings, not
+    just the fixture corpus."""
+    import duckdb
+
+    from etl_zero_spark.operators import text as T
+
+    data = [(i, s) for i, s in enumerate(NASTY_PII)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    sp = {
+        r.doc_id: (r.text, r.n_url, r.n_email, r.n_ipv4, r.n_phone)
+        for r in T.scrub_pii(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", data)
+    p = T.PII_PATTERNS
+    duck = con.execute(
+        f"""
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+            '{p["url"]}', '<URL>', 'g'), '{p["email"]}', '<EMAIL>', 'g'),
+            '{p["ipv4"]}', '<IPV4>', 'g'), '{p["phone"]}', '<PHONE>', 'g'),
+          len(regexp_extract_all(text, '{p["url"]}')),
+          len(regexp_extract_all(text, '{p["email"]}')),
+          len(regexp_extract_all(text, '{p["ipv4"]}')),
+          len(regexp_extract_all(text, '{p["phone"]}'))
+        FROM t
+        """
+    ).fetchall()
+    for doc_id, *vals in duck:
+        assert sp[doc_id] == tuple(vals), f"doc {doc_id}: {sp[doc_id]} != {vals}"
