@@ -196,3 +196,114 @@ def test_asof_single_shuffle_plan(spark, asof_frames):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# range (point-in-interval) join
+# ---------------------------------------------------------------------------
+
+
+def _range_fixtures(spark):
+    points = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 15.0), (3, "a", 25.0), (4, "b", 5.0), (5, "a", 100.0)],
+        "pid long, k string, v double",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("a", 0.0, 10.0, "i1"),    # catches p1
+            ("a", 4.0, 16.0, "i2"),    # catches p1 AND p2 (overlap)
+            ("a", 20.0, 25.0, "i3"),   # inclusive end catches p3
+            ("b", 0.0, 10.0, "i4"),    # other key catches p4 only
+            ("a", 50.0, 60.0, "i5"),   # catches nothing
+        ],
+        "k string, s double, e double, tag string",
+    )
+    return points, intervals
+
+
+def test_range_join_matches_duckdb_ie_join(spark):
+    """Bucketized equi-join + exact filter must reproduce DuckDB's
+    native range join (IEJoin) row-for-row, including multiplicity."""
+    import duckdb
+
+    from etl_zero_spark.operators.joins import range_join
+
+    points, intervals = _range_fixtures(spark)
+    got = {
+        (r.pid, r.tag)
+        for r in range_join(points, intervals, "v", "s", "e", by="k").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(pid BIGINT, k VARCHAR, v DOUBLE)")
+    con.execute("CREATE TABLE i(k VARCHAR, s DOUBLE, e DOUBLE, tag VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?,?,?)", [tuple(r) for r in points.collect()])
+    con.executemany("INSERT INTO i VALUES (?,?,?,?)", [tuple(r) for r in intervals.collect()])
+    want = set(
+        con.execute(
+            "SELECT pid, tag FROM p JOIN i ON p.k = i.k AND p.v BETWEEN i.s AND i.e"
+        ).fetchall()
+    )
+    assert got == want
+    assert got == {(1, "i1"), (1, "i2"), (2, "i2"), (3, "i3"), (4, "i4")}
+
+
+def test_range_join_left_pads_unmatched(spark):
+    from etl_zero_spark.operators.joins import range_join
+
+    points, intervals = _range_fixtures(spark)
+    out = range_join(points, intervals, "v", "s", "e", by="k", how="left")
+    rows = out.collect()
+    assert len(rows) == 6  # 5 matches + the unmatched p5
+    p5 = [r for r in rows if r.pid == 5]
+    assert len(p5) == 1 and p5[0].tag is None and p5[0].s is None
+
+
+def test_range_join_bucket_width_irrelevant_to_result(spark):
+    """The width tunes replication, never semantics: extreme widths in
+    both directions must return identical rows."""
+    from etl_zero_spark.operators.joins import range_join
+
+    points, intervals = _range_fixtures(spark)
+    base = {
+        tuple(r)
+        for r in range_join(points, intervals, "v", "s", "e", by="k").collect()
+    }
+    for width in (0.5, 3.0, 1000.0):
+        got = {
+            tuple(r)
+            for r in range_join(
+                points, intervals, "v", "s", "e", by="k", bucket_width=width
+            ).collect()
+        }
+        assert got == base, f"width={width}"
+
+
+def test_range_join_timestamps(spark):
+    from datetime import datetime
+
+    from etl_zero_spark.operators.joins import range_join
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    points = spark.createDataFrame(
+        [(1, t(5)), (2, t(30))], "pid long, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(t(0), t(10), "w1"), (t(20), t(25), "w2")],
+        "s timestamp, e timestamp, tag string",
+    )
+    got = {(r.pid, r.tag) for r in range_join(points, iv, "ts", "s", "e").collect()}
+    assert got == {(1, "w1")}
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    from etl_zero_spark.operators.joins import range_join
+
+    points, intervals = _range_fixtures(spark)
+    plan = (
+        range_join(points, intervals, "v", "s", "e", by="k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
