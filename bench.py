@@ -36,6 +36,7 @@ HEADLINE = [
     "w2_running_sum",
     "e1_tumbling_window",
     "e3_sessionize_batch",
+    "aj1_asof_join",
     # north-star: dedup / similarity / text
     "dd2_ngram_jaccard_pairs",
     "dd3_minhash_lsh_pairs",
