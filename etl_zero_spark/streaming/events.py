@@ -220,3 +220,44 @@ def run_available_now(
         spark.conf.set(conf_key, prev)
         shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.table(name)
+
+
+def clicks_joined_purchases(
+    events: DataFrame, join_window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: each click pairs with the
+    same user's purchases from the preceding ``join_window`` (inclusive
+    both ends) — the attribution-join shape.
+
+    The canonical bounded-state pattern: BOTH sides carry a watermark
+    and the join condition carries a time-range bound, so the state
+    store can evict rows older than watermark+window instead of
+    buffering both streams forever — the requirement for an unbounded
+    100 TB/day run. Stream-stream inner joins emit in append mode only.
+
+    Accepts a streaming OR batch events frame: ``withWatermark`` is a
+    no-op under batch execution, so the same plan doubles as its own
+    batch twin — the equivalence oracle in tests/test_streaming.py
+    (SURVEY §5.2: no DuckDB replay for streaming operators).
+    """
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purch = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = clicks.withWatermark("click_ts", watermark)
+    p = purch.withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        F.expr(
+            f"user_id = p_user_id AND purchase_ts BETWEEN "
+            f"click_ts - INTERVAL {join_window} AND click_ts"
+        ),
+        "inner",
+    ).drop("p_user_id")

@@ -79,3 +79,17 @@ def test_running_user_totals_matches_batch(spark, stream):
         .collect()
     }
     assert final == want
+
+
+def test_stream_stream_join_matches_batch(spark, stream):
+    """Watermarked stream-stream inner join (clicks x purchases within
+    1 hour per user) must equal the identical plan run in batch mode —
+    the same function serves both, withWatermark being a batch no-op."""
+    got = sev.run_available_now(
+        sev.clicks_joined_purchases(stream), "t_ssjoin", "append"
+    )
+    want = sev.clicks_joined_purchases(load_table(spark, SF_SMOKE, "events"))
+    cols = ["click_id", "user_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"]
+    gset, wset = _rowset(got, cols), _rowset(want, cols)
+    assert gset == wset
+    assert len(wset) > 0  # fixture must actually exercise the join
