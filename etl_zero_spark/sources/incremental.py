@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -108,3 +108,37 @@ def schedule_etl_job(
             loader.full_refresh(src, table)
             results[table] = "full-refresh"
     return results
+
+
+def merge_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str | list[str],
+    version_col: str,
+) -> DataFrame:
+    """Upsert semantics for changelog ingestion: one row per ``key``,
+    the row with the greatest ``version_col`` winning (updates beat
+    base rows at equal version — the CDC "last writer wins" rule).
+
+    The reference's incremental load is append-only over a
+    monotonically increasing key (data_extraction.py:59-107), which
+    silently keeps stale versions when the source UPDATES rows; this is
+    the matching merge step a changelog feed needs. Plan shape: union +
+    one window (single hash shuffle on key) — the engine-side
+    equivalent of MERGE INTO on a table format; on a Delta/Iceberg
+    lakehouse the same semantics would push down to the format's MERGE,
+    here the result overwrites the target zone table like every other
+    transform output.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    u = base.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(), F.col("__src").desc()
+    )
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )

@@ -57,3 +57,66 @@ def test_csv_sink_roundtrip(spark, tmp_path):
     assert path.endswith("t_csv")
     back = zone.read_csv(spark, "t", schema=df.schema)
     assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_merge_latest_upsert_semantics(spark):
+    """Keep-latest-by-key merge vs a DuckDB QUALIFY oracle: inserts,
+    updates (greater version wins), stale updates ignored, and the
+    update side winning version ties (last-writer-wins)."""
+    import duckdb
+
+    from etl_zero_spark.sources.incremental import merge_latest
+
+    base = spark.createDataFrame(
+        [(1, 1, "a"), (2, 3, "b"), (3, 1, "c")], "id long, v long, payload string"
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, 2, "a2"),   # newer -> replaces
+            (2, 2, "b0"),   # stale -> ignored
+            (3, 1, "c2"),   # tie -> update wins
+            (4, 1, "d"),    # brand new key -> insert
+        ],
+        "id long, v long, payload string",
+    )
+    got = {
+        (r.id, r.v, r.payload)
+        for r in merge_latest(base, updates, key="id", version_col="v").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE b(id BIGINT, v BIGINT, payload VARCHAR)")
+    con.execute("CREATE TABLE u(id BIGINT, v BIGINT, payload VARCHAR)")
+    con.executemany("INSERT INTO b VALUES (?,?,?)", [tuple(r) for r in base.collect()])
+    con.executemany("INSERT INTO u VALUES (?,?,?)", [tuple(r) for r in updates.collect()])
+    want = set(
+        con.execute(
+            """
+            SELECT id, v, payload FROM (
+              SELECT *, row_number() OVER (PARTITION BY id
+                        ORDER BY v DESC, src DESC) AS rn
+              FROM (SELECT *, 0 AS src FROM b UNION ALL SELECT *, 1 FROM u)
+            ) WHERE rn = 1
+            """
+        ).fetchall()
+    )
+    assert got == want
+    assert got == {(1, 2, "a2"), (2, 3, "b"), (3, 1, "c2"), (4, 1, "d")}
+
+
+def test_merge_latest_composite_key(spark):
+    from etl_zero_spark.sources.incremental import merge_latest
+
+    base = spark.createDataFrame(
+        [("x", 1, 1, "old")], "region string, id long, v long, payload string"
+    )
+    updates = spark.createDataFrame(
+        [("x", 1, 2, "new"), ("y", 1, 1, "other-region")],
+        "region string, id long, v long, payload string",
+    )
+    got = {
+        tuple(r)
+        for r in merge_latest(
+            base, updates, key=["region", "id"], version_col="v"
+        ).collect()
+    }
+    assert got == {("x", 1, 2, "new"), ("y", 1, 1, "other-region")}
