@@ -9,6 +9,16 @@ driver Python. Here the common formats are a tiered ``coalesce`` of
 honored by trying day-first patterns before month-first. A pandas-UDF
 fallback exists for true fuzzy parsing but is off the default path —
 it is the only row-at-a-time Python the engine would ever run on data.
+
+DELIBERATE parity deviation (pinned in tests/test_text_properties.py):
+``dateutil.parse(dayfirst=True)`` applies day-first EVEN to
+year-leading strings — it reads ``2021-04-05`` and ``2021/04/05`` as
+May 4th. This engine reads year-leading dates as ISO Y-M-D (April
+5th), which is what every other system the data meets will do; only
+the day<=12 year-leading case diverges from the reference. Day-first
+parity for D/M/Y, dotted, dashed, and month-name forms is exact, as is
+null-on-invalid (Feb 29 non-leap, April 31: ``try_to_timestamp`` is
+strict and dateutil raises — both null).
 """
 
 from __future__ import annotations

@@ -138,3 +138,95 @@ def test_scrub_pii_parity_with_re2_oracle(spark):
     ).fetchall()
     for doc_id, *vals in duck:
         assert sp[doc_id] == tuple(vals), f"doc {doc_id}: {sp[doc_id]} != {vals}"
+
+
+# ---------------------------------------------------------------------------
+# P6 date parsing: property parity with the reference's dateutil call
+# ---------------------------------------------------------------------------
+
+_MON_ABBR = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+             "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+_MON_FULL = ["January", "February", "March", "April", "May", "June", "July",
+             "August", "September", "October", "November", "December"]
+
+#: Renderers for the formats where day-first parity with
+#: dateutil(dayfirst=True) must be EXACT. Year-leading forms are
+#: deliberately absent: dateutil swaps their month/day (see
+#: functions/dates.py docstring), and the engine reads them as ISO.
+_DAYFIRST_RENDERERS = [
+    lambda d, m, y: f"{d:02d}/{m:02d}/{y}",
+    lambda d, m, y: f"{d:02d}-{m:02d}-{y}",
+    lambda d, m, y: f"{d:02d}.{m:02d}.{y}",
+    lambda d, m, y: f"{d} {_MON_ABBR[m - 1]} {y}",
+    lambda d, m, y: f"{d} {_MON_FULL[m - 1]} {y}",
+    lambda d, m, y: f"{_MON_ABBR[m - 1]} {d} {y}",
+]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    # 4-digit years only: the yyyy formats presume them, and dateutil
+    # zero-pad-free strftime breaks its own round-trip below year 1000
+    st.dates(min_value=__import__("datetime").date(1000, 1, 1)),
+    st.integers(min_value=0, max_value=len(_DAYFIRST_RENDERERS) - 1),
+)
+def test_date_parse_matches_dateutil_dayfirst(spark, date, fmt_idx):
+    """For every day-first/month-name rendering of any valid date, the
+    tiered Column parse must emit exactly what the reference's
+    dateutil.parse(dayfirst=True) emits."""
+    from dateutil import parser as dp
+
+    from etl_zero_spark.functions.dates import standardize_date_expr
+
+    raw = _DAYFIRST_RENDERERS[fmt_idx](date.day, date.month, date.year)
+    want = dp.parse(raw, dayfirst=True, fuzzy=True).strftime("%Y-%m-%d")
+    assert want == date.strftime("%Y-%m-%d")  # renderer sanity
+    got = (
+        spark.createDataFrame([(raw,)], "raw string")
+        .select(standardize_date_expr("raw").alias("out"))
+        .first()
+        .out
+    )
+    assert got == want, f"{raw!r}: engine {got!r} != dateutil {want!r}"
+
+
+def test_date_parse_invalid_dates_null_on_both_sides(spark):
+    """Strictness parity: impossible dates raise in dateutil (-> null in
+    the reference) and must null here too."""
+    from dateutil import parser as dp
+
+    from etl_zero_spark.functions.dates import standardize_date_expr
+
+    bad = ["29/02/2021", "31/04/2021", "00/01/2021", "not a date", ""]
+    for raw in bad:
+        try:
+            dp.parse(raw, dayfirst=True, fuzzy=True)
+            ref_null = False
+        except Exception:
+            ref_null = True
+        assert ref_null, f"expected dateutil to reject {raw!r}"
+    rows = (
+        spark.createDataFrame([(b,) for b in bad], "raw string")
+        .select(standardize_date_expr("raw").alias("out"))
+        .collect()
+    )
+    assert all(r.out is None for r in rows)
+
+
+def test_date_parse_year_leading_is_iso_documented_deviation(spark):
+    """Pin the DELIBERATE divergence: dateutil(dayfirst=True) reads
+    2021-04-05 as May 4th; the engine reads ISO. If either side ever
+    changes, this test flags the docs for an update."""
+    from dateutil import parser as dp
+
+    from etl_zero_spark.functions.dates import standardize_date_expr
+
+    raw = "2021-04-05"
+    assert dp.parse(raw, dayfirst=True).strftime("%Y-%m-%d") == "2021-05-04"
+    got = (
+        spark.createDataFrame([(raw,)], "raw string")
+        .select(standardize_date_expr("raw").alias("out"))
+        .first()
+        .out
+    )
+    assert got == "2021-04-05"
