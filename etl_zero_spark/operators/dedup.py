@@ -172,8 +172,21 @@ def ngram_jaccard_pairs(
     # Identical shuffles on both sides also let AQE reuse the exchange,
     # so the shingle expression is computed once.
     a, b = flat.hint("shuffle_hash").alias("a"), flat.hint("shuffle_hash").alias("b")
+    # AllPairs length filter, evaluated at join probe time (no extra
+    # shuffle): J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a pair whose
+    # sizes differ by more than the threshold ratio can never qualify
+    # and is dropped before it ever reaches the counting aggregation.
+    t = F.lit(float(threshold))
+    size_ok = (F.col("a.n_shingles") >= t * F.col("b.n_shingles")) & (
+        F.col("b.n_shingles") >= t * F.col("a.n_shingles")
+    )
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & size_ok,
+        )
         .groupBy(
             F.col("a.id").alias("a_id"),
             F.col("b.id").alias("b_id"),
