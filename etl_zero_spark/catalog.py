@@ -137,6 +137,25 @@ class Zone:
         """S5 overwrite / S6 append sink (data_extraction.py:40-51,80)."""
         df.write.mode(mode).parquet(self.path(table))
 
+    def write_partitioned(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_cols: list[str] | str,
+        mode: str = "overwrite",
+    ) -> None:
+        """Hive-layout partitioned parquet (``.../col=value/...``): the
+        at-rest arrangement that makes partition PRUNING possible — a
+        predicate on a partition column skips whole directories at
+        planning time instead of reading and filtering 100 TB of
+        files. Use for the columns every query filters on (event dates,
+        tenant, source); high-cardinality keys belong in
+        ``write_bucketed`` instead (one directory per value is the
+        small-files anti-pattern). Pruning is asserted on the physical
+        plan in tests/test_plan_quality.py."""
+        cols = [partition_cols] if isinstance(partition_cols, str) else partition_cols
+        df.write.mode(mode).partitionBy(*cols).parquet(self.path(table))
+
     def drop(self, table: str) -> None:
         """S7's ``DROP TABLE IF EXISTS`` analog (data_extraction.py:38-39)."""
         import shutil

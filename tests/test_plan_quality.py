@@ -13,6 +13,7 @@ BroadcastNestedLoopJoin — constant-size build side, allowed by design.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_zero_spark.plans.all_queries import QUERIES
 from tests.conftest import SF_SMOKE
@@ -29,3 +30,26 @@ def test_no_scale_killers_in_plan(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF\n{plan}"
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column must prune at planning time:
+    the scan's PartitionFilters carry the predicate, the pushed-filter
+    list stays free of it (it never reaches row groups), and only the
+    matching partition's files are read."""
+    from etl_zero_spark.catalog import Zone, load_table
+    from tests.conftest import SF_SMOKE
+
+    zone = Zone(str(tmp_path), "silver")
+    ev = load_table(spark, SF_SMOKE, "events")
+    zone.write_partitioned(ev, "events_by_type", "event_type")
+
+    q = zone.read(spark, "events_by_type").where(F.col("event_type") == "click")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the predicate must live in PartitionFilters (directory pruning at
+    # planning time), NOT in DataFilters (row-level evaluation)
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in pf and "= click" in pf, plan
+    assert "DataFilters: []" in plan, plan
+    n_click = ev.where(F.col("event_type") == "click").count()
+    assert q.count() == n_click
