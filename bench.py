@@ -78,20 +78,29 @@ def main() -> None:
         _noop, "id long"
     ).count()
 
+    # Per-query failure isolation (R3 lesson: one broken query raised out
+    # of main() and the whole round shipped with no bench artifact at
+    # all). A failing query records {"err": ...} in `errors` and the rest
+    # keep timing; the headline total sums the queries that ran.
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         spec = QUERIES[name]
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).count()
-        cold[name] = round(time.perf_counter() - t0, 3)
-        reps = []
-        for _ in range(3):
-            t1 = time.perf_counter()
+        try:
+            t0 = time.perf_counter()
             spec.fn(spark, sf_dir).count()
-            reps.append(time.perf_counter() - t1)
-        warm[name] = round(min(reps), 3)
-        print(f"# {name}: cold {cold[name]}s / warm {warm[name]}s", file=sys.stderr)
+            cold[name] = round(time.perf_counter() - t0, 3)
+            reps = []
+            for _ in range(3):
+                t1 = time.perf_counter()
+                spec.fn(spark, sf_dir).count()
+                reps.append(time.perf_counter() - t1)
+            warm[name] = round(min(reps), 3)
+            print(f"# {name}: cold {cold[name]}s / warm {warm[name]}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — the artifact must exist
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
 
     total = round(sum(warm.values()), 3)
     print(
@@ -111,6 +120,9 @@ def main() -> None:
                 "queries": warm,
                 "queries_cold": cold,
                 "total_cold": round(sum(cold.values()), 3),
+                "errors": errors,
+                "n_ok": len(warm),
+                "n_err": len(errors),
                 "sf": sf,
             }
         )

@@ -74,15 +74,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     prunes columns and pushes predicates down to the reader, so
     "SELECT *" never actually happens unless the query needs it.
 
-    Nanosecond parquet timestamps (events.ts) arrive as long under
-    ``spark.sql.legacy.parquet.nanosAsLong`` and are normalized to a
-    microsecond TimestampType here — the fixture's values are exact
-    microseconds, so the conversion is lossless and matches DuckDB's
-    TIMESTAMP cast on the oracle side.
+    ``events.ts`` is normalized to TimestampType based on the OBSERVED
+    parquet dtype (fixtures have shipped all three over time):
+
+    * ``timestamp_ntz`` — Spark 4's reading of plain ``timestamp[us]``
+      parquet; cast to TimestampType. Value-stable because the session
+      timezone is pinned UTC (session.RUNTIME_CONFS).
+    * ``bigint`` — TIMESTAMP(NANOS) parquet read under
+      ``spark.sql.legacy.parquet.nanosAsLong``; integer-divide to µs.
+    * ``timestamp`` — already normalized; pass through.
+
+    Matching on the observed dtype (not an assumed fixture encoding) is
+    what keeps every downstream consumer — batch windows, sessionize,
+    as-of join, the DuckDB ``CAST(ts AS TIMESTAMP)`` oracles — stable
+    when the fixture's physical encoding changes.
     """
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -151,8 +151,10 @@ def asof_join(
 
     matched = F.col("__m")
     if tolerance_seconds is not None:
+        # cast("timestamp") no-ops on TimestampType; makes NTZ inputs safe.
         gap = F.abs(
-            F.unix_micros(F.col("__ts")) - F.unix_micros(matched.getField(on))
+            F.unix_micros(F.col("__ts").cast("timestamp"))
+            - F.unix_micros(matched.getField(on).cast("timestamp"))
         )
         matched = F.when(gap <= F.lit(int(tolerance_seconds * 1_000_000)), matched)
 
@@ -210,7 +212,11 @@ def range_join(
     by = [by] if isinstance(by, str) else list(by or [])
 
     def to_num(c: F.Column, dt: str) -> F.Column:
-        return F.unix_micros(c) if dt.startswith("timestamp") else c.cast("double")
+        # cast("timestamp") is a no-op on TimestampType and makes NTZ
+        # inputs safe for unix_micros (session TZ pinned UTC).
+        if dt.startswith("timestamp"):
+            return F.unix_micros(c.cast("timestamp"))
+        return c.cast("double")
 
     p_dt = dict(points.dtypes)[point_col]
     s_dt = dict(intervals.dtypes)[start_col]

@@ -154,8 +154,16 @@ def _stack_normalized(series: pd.Series) -> np.ndarray:
 
 
 def _topk_rows(qid, sims_row: np.ndarray, cand_ids: np.ndarray, k: int, rows: dict):
-    """Append top-k (rank asc, cosine desc, neighbor_id tiebreak) to rows."""
-    top = np.argsort(-sims_row, kind="stable")[:k]
+    """Append top-k (rank asc, cosine desc, neighbor_id tiebreak) to rows.
+
+    Compares on round(cosine, 6) — the OUTPUT precision — not raw BLAS
+    floats: bitwise-identical candidate vectors can differ in the last
+    ulp of a GEMM row depending on blocking, so a full-precision sort
+    orders "ties" arbitrarily and the broadcast/distributed tiers
+    disagree. Rounding before the lexsort makes the order (rounded
+    cosine desc, neighbor_id asc) — the same total order _local_topk
+    and _global_topk use — so every tier is bit-identical."""
+    top = np.lexsort((cand_ids, -np.round(sims_row, 6)))[:k]
     for rank, j in enumerate(top, start=1):
         if sims_row[j] == -np.inf:
             continue
@@ -227,16 +235,18 @@ def _local_topk(
     """Per-query top-k of a (nq, nc) score matrix -> candidate rows
     (query_id, neighbor_id, cosine). Self-pairs must be pre-masked.
 
-    Ties sort by (cosine desc, neighbor_id asc) — NOT block-local row
-    order — so a per-block top-k boundary cuts tied candidates exactly
-    where the global window (_global_topk) would, keeping the
-    distributed kernels bit-identical to the broadcast ones even when
-    duplicate vectors straddle a block edge."""
+    Ties sort by (ROUNDED cosine desc, neighbor_id asc) — NOT
+    block-local row order and NOT raw BLAS floats (which differ in the
+    last ulp across blockings) — so a per-block top-k boundary cuts
+    tied candidates exactly where the global window (_global_topk)
+    would, keeping the distributed kernels bit-identical to the
+    broadcast ones even when duplicate vectors straddle a block edge."""
     out_q, out_n, out_c = [], [], []
     kk = min(k, sims.shape[1])
     for i in range(sims.shape[0]):
         s = sims[i]
-        top = np.lexsort((c_ids, -s))[:kk]  # primary: cosine desc; tie: id asc
+        # primary: rounded cosine desc (output precision); tie: id asc
+        top = np.lexsort((c_ids, -np.round(s, 6)))[:kk]
         top = top[s[top] > -np.inf]
         out_q.extend([q_ids[i]] * len(top))
         out_n.extend(c_ids[top])
@@ -247,10 +257,17 @@ def _local_topk(
 def _global_topk(cand: DataFrame, k: int) -> DataFrame:
     """Merge per-bucket/per-block candidates into the global top-k: dedup
     (a pair rediscovered in another bucket carries a bitwise-identical
-    cosine), window-rank, round for output."""
+    cosine), window-rank, round for output.
+
+    The window orders on round(cosine, 6) — the output precision and
+    the same comparator _local_topk/_topk_rows use — so the global
+    rank order is identical across the broadcast and distributed tiers
+    even when per-tier GEMM blockings differ in the last ulp."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 6)), "neighbor_id"
+    )
     return (
         cand.dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rank", F.row_number().over(w))

@@ -30,8 +30,10 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # The events fixture stores TIMESTAMP(NANOS) parquet, which Spark 4
-    # refuses by default; read as long and normalize in catalog.load_table.
+    # Compatibility shim: SOME events fixtures have shipped TIMESTAMP(NANOS)
+    # parquet, which Spark 4 refuses by default; with this on they read as
+    # long and catalog.load_table normalizes on the OBSERVED dtype (current
+    # fixtures are timestamp[us] → TIMESTAMP_NTZ and never hit this path).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

@@ -23,26 +23,33 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DataType,
     DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
-#: Explicit source schema (streams cannot infer). ``ts`` arrives as long
-#: (nanos) under spark.sql.legacy.parquet.nanosAsLong, normalized below.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_raw_schema(ts_type: DataType) -> StructType:
+    """Explicit source schema (streams cannot infer). ``ts``'s declared
+    type must match the fixture's physical parquet encoding, which has
+    shipped as TIMESTAMP(NANOS)-read-as-long, and currently as plain
+    ``timestamp[us]`` (TIMESTAMP_NTZ under Spark 4) — so the caller
+    sniffs the observed dtype and passes it in."""
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def _stage_events_dir(sf_dir: str) -> str:
@@ -64,13 +71,31 @@ def _stage_events_dir(sf_dir: str) -> str:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source streaming read of the events table. One file today;
     on a live lake the same code tails the directory as micro-batches
-    (the offset log plays the reference's stored-watermark role)."""
+    (the offset log plays the reference's stored-watermark role).
+
+    ``ts``'s physical encoding is sniffed with a metadata-only batch
+    read (footer schema, no data scan) so the declared stream schema
+    always matches the fixture on disk — the r3 regression was exactly
+    this assumption going stale. All encodings normalize to
+    TimestampType, matching catalog.load_table's batch twin (session
+    TZ pinned UTC, so the NTZ cast is value-stable)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    observed = dict(spark.read.parquet(path).dtypes).get("ts")
+    if observed == "bigint":  # TIMESTAMP(NANOS) under nanosAsLong
+        ts_type: DataType = LongType()
+        normalize = F.timestamp_micros(F.expr("ts div 1000"))
+    elif observed == "timestamp":  # already TZ-bearing micros
+        ts_type = TimestampType()
+        normalize = F.col("ts")
+    else:  # timestamp[us] → TIMESTAMP_NTZ (current fixtures)
+        ts_type = TimestampNTZType()
+        normalize = F.col("ts").cast("timestamp")
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(ts_type))
         .format("parquet")
         .load(_stage_events_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", normalize)
 
 
 def tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
