@@ -100,6 +100,8 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     prefix_filter: bool | None = None,
+    df_cap: int | None = 10_000,
+    max_stop_broadcast: int = 10_000,
 ) -> DataFrame:
     """All pairs with word-k-shingle Jaccard >= threshold, computed by
     exploding shingles and joining on the shingle (an inverted index —
@@ -118,6 +120,33 @@ def ngram_jaccard_pairs(
     below, where the prefix would barely prune but the rescore join
     would re-shuffle the arrays.
 
+    ``df_cap`` is the stop-shingle cap — the guard against the inverted
+    index's quadratic hot head. A shingle appearing in m documents
+    emits ~m^2/2 candidate rows at the join; boilerplate shingles
+    ("all rights reserved") make m corpus-sized, which no amount of
+    partitioning survives at 100 TB. Shingles whose document frequency
+    exceeds the cap are excluded from the *index* (discovery) side —
+    the standard AllPairs/stop-word trade — which bounds any single
+    shingle's candidate output at df_cap^2/2 rows. Reported Jaccard
+    stays EXACT (the counting path repairs the count with the shared
+    stop shingles; the prefix path rescores full arrays); the recall
+    contract is: a qualifying pair is missed only if EVERY shingle it
+    shares occurs in more than ``df_cap`` documents, i.e. the pair's
+    entire overlap is corpus-wide boilerplate. ``None`` disables the
+    cap (pure single-pass plan, fully exact, unbounded worst case).
+
+    The stop set is resolved with one build-time aggregation job and
+    collected to the driver when it has at most ``max_stop_broadcast``
+    entries — by construction it holds at most
+    total_shingle_occurrences / df_cap shingles, and on clean corpora
+    it is EMPTY, in which case the plan is byte-identical to the
+    uncapped one (a collected set becomes a codegen'd InSet filter; no
+    extra joins, no duplicated scans). Only when the corpus is so
+    boilerplate-ridden that the stop set itself outgrows the driver
+    does the plan fall back to distributed anti/inner joins against the
+    stop-set DataFrame. This build-time corpus probe is the same
+    data-dependent planning pattern as similarity.auto_geometry.
+
     Columns: a_id, b_id (a_id < b_id), jaccard.
     """
     if prefix_filter is None:
@@ -125,6 +154,48 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col), k).alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
+    flat = sh.select("id", "n_shingles", F.explode("shingles").alias("shingle"))
+
+    stop_list: list[str] | None = []  # [] = no stop shingles; None = too many to collect
+    stop_df: DataFrame | None = None
+    # A shingle's DF can't exceed the doc count, so a corpus of <= df_cap
+    # docs provably has no stop shingles — one cheap count() skips the
+    # probe aggregation entirely (the common case below web scale).
+    if df_cap is not None and df.count() > df_cap:
+        stop_df = (
+            flat.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > F.lit(int(df_cap)))
+            .select("shingle")
+        )
+        probe = stop_df.limit(max_stop_broadcast + 1).collect()
+        stop_list = (
+            [r.shingle for r in probe] if len(probe) <= max_stop_broadcast else None
+        )
+
+    def drop_stop_shingles(ix: DataFrame) -> DataFrame:
+        """Exclude stop shingles from a discovery index: an InSet filter
+        when the stop set fit the driver (stays inside the index's
+        codegen stage — zero plan growth), else a distributed anti-join
+        against the stop-set DataFrame."""
+        if not stop_list and stop_list is not None:
+            return ix
+        if stop_list is not None:
+            return ix.where(~F.col("shingle").isin(stop_list))
+        return ix.join(stop_df, "shingle", "left_anti")
+
+    def rescore(cand: DataFrame) -> DataFrame:
+        """Exact-Jaccard rescore of (a_id, b_id) candidates against the
+        full shingle arrays."""
+        sh_a = sh.select(F.col("id").alias("a_id"), F.col("shingles").alias("sh_a"))
+        sh_b = sh.select(F.col("id").alias("b_id"), F.col("shingles").alias("sh_b"))
+        return (
+            cand.join(sh_a, "a_id")
+            .join(sh_b, "b_id")
+            .withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+            .where(F.col("jaccard") >= F.lit(threshold))
+            .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+        )
 
     if prefix_filter:
         # Canonical global order via sortable (hash, shingle) structs —
@@ -142,10 +213,13 @@ def ngram_jaccard_pairs(
             - F.ceil(F.lit(threshold) * F.col("n_shingles") - F.lit(1e-9))
             + F.lit(1)
         ).cast("int")
-        flat = sh.select(
-            "id", F.explode(F.slice(ordered, 1, p)).alias("shingle")
+        prefix_ix = drop_stop_shingles(
+            sh.select("id", F.explode(F.slice(ordered, 1, p)).alias("shingle"))
         )
-        a, b = flat.hint("shuffle_hash").alias("a"), flat.hint("shuffle_hash").alias("b")
+        a, b = (
+            prefix_ix.hint("shuffle_hash").alias("a"),
+            prefix_ix.hint("shuffle_hash").alias("b"),
+        )
         cand = (
             a.join(
                 b,
@@ -155,23 +229,13 @@ def ngram_jaccard_pairs(
             .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
             .dropDuplicates()
         )
-        sh_a = sh.select(F.col("id").alias("a_id"), F.col("shingles").alias("sh_a"))
-        sh_b = sh.select(F.col("id").alias("b_id"), F.col("shingles").alias("sh_b"))
-        return (
-            cand.join(sh_a, "a_id")
-            .join(sh_b, "b_id")
-            .withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
-            .where(F.col("jaccard") >= F.lit(threshold))
-            .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
-        )
+        return rescore(cand)
 
-    flat = sh.select("id", "n_shingles", F.explode("shingles").alias("shingle"))
     # shuffle_hash, not broadcast: the inverted index is O(corpus) rows —
     # near the broadcast threshold it makes planning flaky (single-thread
     # relation builds), and at real scale broadcasting it is impossible.
     # Identical shuffles on both sides also let AQE reuse the exchange,
     # so the shingle expression is computed once.
-    a, b = flat.hint("shuffle_hash").alias("a"), flat.hint("shuffle_hash").alias("b")
     # AllPairs length filter, evaluated at join probe time (no extra
     # shuffle): J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a pair whose
     # sizes differ by more than the threshold ratio can never qualify
@@ -180,6 +244,8 @@ def ngram_jaccard_pairs(
     size_ok = (F.col("a.n_shingles") >= t * F.col("b.n_shingles")) & (
         F.col("b.n_shingles") >= t * F.col("a.n_shingles")
     )
+    rare = drop_stop_shingles(flat)
+    a, b = rare.hint("shuffle_hash").alias("a"), rare.hint("shuffle_hash").alias("b")
     common = (
         a.join(
             b,
@@ -195,6 +261,51 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+
+    if df_cap is not None and (stop_list is None or stop_list):
+        # Exact-hybrid count repair: the counting join above saw only
+        # sub-cap shingles (bounded at df_cap^2/2 rows per shingle), so
+        # a pair's count misses the stop shingles both docs contain.
+        # Rescoring every candidate against full arrays would
+        # re-shuffle the arrays once per CANDIDATE PAIR — ruinous at
+        # low thresholds where most same-shingle pairs are candidates.
+        # Instead repair the count with |stop_a ∩ stop_b| from per-doc
+        # stop-shingle arrays: the doc_stop table holds ONLY docs
+        # containing a stop shingle, and each doc's array is bounded by
+        # its own shingle count. Reported Jaccard is exact; pairs whose
+        # entire overlap is stop shingles are missed (the documented
+        # recall contract). No broadcast hint on the repair joins:
+        # doc_stop is usually tiny (AQE converts to broadcast at
+        # runtime) but is corpus-sized on boilerplate-heavy data, where
+        # a forced broadcast would OOM the driver.
+        doc_stop = (
+            flat.where(F.col("shingle").isin(stop_list))
+            if stop_list is not None
+            else flat.join(stop_df, "shingle")
+        ).groupBy("id").agg(F.collect_list("shingle").alias("stop_sh"))
+        empty = F.array().cast("array<string>")
+        stop_a = doc_stop.select(
+            F.col("id").alias("a_id"), F.col("stop_sh").alias("stop_a")
+        )
+        stop_b = doc_stop.select(
+            F.col("id").alias("b_id"), F.col("stop_sh").alias("stop_b")
+        )
+        common = (
+            common.withColumnRenamed("n_common", "n_common_rare")
+            .join(stop_a, "a_id", "left")
+            .join(stop_b, "b_id", "left")
+            .withColumn(
+                "n_common",
+                F.col("n_common_rare")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce(F.col("stop_a"), empty),
+                        F.coalesce(F.col("stop_b"), empty),
+                    )
+                ),
+            )
+        )
+
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
         common.withColumn("jaccard", jac)

@@ -231,3 +231,78 @@ def test_prefix_filter_planted_near_identical(spark):
     assert (1, 2) in found  # identical
     assert (1, 3) in found and (2, 3) in found  # one-word tail change
     assert not any(4 in p for p in found)
+
+
+def test_df_cap_exact_when_no_stop_shingles(spark, docs):
+    """With every shingle's document frequency under the cap, the capped
+    discovery+rescore path must return EXACTLY the uncapped counting
+    join's pairs and values (the cap is recall-neutral until it
+    engages)."""
+    uncapped = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.3, df_cap=None
+        ).collect()
+    }
+    capped = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.3, df_cap=10_000
+        ).collect()
+    }
+    assert set(capped) == set(uncapped)
+    for pair in uncapped:
+        assert capped[pair] == pytest.approx(uncapped[pair], abs=1e-6)
+
+
+def test_df_cap_bounds_pathological_shared_shingle(spark):
+    """One boilerplate shingle shared by ALL docs (the 100 TB quadratic
+    hole): under the cap the stop shingle leaves the discovery index, so
+    boilerplate-only overlaps emit ZERO candidate pairs instead of
+    n^2/2, while pairs that also share a sub-cap shingle keep their
+    EXACT Jaccard (full-array rescore)."""
+    boiler = "all rights reserved"
+    n = 40
+    # docs 0..n-1: boilerplate + unique filler -> pairwise overlap is the
+    # boilerplate shingle ONLY (jaccard 1/9 for 5-token docs, k=3).
+    rows = [(i, f"{boiler} u{i}a u{i}b") for i in range(n)]
+    # docs 100/101: boilerplate + a shared rare tail -> a real near-dup
+    # pair discoverable through sub-cap shingles.
+    rows += [(100, f"{boiler} same tail here"), (101, f"{boiler} same tail here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.05, df_cap=5
+        ).collect()
+    }
+    # the boilerplate-only pairs (every pair among 0..n-1) are gone ...
+    assert all(a == 100 and b == 101 for a, b in capped)
+    # ... the rare-shingle near-dup survives with its exact value
+    # (identical docs -> jaccard 1.0)
+    assert capped[(100, 101)] == pytest.approx(1.0, abs=1e-6)
+
+    # uncapped oracle: the boilerplate pairs DO qualify at t=0.05 —
+    # n^2/2 filler pairs, plus each filler doc pairing with 100 AND 101
+    # through the same boilerplate shingle, plus the real pair. This is
+    # exactly the quadratic candidate blow-up the cap exists to prevent.
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.05, df_cap=None)
+    assert uncapped.count() == n * (n - 1) // 2 + 2 * n + 1
+
+
+def test_df_cap_applies_to_prefix_path(spark):
+    """The cap must also bound the prefix (t>=0.5) index: a stop shingle
+    inside prefixes is excluded, sub-cap discovery still finds the
+    planted near-identical pair exactly."""
+    boiler = "all rights reserved"
+    rows = [(i, f"{boiler} u{i}a u{i}b") for i in range(20)]
+    rows += [(100, f"{boiler} same tail here"), (101, f"{boiler} same tail here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.5, prefix_filter=True, df_cap=5
+        ).collect()
+    }
+    assert capped == {(100, 101): pytest.approx(1.0, abs=1e-6)}
