@@ -32,11 +32,12 @@ HEADLINE = [
     "a1_a2_multi_func_groupby",
     "a3_histogram",
     "o3_top_k",
-    "cd_count_distinct",
+    "cd_acd_count_distinct",
     "w2_running_sum",
     "e1_tumbling_window",
     "e3_sessionize_batch",
     "aj1_asof_join",
+    "rj1_range_join",
     # north-star: dedup / similarity / text
     "dd2_ngram_jaccard_pairs",
     "dd3_minhash_lsh_pairs",
@@ -45,8 +46,7 @@ HEADLINE = [
     "dd7_dedup_transitive",
     "dd8_neardup_lsh",
     "sim1_cosine_topk",
-    "sim2_lsh_topk",
-    "sim3_lsh_distributed",
+    "sim2_sim3_lsh_topk",
     "sim4_ivf_topk",
     "tx1_tx2_stats_quality",
     "tx4_fingerprints",

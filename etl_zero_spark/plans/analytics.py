@@ -209,34 +209,32 @@ def g3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "cd_count_distinct",
-    "aggregate: exact COUNT(DISTINCT)",
+    "cd_acd_count_distinct",
+    "aggregate: exact COUNT(DISTINCT) + approx_count_distinct (HLL)",
     """
     SELECT l_returnflag,
            count(DISTINCT l_partkey) AS n_parts,
-           count(DISTINCT l_suppkey) AS n_suppliers
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           TRUE AS acd_within_tol
     FROM lineitem GROUP BY l_returnflag
     """,
-    "Multi distinct-aggregate (Spark plans expand + two-phase agg).",
+    "Exact multi distinct-aggregate (Spark plans expand + two-phase "
+    "agg) riding with the HLL approximate path — the 100 TB variant "
+    "where exact count-distinct's shuffle is unaffordable. HLL sketch "
+    "values differ across engines, so the approximate count is checked "
+    "as a deterministic tolerance BOOLEAN (|approx - exact| <= 10% at "
+    "rsd=0.02, ~5 sigma): the oracle pins it TRUE, and a drifting "
+    "sketch flips the hash. Tight rsd bounds live in "
+    "test_analytics.py::test_approx_count_distinct_rsd.",
 )
-def cd_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cd_acd_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
     )
-
-
-@query(
-    "acd_approx_count_distinct",
-    "aggregate: approx_count_distinct (HLL)",
-    None,  # HLL sketches differ across engines — rows-only; exactness
-    # is bounded by test_analytics.py::test_approx_count_distinct_rsd
-    "Approximate distinct counts — the 100 TB path where exact "
-    "count-distinct's shuffle is unaffordable.",
-)
-def acd_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")
+    tol = F.abs(F.col("n_parts_approx") - F.col("n_parts")) <= 0.1 * F.col("n_parts")
+    return agg.select(
+        "l_returnflag", "n_parts", "n_suppliers", tol.alias("acd_within_tol")
     )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_zero_spark.catalog import load_table
-from etl_zero_spark.operators.joins import asof_join
+from etl_zero_spark.operators.joins import asof_join, range_join
 from etl_zero_spark.plans.registry import query
 
 #: Session gap for batch sessionization (seconds).
@@ -192,3 +192,46 @@ def aj1_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     return asof_join(clicks, purch, on="ts", by="user_id")
+
+
+@query(
+    "rj1_range_join",
+    "join family: point-in-interval (range) join",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT event_id AS purchase_id, user_id,
+             CAST(ts AS TIMESTAMP) - INTERVAL 30 MINUTE AS window_start,
+             CAST(ts AS TIMESTAMP) AS window_end
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           p.purchase_id, p.window_start, p.window_end
+    FROM clicks c JOIN purch p
+      ON c.user_id = p.user_id
+     AND c.ts BETWEEN p.window_start AND p.window_end
+    """,
+    "Each click paired with every purchase whose preceding-30-minute "
+    "attribution window contains it — a range predicate Catalyst can "
+    "only plan as a nested loop, bucketized instead into a plain "
+    "shuffled equi-join on (user, time-bucket) + exact BETWEEN filter "
+    "(operators/joins.range_join; plan asserted NestedLoop-free in "
+    "tests/test_scale_joins.py). The oracle is DuckDB's native IEJoin "
+    "range join.",
+)
+def rj1_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("window_start"),
+        F.col("ts").alias("window_end"),
+    )
+    return range_join(
+        clicks, purch, "ts", "window_start", "window_end", by="user_id"
+    )

@@ -245,32 +245,25 @@ def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "sim2_lsh_topk",
-    "similarity: sign-LSH bucketed ANN (broadcast kernel)",
+    "sim2_sim3_lsh_topk",
+    "similarity: sign-LSH ANN, broadcast + distributed tiers",
     None,  # recall vs sim1 asserted in tests/test_similarity.py
-    "Random-hyperplane LSH (6 seeded planes x 6 tables, multi-probe "
-    "Hamming-1) with exact rescore of the candidate union — the "
-    "single-node broadcast baseline for sim3.",
+    "Both sign-LSH ANN tiers in one tagged result (50-row window fold): "
+    "'broadcast' = the single-node kernel (6 seeded planes x 6 tables, "
+    "multi-probe Hamming-1, exact rescore of the candidate union); "
+    "'distributed' = the 100 TB path (bucket ids as DataFrame columns, "
+    "hyperplanes regenerate per-executor from the seed — nothing "
+    "broadcast, no driver collect — cogrouped per-bucket GEMM rescore, "
+    "global window top-k). The two tiers are asserted bit-identical in "
+    "tests/test_similarity.py, so the union exercises both paths.",
 )
-def sim2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim2_sim3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 20)
-    return similarity.lsh_bucketed_topk(queries_df, emb, k=5)
-
-
-@query(
-    "sim3_lsh_distributed",
-    "similarity: distributed sign-LSH ANN (cogrouped bucket GEMM)",
-    None,  # recall vs sim1 asserted in tests/test_similarity.py
-    "The 100 TB ANN path: bucket ids as DataFrame columns (seeded "
-    "hyperplanes regenerate per-executor — nothing broadcast, no "
-    "driver collect), multi-probe by Column bit-flips, per-bucket GEMM "
-    "rescore via cogrouped applyInPandas, global window top-k.",
-)
-def sim3_lsh_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.where(F.col("vec_id") < 20)
-    return similarity.lsh_partitioned_topk(queries_df, emb, k=5)
+    tag = lambda df, t: df.select(F.lit(t).alias("tier"), "*")
+    return tag(similarity.lsh_bucketed_topk(queries_df, emb, k=5), "broadcast").unionByName(
+        tag(similarity.lsh_partitioned_topk(queries_df, emb, k=5), "distributed")
+    )
 
 
 #: IVF index build is amortized across calls, like any ANN index: the
@@ -477,34 +470,45 @@ def mm1_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "mm2_decode_metadata",
-    "multimodal: binary payload decode plumbing (mapInPandas)",
+    "mm2_mm3_decode_frames",
+    "multimodal: binary decode + frame sampling (mapInPandas)",
     """
+    WITH t AS (
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS L
+      FROM documents
+    ),
+    f AS (SELECT doc_id, L, greatest(L // 4, 1) AS step FROM t)
     SELECT doc_id AS media_id, 'image' AS kind,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-    FROM documents
+           CAST(NULL AS INT) AS frame_idx, L AS n_bytes
+    FROM t
+    UNION ALL
+    SELECT f.doc_id, 'frame', v.i,
+           CAST(greatest(least(32, L - i * step), 0) AS BIGINT)
+    FROM f, (VALUES (0), (1), (2), (3)) AS v(i)
     """,
-    "Binary media decode pass: payload fabricated from text (no binary "
-    "fixture ships), streamed through iterator mapInPandas; n_bytes is "
-    "real and oracle-checked, dimensions come from the documented stub.",
+    "Binary media plumbing in one tagged result (50-row window fold): "
+    "the decode pass (payload fabricated from text — no binary fixture "
+    "ships — streamed through iterator mapInPandas, frame_idx null) "
+    "unioned with 4 evenly spaced frame slices per media row "
+    "(row-expanding mapInPandas, explode inside the Arrow stream). "
+    "Both byte counts replay exactly in SQL (slice arithmetic over the "
+    "utf-8 payload length), so the whole fold is oracle-checked — "
+    "dimensions from recognizable media are covered by "
+    "tests/test_multimodal.py's real PNG/JPEG/GIF fixtures.",
 )
-def mm2_decode_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm2_mm3_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_payload_from_text(docs)
-    return multimodal.decode_metadata(media).select("media_id", "kind", "n_bytes")
-
-
-@query(
-    "mm3_frame_sample",
-    "multimodal: frame sampling (row-expanding mapInPandas)",
-    None,  # stub slicing is python-side; shape asserted in tests
-    "4 evenly spaced frame slices per media row, exploded inside the "
-    "Arrow stream.",
-)
-def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    media = multimodal.attach_payload_from_text(docs)
-    frames = multimodal.sample_frames(media, n_frames=4)
-    return frames.select(
-        "media_id", "frame_idx", F.length("frame_payload").alias("n_bytes")
+    meta = multimodal.decode_metadata(media).select(
+        "media_id",
+        "kind",
+        F.lit(None).cast("int").alias("frame_idx"),
+        "n_bytes",
     )
+    frames = multimodal.sample_frames(media, n_frames=4).select(
+        "media_id",
+        F.lit("frame").alias("kind"),
+        "frame_idx",
+        F.length("frame_payload").cast("long").alias("n_bytes"),
+    )
+    return meta.unionByName(frames)

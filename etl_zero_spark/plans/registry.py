@@ -129,6 +129,50 @@ def s2_s3_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cdc1_merge_latest",
+    "§2.9: CDC merge/upsert (keep-latest-by-version)",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+             CAST(0 AS BIGINT) AS version
+      FROM orders
+    ), upd AS (
+      SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+             'U' AS o_orderstatus, CAST(1 AS BIGINT) AS version
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), merged AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY version DESC) AS rn
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM upd)
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, version
+    FROM merged WHERE rn = 1
+    """,
+    "Changelog upsert: a deterministic update feed (every 10th order, "
+    "price +1000, status 'U', version 1) merged into the base table "
+    "with last-writer-wins (sources/incremental.merge_latest — union + "
+    "ONE window shuffle, the engine-side MERGE INTO). The +1000.0 delta "
+    "is an exact float op so both engines agree bit-for-bit; the "
+    "version tiebreak (updates beat base at equal version) is pinned "
+    "by tests/test_incremental.py.",
+)
+def cdc1_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_zero_spark.sources.incremental import merge_latest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    base = o.withColumn("version", F.lit(0).cast("long"))
+    updates = (
+        o.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("version", F.lit(1).cast("long"))
+    )
+    return merge_latest(base, updates, key="o_orderkey", version_col="version")
+
+
+@query(
     "s10_preview_head",
     "S10+O1",
     "SELECT * FROM customer ORDER BY c_custkey LIMIT 5",

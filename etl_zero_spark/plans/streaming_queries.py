@@ -2,12 +2,16 @@
 (Trigger.AvailableNow — the reference's run-once scheduling,
 scheduler.py:236-250) and return the materialized result.
 
-st1 reuses e1_tumbling_window's DuckDB oracle verbatim: a streaming
-aggregation in complete output mode over the full fixture must equal
-the batch answer — the strongest oracle a streaming operator can have.
-Session windows and stateful dedup return shapes DuckDB can't replay
-bit-for-bit (merged-window semantics / state eviction), so they carry
-rows-only checks here and batch-equivalence asserts in
+st1/st4 reuse e1/e2's DuckDB oracles verbatim, and st2 reuses e3's
+session oracle reshaped to the session_window output columns: a
+streaming aggregation in complete output mode over the full fixture
+must equal the batch answer — the strongest oracle a streaming operator
+can have. (Gap-merged session windows and lag-based sessionization
+agree everywhere except an event landing EXACTLY gap seconds after its
+predecessor — equality verified at sf0.01 and continuously by
+tests/test_streaming.py's batch-equivalence asserts.) Stateful dedup
+returns a shape DuckDB can't replay (state eviction order), so it
+keeps a rows-only check plus the distinct-count assert in
 tests/test_streaming.py.
 """
 
@@ -41,12 +45,56 @@ def st1_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "st2_stream_session_windows",
     "streaming: session_window (gap-merged, availableNow)",
-    None,  # batch equivalence asserted in tests/test_streaming.py
-    "Native session windows (30-minute gap) per user.",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(CAST(ts AS TIMESTAMP)) AS session_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS value_sum
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    "Native session windows (30-minute gap) per user, oracled by the "
+    "lag-based batch sessionization (e3's oracle reshaped to the "
+    "session_window output): merged-window semantics equal gap-based "
+    "sessionization on static data.",
 )
 def st2_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = sev.read_events_stream(spark, sf_dir)
     return sev.run_available_now(sev.session_agg(stream), "q_st2_session")
+
+
+@query(
+    "st4_stream_sliding",
+    "streaming: watermark + sliding window (availableNow)",
+    """
+    WITH offsets AS (SELECT * FROM (VALUES (0), (1)) AS t(off))
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - off * INTERVAL 1 HOUR AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS value_sum
+    FROM events, offsets
+    GROUP BY 1
+    """,
+    "Streaming sliding-window aggregation (2-hour windows sliding 1 "
+    "hour), complete mode — e2's batch oracle applies verbatim because "
+    "availableNow drains the whole source; completes the window family "
+    "(tumbling/sliding/session) under streaming execution.",
+)
+def st4_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = sev.read_events_stream(spark, sf_dir)
+    return sev.run_available_now(sev.sliding_agg(stream), "q_st4_sliding")
 
 
 @query(

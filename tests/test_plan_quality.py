@@ -21,7 +21,12 @@ from tests.conftest import SF_SMOKE
 #: Streaming queries execute their plan inside run_available_now and
 #: return a memory-sink table whose "plan" is just the sink scan —
 #: nothing to audit there (their batch twins e1/e2/e3 are audited).
-_SKIP = {"st1_stream_tumbling", "st2_stream_session_windows", "st3_stream_dedup"}
+_SKIP = {
+    "st1_stream_tumbling",
+    "st2_stream_session_windows",
+    "st3_stream_dedup",
+    "st4_stream_sliding",
+}
 
 
 @pytest.mark.parametrize("name", sorted(n for n in QUERIES if n not in _SKIP))
