@@ -23,6 +23,8 @@ strict and dateutil raises — both null).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -61,7 +63,6 @@ def fuzzy_parse_date_udf():
     noise like 'born on 03/04/2021 maybe'. Arrow-batched pandas UDF,
     gated behind this factory so importing the module never pays for it.
     """
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")

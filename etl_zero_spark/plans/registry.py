@@ -232,16 +232,63 @@ def p5_trim_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "p6_standardize_dates",
-    "P6",
-    "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_std FROM orders",
+    "P6 (incl. fuzzy tier)",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_std,
+           CASE o_orderkey % 6
+             WHEN 0 THEN strftime(o_orderdate, '%d/%m/%Y')
+             WHEN 1 THEN strftime(o_orderdate, '%d.%m.%Y')
+             WHEN 2 THEN strftime(o_orderdate, '%-d %b %Y')
+             WHEN 3 THEN 'not a date'
+             WHEN 4 THEN strftime(o_orderdate, '%Y/%m/%d')
+             ELSE 'seen ' || strftime(o_orderdate, '%d/%m/%Y') || ' ok'
+           END AS o_orderdate_dirty,
+           CASE WHEN o_orderkey % 6 = 3 THEN NULL
+                ELSE strftime(o_orderdate, '%Y-%m-%d') END AS o_orderdate_dirty_std
+    FROM orders
+    """,
     "Date standardization to yyyy-MM-dd STRING output "
-    "(transformations_code.py:97-110; name-based detection finds o_orderdate).",
+    "(transformations_code.py:97-110; name-based detection finds "
+    "o_orderdate) — PLUS the full dirty-input tier on a planted column: "
+    "each order's date re-rendered in a key-derived dirty format "
+    "(day-first slashed/dotted, month-name, year-leading, embedded in "
+    "noise words, or unparseable) and pushed through the tiered "
+    "try_to_date coalesce with the dateutil-parity fuzzy pandas-UDF as "
+    "last resort (functions/dates.py). The oracle reconstructs every "
+    "expected value, pinning day-first parity AND the documented "
+    "year-leading ISO deviation (dateutil dayfirst would read "
+    "1994/05/04 as Apr 5 ONLY by luck of day>12 rows; our engine reads "
+    "year-leading as ISO always — the oracle asserts ISO). The noise "
+    "case ('seen 04/05/1994 ok') is parseable ONLY by the fuzzy UDF "
+    "tier, so the row goes red if the fallback breaks.",
 )
 def p6_standardize_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_zero_spark.functions.dates import (
+        fuzzy_parse_date_udf,
+        standardize_date_expr,
+    )
+
     o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    key_mod = F.col("o_orderkey") % 6
+    dirty = (
+        F.when(key_mod == 0, F.date_format(d, "dd/MM/yyyy"))
+        .when(key_mod == 1, F.date_format(d, "dd.MM.yyyy"))
+        .when(key_mod == 2, F.date_format(d, "d MMM yyyy"))
+        .when(key_mod == 3, F.lit("not a date"))
+        .when(key_mod == 4, F.date_format(d, "yyyy/MM/dd"))
+        .otherwise(
+            F.concat(F.lit("seen "), F.date_format(d, "dd/MM/yyyy"), F.lit(" ok"))
+        )
+    )
     return o.select(
         "o_orderkey",
-        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("o_orderdate_std"),
+        F.date_format(d, "yyyy-MM-dd").alias("o_orderdate_std"),
+        dirty.alias("o_orderdate_dirty"),
+        F.coalesce(
+            standardize_date_expr(dirty), fuzzy_parse_date_udf()(dirty)
+        ).alias("o_orderdate_dirty_std"),
     )
 
 
