@@ -10,8 +10,18 @@ against Spark instead of MySQL:
 * prompt assembly: ``Tables:\\n{schema}\\n\\nQuestion:\\n{q}\\n\\nAnswer:\\n``
   (text_to_sql.py:110-115);
 * generation: pluggable callable (the reference lazy-loads a local T5,
-  text_to_sql.py:150-166; any ``prompt -> text`` callable slots in —
-  no model ships with this engine);
+  text_to_sql.py:150-166; any ``prompt -> text`` callable slots in).
+  The DEFAULT backend is ``RuleBasedGenerator`` — a deterministic,
+  schema-aware grammar over the question shapes the reference
+  demonstrates (text_to_sql.py:176-181: "show me all records", "top 5
+  records", "id greater than 10") plus the aggregate/group-by shapes
+  its UI produces. It parses the schema back OUT of the prompt (so it
+  slots into the exact same prompt contract a model would) and
+  resolves table/column mentions with difflib fuzzy matching — the
+  same heuristic the reference applies to column names
+  (transformations_code.py:11-21). A learned model remains a drop-in
+  replacement; the default just makes generation testable and useful
+  offline;
 * extraction: keep output iff it starts with SELECT, else regex-extract
   ``(SELECT.*?)(;|end)`` (text_to_sql.py:137-144);
 * execution: ``spark.sql`` over the registered views (the reference
@@ -56,19 +66,196 @@ def extract_select(generated: str) -> str | None:
     return m.group(1).strip() if m else None
 
 
+class RuleBasedGenerator:
+    """Deterministic ``prompt -> SQL text`` backend (the default).
+
+    Consumes the SAME prompt a model would (schema + question — it
+    re-parses the rendered ``CREATE TABLE`` lines rather than taking
+    schema side channels, so swapping in a real model changes nothing
+    upstream) and emits ANSI SQL for a grammar of question shapes:
+
+    * ``show/list all records from <table>``           -> SELECT *
+    * ``how many / count ... <table> [where ...]``     -> COUNT(*)
+    * ``top N <table> [by <col>]``                     -> ORDER BY DESC LIMIT N
+    * ``average/sum/min/max <col> [by/per <group>]``   -> agg [+ GROUP BY]
+    * ``distinct/unique <col>``                        -> SELECT DISTINCT
+    * ``... where <col> greater/less than X``          -> comparison WHERE
+    * ``... <col> is/equals <value>``                  -> equality WHERE
+
+    Table and column mentions resolve by containment first, then
+    difflib fuzzy match (cutoff 0.6 — the reference's column-matching
+    heuristic, transformations_code.py:11-21). Unresolvable questions
+    return '' (no SELECT), which ``extract_select`` maps to None — the
+    same "could not translate" surface the reference shows.
+    """
+
+    _AGGS = {
+        "average": "AVG", "avg": "AVG", "mean": "AVG",
+        "sum": "SUM", "total": "SUM",
+        "minimum": "MIN", "min": "MIN", "lowest": "MIN", "smallest": "MIN",
+        "maximum": "MAX", "max": "MAX", "highest": "MAX", "largest": "MAX",
+    }
+
+    def __call__(self, prompt: str) -> str:
+        schema, question = self._split_prompt(prompt)
+        if not schema or not question:
+            return ""
+        raw = question.strip().rstrip("?.!")
+        q = raw.lower()
+        table = self._resolve_table(q, schema)
+        if table is None:
+            return ""
+        cols = schema[table]
+        # WHERE values keep the question's original case ('status is F'
+        # must emit 'F'), so the clause parses the raw text.
+        where = self._where_clause(raw, cols)
+
+        m = re.search(r"\btop\s+(\d+)\b", q)
+        if m:
+            n = int(m.group(1))
+            order = self._order_column(q, cols)
+            if order is None:
+                return ""
+            return (
+                f"SELECT * FROM {table}{where} "
+                f"ORDER BY {order} DESC LIMIT {n}"
+            )
+
+        if re.search(r"\bhow many\b|\bcount\b|number of", q):
+            return f"SELECT COUNT(*) AS n FROM {table}{where}"
+
+        for word, fn in self._AGGS.items():
+            m = re.search(rf"\b{word}\b(?:\s+of)?\s+(\w+)", q)
+            if m:
+                col = self._resolve_column(m.group(1), cols)
+                if col is None:
+                    continue
+                group = self._group_column(q, cols)
+                alias = f"{col}_{fn.lower()}"
+                if group:
+                    return (
+                        f"SELECT {group}, {fn}({col}) AS {alias} "
+                        f"FROM {table}{where} GROUP BY {group}"
+                    )
+                return f"SELECT {fn}({col}) AS {alias} FROM {table}{where}"
+
+        m = re.search(r"\b(?:distinct|unique)\s+(\w+)", q)
+        if m:
+            col = self._resolve_column(m.group(1), cols)
+            if col:
+                return f"SELECT DISTINCT {col} FROM {table}{where}"
+
+        return f"SELECT * FROM {table}{where}"
+
+    # -- prompt / schema plumbing --------------------------------------
+
+    @staticmethod
+    def _split_prompt(prompt: str) -> tuple[dict[str, dict[str, str]], str]:
+        """Invert build_prompt: schema dict {table: {col: simpletype}}
+        + question text."""
+        m = re.search(
+            r"Tables:\n(.*?)\n\nQuestion:\n(.*?)\n\nAnswer:", prompt, re.DOTALL
+        )
+        if not m:
+            return {}, ""
+        schema: dict[str, dict[str, str]] = {}
+        for line in m.group(1).splitlines():
+            t = re.match(r"CREATE TABLE (\w+) \((.*)\)", line.strip())
+            if t:
+                schema[t.group(1)] = dict(
+                    (c.strip().rsplit(" ", 1)[0], c.strip().rsplit(" ", 1)[1])
+                    for c in t.group(2).split(", ")
+                    if " " in c.strip()
+                )
+        return schema, m.group(2)
+
+    @staticmethod
+    def _fuzzy(word: str, options: list[str]) -> str | None:
+        import difflib
+
+        hit = difflib.get_close_matches(word, options, n=1, cutoff=0.6)
+        return hit[0] if hit else None
+
+    def _resolve_table(self, q: str, schema: dict) -> str | None:
+        words = re.findall(r"\w+", q)
+        for t in schema:  # exact mention (incl. naive plural)
+            if t in words or f"{t}s" in words or t.rstrip("s") in words:
+                return t
+        if re.search(r"\bfirst table\b", q):  # reference demo question
+            return next(iter(schema))
+        for w in words:
+            hit = self._fuzzy(w, list(schema))
+            if hit:
+                return hit
+        return None
+
+    def _resolve_column(self, word: str, cols: dict[str, str]) -> str | None:
+        if word in cols:
+            return word
+        # bare mention matches the suffixed TPC-H style (price ->
+        # o_totalprice) before generic fuzzy
+        suffix = [c for c in cols if c.lower().endswith(word.lower())]
+        if len(suffix) == 1:
+            return suffix[0]
+        contains = [c for c in cols if word.lower() in c.lower()]
+        if len(contains) == 1:
+            return contains[0]
+        return self._fuzzy(word, list(cols))
+
+    def _order_column(self, q: str, cols: dict[str, str]) -> str | None:
+        m = re.search(r"\bby\s+(\w+)", q)
+        if m:
+            hit = self._resolve_column(m.group(1), cols)
+            if hit:
+                return hit
+        for c, t in cols.items():  # first numeric column, schema order
+            if t == "number":
+                return c
+        return None
+
+    def _group_column(self, q: str, cols: dict[str, str]) -> str | None:
+        m = re.search(r"\b(?:by|per|for each|grouped by)\s+(\w+)", q)
+        return self._resolve_column(m.group(1), cols) if m else None
+
+    def _where_clause(self, raw: str, cols: dict[str, str]) -> str:
+        """Parses the ORIGINAL-case question (literals like 'F' must
+        survive); keywords match case-insensitively."""
+        m = re.search(
+            r"(\w+)\s+(?:is\s+)?(?:(greater|more|larger|bigger|above|over)"
+            r"|(less|smaller|lower|below|under))\s*(?:than)?\s+(-?\d+(?:\.\d+)?)",
+            raw,
+            re.IGNORECASE,
+        )
+        if m:
+            col = self._resolve_column(m.group(1).lower(), cols)
+            if col:
+                op = ">" if m.group(2) else "<"
+                return f" WHERE {col} {op} {m.group(4)}"
+        m = re.search(r"(\w+)\s+(?:is|equals|=)\s+'?([\w-]+)'?(?:\s|$)", raw, re.IGNORECASE)
+        if m and m.group(2).lower() not in ("greater", "less", "more", "smaller"):
+            col = self._resolve_column(m.group(1).lower(), cols)
+            if col:
+                val = m.group(2)
+                lit = val if re.fullmatch(r"-?\d+(\.\d+)?", val) else f"'{val}'"
+                return f" WHERE {col} = {lit}"
+        return ""
+
+
 def process_query(
     spark: SparkSession,
     sf_dir: str,
     question: str,
-    generator: Callable[[str], str],
+    generator: Callable[[str], str] | None = None,
     tables: list[str] | None = None,
 ) -> DataFrame | None:
     """End-to-end Q2 path: render schema -> prompt -> generate ->
     extract SELECT -> spark.sql. Returns None when no SELECT could be
-    extracted (the reference surfaces the same failure to the UI)."""
+    extracted (the reference surfaces the same failure to the UI).
+    ``generator`` defaults to ``RuleBasedGenerator()``; a learned
+    model drops in as any ``prompt -> text`` callable."""
     views = register_views(spark, sf_dir, tables)
     prompt = build_prompt(render_schema(spark, views), question)
-    sql = extract_select(generator(prompt))
+    sql = extract_select((generator or RuleBasedGenerator())(prompt))
     if sql is None:
         return None
     return spark.sql(sql)

@@ -37,3 +37,84 @@ def test_end_to_end_with_stub_generator(spark):
 def test_end_to_end_unextractable(spark):
     out = t2s.process_query(spark, SF_SMOKE, "?", lambda p: "I don't know")
     assert out is None
+
+
+# ---------------------------------------------------------------------------
+# default rule-based generator (generation itself, not just the prompt
+# contract — the reference ships a T5; this is the engine's offline
+# default backend)
+# ---------------------------------------------------------------------------
+
+_SCHEMA = (
+    "CREATE TABLE customer (c_custkey number, c_name text, c_mktsegment text)\n"
+    "CREATE TABLE orders (o_orderkey number, o_custkey number, "
+    "o_totalprice number, o_orderstatus text)"
+)
+
+
+def _gen(question: str) -> str:
+    return t2s.RuleBasedGenerator()(t2s.build_prompt(_SCHEMA, question))
+
+
+def test_generator_reference_demo_questions():
+    """The three questions the reference demos its T5 on
+    (text_to_sql.py:176-181)."""
+    assert _gen("Show me all records from the first table") == "SELECT * FROM customer"
+    sql = _gen("What are the top 5 records in the orders table?")
+    assert sql == "SELECT * FROM orders ORDER BY o_orderkey DESC LIMIT 5"
+    sql = _gen("Find all orders where the totalprice is greater than 10")
+    assert sql == "SELECT * FROM orders WHERE o_totalprice > 10"
+
+
+def test_generator_aggregate_shapes():
+    assert (
+        _gen("average totalprice of orders by orderstatus")
+        == "SELECT o_orderstatus, AVG(o_totalprice) AS o_totalprice_avg "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+    assert (
+        _gen("what is the max totalprice in orders")
+        == "SELECT MAX(o_totalprice) AS o_totalprice_max FROM orders"
+    )
+    assert _gen("how many customers are there") == "SELECT COUNT(*) AS n FROM customer"
+    assert (
+        _gen("distinct mktsegment from customer")
+        == "SELECT DISTINCT c_mktsegment FROM customer"
+    )
+
+
+def test_generator_equality_filter_and_fuzzy_table():
+    assert (
+        _gen("count orders where orderstatus is F")
+        == "SELECT COUNT(*) AS n FROM orders WHERE o_orderstatus = 'F'"
+    )
+    # 'custmer' resolves by difflib, like the reference's column fuzzing
+    assert _gen("show all custmer rows") == "SELECT * FROM customer"
+
+
+def test_generator_unresolvable_returns_no_select():
+    assert _gen("tell me a joke") == ""
+    assert t2s.extract_select(_gen("tell me a joke")) is None
+
+
+def test_default_generator_end_to_end(spark):
+    """process_query with NO generator argument must now answer real
+    questions against the fixture through spark.sql."""
+    out = t2s.process_query(spark, SF_SMOKE, "how many customers are there?")
+    assert out.first().n == 150
+
+    out = t2s.process_query(
+        spark, SF_SMOKE, "top 3 orders by totalprice", tables=["orders"]
+    )
+    rows = out.collect()
+    assert len(rows) == 3
+    assert rows[0].o_totalprice >= rows[1].o_totalprice >= rows[2].o_totalprice
+
+    out = t2s.process_query(
+        spark,
+        SF_SMOKE,
+        "average totalprice of orders per orderstatus",
+        tables=["orders"],
+    )
+    assert set(out.columns) == {"o_orderstatus", "o_totalprice_avg"}
+    assert out.count() == 3
