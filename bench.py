@@ -102,6 +102,22 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
 
+    # Scale rehearsal (sf1-equivalent: 6M lineitem / 100k docs / 100k
+    # vectors, generated deterministically into a temp dir): single cold
+    # runs of the dedup/ANN tier validating the auto-geometry claims at
+    # 20-50x fixture scale. Isolated — any failure records an err entry;
+    # SPARK_GRAFT_SCALE_PROBE=0 skips entirely.
+    scale_probe: dict = {}
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from tools import scale_probe as sp
+
+            sp.generate(spark)
+            scale_probe = sp.run_probe(spark)
+        except Exception as exc:  # noqa: BLE001 — never kill the artifact
+            scale_probe = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+
     total = round(sum(warm.values()), 3)
     print(
         json.dumps(
@@ -124,6 +140,7 @@ def main() -> None:
                 "n_ok": len(warm),
                 "n_err": len(errors),
                 "sf": sf,
+                "sf_scale_probe": scale_probe,
             }
         )
     )

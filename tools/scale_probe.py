@@ -1,0 +1,258 @@
+#!/usr/bin/env python
+"""Scale rehearsal (VERDICT r3 #9): validate the auto-geometry and
+candidate-bounding claims of the dedup/ANN tier with DATA, not
+argument, at an sf1-equivalent corpus the driver fixtures don't ship:
+
+* lineitem  ~6M rows  (sf1's TPC-H cardinality — scan/agg probe)
+* documents 100k rows (20x the sf0.1 corpus, planted near-dup pairs)
+* embeddings 100k x 64 (50x sf0.1, 10 clusters, planted near-dups)
+
+Generation is Spark-side (mapInPandas, seeded per partition id — a
+pure function of (seed, partition), so the corpus is deterministic at
+any parallelism) into a regenerable temp dir; nothing under
+/root/testdata is touched. Each probe op runs ONCE (cold, the honest
+scale number) with per-op failure isolation, and the results land in
+BENCH_r{N}.json under "sf_scale_probe" via bench.py.
+
+Standalone: python tools/scale_probe.py [--regen]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PROBE_DIR = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), "etlzero_scale_probe_v2"
+)
+N_DOCS = 100_000
+N_VECS = 100_000
+N_LINEITEM = 6_000_000
+DIM = 64
+SEED = 42
+
+#: The fixture documents' vocabulary regime: word salad from a small
+#: vocab -> heavy shingle collisions, the adversarial case for the
+#: inverted-index joins (a natural-language corpus is EASIER).
+_VOCAB = (
+    "key agg row scan slow fast table value part hash merge batch spark "
+    "order data column join small line customer query big the a stream "
+    "window sort group filter rollup bucket shard probe build cache page "
+    "index plan stage task shuffle codegen arrow vector branch"
+).split()
+
+
+def _write(df, path):
+    df.write.mode("overwrite").parquet(path)
+
+
+def generate(spark, out_dir: str = PROBE_DIR, parts: int = 32) -> str:
+    """Deterministic sf1-equivalent corpus; idempotent (skips when the
+    marker file exists)."""
+    marker = os.path.join(out_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return out_dir
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+
+    # -- lineitem: 6M rows, q1-compatible schema, pure Column exprs ----
+    n = N_LINEITEM
+    li = (
+        spark.range(0, n, 1, parts)
+        .select(
+            (F.floor(F.col("id") / 4) + 1).alias("l_orderkey"),
+            (F.xxhash64("id", F.lit(1)) % 200_000).alias("l_partkey"),
+            (F.xxhash64("id", F.lit(2)) % 10_000).alias("l_suppkey"),
+            (F.col("id") % 4 + 1).cast("int").alias("l_linenumber"),
+            (F.abs(F.xxhash64("id", F.lit(3))) % 50 + 1).cast("double").alias("l_quantity"),
+            (F.abs(F.xxhash64("id", F.lit(4))) % 100_000 / 1.0).alias("l_extendedprice"),
+            ((F.abs(F.xxhash64("id", F.lit(5))) % 11) / 100.0).alias("l_discount"),
+            ((F.abs(F.xxhash64("id", F.lit(6))) % 9) / 100.0).alias("l_tax"),
+            F.element_at(
+                F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+                (F.abs(F.xxhash64("id", F.lit(7))) % 3 + 1).cast("int"),
+            ).alias("l_returnflag"),
+            F.element_at(
+                F.array(F.lit("O"), F.lit("F")),
+                (F.abs(F.xxhash64("id", F.lit(8))) % 2 + 1).cast("int"),
+            ).alias("l_linestatus"),
+            F.timestamp_seconds(
+                F.lit(694224000) + F.abs(F.xxhash64("id", F.lit(9))) % 220_000_000
+            ).alias("l_shipdate"),
+        )
+    )
+    _write(li, os.path.join(out_dir, "lineitem.parquet"))
+
+    # -- documents: word salad + planted near-dups ---------------------
+    per_part = N_DOCS // parts
+
+    def gen_docs(batches):
+        for pdf in batches:
+            for pid in pdf["p"]:
+                rng = np.random.RandomState(SEED * 1009 + int(pid))
+                base = pid * per_part
+                texts, ids = [], []
+                for i in range(per_part):
+                    doc_id = base + i
+                    n_words = 20 + int(rng.zipf(1.6) % 120)
+                    words = [
+                        _VOCAB[j] for j in rng.randint(0, len(_VOCAB), n_words)
+                    ]
+                    if i % 10 == 1 and texts:
+                        # near-dup of the PREVIOUS doc: ~8% word swaps
+                        words = texts[-1].split()
+                        k = max(len(words) // 12, 1)
+                        for pos in rng.randint(0, len(words), k):
+                            words[pos] = _VOCAB[rng.randint(0, len(_VOCAB))]
+                    texts.append(" ".join(words))
+                    ids.append(doc_id)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.array(ids, dtype="int64"),
+                        "text": texts,
+                        "lang": [("en", "de", "es", "fr", "und")[i % 5] for i in ids],
+                        "source": [f"src_{i % 20}" for i in ids],
+                        "n_chars": np.array([len(t) for t in texts], dtype="int64"),
+                    }
+                )
+
+    docs = spark.range(0, parts, 1, parts).select(
+        F.col("id").cast("int").alias("p")
+    ).mapInPandas(
+        gen_docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    _write(docs, os.path.join(out_dir, "documents.parquet"))
+
+    # -- embeddings: 10 clusters + planted near-dups -------------------
+    vec_per_part = N_VECS // parts
+
+    def gen_vecs(batches):
+        for pdf in batches:
+            for pid in pdf["p"]:
+                rng = np.random.RandomState(SEED * 2003 + int(pid))
+                # center scale 1.2 -> within-cluster cosine ~0.6 (clusterable
+                # but NOT near-dup); planted pairs sit at ~0.999
+                centers = np.random.RandomState(SEED).randn(10, DIM) * 1.2
+                base = pid * vec_per_part
+                ids = np.arange(base, base + vec_per_part, dtype="int64")
+                labels = (ids % 10).astype("int32")
+                vecs = centers[labels] + rng.randn(vec_per_part, DIM)
+                # near-dup pairs: every 10th vector hugs its predecessor
+                for i in range(1, vec_per_part):
+                    if ids[i] % 10 == 1:
+                        vecs[i] = vecs[i - 1] + rng.randn(DIM) * 0.01
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "embedding": [v.astype("float32") for v in vecs],
+                        "label": labels,
+                    }
+                )
+
+    vecs = spark.range(0, parts, 1, parts).select(
+        F.col("id").cast("int").alias("p")
+    ).mapInPandas(gen_vecs, "vec_id long, embedding array<float>, label int")
+    _write(vecs, os.path.join(out_dir, "embeddings.parquet"))
+
+    with open(marker, "w") as fh:
+        fh.write(f"generated in {time.perf_counter() - t0:.1f}s\n")
+    return out_dir
+
+
+def run_probe(spark, probe_dir: str = PROBE_DIR) -> dict:
+    """One cold run per op; failures record an err string, never raise."""
+    from pyspark.sql import functions as F
+
+    from etl_zero_spark.catalog import load_table
+    from etl_zero_spark.operators import dedup, ivf, similarity
+    from etl_zero_spark.plans.all_queries import QUERIES
+
+    docs = load_table(spark, probe_dir, "documents")
+    emb = load_table(spark, probe_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 100)
+
+    def dd2():
+        # t=0.5: prefix filter + stop-shingle cap active — the regime
+        # the r3 verdict flagged; this measures the FIXED path at 20x.
+        return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+
+    def dd3():
+        return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+    def dd8():
+        # real near-dup regime (0.9): candidates ~= planted pairs.
+        return similarity.lsh_neardup_pairs(emb, threshold=0.9)
+
+    def sim3():
+        return similarity.lsh_partitioned_topk(queries_df, emb, k=10)
+
+    sim4_train_sec: list[float] = []
+
+    def sim4():
+        # index build is amortized in real operation — timed separately
+        t = time.perf_counter()
+        cents = ivf.train_ivf_centroids(emb, 128, max_iter=4)
+        sim4_train_sec.append(round(time.perf_counter() - t, 2))
+        return ivf.ivf_topk(queries_df, emb, k=10, centroids=cents, nprobe=16)
+
+    def scan_agg_6m():
+        return QUERIES["q1_pricing_summary"].fn(spark, probe_dir)
+
+    out: dict = {
+        "corpus": {
+            "n_docs": N_DOCS,
+            "n_vecs": N_VECS,
+            "n_lineitem": N_LINEITEM,
+            "dim": DIM,
+        }
+    }
+    for name, fn in [
+        ("scan_agg_6m", scan_agg_6m),
+        ("dd2_t05", dd2),
+        ("dd3_t05", dd3),
+        ("dd8_t09", dd8),
+        ("sim3_k10", sim3),
+        ("sim4_nprobe16", sim4),
+    ]:
+        t0 = time.perf_counter()
+        try:
+            rows = fn().count()
+            out[name] = {
+                "sec": round(time.perf_counter() - t0, 2),
+                "rows": rows,
+            }
+            if name == "sim4_nprobe16" and sim4_train_sec:
+                out[name]["train_sec"] = sim4_train_sec[0]
+                out[name]["search_sec"] = round(
+                    out[name]["sec"] - sim4_train_sec[0], 2
+                )
+        except Exception as exc:  # noqa: BLE001 — probe must not kill bench
+            out[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
+        print(f"# probe {name}: {out[name]}", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    import json
+    import shutil
+
+    from etl_zero_spark.session import get_spark
+
+    if "--regen" in sys.argv:
+        shutil.rmtree(PROBE_DIR, ignore_errors=True)
+    spark = get_spark(app_name="etlzero-scale-probe", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    generate(spark)
+    print(json.dumps(run_probe(spark), indent=2))
+
+
+if __name__ == "__main__":
+    main()
