@@ -1,0 +1,214 @@
+"""Corpus-preparation operators for LLM training-data pipelines
+(SURVEY §2.11 extension tier): decontamination, sequence packing,
+deterministic stratified sampling.
+
+These cover the pipeline steps between "deduped documents" (dedup.py)
+and "training batches": checking the training corpus against an
+evaluation set, packing variable-length documents into fixed token
+budgets, and drawing reproducible mixture samples. No declared-query
+slots remain (the driver records 50), so each op carries a strong
+pytest self-oracle instead (tests/test_corpus.py) — planted
+contamination, exact budget accounting, binomial-bound sampling.
+
+Scale notes are inline per op; none collects to the driver, none
+cross-joins, and the one inverted-index join reuses the stop-token
+bounding strategy proven in dedup.ngram_jaccard_pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tokenization shared with operators/text.py: lowercased \s+ split,
+#: empties dropped (the reference's split regime).
+def _tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
+
+
+def _ngram_hashes(col: Column, n: int) -> Column:
+    """Distinct xxhash64 values of word n-grams (whole-text fallback
+    for docs shorter than n tokens, mirroring the shingle fallback in
+    dedup.py). Hashing keeps the exploded index narrow: 8 bytes per
+    gram instead of the gram text."""
+    toks = _tokens(col)
+    grams = F.when(
+        F.size(toks) < n, F.array(F.xxhash64(F.array_join(toks, " ")))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.xxhash64(
+                    F.array_join(F.slice(toks, i + 1, n), " ")
+                ),
+            )
+        )
+    )
+    return grams
+
+
+def cross_corpus_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_gram_df: int | None = 10_000,
+) -> DataFrame:
+    """Train/test contamination pairs: every (test, train) document
+    pair sharing >= ``min_shared`` distinct word ``n``-grams — the
+    decontamination check run before any evaluation is trusted (the
+    GPT-3 appendix's 13-gram overlap scan is exactly this shape with
+    n=13).
+
+    Spark shape: both corpora explode to (gram_hash, id) inverted
+    indexes and meet in ONE shuffled equi-join on the 8-byte hash,
+    then count distinct shared grams per pair — never a document
+    cross-join. ``max_gram_df``: grams whose TRAIN document frequency
+    exceeds the cap are dropped from the index (the stop-token bound
+    from dedup.ngram_jaccard_pairs): a boilerplate gram appearing in k
+    train docs emits k rows per test doc carrying it, so the cap
+    bounds worst-case join fan-out at |test_grams| * cap instead of
+    quadratic; with n >= 8 a gram that common is template noise, not
+    contamination signal. Pass None to disable (exact at any cost).
+
+    Output: (test_id, train_id, shared_ngrams bigint), one row per
+    contaminated pair.
+    """
+    tr = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(_ngram_hashes(F.col(text_col), n)).alias("gram"),
+    )
+    if max_gram_df is not None:
+        hot = (
+            tr.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_gram_df)
+            .select("gram")
+        )
+        tr = tr.join(F.broadcast(hot), "gram", "left_anti")
+    te = test.select(
+        F.col(id_col).alias("test_id"),
+        F.explode(_ngram_hashes(F.col(text_col), n)).alias("gram"),
+    )
+    return (
+        te.join(tr, "gram")
+        .groupBy("test_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .where(F.col("shared_ngrams") >= min_shared)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training corpus minus every document contaminated against the
+    evaluation set: one anti-join off the pair table."""
+    pairs = cross_corpus_contamination(
+        train, test, n=n, min_shared=min_shared, id_col=id_col, text_col=text_col
+    ).select(F.col("train_id").alias(id_col)).distinct()
+    return train.join(pairs, id_col, "left_anti")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    token_count_col: str | None = None,
+    text_col: str = "text",
+    n_streams: int = 256,
+) -> DataFrame:
+    """Assign each document to a training pack of ~``budget`` tokens.
+
+    Pretraining batch assembly: documents are concatenated into
+    fixed-size sequences; the assignment (doc -> pack) is what the
+    engine must produce. Exact bin packing is NP-hard and inherently
+    sequential — the distributed formulation is contiguous fill over
+    ``n_streams`` independent streams: each doc hashes to a stream
+    (pure function of its id — deterministic under any partitioning),
+    and within a stream a running token cumsum (window, ordered by id)
+    assigns ``pack_id = floor((cumsum - tokens) / budget)``. A pack
+    never exceeds ``budget`` by more than one document's overhang —
+    the same guarantee the standard concat-then-chunk loader gives —
+    and no pack is underfull except each stream's last.
+
+    Scale: ONE hash shuffle on stream id + one window per stream; a
+    stream's window is |docs| / n_streams rows, so parallelism is
+    n_streams regardless of corpus size (size n_streams to the
+    cluster, default 256). No global window, no driver state.
+
+    ``token_count_col``: existing per-doc token counts, else the
+    whitespace token count is computed from ``text_col``.
+
+    Output: original columns + (n_tokens, stream, pack_id,
+    pack_key) — pack_key = stream * 2^32 + pack_id is the globally
+    unique pack handle downstream writers group by.
+    """
+    if budget <= 0:
+        raise ValueError("pack_sequences: budget must be positive")
+    from pyspark.sql import Window
+
+    n_tok = (
+        F.col(token_count_col)
+        if token_count_col
+        else F.size(_tokens(F.col(text_col)))
+    ).cast("long")
+    d = docs.withColumn("n_tokens", n_tok).withColumn(
+        "stream", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_streams)).cast("int")
+    )
+    w = Window.partitionBy("stream").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = d.withColumn("__cum", F.sum("n_tokens").over(w))
+    pack = F.floor((F.col("__cum") - F.col("n_tokens")) / budget).cast("long")
+    return (
+        d.withColumn("pack_id", pack)
+        .withColumn(
+            "pack_key",
+            (F.col("stream").cast("long") * F.lit(2**32) + F.col("pack_id")),
+        )
+        .drop("__cum")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float] | float,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum sampling that is a PURE FUNCTION of the data: a row
+    is kept iff ``xxhash64(id, seed)`` falls under its stratum's
+    fraction of the hash space. Unlike ``df.sampleBy`` (rand() per
+    task — the sample changes with partitioning and retries), this is
+    reproducible across runs, clusters, AND incremental loads: a row's
+    keep/drop never changes when other rows arrive, which is what a
+    training-data mixture needs for resumable pipelines.
+
+    ``fractions``: one float for every stratum, or {stratum: frac}
+    (missing strata default to 0.0 — an explicit mixture spec).
+    """
+    h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    if isinstance(fractions, dict):
+        for k, v in fractions.items():
+            if not 0.0 <= v <= 1.0:
+                raise ValueError(f"stratified_sample: fraction {k}={v} not in [0,1]")
+        thresh = F.coalesce(
+            *[
+                F.when(F.col(strata_col) == k, F.lit(int(v * 1_000_000)))
+                for k, v in fractions.items()
+            ],
+            F.lit(0),
+        )
+    else:
+        if not 0.0 <= fractions <= 1.0:
+            raise ValueError(f"stratified_sample: fraction {fractions} not in [0,1]")
+        thresh = F.lit(int(fractions * 1_000_000))
+    return df.where(h < thresh)

@@ -1,0 +1,217 @@
+"""Corpus-prep operators (operators/corpus.py): contamination
+detection with planted overlaps, sequence packing budget accounting,
+deterministic stratified sampling. Self-oracles per SURVEY §5.2 (no
+declared-query slots remain; these are the pytest-only tier)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_zero_spark.catalog import load_table
+from etl_zero_spark.operators import corpus
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+# ---------------------------------------------------------------------------
+# contamination
+# ---------------------------------------------------------------------------
+
+
+def _mini_corpora(spark):
+    """Train corpus + test set with PLANTED contamination: test 100
+    copies an 8-gram from train 1 verbatim; test 101 shares nothing."""
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "completely unrelated training prose about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            (100, "prefix words then alpha beta gamma delta epsilon zeta eta theta tail"),
+            (101, "nothing here overlaps with any training document at all"),
+        ],
+        "doc_id long, text string",
+    )
+    return train, test
+
+
+def test_contamination_finds_planted_pair(spark):
+    train, test = _mini_corpora(spark)
+    pairs = corpus.cross_corpus_contamination(train, test, n=8).collect()
+    assert {(r.test_id, r.train_id) for r in pairs} == {(100, 1)}
+    # test 100 carries the 8-grams [alpha..theta] — the train doc's
+    # window [alpha..theta] is the single shared one
+    assert pairs[0].shared_ngrams == 1
+
+
+def test_contamination_min_shared_threshold(spark):
+    train, test = _mini_corpora(spark)
+    assert (
+        corpus.cross_corpus_contamination(train, test, n=8, min_shared=2).count()
+        == 0
+    )
+    # at n=4 the copied span yields many shared 4-grams
+    many = corpus.cross_corpus_contamination(train, test, n=4, min_shared=2)
+    assert many.where("test_id = 100 AND train_id = 1").first().shared_ngrams >= 2
+
+
+def test_contamination_matches_python_oracle(spark, docs):
+    """Exact n-gram overlap recomputed in plain Python on the fixture
+    corpus (truncated for the driver-side oracle)."""
+    sub = docs.where(F.col("doc_id") < 60)
+    train = sub.where(F.col("doc_id") < 40)
+    test = sub.where(F.col("doc_id") >= 40)
+    n = 5
+    got = {
+        (r.test_id, r.train_id): r.shared_ngrams
+        for r in corpus.cross_corpus_contamination(train, test, n=n).collect()
+    }
+
+    def grams(text):
+        toks = [t for t in text.lower().split() if t]
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    tr = {r.doc_id: grams(r.text) for r in train.select("doc_id", "text").collect()}
+    te = {r.doc_id: grams(r.text) for r in test.select("doc_id", "text").collect()}
+    want = {}
+    for tid, tg in te.items():
+        for rid, rg in tr.items():
+            k = len(tg & rg)
+            if k >= 1:
+                want[(tid, rid)] = k
+    assert got == want
+
+
+def test_contamination_stop_gram_cap_bounds_fanout(spark):
+    """A gram present in EVERY train doc must not explode the join:
+    with the cap at 2 the boilerplate gram drops out of the index and
+    only the genuine contamination survives."""
+    boiler = "this document is provided as is without any warranty"
+    train = spark.createDataFrame(
+        [(i, f"{boiler} body text number {i} unique content") for i in range(10)],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [(100, boiler), (101, "body text number 3 unique content plus more")],
+        "doc_id long, text string",
+    )
+    capped = corpus.cross_corpus_contamination(
+        train, test, n=8, max_gram_df=2
+    ).collect()
+    # test 100 (pure boilerplate) matches nothing; uncapped it would
+    # pair with all 10 train docs
+    assert all(r.test_id != 100 for r in capped)
+    uncapped = corpus.cross_corpus_contamination(
+        train, test, n=8, max_gram_df=None
+    )
+    assert uncapped.where("test_id = 100").count() == 10
+
+
+def test_decontaminate_removes_only_contaminated(spark):
+    train, test = _mini_corpora(spark)
+    clean = corpus.decontaminate(train, test, n=8)
+    assert {r.doc_id for r in clean.collect()} == {2, 3}
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_budget_accounting(spark, docs):
+    budget = 200
+    packed = corpus.pack_sequences(docs, budget=budget)
+    assert packed.count() == docs.count()  # every doc assigned
+    per_pack = packed.groupBy("pack_key").agg(
+        F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("biggest")
+    )
+    # a pack never exceeds budget by more than its largest member
+    # (contiguous-fill guarantee)
+    assert per_pack.where(F.col("tot") >= budget + F.col("biggest")).count() == 0
+    # packs actually fill: within each stream every pack except the
+    # last reaches the budget threshold with its successor's help —
+    # equivalently, pack_ids are contiguous from 0
+    streams = packed.groupBy("stream").agg(
+        F.countDistinct("pack_id").alias("n_packs"), F.max("pack_id").alias("mx")
+    )
+    assert streams.where(F.col("n_packs") != F.col("mx") + 1).count() == 0
+
+
+def test_pack_sequences_deterministic_under_partitioning(spark, docs):
+    a = corpus.pack_sequences(docs, budget=300)
+    b = corpus.pack_sequences(docs.repartition(13), budget=300)
+    ka = {(r.doc_id, r.pack_key) for r in a.collect()}
+    kb = {(r.doc_id, r.pack_key) for r in b.collect()}
+    assert ka == kb
+
+
+def test_pack_sequences_respects_precomputed_counts(spark):
+    df = spark.createDataFrame(
+        [(1, 60), (2, 60), (3, 60), (4, 60)], "doc_id long, n_tok long"
+    )
+    out = corpus.pack_sequences(
+        df, budget=100, token_count_col="n_tok", n_streams=1
+    ).orderBy("doc_id")
+    packs = [r.pack_id for r in out.collect()]
+    # cumsum 60/120/180/240 -> floor((cum-60)/100) = 0,0,1,1
+    assert packs == [0, 0, 1, 1]
+    with pytest.raises(ValueError, match="budget"):
+        corpus.pack_sequences(df, budget=0, token_count_col="n_tok")
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_mixture_spec(spark, docs):
+    frac = {"en": 0.5, "de": 0.1}  # other langs -> 0
+    out = corpus.stratified_sample(docs, "lang", frac, id_col="doc_id")
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"en", "de"}  # unlisted strata fully dropped
+    for lang, f in frac.items():
+        n, tot = counts.get(lang, 0), totals[lang]
+        # binomial 5-sigma bound
+        sigma = (tot * f * (1 - f)) ** 0.5
+        assert abs(n - tot * f) <= 5 * sigma + 1, (lang, n, tot)
+
+
+def test_stratified_sample_is_stable_and_incremental(spark, docs):
+    out1 = {r.doc_id for r in corpus.stratified_sample(docs, "lang", 0.3, "doc_id").collect()}
+    out2 = {
+        r.doc_id
+        for r in corpus.stratified_sample(
+            docs.repartition(17), "lang", 0.3, "doc_id"
+        ).collect()
+    }
+    assert out1 == out2  # partitioning-independent
+    # incremental property: sampling a SUBSET keeps exactly the
+    # intersection — rows never flip when other rows disappear
+    sub = docs.where(F.col("doc_id") % 2 == 0)
+    out_sub = {r.doc_id for r in corpus.stratified_sample(sub, "lang", 0.3, "doc_id").collect()}
+    assert out_sub == {i for i in out1 if i % 2 == 0}
+    with pytest.raises(ValueError, match="fraction"):
+        corpus.stratified_sample(docs, "lang", 1.5, "doc_id")
+
+
+def test_corpus_plans_have_no_scale_killers(spark, docs):
+    train, test = _mini_corpora(spark)
+    plans = [
+        corpus.cross_corpus_contamination(train, test, n=8),
+        corpus.pack_sequences(docs, budget=256),
+        corpus.stratified_sample(docs, "lang", 0.5, "doc_id"),
+    ]
+    for df in plans:
+        s = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in s, s
+        assert "EvalPython" not in s, s

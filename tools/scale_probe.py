@@ -172,7 +172,7 @@ def run_probe(spark, probe_dir: str = PROBE_DIR) -> dict:
     from pyspark.sql import functions as F
 
     from etl_zero_spark.catalog import load_table
-    from etl_zero_spark.operators import dedup, ivf, similarity
+    from etl_zero_spark.operators import corpus, dedup, ivf, similarity
     from etl_zero_spark.plans.all_queries import QUERIES
 
     docs = load_table(spark, probe_dir, "documents")
@@ -206,6 +206,20 @@ def run_probe(spark, probe_dir: str = PROBE_DIR) -> dict:
     def scan_agg_6m():
         return QUERIES["q1_pricing_summary"].fn(spark, probe_dir)
 
+    def contamination():
+        # 50k/50k split; n=5 on the 40-word vocab is adversarial
+        # (massive gram collisions) — the stop-gram cap is the test.
+        tr = docs.where(F.col("doc_id") < N_DOCS // 2)
+        te = docs.where(F.col("doc_id") >= N_DOCS // 2)
+        return corpus.cross_corpus_contamination(
+            tr, te, n=5, min_shared=3, max_gram_df=100
+        )
+
+    def packing():
+        return corpus.pack_sequences(docs, budget=2048).groupBy(
+            "pack_key"
+        ).agg(F.sum("n_tokens").alias("t"))
+
     out: dict = {
         "corpus": {
             "n_docs": N_DOCS,
@@ -221,6 +235,8 @@ def run_probe(spark, probe_dir: str = PROBE_DIR) -> dict:
         ("dd8_t09", dd8),
         ("sim3_k10", sim3),
         ("sim4_nprobe16", sim4),
+        ("contamination_n5", contamination),
+        ("packing_b2048", packing),
     ]:
         t0 = time.perf_counter()
         try:
