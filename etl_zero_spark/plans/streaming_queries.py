@@ -100,8 +100,17 @@ def st4_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "st3_stream_dedup",
     "streaming: dropDuplicatesWithinWatermark",
-    None,  # distinct-count equivalence asserted in tests/test_streaming.py
-    "Stateful exact dedup with watermark-bounded state.",
+    """
+    SELECT DISTINCT event_id, user_id, event_type, value FROM events
+    """,
+    "Stateful exact dedup with watermark-bounded state. Oracle-able "
+    "because exact dedup of rows whose duplicates are IDENTICAL in the "
+    "projected columns is order-independent: the kept row equals the "
+    "DISTINCT projection whichever copy the state store sees first "
+    "(the fixture is currently duplicate-free, making this a lossless "
+    "pass-through pin; eviction semantics under PLANTED duplicates are "
+    "asserted in tests/test_streaming.py::test_dedup_drops_planted_"
+    "duplicates).",
 )
 def st3_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = sev.read_events_stream(spark, sf_dir)

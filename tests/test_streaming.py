@@ -61,6 +61,27 @@ def test_dedup_within_watermark(spark, stream):
     assert out.count() == batch.select("event_id").distinct().count()
 
 
+def test_dedup_drops_planted_duplicates(spark, tmp_path):
+    """The fixture is duplicate-free, so the count assertion above
+    cannot catch a dedup that deduplicates nothing. Plant REAL
+    duplicates (each event tripled) in a staged copy and assert the
+    stream collapses them back to one row per event_id."""
+    src = load_table(spark, SF_SMOKE, "events").limit(500)
+    tripled = src.unionByName(src).unionByName(src)
+    d = str(tmp_path / "events_dup")
+    (tmp_path / "events_dup").mkdir()
+    # single FILE like the driver fixture (the stream source does not
+    # recurse into a nested parquet directory)
+    tripled.toPandas().to_parquet(f"{d}/events.parquet", index=False)
+    stream = sev.read_events_stream(spark, d)
+    out = sev.run_available_now(
+        sev.dedup_within_watermark(stream), "t_dedup_planted", "append"
+    )
+    assert tripled.count() == 1500
+    assert out.count() == 500
+    assert out.select("event_id").distinct().count() == 500
+
+
 def test_running_user_totals_matches_batch(spark, stream):
     got = sev.run_available_now(
         sev.running_user_totals(stream), "t_state", "update"
