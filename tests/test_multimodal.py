@@ -170,3 +170,94 @@ def test_decode_audio_metadata_through_spark(spark):
     assert got[1].sample_rate == 16000 and got[1].duration_ms == 1000.0
     assert got[2].n_frames == 2000 and got[2].duration_ms == 250.0
     assert got[3].sample_rate is None and got[3].duration_ms is None
+
+
+def test_extract_byte_features_matches_numpy(spark):
+    """L2-normalized folded byte histogram recomputed driver-side."""
+    import numpy as np
+
+    payloads = [b"abc" * 50, bytes(range(256)) * 3, b"", b"\xff" * 100]
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(p), "x") for i, p in enumerate(payloads)],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    got = {
+        r.media_id: np.array(r.embedding)
+        for r in multimodal.extract_byte_features(media, dim=64).collect()
+    }
+    for i, p in enumerate(payloads):
+        h = np.bincount(np.frombuffer(p, dtype=np.uint8), minlength=256)
+        h = h.reshape(64, 4).sum(axis=1).astype("float64")
+        nrm = np.sqrt((h * h).sum())
+        want = (h / nrm if nrm else h).astype("float32")
+        assert np.allclose(got[i], want, atol=1e-6), i
+        if nrm:
+            assert abs(float((got[i] ** 2).sum()) - 1.0) < 1e-5  # unit norm
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divide"):
+        multimodal.extract_byte_features(media, dim=48)
+
+
+def test_byte_features_flow_into_neardup_tier(spark):
+    """The multimodal near-dup pipeline end-to-end WITHOUT image libs:
+    payloads -> byte features -> the embedding near-dup operator.
+    Planted: media 10/11 share identical bytes, 12 is a light edit,
+    13 is unrelated."""
+    from pyspark.sql import functions as F
+
+    from etl_zero_spark.operators import dedup
+
+    base = (b"the quick brown fox jumps over the lazy dog " * 40)
+    rows = [
+        (10, base),
+        (11, base),                                  # exact dup
+        (12, base[:-40] + b"A DIFFERENT ENDING!!"),  # near dup
+        (13, bytes(reversed(range(256))) * 7),       # unrelated
+    ]
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(p), "x") for i, p in rows],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    feats = multimodal.extract_byte_features(media).withColumnRenamed(
+        "media_id", "vec_id"
+    )
+    pairs = dedup.embedding_neardup_pairs_blocked(feats, threshold=0.99)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    assert (10, 11) in got and (10, 12) in got and (11, 12) in got
+    assert not any(13 in p for p in got)
+
+
+def test_resize_image_deterministic_fake(spark):
+    import math
+
+    import numpy as np
+
+    payloads = [bytes(range(100)), b"xyz", b""]
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(p), "x") for i, p in enumerate(payloads)],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    got = {r.media_id: r for r in multimodal.resize_image(media, 8, 8).collect()}
+    for i, p in enumerate(payloads):
+        px = got[i].pixels
+        assert len(px) == 64 and got[i].width == 8 and got[i].height == 8
+        if p:
+            buf = np.frombuffer(p, dtype=np.uint8)
+            side = math.isqrt(len(buf) - 1) + 1
+            grid = np.zeros(side * side, dtype=np.uint8)
+            grid[: len(buf)] = buf
+            grid = grid.reshape(side, side)
+            ys = (np.arange(8) * side) // 8
+            xs = (np.arange(8) * side) // 8
+            assert bytes(px) == grid[np.ix_(ys, xs)].tobytes()
+        else:
+            assert bytes(px) == bytes(64)
+    # upscale path: 2-byte payload still yields exactly w*h bytes
+    tiny = spark.createDataFrame(
+        [(0, "image", bytearray(b"ab"), "x")],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    up = multimodal.resize_image(tiny, 16, 4).first()
+    assert len(up.pixels) == 64
