@@ -97,3 +97,90 @@ def histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy("bucket")
     )
+
+
+def quantiles(
+    df: DataFrame,
+    col: str,
+    probs: list[float] | None = None,
+    by: list[str] | None = None,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Quantile aggregation (R4; the free-SQL surface's
+    percentile_cont reach, plus the approximate tier 100 TB needs).
+
+    Default is ``percentile_approx`` — a mergeable KLL-style sketch:
+    partial aggregation map-side, fixed-size state on the shuffle, the
+    only affordable shape at scale (error <= 1/accuracy of rank).
+    ``exact=True`` switches to ``percentile`` (exact linear
+    interpolation — matches DuckDB's quantile_cont, the pytest
+    oracle), which Spark computes by buffering each group's values:
+    correct at any size but memory-bound per group — the verify tier,
+    like sim2 vs sim3.
+
+    Output: ``by`` columns + one ``{col}_p{percent}`` double per prob.
+    """
+    probs = probs if probs is not None else [0.25, 0.5, 0.75]
+    if not probs or not all(0.0 <= p <= 1.0 for p in probs):
+        raise ValueError(f"quantiles: probs must be in [0,1], got {probs}")
+
+    def name(p: float) -> str:
+        pct = f"{p * 100:g}".replace(".", "_")
+        return f"{col}_p{pct}"
+
+    if exact:
+        aggs = [
+            F.percentile(F.col(col), F.lit(p)).alias(name(p)) for p in probs
+        ]
+    else:
+        aggs = [
+            F.percentile_approx(F.col(col), F.lit(p), F.lit(accuracy)).cast(
+                "double"
+            ).alias(name(p))
+            for p in probs
+        ]
+    g = df.groupBy(*by) if by else df.groupBy()
+    return g.agg(*aggs)
+
+
+def key_skew_report(
+    df: DataFrame, key_cols: list[str] | str, top_n: int = 10
+) -> DataFrame:
+    """Shuffle-skew profiler: per-key row counts summarized into the
+    numbers that decide a join strategy — before burning a cluster-day
+    discovering the skew the hard way.
+
+    Output (single row): n_keys, n_rows, max_count, p50/p99 of per-key
+    counts, skew_ratio (= max/mean — >> shuffle-partition count means
+    one task owns the hot key), plus ``top_keys`` (array of the top_n
+    (key, count) structs by count — the salting candidates for
+    joins.salted_join).
+
+    Cost: one groupBy over the keys (the same shuffle the join itself
+    would pay) + a tiny summary agg; the per-key count table never
+    leaves the executors except as the top-N structs.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    key_struct = F.struct(
+        F.col("__n").alias("count"),
+        *[F.col(k).cast("string").alias(k) for k in keys],
+    )
+    summary = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__n").alias("n_rows"),
+        F.max("__n").alias("max_count"),
+        F.expr("percentile(__n, 0.5)").alias("p50_count"),
+        F.expr("percentile(__n, 0.99)").alias("p99_count"),
+        (F.max("__n") / F.avg("__n")).alias("skew_ratio"),
+    )
+    # Top-N via TakeOrderedAndProject, NOT collect_list over every key
+    # (which would materialize the whole key set in one task); the
+    # collected list is top_n rows by construction.
+    top = (
+        counts.orderBy(F.desc("__n"), *keys)
+        .limit(top_n)
+        .agg(F.collect_list(key_struct).alias("top_keys"))
+    )
+    return summary.crossJoin(F.broadcast(top))
