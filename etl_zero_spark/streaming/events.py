@@ -286,3 +286,64 @@ def clicks_joined_purchases(
         ),
         "inner",
     ).drop("p_user_id")
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The MODERN twin of ``running_user_totals``: Spark 4's
+    ``transformWithStateInPandas`` (SPARK-49564, the arbitrary-stateful
+    API that supersedes ``applyInPandasWithState``) with an explicit
+    ``StatefulProcessor`` holding one ValueState per user. Same
+    semantics — per-user running (count, value sum) across
+    micro-batches — so the two APIs cross-verify each other in
+    tests/test_streaming.py; new custom stateful operators should
+    start from this shape (typed state handles, timers, TTL live
+    here, not in the legacy API).
+
+    Environment gate: TWS's state-server protocol needs
+    ``google.protobuf`` in the Python workers — absent in this
+    container, so the equivalence test skips (executes wherever
+    protobuf exists) and the plan-build contract is asserted
+    unconditionally. ``applyInPandasWithState`` above remains the
+    fully-executed path here."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # transformWithState runs only on the RocksDB state store (bundled
+    # with Spark 4); the default HDFS-backed provider crashes the TWS
+    # worker. Session-level conf, read at query start.
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n_events long, value_sum double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, s = self._state.get()
+            else:
+                n, s = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, round(s, 6)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "value_sum": [round(s, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -114,3 +114,47 @@ def test_stream_stream_join_matches_batch(spark, stream):
     gset, wset = _rowset(got, cols), _rowset(want, cols)
     assert gset == wset
     assert len(wset) > 0  # fixture must actually exercise the join
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_transform_with_state_plan_builds(spark, stream):
+    """The TWS twin's analysis contract holds even where execution
+    can't run (no protobuf in this container): grouping key + output
+    schema resolve."""
+    df = sev.running_user_totals_tws(stream)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["user_id", "n_events", "value_sum"]
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState's state server needs google.protobuf "
+    "in the Python workers (absent in this container)",
+)
+def test_transform_with_state_matches_legacy_and_batch(spark, stream):
+    """Spark 4's transformWithStateInPandas twin must produce the same
+    final per-user totals as the legacy applyInPandasWithState op and
+    the batch aggregate."""
+    got = sev.run_available_now(
+        sev.running_user_totals_tws(stream), "t_tws", "update"
+    )
+    final = {r.user_id: (r.n_events, r.value_sum) for r in got.collect()}
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .collect()
+    }
+    assert final == want
