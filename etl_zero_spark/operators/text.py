@@ -190,3 +190,79 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, expr in counts.items():
         out = out.withColumn(name, expr)
     return out.withColumn(text_col, scrub_pii_expr(F.col(text_col)))
+
+
+def winnow_fingerprints_expr(
+    text: Column, k: int = 5, window: int = 4
+) -> Column:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting") — the
+    rolling-hash fingerprint set the north-star text tier calls for:
+
+    1. hash every word k-gram (the rolling window over the token
+       stream; xxhash64 per window — Spark evaluates the windows via
+       one ``transform`` over index ``sequence``, all codegen'd);
+    2. slide a ``window``-wide window over the hash sequence and keep
+       each window's MINIMUM (rightmost occurrence on ties — taking
+       plain min of the window slice reproduces it because equal
+       hashes keep one value);
+    3. distinct, sorted — the document's fingerprint set.
+
+    Guarantee: any shared substring of at least ``window + k - 1``
+    tokens between two documents yields at least one shared
+    fingerprint, while storing ~2/(window+1) of all k-gram hashes —
+    the bounded-size sketch for plagiarism/near-dup pre-screening.
+    Shorter documents fall back to their single whole-text hash.
+    Pure Column expression: no UDF, no shuffle."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    n_tok = F.size(toks)
+    kgram_hashes = F.transform(
+        F.sequence(F.lit(0), n_tok - k),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
+    )
+    n_h = F.size(kgram_hashes)
+    mins = F.transform(
+        F.sequence(F.lit(0), n_h - window),
+        lambda i: F.array_min(F.slice(kgram_hashes, i + 1, window)),
+    )
+    return F.when(
+        n_tok < F.lit(k + window - 1),
+        F.array(F.xxhash64(F.array_join(toks, " "))),
+    ).otherwise(F.array_sort(F.array_distinct(mins)))
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_fp_df: int | None = 10_000,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    — the scale consumer of the sketch: explode each document's
+    fingerprint set into an inverted index, pairs meet in one
+    equi-join on the 8-byte fingerprint (the dd2/contamination shape
+    on a ~2/(window+1)-sized input), hot fingerprints dropped past
+    ``max_fp_df`` like stop shingles. Output: (a_id, b_id,
+    shared_fingerprints)."""
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_fingerprints_expr(F.col(text_col), k, window)).alias("fp"),
+    )
+    if max_fp_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_fp_df)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .where(F.col("shared_fingerprints") >= min_shared)
+    )

@@ -230,3 +230,90 @@ def test_date_parse_year_leading_is_iso_documented_deviation(spark):
         .out
     )
     assert got == "2021-04-05"
+
+
+def test_winnow_fingerprints_match_python_oracle(spark):
+    """Winnowing recomputed in plain Python (same xxhash64 via a Spark
+    scalar eval for hash parity, window-min + distinct) on fixture
+    docs."""
+    from pyspark.sql import functions as F
+
+    from etl_zero_spark.catalog import load_table
+    from etl_zero_spark.operators.text import winnow_fingerprints_expr
+    from tests.conftest import SF_SMOKE
+
+    k, w = 5, 4
+    docs = load_table(spark, SF_SMOKE, "documents").where(F.col("doc_id") < 30)
+    got = {
+        r.doc_id: list(r.fp)
+        for r in docs.select(
+            "doc_id", winnow_fingerprints_expr(F.col("text"), k, w).alias("fp")
+        ).collect()
+    }
+    # hash parity: evaluate xxhash64 of each k-gram through Spark once
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    grams = []
+    for t in texts.values():
+        toks = [x for x in t.lower().split() if x]
+        if len(toks) < k + w - 1:
+            grams.append(" ".join(toks))
+        else:
+            grams.extend(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1))
+    gdf = spark.createDataFrame([(g,) for g in set(grams)], "g string")
+    h = {r.g: r.h for r in gdf.select("g", F.xxhash64("g").alias("h")).collect()}
+    for doc_id, t in texts.items():
+        toks = [x for x in t.lower().split() if x]
+        if len(toks) < k + w - 1:
+            want = [h[" ".join(toks)]]
+        else:
+            hs = [h[" ".join(toks[i : i + k])] for i in range(len(toks) - k + 1)]
+            want = sorted({min(hs[i : i + w]) for i in range(len(hs) - w + 1)})
+        assert got[doc_id] == want, doc_id
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Any shared run of >= window+k-1 tokens must yield a shared
+    fingerprint; disjoint texts share none."""
+    from pyspark.sql import functions as F
+
+    from etl_zero_spark.operators.text import winnow_overlap_pairs
+
+    shared_run = "lorem ipsum dolor sit amet consectetur adipiscing elit"  # 8 tokens = w+k-1
+    df = spark.createDataFrame(
+        [
+            (1, f"aa bb cc {shared_run} dd ee"),
+            (2, f"xx yy {shared_run} zz qq rr"),
+            (3, "totally different words with no overlap at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = winnow_overlap_pairs(df, min_shared=1, k=5, window=4)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_winnow_density(spark):
+    """The sketch stores roughly 2/(window+1) of the k-gram hashes —
+    the winnowing paper's expected density — far smaller than the full
+    gram set."""
+    from pyspark.sql import functions as F
+
+    from etl_zero_spark.catalog import load_table
+    from etl_zero_spark.operators.text import winnow_fingerprints_expr
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    k, w = 5, 8
+    stats = docs.select(
+        F.size(winnow_fingerprints_expr(F.col("text"), k, w)).alias("n_fp"),
+        (
+            F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""))
+            - k + 1
+        ).alias("n_grams"),
+    ).where(F.col("n_grams") >= w).agg(
+        (F.sum("n_fp") / F.sum("n_grams")).alias("density")
+    ).first()
+    # fixture text repeats a tiny vocab (duplicate grams collapse), so
+    # allow a wide band around 2/(w+1) ≈ 0.22
+    assert 0.02 < stats.density < 0.5, stats.density
