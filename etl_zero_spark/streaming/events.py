@@ -53,18 +53,29 @@ def _events_raw_schema(ts_type: DataType) -> StructType:
 
 
 def _stage_events_dir(sf_dir: str) -> str:
-    """The file stream source requires a *directory* to tail; the fixture
-    is a single read-only file. Stage a symlink into a per-sf_dir temp
-    directory (idempotent, never touches the fixture)."""
+    """The file stream source requires a *directory* of plain files to
+    tail; the fixture is a single read-only file OR a Spark-written
+    parquet directory (the source does NOT recurse into
+    subdirectories). Stage symlinks into a per-sf_dir temp directory —
+    the file directly, or each part file of a directory (idempotent,
+    never touches the fixture)."""
     import hashlib
     import tempfile
 
+    src = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"etlzero_events_{tag}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.abspath(os.path.join(sf_dir, "events.parquet")), link)
+    if os.path.isdir(src):
+        for part in os.listdir(src):
+            if part.endswith(".parquet"):
+                link = os.path.join(d, part)
+                if not os.path.exists(link):
+                    os.symlink(os.path.join(src, part), link)
+    else:
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
     return d
 
 

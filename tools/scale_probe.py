@@ -31,6 +31,7 @@ PROBE_DIR = os.path.join(
 N_DOCS = 100_000
 N_VECS = 100_000
 N_LINEITEM = 6_000_000
+N_EVENTS = 10_000_000
 DIM = 64
 SEED = 42
 
@@ -89,6 +90,28 @@ def generate(spark, out_dir: str = PROBE_DIR, parts: int = 32) -> str:
         )
     )
     _write(li, os.path.join(out_dir, "lineitem.parquet"))
+
+    # -- events: 10M rows, 100k users over 30 days (streaming/state
+    # probes; same schema as the driver fixture) ----------------------
+    ev = spark.range(0, N_EVENTS, 1, parts).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.abs(F.xxhash64("id", F.lit(20))) % (30 * 86400)
+        ).alias("ts"),
+        (F.abs(F.xxhash64("id", F.lit(21))) % 100_000).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("click"), F.lit("view"), F.lit("purchase")),
+            (F.abs(F.xxhash64("id", F.lit(22))) % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        ((F.abs(F.xxhash64("id", F.lit(23))) % 10_000) / 100.0).alias("value"),
+        F.when(
+            F.col("id") % 5 != 0,
+            F.concat(
+                F.lit('{"k": '), (F.col("id") % 97).cast("string"), F.lit("}")
+            ),
+        ).alias("props"),
+    )
+    _write(ev, os.path.join(out_dir, "events.parquet"))
 
     # -- documents: word salad + planted near-dups ---------------------
     per_part = N_DOCS // parts
@@ -228,6 +251,20 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             "pack_key"
         ).agg(F.sum("n_tokens").alias("t"))
 
+    def sessionize_10m():
+        # window-heavy: 10M rows shuffled+sorted per user (100k users)
+        return QUERIES["e3_sessionize_batch"].fn(spark, probe_dir)
+
+    def stream_tumbling_10m():
+        # Structured Streaming one-shot with a real state store over
+        # 10M events (30*24 windows x 3 types of state).
+        from etl_zero_spark.streaming import events as sev
+
+        stream = sev.read_events_stream(spark, probe_dir)
+        return sev.run_available_now(
+            sev.tumbling_agg(stream), "probe_st1_10m"
+        )
+
     out: dict = {
         "corpus": {
             "n_docs": N_DOCS,
@@ -246,6 +283,8 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("dd8_t09", dd8),
         ("sim3_k10", sim3),
         ("sim4_nprobe16", sim4),
+        ("e3_sessionize_10m", sessionize_10m),
+        ("st1_stream_tumbling_10m", stream_tumbling_10m),
         ("dd2_t05", dd2),
     ]:
         if time.perf_counter() - t_start > budget_s:
