@@ -130,13 +130,28 @@ class RuleBasedGenerator:
                 col = self._resolve_column(m.group(1), cols)
                 if col is None:
                     continue
-                group = self._group_column(q, cols)
                 alias = f"{col}_{fn.lower()}"
+                group = self._group_column(q, cols)
                 if group:
                     return (
                         f"SELECT {group}, {fn}({col}) AS {alias} "
                         f"FROM {table}{where} GROUP BY {group}"
                     )
+                # group column living in ANOTHER table -> FK join (the
+                # mapper's name-similarity key inference, J3, applied
+                # to the rendered schema): 'average totalprice per
+                # mktsegment' joins orders to customer on the most
+                # name-similar column pair.
+                g = re.search(r"\b(?:by|per|for each|grouped by)\s+(\w+)", q)
+                if g:
+                    hit = self._resolve_foreign_group(g.group(1), table, schema)
+                    if hit:
+                        other, gcol, lk, rk = hit
+                        return (
+                            f"SELECT t2.{gcol}, {fn}(t1.{col}) AS {alias} "
+                            f"FROM {table} t1 JOIN {other} t2 "
+                            f"ON t1.{lk} = t2.{rk}{where} GROUP BY t2.{gcol}"
+                        )
                 return f"SELECT {fn}({col}) AS {alias} FROM {table}{where}"
 
         m = re.search(r"\b(?:distinct|unique)\s+(\w+)", q)
@@ -216,6 +231,36 @@ class RuleBasedGenerator:
     def _group_column(self, q: str, cols: dict[str, str]) -> str | None:
         m = re.search(r"\b(?:by|per|for each|grouped by)\s+(\w+)", q)
         return self._resolve_column(m.group(1), cols) if m else None
+
+    def _resolve_foreign_group(
+        self, word: str, table: str, schema: dict
+    ) -> tuple[str, str, str, str] | None:
+        """(other_table, group_col, left_key, right_key) when ``word``
+        resolves in exactly one OTHER table and a join-key pair exists:
+        the (left, right) column pair with the highest difflib name
+        similarity >= 0.6 — the same heuristic the mapper applies to
+        real schemas (J3)."""
+        import difflib
+
+        candidates = []
+        for other, ocols in schema.items():
+            if other == table:
+                continue
+            gcol = self._resolve_column(word, ocols)
+            if gcol:
+                candidates.append((other, gcol))
+        if len(candidates) != 1:
+            return None
+        other, gcol = candidates[0]
+        best, best_score = None, 0.0
+        for lk in schema[table]:
+            for rk in schema[other]:
+                score = difflib.SequenceMatcher(None, lk, rk).ratio()
+                if score > best_score:
+                    best, best_score = (lk, rk), score
+        if best is None or best_score < 0.6:
+            return None
+        return (other, gcol, best[0], best[1])
 
     def _where_clause(self, raw: str, cols: dict[str, str]) -> str:
         """Parses the ORIGINAL-case question (literals like 'F' must

@@ -118,3 +118,26 @@ def test_default_generator_end_to_end(spark):
     )
     assert set(out.columns) == {"o_orderstatus", "o_totalprice_avg"}
     assert out.count() == 3
+
+
+def test_generator_foreign_key_join():
+    """A group column living in another table triggers the FK join
+    (mapper J3 name-similarity inference on the rendered schema)."""
+    sql = _gen("average totalprice of orders per mktsegment")
+    assert sql == (
+        "SELECT t2.c_mktsegment, AVG(t1.o_totalprice) AS o_totalprice_avg "
+        "FROM orders t1 JOIN customer t2 "
+        "ON t1.o_custkey = t2.c_custkey GROUP BY t2.c_mktsegment"
+    )
+
+
+def test_generator_foreign_join_end_to_end(spark):
+    out = t2s.process_query(
+        spark,
+        SF_SMOKE,
+        "average totalprice of orders per mktsegment",
+        tables=["orders", "customer"],
+    )
+    rows = {r.c_mktsegment: r.o_totalprice_avg for r in out.collect()}
+    assert len(rows) == 5  # TPC-H market segments
+    assert all(v > 0 for v in rows.values())
