@@ -118,6 +118,27 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — never kill the artifact
             scale_probe = {"err": f"{type(exc).__name__}: {exc}"[:300]}
 
+    # Round-over-round: warm per-query ratio vs the last committed
+    # BENCH_r*.json that parsed (VERDICT r3 #2 asked for the delta).
+    prev_name, prev_warm = None, {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for cand in sorted(os.listdir(here), reverse=True):
+        if cand.startswith("BENCH_r") and cand.endswith(".json"):
+            try:
+                with open(os.path.join(here, cand)) as fh:
+                    doc = json.load(fh)
+                inner = doc.get("parsed") if isinstance(doc.get("parsed"), dict) else doc
+                if isinstance(inner.get("queries"), dict) and inner["queries"]:
+                    prev_name, prev_warm = cand, inner["queries"]
+                    break
+            except Exception:  # noqa: BLE001 — absent/crashed artifacts skip
+                continue
+    delta = {
+        q: round(warm[q] / prev_warm[q], 2)
+        for q in warm
+        if isinstance(prev_warm.get(q), (int, float)) and prev_warm[q] > 0
+    }
+
     total = round(sum(warm.values()), 3)
     print(
         json.dumps(
@@ -141,6 +162,7 @@ def main() -> None:
                 "n_err": len(errors),
                 "sf": sf,
                 "sf_scale_probe": scale_probe,
+                "warm_ratio_vs_prev": {"baseline": prev_name, "ratios": delta},
             }
         )
     )
