@@ -265,6 +265,33 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             sev.tumbling_agg(stream), "probe_st1_10m"
         )
 
+    def bucketed_join_6m():
+        # The write-side join lever at 6M rows: lineitem bucketed on
+        # l_orderkey joins a derived orders-side WITHOUT shuffling the
+        # fact (write cost paid once, here inside this probe). The
+        # exchange count is verified, not assumed.
+        from etl_zero_spark.catalog import Zone
+
+        li = load_table(spark, probe_dir, "lineitem")
+        zone = Zone(os.path.join(probe_dir, "zone"), "probe")
+        name = zone.write_bucketed(li, "lineitem", "l_orderkey", 64)
+        fact = spark.table(name)
+        orders_side = (
+            fact.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+        )
+        joined = fact.join(orders_side, "l_orderkey").where(
+            F.col("n_items") >= 4
+        )
+        import re as _re
+
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        n_ex = len(_re.findall(r"\bExchange\b", plan))
+        if n_ex > 0:
+            raise AssertionError(
+                f"bucketed join shuffled ({n_ex} exchanges)\n{plan}"
+            )
+        return joined
+
     out: dict = {
         "corpus": {
             "n_docs": N_DOCS,
@@ -285,6 +312,7 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("sim4_nprobe16", sim4),
         ("e3_sessionize_10m", sessionize_10m),
         ("st1_stream_tumbling_10m", stream_tumbling_10m),
+        ("bucketed_join_6m", bucketed_join_6m),
         ("dd2_t05", dd2),
     ]:
         if time.perf_counter() - t_start > budget_s:
