@@ -212,3 +212,45 @@ def stratified_sample(
             raise ValueError(f"stratified_sample: fraction {fractions} not in [0,1]")
         thresh = F.lit(int(fractions * 1_000_000))
     return df.where(h < thresh)
+
+
+def stratified_take(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int | dict[str, int],
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact-count companion to ``stratified_sample``: keep EXACTLY
+    ``n_per_stratum`` rows per stratum (fewer when the stratum is
+    smaller), chosen as the stratum's lowest ``xxhash64(id, seed)``
+    values — deterministic under any partitioning, and NESTED across
+    sizes: the n=100 take is a superset of the n=50 take with the same
+    seed (hash order is fixed), which is what curriculum/ablation
+    sampling needs. One window per stratum (partitioned — no global
+    ordering task). ``n_per_stratum`` as a dict is an explicit per-
+    stratum quota; missing strata get 0."""
+    from pyspark.sql import Window
+
+    if isinstance(n_per_stratum, dict):
+        if any(v < 0 for v in n_per_stratum.values()):
+            raise ValueError("stratified_take: negative quota")
+        quota = F.coalesce(
+            *[
+                F.when(F.col(strata_col) == k, F.lit(v))
+                for k, v in n_per_stratum.items()
+            ],
+            F.lit(0),
+        )
+    else:
+        if n_per_stratum < 0:
+            raise ValueError("stratified_take: negative quota")
+        quota = F.lit(n_per_stratum)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.xxhash64(F.col(id_col), F.lit(seed)), id_col
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= quota)
+        .drop("__rk")
+    )

@@ -215,3 +215,37 @@ def test_corpus_plans_have_no_scale_killers(spark, docs):
         s = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in s, s
         assert "EvalPython" not in s, s
+
+
+def test_stratified_take_exact_counts_and_nesting(spark, docs):
+    take50 = corpus.stratified_take(docs, "lang", 50, "doc_id")
+    counts = {
+        r.lang: r.n
+        for r in take50.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, tot in totals.items():
+        assert counts[lang] == min(50, tot), lang
+    # nesting: the 20-take is a subset of the 50-take (same seed)
+    ids20 = {r.doc_id for r in corpus.stratified_take(docs, "lang", 20, "doc_id").collect()}
+    ids50 = {r.doc_id for r in take50.collect()}
+    assert ids20 <= ids50
+    # partitioning-independent
+    ids50b = {
+        r.doc_id
+        for r in corpus.stratified_take(
+            docs.repartition(11), "lang", 50, "doc_id"
+        ).collect()
+    }
+    assert ids50 == ids50b
+    # per-stratum quota dict; unlisted strata -> dropped
+    q = corpus.stratified_take(docs, "lang", {"en": 3, "de": 1}, "doc_id")
+    got = {r.lang: r.n for r in q.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {"en": 3, "de": 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="negative"):
+        corpus.stratified_take(docs, "lang", -1, "doc_id")
