@@ -255,6 +255,14 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         # window-heavy: 10M rows shuffled+sorted per user (100k users)
         return QUERIES["e3_sessionize_batch"].fn(spark, probe_dir)
 
+    def asof_10m():
+        # custom join family at 10M events: union + one window pass
+        return QUERIES["aj1_asof_join"].fn(spark, probe_dir)
+
+    def range_10m():
+        # bucketized point-in-interval join at 10M events
+        return QUERIES["rj1_range_join"].fn(spark, probe_dir)
+
     def stream_tumbling_10m():
         # Structured Streaming one-shot with a real state store over
         # 10M events (30*24 windows x 3 types of state).
@@ -311,6 +319,8 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("sim3_k10", sim3),
         ("sim4_nprobe16", sim4),
         ("e3_sessionize_10m", sessionize_10m),
+        ("aj1_asof_10m", asof_10m),
+        ("rj1_range_10m", range_10m),
         ("st1_stream_tumbling_10m", stream_tumbling_10m),
         ("bucketed_join_6m", bucketed_join_6m),
         ("dd2_t05", dd2),
