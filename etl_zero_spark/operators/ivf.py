@@ -118,6 +118,12 @@ def train_ivf_centroids(
     from pyspark.ml.functions import array_to_vector
 
     n = corpus_count if corpus_count is not None else corpus.count()
+    if n == 0:
+        raise ValueError(
+            "train_ivf_centroids: empty corpus — an ANN index over zero "
+            "vectors has no centroids (KMeans would fail with an opaque "
+            "k=1 error)"
+        )
     nlist = max(1, min(nlist, n))
     feats = corpus.select(array_to_vector(_unit(F.col(vec_col))).alias("features"))
     target = nlist * sample_per_centroid

@@ -1,0 +1,132 @@
+"""Empty-input sweep: every major operator family must return an
+empty (or well-defined) result on 0-row inputs, never crash — the
+edge every real pipeline hits on its first day (an empty partition, a
+filter that matched nothing, a new tenant with no data)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_zero_spark.catalog import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").where(F.lit(False))
+
+
+@pytest.fixture(scope="module")
+def empty_emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").where(F.lit(False))
+
+
+@pytest.fixture(scope="module")
+def empty_li(spark):
+    return load_table(spark, SF_SMOKE, "lineitem").where(F.lit(False))
+
+
+def test_dedup_family_empty(spark, empty_docs):
+    from etl_zero_spark.operators import dedup
+
+    assert dedup.exact_dedup(empty_docs).count() == 0
+    assert dedup.ngram_jaccard_pairs(empty_docs, threshold=0.3).count() == 0
+    assert dedup.minhash_lsh_pairs(empty_docs, threshold=0.3).count() == 0
+    assert dedup.simhash_pairs(empty_docs, max_hamming=3).count() == 0
+    pairs = dedup.ngram_jaccard_pairs(empty_docs, threshold=0.3)
+    assert dedup.dedup_keep_min(empty_docs.select("doc_id"), pairs).count() == 0
+    assert dedup.dedup_transitive(empty_docs.select("doc_id"), pairs).count() == 0
+
+
+def test_similarity_family_empty(spark, empty_emb):
+    from etl_zero_spark.operators import similarity
+
+    assert similarity.lsh_neardup_pairs(empty_emb, threshold=0.9).count() == 0
+    assert (
+        similarity.brute_force_topk_distributed(empty_emb, empty_emb, k=5).count()
+        == 0
+    )
+    assert similarity.lsh_partitioned_topk(empty_emb, empty_emb, k=5).count() == 0
+
+
+def test_text_and_corpus_empty(spark, empty_docs):
+    from etl_zero_spark.operators import corpus, text
+
+    assert empty_docs.select(
+        text.lang_id_expr(F.col("text"))
+    ).count() == 0
+    assert empty_docs.select(
+        text.winnow_fingerprints_expr(F.col("text"))
+    ).count() == 0
+    assert (
+        corpus.cross_corpus_contamination(empty_docs, empty_docs).count() == 0
+    )
+    assert corpus.pack_sequences(empty_docs, budget=100).count() == 0
+    assert (
+        corpus.stratified_sample(empty_docs, "lang", 0.5, "doc_id").count() == 0
+    )
+    assert corpus.stratified_take(empty_docs, "lang", 5, "doc_id").count() == 0
+
+
+def test_charts_empty(spark, empty_li):
+    from etl_zero_spark.plans import charts
+
+    assert charts.bar_data(empty_li, "l_returnflag", "l_quantity").count() == 0
+    assert charts.pie_data(empty_li, "l_returnflag", "l_quantity").count() == 0
+    assert charts.scatter_data(empty_li, "l_quantity", "l_extendedprice").count() == 0
+    assert charts.line_data(empty_li, "l_shipdate", "l_quantity").count() == 0
+    # histogram on an empty column: stats row exists (nulls), bins
+    # degrade to an empty or all-zero spine — must not crash
+    rows = charts.histogram_data(empty_li, "l_quantity", bins=5).collect()
+    assert sum(r["count"] for r in rows) == 0
+
+
+def test_joins_and_cdc_empty(spark, empty_li):
+    from etl_zero_spark.operators.joins import asof_join, range_join, salted_join
+    from etl_zero_spark.sources.incremental import merge_latest
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    empty_ev = ev.where(F.lit(False))
+    left = empty_ev.select("event_id", "user_id", "ts")
+    right = empty_ev.select("user_id", "ts", "value")
+    assert asof_join(left, right, on="ts", by="user_id").count() == 0
+    iv = empty_ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+    )
+    assert range_join(left, iv, "ts", "s", "e", by="user_id").count() == 0
+    assert salted_join(empty_li, empty_li.select("l_orderkey").distinct(), "l_orderkey").count() == 0
+    base = empty_li.select("l_orderkey").withColumn("v", F.lit(0))
+    assert merge_latest(base, base, key="l_orderkey", version_col="v").count() == 0
+
+
+def test_validate_and_aggregate_empty(spark, empty_li):
+    from etl_zero_spark.operators import validate as V
+    from etl_zero_spark.operators.aggregate import key_skew_report, quantiles
+
+    rep = V.validate(
+        empty_li,
+        [V.not_null("l_orderkey"), V.in_range("l_quantity", lo=0), V.unique("l_orderkey")],
+    )
+    assert rep.n_rows == 0 and rep.passed
+    q = quantiles(empty_li, "l_quantity", [0.5]).first()
+    assert q["l_quantity_p50"] is None  # empty -> null quantile, not crash
+    skew = key_skew_report(empty_li, "l_orderkey").first()
+    assert skew.n_keys == 0 and skew.top_keys == []
+
+
+def test_multimodal_empty(spark, empty_docs):
+    from etl_zero_spark.operators import multimodal
+
+    media = multimodal.attach_payload_from_text(empty_docs)
+    assert multimodal.decode_metadata(media).count() == 0
+    assert multimodal.sample_frames(media).count() == 0
+    assert multimodal.extract_byte_features(media).count() == 0
+    assert multimodal.resize_image(media, 8, 8).count() == 0
+
+
+def test_ivf_empty_raises_clear_error(spark, empty_emb):
+    from etl_zero_spark.operators import ivf
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        ivf.train_ivf_centroids(empty_emb, 4, max_iter=2)
