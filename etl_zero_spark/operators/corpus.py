@@ -32,15 +32,20 @@ def _ngram_hashes(col: Column, n: int) -> Column:
     dedup.py). Hashing keeps the exploded index narrow: 8 bytes per
     gram instead of the gram text."""
     toks = _tokens(col)
-    grams = F.when(
-        F.size(toks) < n, F.array(F.xxhash64(F.array_join(toks, " ")))
-    ).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.xxhash64(
-                    F.array_join(F.slice(toks, i + 1, n), " ")
-                ),
+    # null text -> NO grams (size(null) = -1 would otherwise fall into
+    # the short-doc branch and hash null to a CONSTANT, pairing every
+    # null doc with every other null doc)
+    grams = (
+        F.when(col.isNull(), F.array().cast("array<bigint>"))
+        .when(F.size(toks) < n, F.array(F.xxhash64(F.array_join(toks, " "))))
+        .otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice(toks, i + 1, n), " ")
+                    ),
+                )
             )
         )
     )
@@ -154,11 +159,14 @@ def pack_sequences(
         raise ValueError("pack_sequences: budget must be positive")
     from pyspark.sql import Window
 
-    n_tok = (
+    raw_tok = (
         F.col(token_count_col)
         if token_count_col
         else F.size(_tokens(F.col(text_col)))
     ).cast("long")
+    # null text (size -> -1 legacy) or null count packs as 0 tokens:
+    # the doc still gets a pack assignment, it just takes no budget
+    n_tok = F.greatest(F.coalesce(raw_tok, F.lit(0)), F.lit(0))
     d = docs.withColumn("n_tokens", n_tok).withColumn(
         "stream", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_streams)).cast("int")
     )

@@ -842,6 +842,10 @@ def embedding_neardup_pairs_blocked(
 
     from etl_zero_spark.operators.similarity import BLOCK_ROWS, _n_blocks, _stack_normalized
 
+    # null vectors have no cosine to anything and would crash the numpy
+    # stack inside the kernel — dropped at the boundary, like every
+    # similarity entry point
+    emb = emb.where(F.col(vec_col).isNotNull())
     nb = _n_blocks(emb, rows_per_block or BLOCK_ROWS)
     base = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")

@@ -117,6 +117,7 @@ def train_ivf_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     n = corpus_count if corpus_count is not None else corpus.count()
     if n == 0:
         raise ValueError(
@@ -195,6 +196,8 @@ def ivf_topk(
     usual starting point; raise nprobe toward nlist to trade latency
     for recall, reaching bit-exactness at nprobe >= nlist.
     """
+    queries = queries.where(F.col(vec_col).isNotNull())
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     spark = corpus.sparkSession
     if centroids is None:
         n = corpus.count()

@@ -124,6 +124,12 @@ def _bucket_block_counts(
     )
 
 
+
+def _drop_null_vectors(df: DataFrame, vec_col: str) -> DataFrame:
+    """Null vectors have no direction — every entry point drops them
+    before the numpy kernels (np.vstack on None crashes mid-stage)."""
+    return df.where(F.col(vec_col).isNotNull())
+
 def collect_normalized_matrix(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ):
@@ -136,7 +142,7 @@ def collect_normalized_matrix(
     broadcast-sized by contract (see module docstring for the sharded
     alternative beyond ~1M vectors).
     """
-    pdf = df.select(id_col, vec_col).toPandas()
+    pdf = _drop_null_vectors(df, vec_col).select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     order = np.argsort(ids, kind="stable")
@@ -188,6 +194,7 @@ def brute_force_topk(
     Output: (query_id, neighbor_id, cosine, rank); self-matches
     excluded; ties broken by neighbor_id (total order).
     """
+    queries = _drop_null_vectors(queries, vec_col)
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(collect_normalized_matrix(corpus, id_col, vec_col))
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -349,6 +356,8 @@ def brute_force_topk_distributed(
     replicated query rows the call refuses and points at
     ``lsh_partitioned_topk``, whose bucket join scales in n, not n².
     """
+    queries = _drop_null_vectors(queries, vec_col)
+    corpus = _drop_null_vectors(corpus, vec_col)
     nb = _n_blocks(corpus, rows_per_block)
     nq = queries.count()
     if nq * nb > max_replicated_rows:
@@ -448,6 +457,8 @@ def lsh_partitioned_topk(
     mis-sizing or duplicate-heavy corpora. Per-pair cosines are
     bitwise-equal across sub-blocks, so the global merge is unchanged.
     """
+    queries = _drop_null_vectors(queries, vec_col)
+    corpus = _drop_null_vectors(corpus, vec_col)
     if n_planes is None or n_tables is None:
         auto_h, auto_l = auto_geometry(corpus.count())
         n_planes = n_planes if n_planes is not None else auto_h
@@ -494,6 +505,7 @@ def lsh_neardup_pairs(
     times, every unordered row pair lands in exactly one (p1, p2)
     group, and no task frame exceeds ~2x the cap even when the corpus
     is one giant duplicate cluster."""
+    emb = _drop_null_vectors(emb, vec_col)
     if n_planes is None or n_tables is None:
         auto_h, auto_l = auto_geometry(emb.count(), threshold=threshold)
         n_planes = n_planes if n_planes is not None else auto_h
@@ -606,6 +618,7 @@ def lsh_bucketed_topk(
     of the candidate union. With ``probes``, each table also searches
     its ``n_planes`` Hamming-1 buckets (single-bit flips). Hyperplane
     dimension is inferred from the corpus."""
+    queries = _drop_null_vectors(queries, vec_col)
     spark = corpus.sparkSession
     c_ids, c_mat = collect_normalized_matrix(corpus, id_col, vec_col)
     planes = _hyperplanes(c_mat.shape[1], n_planes, n_tables)

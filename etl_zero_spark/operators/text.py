@@ -31,7 +31,11 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 
 
 def word_count_expr(text: Column) -> Column:
-    return F.size(tokens_expr(text))
+    # size(null) is -1 under legacy semantics (ANSI off) — null text
+    # must count as null, not -1
+    return F.when(text.isNull(), F.lit(None)).otherwise(
+        F.size(tokens_expr(text))
+    )
 
 
 def char_count_expr(text: Column) -> Column:
@@ -215,6 +219,9 @@ def winnow_fingerprints_expr(
     Shorter documents fall back to their single whole-text hash.
     Pure Column expression: no UDF, no shuffle."""
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    # null text -> null fingerprints (size(null) = -1 would otherwise
+    # route it through the whole-text fallback as a CONSTANT hash,
+    # pairing every null doc with every other)
     n_tok = F.size(toks)
     kgram_hashes = F.transform(
         F.sequence(F.lit(0), n_tok - k),
@@ -225,10 +232,14 @@ def winnow_fingerprints_expr(
         F.sequence(F.lit(0), n_h - window),
         lambda i: F.array_min(F.slice(kgram_hashes, i + 1, window)),
     )
-    return F.when(
-        n_tok < F.lit(k + window - 1),
-        F.array(F.xxhash64(F.array_join(toks, " "))),
-    ).otherwise(F.array_sort(F.array_distinct(mins)))
+    return (
+        F.when(text.isNull(), F.lit(None).cast("array<bigint>"))
+        .when(
+            n_tok < F.lit(k + window - 1),
+            F.array(F.xxhash64(F.array_join(toks, " "))),
+        )
+        .otherwise(F.array_sort(F.array_distinct(mins)))
+    )
 
 
 def winnow_overlap_pairs(

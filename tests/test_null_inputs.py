@@ -1,0 +1,112 @@
+"""Null-value sweep: rows with NULL text / embedding / payload flowing
+through the custom operators. Dirty data is the 100 TB default; the
+numpy kernels inside mapInPandas are the crash sites plan gates can't
+see."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_with_nulls(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, None),
+            (3, "the quick brown fox jumps over the lazy dog again and again"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+@pytest.fixture(scope="module")
+def emb_with_nulls(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)], 0) for i in range(6)]
+    rows.append((6, None, 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_text_exprs_null_text(spark, docs_with_nulls):
+    from etl_zero_spark.operators import text
+
+    out = docs_with_nulls.select(
+        "doc_id",
+        text.word_count_expr(F.col("text")).alias("n_words"),
+        text.lang_id_expr(F.col("text")).alias("lang"),
+        text.winnow_fingerprints_expr(F.col("text")).alias("fp"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[2].n_words is None and by_id[2].fp is None  # null in, null out
+    assert by_id[1].n_words == 12
+    assert by_id[4].n_words == 0
+
+
+def test_dedup_null_text(spark, docs_with_nulls):
+    from etl_zero_spark.operators import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(docs_with_nulls, threshold=0.9).collect()
+    # the duplicate pair found; null/empty rows never pair
+    assert {(r.a_id, r.b_id) for r in pairs} == {(1, 3)}
+    mh = dedup.minhash_lsh_pairs(docs_with_nulls, threshold=0.9).collect()
+    assert {(r.a_id, r.b_id) for r in mh} <= {(1, 3)}
+
+
+def test_similarity_null_embedding(spark, emb_with_nulls):
+    """Null vectors must not reach the numpy GEMM kernels: the exact
+    pair path and distributed top-k must drop them (documented) rather
+    than crash in np.stack."""
+    from etl_zero_spark.operators import dedup, similarity
+
+    pairs = dedup.embedding_neardup_pairs_blocked(emb_with_nulls, threshold=0.0)
+    ids = {i for r in pairs.collect() for i in (r.a_id, r.b_id)}
+    assert 6 not in ids
+    queries = emb_with_nulls.where(F.col("vec_id") < 2)
+    topk = similarity.brute_force_topk_distributed(queries, emb_with_nulls, k=3)
+    assert 6 not in {r.neighbor_id for r in topk.collect()}
+
+
+def test_contamination_null_text(spark, docs_with_nulls):
+    from etl_zero_spark.operators import corpus
+
+    out = corpus.cross_corpus_contamination(
+        docs_with_nulls, docs_with_nulls.select("doc_id", "text"), n=5
+    )
+    got = {(r.test_id, r.train_id) for r in out.collect()}
+    assert (1, 1) in got and (3, 1) in got  # real overlaps survive
+    assert not any(2 in p for p in got)  # null doc pairs with nothing
+
+
+def test_multimodal_null_payload(spark):
+    from etl_zero_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"some real bytes here"), "x"),
+            (2, "image", None, "x"),
+        ],
+        "media_id long, kind string, payload binary, mime string",
+    )
+    meta = {r.media_id: r for r in multimodal.decode_metadata(media).collect()}
+    assert meta[2].n_bytes == 0  # documented null -> empty-payload stub
+    feats = {
+        r.media_id: r.embedding
+        for r in multimodal.extract_byte_features(media).collect()
+    }
+    assert all(v == 0.0 for v in feats[2])  # zero vector, unit-norm skipped
+    px = {r.media_id: r.pixels for r in multimodal.resize_image(media, 4, 4).collect()}
+    assert bytes(px[2]) == bytes(16)
+    frames = multimodal.sample_frames(media, n_frames=2)
+    assert frames.where("media_id = 2").count() == 2  # empty slices, not a crash
+
+
+def test_pack_sequences_null_text(spark, docs_with_nulls):
+    from etl_zero_spark.operators import corpus
+
+    packed = corpus.pack_sequences(docs_with_nulls, budget=20)
+    rows = {r.doc_id: r for r in packed.collect()}
+    assert len(rows) == 4  # null-text doc still assigned (0 tokens)
+    assert rows[2].n_tokens in (0, None)
