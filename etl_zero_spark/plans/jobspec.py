@@ -48,6 +48,7 @@ class PipelineResult:
 
     extracted: dict[str, str] = field(default_factory=dict)
     mapped: list[str] = field(default_factory=list)
+    validated: dict[str, Any] = field(default_factory=dict)
     transformed: list[str] = field(default_factory=list)
     aggregated: list[str] = field(default_factory=list)
 
@@ -87,6 +88,37 @@ def run_pipeline(
         merged = DatasetMapper(raw_tables, warehouse.fks).merge_tables()
     else:
         merged = raw_tables  # straight copy (scheduler.py:71-103)
+
+    # -- stage 2.5: validate / quarantine (engine extension — the
+    # reference lets violating rows flow silently; a declared
+    # "expectations" block gates them BEFORE the zone write) ------------
+    #   "expectations": {"<table>": [
+    #       {"check": "not_null"|"in_range"|"in_set"|"matches", ...}]}
+    exp_spec = spec.get("expectations", {})
+    if exp_spec:
+        from etl_zero_spark.operators import validate as V
+
+        builders = {
+            "not_null": lambda c: V.not_null(c["col"]),
+            "in_range": lambda c: V.in_range(
+                c["col"], c.get("lo"), c.get("hi")
+            ),
+            "in_set": lambda c: V.in_set(c["col"], c["allowed"]),
+            "matches": lambda c: V.matches(c["col"], c["pattern"]),
+        }
+        for table, checks in exp_spec.items():
+            if table not in merged:
+                continue
+            exps = [builders[c["check"]](c) for c in checks]
+            clean, bad = V.quarantine(merged[table], exps)
+            merged[table] = clean
+            warehouse.silver_mapping.write(bad, f"quarantine_{table}")
+            rep = V.validate(clean, exps)
+            result.validated[table] = {
+                "clean_rows": rep.n_rows,
+                "passed": rep.passed,
+            }
+
     for name, df in merged.items():
         warehouse.silver_mapping.write(df, name)
         result.mapped.append(name)
@@ -95,6 +127,7 @@ def run_pipeline(
     staged = {
         t: warehouse.silver_mapping.read(spark, t)
         for t in warehouse.silver_mapping.list_tables()
+        if not t.startswith("quarantine_")
     }
     transforms = spec.get("transformations", [])
     transformed = transform_all_tables(staged, transforms) if transforms else staged

@@ -134,3 +134,46 @@ def test_run_scheduled_recurring_two_ticks():
     # schedule.every(N).minutes fires one interval after start, then re-arms
     assert ran == [datetime(2026, 1, 1, 12, 10), datetime(2026, 1, 1, 12, 20)]
     assert ft.sleeps == [600.0, 600.0]
+
+
+def test_pipeline_expectations_quarantine(spark, tmp_path):
+    """The expectations block gates violating rows between zones: bad
+    rows land in a quarantine table, downstream stages see only clean
+    rows, and the status artifact reports the validation outcome."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "id": [1, 2, 3, 4],
+                "price": [10.0, -5.0, 30.0, None],
+                "status": ["O", "F", "X", "O"],
+            }
+        ),
+        str(src / "items.parquet"),
+    )
+    wh = Warehouse(str(tmp_path / "wh"))
+    spec = {
+        "extraction": {"items": {"mode": "full"}},
+        "mapping": False,
+        "expectations": {
+            "items": [
+                {"check": "in_range", "col": "price", "lo": 0},
+                {"check": "in_set", "col": "status", "allowed": ["O", "F"]},
+            ]
+        },
+        "transformations": [],
+    }
+    res = run_pipeline(spark, spec, str(src), wh)
+    assert res.validated["items"]["passed"]
+    assert res.validated["items"]["clean_rows"] == 2  # rows 1 and 4
+    clean = wh.silver_mapping.read(spark, "items")
+    assert {r.id for r in clean.collect()} == {1, 4}
+    bad = wh.silver_mapping.read(spark, "quarantine_items")
+    assert {r.id for r in bad.collect()} == {2, 3}
+    # downstream transform stage only saw the clean rows
+    out = wh.silver.read(spark, "transformed_items")
+    assert out.count() == 2
