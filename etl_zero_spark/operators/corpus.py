@@ -140,8 +140,11 @@ def pack_sequences(
     and within a stream a running token cumsum (window, ordered by id)
     assigns ``pack_id = floor((cumsum - tokens) / budget)``. A pack
     never exceeds ``budget`` by more than one document's overhang —
-    the same guarantee the standard concat-then-chunk loader gives —
-    and no pack is underfull except each stream's last.
+    the same guarantee the standard concat-then-chunk loader gives.
+    When every document fits the budget, stream-local pack ids are
+    dense and only each stream's last pack is underfull; a document
+    LARGER than the whole budget occupies its own pack and may skip an
+    index (pack_id stays monotonic — property-tested).
 
     Scale: ONE hash shuffle on stream id + one window per stream; a
     stream's window is |docs| / n_streams rows, so parallelism is
