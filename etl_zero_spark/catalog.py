@@ -245,6 +245,31 @@ class Zone:
             reader = reader.option("inferSchema", True)
         return reader.csv(path)
 
+    def write_jsonl(self, df: DataFrame, table: str, mode: str = "overwrite") -> str:
+        """JSON-lines sink (one object per line, executor-parallel like
+        the CSV sink) — the interchange format for event feeds and
+        labeling tools. Timestamps serialize ISO-8601; binary columns
+        base64 (Spark's JSON writer defaults), so round-trips need the
+        original schema like ``read_csv``."""
+        path = self.path(table) + "_jsonl"
+        # default timestampFormat truncates to millis — a sink must be
+        # lossless, so pin microsecond precision (mirrored on read)
+        df.write.mode(mode).option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        ).json(path)
+        return path
+
+    def read_jsonl(self, spark: SparkSession, table: str, schema=None) -> DataFrame:
+        """Read back a ``write_jsonl`` table; pass the original schema
+        to skip inference (and keep integer widths / timestamp types)."""
+        path = self.path(table) + "_jsonl"
+        reader = spark.read.option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        )
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.json(path)
+
 
 @dataclass
 class Warehouse:

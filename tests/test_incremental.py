@@ -120,3 +120,18 @@ def test_merge_latest_composite_key(spark):
         ).collect()
     }
     assert got == {("x", 1, 2, "new"), ("y", 1, 1, "other-region")}
+
+
+def test_jsonl_sink_roundtrip(spark, tmp_path):
+    from etl_zero_spark.catalog import Zone, load_table
+
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(200)
+    zone = Zone(str(tmp_path), "golden")
+    zone.write_jsonl(ev, "events")
+    back = zone.read_jsonl(spark, "events", schema=ev.schema)
+    cols = ev.columns
+    a = {tuple(r[c] for c in cols) for r in ev.collect()}
+    b = {tuple(r[c] for c in cols) for r in back.collect()}
+    assert a == b  # lossless incl. timestamps and null props
