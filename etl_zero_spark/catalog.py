@@ -245,6 +245,20 @@ class Zone:
             reader = reader.option("inferSchema", True)
         return reader.csv(path)
 
+    def write_orc(self, df: DataFrame, table: str, mode: str = "overwrite") -> str:
+        """ORC sink (columnar alternative to parquet, reader built into
+        Spark): same executor-parallel write path and footer statistics,
+        for pipelines whose downstream (Hive/Trino ORC estates) reads
+        ORC. Zstd-compressed — the current-generation default."""
+        path = self.path(table) + "_orc"
+        df.write.mode(mode).option("compression", "zstd").orc(path)
+        return path
+
+    def read_orc(self, spark: SparkSession, table: str) -> DataFrame:
+        """Read back a ``write_orc`` table (schema travels in the ORC
+        footer — no inference pass needed, unlike CSV/JSONL)."""
+        return spark.read.orc(self.path(table) + "_orc")
+
     def write_jsonl(self, df: DataFrame, table: str, mode: str = "overwrite") -> str:
         """JSON-lines sink (one object per line, executor-parallel like
         the CSV sink) — the interchange format for event feeds and
