@@ -265,3 +265,58 @@ def stratified_take(
         .where(F.col("__rk") <= quota)
         .drop("__rk")
     )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global pseudo-random ordering of a corpus — the
+    training-order shuffle.
+
+    ``orderBy(rand())`` gives a DIFFERENT order every run (and every
+    retry of a lost task); this keys the order on
+    ``xxhash64(id, seed)``, a pure function of the row, so the order
+    is reproducible across runs, clusters, partitionings and task
+    retries, and changing ``seed`` gives an independent permutation —
+    the property an ablation ("same data, different order") needs.
+
+    Layout: one range shuffle on the hash key + in-partition sort, so
+    reading the output files in partition order replays the
+    permutation; no global single-partition sort ever happens.
+    Collisions tie-break on the id, keeping the total order strict.
+    """
+    n = n_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    key = F.xxhash64(F.col(id_col), F.lit(seed))
+    return (
+        df.withColumn("__shuffle_key", key)
+        .repartitionByRange(n, F.col("__shuffle_key"), F.col(id_col))
+        .sortWithinPartitions("__shuffle_key", id_col)
+        .drop("__shuffle_key")
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    col: str,
+    blocked: list[str] | DataFrame,
+    invert: bool = False,
+) -> DataFrame:
+    """Drop rows whose ``col`` value is on a blocklist (C4-style source
+    filtering: bad domains, opted-out sources, license classes).
+
+    A literal list compiles to a broadcast ``isin`` (pure filter,
+    pushes to the scan); a DataFrame blocklist becomes a broadcast
+    LEFT ANTI join — either way the big side never shuffles.
+    ``invert=True`` turns the blocklist into an allowlist.
+    """
+    if isinstance(blocked, DataFrame):
+        bl = F.broadcast(blocked.select(F.col(blocked.columns[0]).alias(col)).distinct())
+        how = "left_semi" if invert else "left_anti"
+        return df.join(bl, col, how)
+    cond = F.col(col).isin(blocked)
+    return df.where(cond if invert else ~F.coalesce(cond, F.lit(False)))

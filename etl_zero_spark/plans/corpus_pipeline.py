@@ -1,0 +1,107 @@
+"""End-to-end training-corpus preparation: the composition a user of
+this engine actually runs over raw documents.
+
+The reference's pipeline notion is extract -> map -> transform over
+MySQL zones (scheduler.py:185-209); the LLM-data analog is the chain
+below, each stage an operator that already exists and is individually
+oracle/property-tested — this module contributes the COMPOSITION, its
+stage accounting, and the single place the stage order is documented:
+
+    blocklist -> PII scrub -> Gopher quality gate -> exact dedup ->
+    MinHash near-dedup -> eval-set decontamination -> deterministic
+    shuffle -> sequence packing
+
+Stage order rationale (each earlier stage shrinks the input of a more
+expensive later one): the blocklist is a broadcast filter (cheapest),
+quality gating is one projection, exact dedup is one groupBy, near-dup
+is the first join-heavy stage, decontamination touches the eval corpus
+too, and packing/shuffle are layout stages that must run LAST so pack
+assignments reflect the final membership.
+
+Every stage is lazy; ``collect_stats=True`` materializes per-stage
+row counts (caching each counted frame so the lineage is not
+recomputed stage-over-stage). At 100 TB run with stats off, or let
+the zone writes between stages provide the counts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from ..operators.corpus import (
+    blocklist_filter,
+    decontaminate,
+    pack_sequences,
+    shuffle_corpus,
+)
+from ..operators.dedup import dedup_keep_min, exact_dedup, minhash_lsh_pairs
+from ..operators.quality import gopher_filter
+from ..operators.text import scrub_pii
+
+
+@dataclass
+class CorpusResult:
+    df: DataFrame
+    stats: dict[str, int] = field(default_factory=dict)
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    blocked_sources: list[str] | None = None,
+    source_col: str = "source",
+    quality: bool = True,
+    near_dedup_threshold: float | None = 0.5,
+    test_set: DataFrame | None = None,
+    decontam_n: int = 8,
+    shuffle_seed: int | None = 0,
+    pack_budget: int | None = None,
+    collect_stats: bool = True,
+) -> CorpusResult:
+    """Run the full preparation chain; every stage is optional via its
+    parameter (``None``/``False`` skips it). Returns the prepared
+    corpus plus per-stage surviving-row counts."""
+    stats: dict[str, int] = {}
+    df = docs
+
+    def record(stage: str, frame: DataFrame) -> DataFrame:
+        if collect_stats:
+            frame = frame.cache()
+            stats[stage] = frame.count()
+        return frame
+
+    df = record("input", df)
+    if blocked_sources:
+        df = record("blocklist", blocklist_filter(df, source_col, blocked_sources))
+    df = record("pii_scrub", scrub_pii(df, text_col=text_col))
+    if quality:
+        kept = (
+            gopher_filter(df, text_col=text_col, id_col=id_col)
+            .where("keep")
+            .select(id_col)
+        )
+        df = record("quality_gate", df.join(kept, id_col, "left_semi"))
+    df = record("exact_dedup", exact_dedup(df, text_col=text_col, id_col=id_col))
+    if near_dedup_threshold is not None:
+        pairs = minhash_lsh_pairs(
+            df, threshold=near_dedup_threshold, text_col=text_col, id_col=id_col
+        )
+        df = record("near_dedup", dedup_keep_min(df, pairs, id_col=id_col))
+    if test_set is not None:
+        df = record(
+            "decontaminate",
+            decontaminate(
+                df, test_set, n=decontam_n, id_col=id_col, text_col=text_col
+            ),
+        )
+    if shuffle_seed is not None:
+        df = shuffle_corpus(df, seed=shuffle_seed, id_col=id_col)
+    if pack_budget is not None:
+        df = record(
+            "packed", pack_sequences(df, budget=pack_budget, id_col=id_col, text_col=text_col)
+        )
+    return CorpusResult(df=df, stats=stats)

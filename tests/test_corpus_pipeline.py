@@ -1,0 +1,147 @@
+"""End-to-end corpus preparation: composition order, stage accounting,
+deterministic shuffle, blocklist filtering."""
+
+from pyspark.sql import functions as F
+
+from etl_zero_spark.catalog import load_table
+from etl_zero_spark.operators.corpus import blocklist_filter, shuffle_corpus
+from etl_zero_spark.plans.corpus_pipeline import prepare_corpus
+
+SF = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# shuffle_corpus
+# --------------------------------------------------------------------------
+
+
+def test_shuffle_is_deterministic_permutation(spark):
+    docs = load_table(spark, SF, "documents")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+
+    a = [r["doc_id"] for r in shuffle_corpus(docs, seed=1).select("doc_id").collect()]
+    b = [r["doc_id"] for r in shuffle_corpus(docs, seed=1).select("doc_id").collect()]
+    # reproducible across runs AND across input partitionings
+    c = [
+        r["doc_id"]
+        for r in shuffle_corpus(docs.repartition(13), seed=1).select("doc_id").collect()
+    ]
+    assert a == b == c
+    assert sorted(a) == sorted(ids)  # a permutation
+    assert a != sorted(a)  # actually shuffled
+
+    d = [r["doc_id"] for r in shuffle_corpus(docs, seed=2).select("doc_id").collect()]
+    assert d != a  # seed changes the permutation
+
+
+# --------------------------------------------------------------------------
+# blocklist_filter
+# --------------------------------------------------------------------------
+
+
+def test_blocklist_literal_and_frame_agree(spark):
+    docs = load_table(spark, SF, "documents")
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    blocked = sources[:1]
+
+    lit_out = blocklist_filter(docs, "source", blocked)
+    frame = spark.createDataFrame([(s,) for s in blocked], "source string")
+    df_out = blocklist_filter(docs, "source", frame)
+    assert lit_out.count() == df_out.count() == docs.where(~F.col("source").isin(blocked)).count()
+    assert lit_out.where(F.col("source").isin(blocked)).count() == 0
+
+    allow = blocklist_filter(docs, "source", blocked, invert=True)
+    assert allow.count() == docs.where(F.col("source").isin(blocked)).count()
+
+
+def test_blocklist_keeps_null_sources(spark):
+    df = spark.createDataFrame(
+        [(1, "bad.com"), (2, "good.com"), (3, None)], "doc_id long, source string"
+    )
+    out = blocklist_filter(df, "source", ["bad.com"])
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+
+
+# --------------------------------------------------------------------------
+# prepare_corpus
+# --------------------------------------------------------------------------
+
+
+def test_prepare_corpus_end_to_end(spark):
+    docs = load_table(spark, SF, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    some_text = docs.select("text").first()["text"]
+
+    planted = spark.createDataFrame(
+        [
+            # exact duplicate of an existing doc (text identical)
+            (max_id + 1, some_text, "en", "planted", len(some_text)),
+            # blocked source
+            (max_id + 2, "totally fine text here", "en", "blocked_src", 22),
+            # contaminated vs the eval set below (shares its full text)
+            (
+                max_id + 3,
+                "eval question one two three four five six seven eight nine ten",
+                "en",
+                "planted",
+                63,
+            ),
+        ],
+        docs.schema,
+    )
+    corpus = docs.unionByName(planted)
+    test_set = spark.createDataFrame(
+        [
+            (
+                1,
+                "eval question one two three four five six seven eight nine ten",
+            )
+        ],
+        "doc_id long, text string",
+    )
+
+    res = prepare_corpus(
+        corpus,
+        blocked_sources=["blocked_src"],
+        quality=False,  # fixture docs are synthetic word salad: Gopher drops all
+        near_dedup_threshold=0.9,
+        test_set=test_set,
+        pack_budget=512,
+        collect_stats=True,
+    )
+    out = res.df
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+
+    assert max_id + 1 not in ids  # exact dup lost to keep-min
+    assert max_id + 2 not in ids  # blocked source
+    assert max_id + 3 not in ids  # decontaminated
+    # stage accounting is monotone non-increasing in pipeline order
+    order = ["input", "blocklist", "pii_scrub", "exact_dedup", "near_dedup", "decontaminate", "packed"]
+    counts = [res.stats[s] for s in order if s in res.stats]
+    assert counts == sorted(counts, reverse=True)
+    assert res.stats["input"] == corpus.count()
+    # packing assigned a pack to every surviving doc
+    assert out.where(F.col("pack_key").isNull()).count() == 0
+
+
+def test_prepare_corpus_quality_gate_on_natural_text(spark):
+    prose = (
+        "The quick brown fox jumps over that old wooden fence and keeps "
+        "running toward the distant river where several children have been "
+        "playing since morning. Their parents watched from a small hill "
+        "nearby, talking about the harvest and whether the weather would "
+        "hold through the coming week. Nobody expected the storm that "
+        "arrived later with heavy rain and sudden wind, scattering leaves "
+        "across every garden in the village before nightfall."
+    )
+    spam = "buy now " * 100
+    df = spark.createDataFrame(
+        [(1, prose, "en", "web", len(prose)), (2, spam, "en", "web", len(spam))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    res = prepare_corpus(
+        df, near_dedup_threshold=None, shuffle_seed=None, collect_stats=True
+    )
+    ids = {r["doc_id"] for r in res.df.select("doc_id").collect()}
+    assert ids == {1}
+    assert res.stats["quality_gate"] == 1
