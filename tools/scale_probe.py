@@ -300,6 +300,41 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             )
         return joined
 
+    def gopher_100k():
+        # the full repetition+quality battery (one projection + the
+        # greedy-scan UDF) over the adversarial 100k salad corpus
+        from etl_zero_spark.operators.quality import gopher_filter
+
+        return gopher_filter(docs).where("keep")
+
+    def shuffle_100k():
+        # deterministic training-order shuffle: one range exchange
+        return corpus.shuffle_corpus(docs, seed=1)
+
+    def zorder_6m():
+        # Z-order layout at 6M rows: quantile-sketch pass + range-
+        # shuffled write, then the pruning claim is ASSERTED from the
+        # parquet footers (a 1/64-of-domain predicate on each clustered
+        # column must skip files), and the read-back row count proves
+        # the rewrite lossless.
+        from etl_zero_spark.catalog import Zone
+        from etl_zero_spark.operators import layout
+
+        li = load_table(spark, probe_dir, "lineitem")
+        zone = Zone(os.path.join(probe_dir, "zone"), "probe")
+        layout.write_zordered(
+            zone, li, "li_z", ["l_partkey", "l_suppkey"], bits=5, n_files=32
+        )
+        path = zone.path("li_z")
+        # generated keys are xxhash64 % N -> domain (-N, N)
+        for col, width in [("l_partkey", 400_000), ("l_suppkey", 20_000)]:
+            st = layout.file_prune_stats(path, col, 0, width // 64)
+            if st["file_keep_fraction"] > 0.6:
+                raise AssertionError(
+                    f"z-order failed to prune on {col}: {st}"
+                )
+        return zone.read(spark, "li_z")
+
     out: dict = {
         "corpus": {
             "n_docs": N_DOCS,
@@ -322,6 +357,9 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("aj1_asof_10m", asof_10m),
         ("rj1_range_10m", range_10m),
         ("st1_stream_tumbling_10m", stream_tumbling_10m),
+        ("gopher_100k", gopher_100k),
+        ("shuffle_100k", shuffle_100k),
+        ("zorder_6m", zorder_6m),
         ("bucketed_join_6m", bucketed_join_6m),
         ("dd2_t05", dd2),
     ]:
