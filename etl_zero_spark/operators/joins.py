@@ -269,3 +269,104 @@ def range_join(
         )
         out = out.unionByName(pad)
     return out
+
+
+def edit_similarity_expr(a, b):
+    """Normalized edit similarity ``1 - lev(a,b)/max(|a|,|b|)`` as a
+    native Column expression (JVM levenshtein, no UDF). Two empty
+    strings are identical (similarity 1)."""
+    denom = F.greatest(F.length(a), F.length(b)).cast("double")
+    return F.when(denom == 0, F.lit(1.0)).otherwise(
+        F.round(F.lit(1.0) - F.levenshtein(a, b) / denom, 6)
+    )
+
+
+def fuzzy_string_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    threshold: float = 0.8,
+    q: int = 3,
+    df_cap: int | None = 10_000,
+    normalize: bool = True,
+) -> DataFrame:
+    """Data-level fuzzy equi-join: all (left, right) pairs whose
+    strings have edit similarity >= ``threshold`` — entity resolution
+    over names/titles, the data-scale version of the reference's
+    column-NAME fuzzy matching (transformations_code.py:11-21).
+
+    Spark-first shape (Ed-Join/q-gram blocking, Xiao et al., VLDB'08):
+    pad each string with q-1 boundary markers, explode its q-gram SET
+    into an inverted index, candidates meet in ONE shuffled equi-join
+    on the q-gram, then rescore exactly with the native
+    ``levenshtein`` expression — no cross join, no UDF.
+
+    Recall contract (the q-gram count lemma): d edits destroy at most
+    q*d of a padded string's |s|+q-1 q-grams, so a qualifying pair
+    still shares a q-gram whenever ``(1-t)*maxlen < (maxlen+q-2)/q``
+    — with q=3 that holds for every threshold >= 2/3 at any string
+    length. Below that, pairs whose every shared gram was destroyed
+    can be missed — use dedup.ngram_jaccard_pairs for low-threshold
+    regimes.
+
+    ``df_cap`` drops q-grams occurring in more than that many index
+    rows from DISCOVERY (stop-gram bound, as in dd2): a gram shared
+    by m rows emits m^2 candidates, so boilerplate grams must not fan
+    out at corpus scale. Reported similarity stays exact; only
+    discovery through capped grams is lost.
+
+    Output: all left columns + all right columns (renamed ``*_r`` on
+    collision) + ``similarity``.
+    """
+    lid, rid = "__fz_lid", "__fz_rid"
+    lnorm, rnorm = "__fz_lval", "__fz_rval"
+    pad_str = "\u0001" * (q - 1)  # boundary marker outside normal text
+
+    def prep(df: DataFrame, col: str, idc: str, vc: str) -> DataFrame:
+        v = F.col(col)
+        if normalize:
+            v = F.lower(F.trim(v))
+        return df.withColumn(idc, F.monotonically_increasing_id()).withColumn(vc, v)
+
+    L = prep(left, left_col, lid, lnorm)
+    R = prep(right, right_col, rid, rnorm)
+
+    def grams(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        padded = F.concat(F.lit(pad_str), F.col(vc), F.lit(pad_str))
+        idx = F.sequence(F.lit(1), F.length(padded) - (q - 1))
+        gs = F.array_distinct(F.transform(idx, lambda i: padded.substr(i, F.lit(q))))
+        out = df.where(F.col(vc).isNotNull()).select(
+            idc, F.explode(gs).alias("__gram")
+        )
+        if df_cap is not None:
+            hot = (
+                out.groupBy("__gram")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .where(F.col("__df") > df_cap)
+                .select("__gram")
+            )
+            out = out.join(F.broadcast(hot), "__gram", "left_anti")
+        return out
+
+    cand = (
+        grams(L, lid, lnorm)
+        .join(grams(R, rid, rnorm), "__gram")
+        .select(lid, rid)
+        .dropDuplicates()
+    )
+    sim = (
+        cand.join(L.select(lid, lnorm), lid)
+        .join(R.select(rid, rnorm), rid)
+        .withColumn("similarity", edit_similarity_expr(F.col(lnorm), F.col(rnorm)))
+        .where(F.col("similarity") >= F.lit(float(threshold)))
+        .select(lid, rid, "similarity")
+    )
+    # re-attach full rows; suffix right-side collisions
+    rcols = {c: (c if c not in left.columns else f"{c}_r") for c in right.columns}
+    r_full = R.select(rid, *[F.col(c).alias(a) for c, a in rcols.items()])
+    return (
+        sim.join(L.drop(lnorm), lid)
+        .join(r_full, rid)
+        .drop(lid, rid, lnorm, rnorm)
+    )
