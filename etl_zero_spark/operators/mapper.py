@@ -110,6 +110,12 @@ class DatasetMapper:
     tables: dict[str, DataFrame]
     fks: dict[str, dict[str, tuple[str, str]]] = field(default_factory=dict)
     backend: str = "difflib"
+    #: R4 fallback tier: when FK metadata and name similarity both fail,
+    #: compare column VALUE sets (KMV sketches, one bounded aggregation
+    #: pass per table for the whole sweep) and accept the best pair at
+    #: ``value_overlap_threshold`` estimated Jaccard.
+    value_overlap: bool = False
+    value_overlap_threshold: float = 0.5
 
     def _sim_fn(self):
         if self.backend == "word2vec":
@@ -129,6 +135,25 @@ class DatasetMapper:
         done: set[str] = set()
         out: dict[str, DataFrame] = {}
         sim_fn = self._sim_fn()
+        sketches: dict[str, dict[str, KmvSketch]] = {}
+
+        def sketch(t: str) -> dict[str, KmvSketch]:
+            # one aggregation pass per TABLE for the whole sweep
+            if t not in sketches:
+                sketches[t] = column_value_sketches(self.tables[t])
+            return sketches[t]
+
+        def value_key(t1: str, t2: str) -> tuple[str, str] | None:
+            best: tuple[float, str, str] | None = None
+            for c1, a in sketch(t1).items():
+                for c2, b in sketch(t2).items():
+                    ov = kmv_overlap(a, b)
+                    if best is None or ov > best[0]:
+                        best = (ov, c1, c2)
+            if best is not None and best[0] >= self.value_overlap_threshold:
+                return (best[1], best[2])
+            return None
+
         for i, t1 in enumerate(names):
             if t1 in done:
                 continue
@@ -143,6 +168,8 @@ class DatasetMapper:
                     self.fks,
                     sim_fn=sim_fn,
                 )
+                if key is None and self.value_overlap:
+                    key = value_key(t1, t2)
                 if key is None:
                     continue
                 out[f"{t1}_{t2}_merged"] = merge_pair(

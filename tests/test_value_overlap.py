@@ -87,3 +87,25 @@ def test_filter_truncated_sketches_compare_correctly(spark):
     ss = column_value_sketches(small, k=64)["key"]
     est = kmv_overlap(sb, ss)  # true Jaccard = 1.0 (identical value sets)
     assert est >= 0.8
+
+
+def test_mapper_value_overlap_fallback(spark):
+    from etl_zero_spark.operators.mapper import DatasetMapper
+
+    customer = load_table(spark, SF, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    orders = load_table(spark, SF, "orders").select(
+        F.col("o_custkey").alias("buyer_ref"), "o_totalprice"
+    )
+    # no FK metadata, no lexical signal: without the fallback the pair
+    # passes through unmerged...
+    plain = DatasetMapper({"orders": orders, "customer": customer}).merge_tables()
+    assert set(plain) == {"orders", "customer"}
+    # ...with it, the value evidence merges them on the renamed FK
+    mapped = DatasetMapper(
+        {"orders": orders, "customer": customer}, value_overlap=True
+    ).merge_tables()
+    assert set(mapped) == {"orders_customer_merged"}
+    merged = mapped["orders_customer_merged"]
+    assert merged.count() == orders.count()
