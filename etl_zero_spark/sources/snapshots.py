@@ -1,0 +1,331 @@
+"""Versioned snapshot tables: manifest-pinned parquet with time travel.
+
+The reference's zones are plain MySQL databases (data_extraction.py:
+13-16): an overwrite is a DROP + re-INSERT, so a reader racing a
+refresh sees a half-loaded table, and yesterday's state is simply gone.
+A bare parquet directory on a lake has the same failure modes — plus
+eventually-consistent listings — and at 100 TB "re-run the pipeline"
+is not a rollback strategy.
+
+This module is the smallest table format that fixes that, built from
+two primitives object stores and POSIX both give us:
+
+* data files are IMMUTABLE — every commit writes fresh part files into
+  its own ``data/commit-<uuid>/`` directory and never touches existing
+  bytes;
+* a version is a MANIFEST — one JSON file listing exactly the data
+  files that make up that version — published with an atomic
+  create-if-absent (``os.link``), which doubles as optimistic
+  concurrency control: two writers racing the same parent version
+  produce one winner and one ``CommitConflict``, never interleaved
+  state.
+
+Everything else falls out of those two rules:
+
+* **Readers never block writers** (and vice versa): a query plans
+  against the explicit file list of one manifest, so an overwrite
+  committed mid-query changes nothing the query reads.
+* **Time travel** is reading an old manifest (``read(version=3)``).
+* **Rollback** is a new commit whose file list is copied from an old
+  manifest — history moves forward only, the bad version stays
+  auditable.
+* **Incremental consumption** (``read_changes``) is the file-list diff
+  between two manifests — an append-only feed costs exactly the new
+  files, never a rescan. This is what the materialized-view refresher
+  (operators/matview.py) consumes.
+* **Vacuum** deletes data files unreferenced by every retained
+  manifest — and only those, so pinned history stays readable.
+
+Scale notes: a manifest holds file paths and footer row counts, never
+rows — its size is O(files), kept in check by layout.compact; commits
+are metadata-atomic regardless of data volume (the multi-terabyte part
+writes happen BEFORE the single link() publish, so a crashed writer
+leaves invisible orphan files, cleaned by vacuum, not a corrupt
+table). The same manifest-CAS design is how Delta Lake / Iceberg
+commits work; this is the dependency-free core of it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first (optimistic
+    concurrency loss). Re-read, re-apply, retry."""
+
+
+def _version_path(root: str, version: int) -> str:
+    return os.path.join(root, _MANIFEST_DIR, f"v{version:08d}.json")
+
+
+class SnapshotTable:
+    """A versioned parquet table rooted at ``root``.
+
+    Layout::
+
+        root/
+          data/commit-<uuid>/part-*.parquet   (immutable)
+          _manifests/v00000001.json           (one per version)
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
+
+    # -- manifest access ---------------------------------------------------
+
+    def versions(self) -> list[int]:
+        mdir = os.path.join(self.root, _MANIFEST_DIR)
+        out = []
+        for f in os.listdir(mdir):
+            if f.startswith("v") and f.endswith(".json"):
+                try:
+                    out.append(int(f[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def current_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def manifest(self, version: int) -> dict:
+        with open(_version_path(self.root, version)) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        """Newest-first commit log (version, operation, rows, files,
+        timestamp) — the audit trail the reference's drop-and-reload
+        zones cannot produce."""
+        out = []
+        for v in reversed(self.versions()):
+            m = self.manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "operation": m["operation"],
+                    "rows": m["rows"],
+                    "n_files": len(m["files"]),
+                    "committed_at": m["committed_at"],
+                    "parent": m["parent"],
+                }
+            )
+        return out
+
+    # -- commit protocol ---------------------------------------------------
+
+    def _stage(self, df: DataFrame) -> tuple[list[str], int, str]:
+        """Write ``df``'s part files into a fresh commit directory and
+        return (relative file paths, row count, schema json). Row counts
+        come from the parquet footers — no second Spark job."""
+        import pyarrow.parquet as pq
+
+        commit_dir = f"commit-{uuid.uuid4().hex[:16]}"
+        abs_dir = os.path.join(self.root, _DATA_DIR, commit_dir)
+        df.write.mode("overwrite").parquet(abs_dir)
+        rel_files, rows = [], 0
+        for f in sorted(os.listdir(abs_dir)):
+            if f.endswith(".parquet"):
+                rel = os.path.join(_DATA_DIR, commit_dir, f)
+                rel_files.append(rel)
+                rows += pq.ParquetFile(os.path.join(self.root, rel)).metadata.num_rows
+        return rel_files, rows, df.schema.json()
+
+    def _publish(self, manifest: dict, version: int) -> int:
+        """Atomically publish ``manifest`` as ``version``: write to a
+        temp name, then ``os.link`` to the final name — link fails with
+        EEXIST if any other writer published this version first, and a
+        linked file appears fully written or not at all."""
+        final = _version_path(self.root, version)
+        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise CommitConflict(
+                f"version {version} was committed by another writer; "
+                "re-read the table and retry"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return version
+
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        expected_version: int | None = None,
+    ) -> int:
+        """Commit ``df`` as a new version. ``mode='overwrite'`` replaces
+        the logical table; ``mode='append'`` adds to it (the new
+        manifest references the parent's files PLUS the new ones — no
+        data is rewritten).
+
+        ``expected_version`` is the read-set guard for
+        read-modify-write flows: pass the version you read, and the
+        commit refuses (``CommitConflict``) if anyone committed since —
+        even before the CAS race on the manifest file itself.
+        """
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode {mode!r}: use 'overwrite' or 'append'")
+        parent = self.current_version()
+        if expected_version is not None and parent != expected_version:
+            raise CommitConflict(
+                f"expected to commit on top of version {expected_version} "
+                f"but current is {parent}"
+            )
+        new_files, new_rows, schema_json = self._stage(df)
+        files, rows = list(new_files), new_rows
+        if mode == "append" and parent is not None:
+            pm = self.manifest(parent)
+            files = pm["files"] + files
+            rows = pm["rows"] + new_rows
+        manifest = {
+            "version": (parent + 1) if parent is not None else 0,
+            "parent": parent,
+            "operation": mode,
+            "files": files,
+            "added_files": new_files,
+            "rows": rows,
+            "schema": schema_json,
+            "committed_at": time.time(),
+        }
+        return self._publish(manifest, manifest["version"])
+
+    def rollback(self, to_version: int) -> int:
+        """Restore the table to ``to_version``'s contents via a NEW
+        commit that references that version's files — no data moves,
+        the rolled-back versions stay in history for audit."""
+        m = self.manifest(to_version)
+        parent = self.current_version()
+        manifest = {
+            "version": parent + 1,
+            "parent": parent,
+            "operation": f"rollback-to-{to_version}",
+            "files": m["files"],
+            "added_files": [],
+            "rows": m["rows"],
+            "schema": m["schema"],
+            "committed_at": time.time(),
+        }
+        return self._publish(manifest, manifest["version"])
+
+    # -- reads -------------------------------------------------------------
+
+    def _read_files(self, spark: SparkSession, files: list[str], schema_json: str) -> DataFrame:
+        if not files:
+            schema = StructType.fromJson(json.loads(schema_json))
+            return spark.createDataFrame([], schema)
+        return spark.read.parquet(*[os.path.join(self.root, f) for f in files])
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read the table as of ``version`` (default: latest). The plan
+        pins the manifest's explicit file list, so concurrent commits
+        and vacuum-of-other-versions cannot change what this query
+        sees."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"snapshot table {self.root} has no commits")
+        m = self.manifest(v)
+        return self._read_files(spark, m["files"], m["schema"])
+
+    def diff(self, from_version: int, to_version: int) -> dict:
+        """File-level delta between two versions: which files were added
+        and which removed. O(manifest) — no Spark job."""
+        a = set(self.manifest(from_version)["files"])
+        b = set(self.manifest(to_version)["files"])
+        return {"added": sorted(b - a), "removed": sorted(a - b)}
+
+    def read_changes(
+        self, spark: SparkSession, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Rows in files added after ``since_version`` up to
+        ``to_version`` (default latest) — the incremental-consumption
+        read: an append-only feed costs exactly the new files.
+
+        Raises if any file was REMOVED in the range (an overwrite or
+        rollback happened): file-diff semantics only equal row-diff
+        semantics on append-only history, and serving a wrong "delta"
+        silently would corrupt every downstream incremental consumer.
+        Callers catch this and fall back to a full recompute.
+        """
+        v_to = self.current_version() if to_version is None else to_version
+        d = self.diff(since_version, v_to)
+        if d["removed"]:
+            raise ValueError(
+                f"non-append history between v{since_version} and v{v_to}: "
+                f"{len(d['removed'])} file(s) removed (overwrite/rollback); "
+                "incremental read is not well-defined — recompute from the "
+                "full snapshot instead"
+            )
+        return self._read_files(spark, d["added"], self.manifest(v_to)["schema"])
+
+    # -- maintenance -------------------------------------------------------
+
+    def compact(self, spark: SparkSession, target_file_mb: int = 128) -> int:
+        """Bin-pack the current version's files into ~``target_file_mb``
+        outputs as a new commit (the snapshot-aware twin of
+        operators/layout.compact): readers of old versions keep their
+        files until vacuum."""
+        cur = self.read(spark)
+        total_bytes = sum(
+            os.path.getsize(os.path.join(self.root, f))
+            for f in self.manifest(self.current_version())["files"]
+        )
+        n = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+        return self.commit(cur.coalesce(n), mode="overwrite")
+
+    def vacuum(self, keep_versions: int = 2, dry_run: bool = False) -> dict:
+        """Expire history: retain the last ``keep_versions`` manifests,
+        delete older ones, then delete data files no retained manifest
+        references. Returns what was (or would be) deleted.
+
+        ``keep_versions >= 1`` always — the current version is never
+        vacuumable. Readers still inside an expired version lose their
+        files mid-query, exactly like Delta's VACUUM; retention is the
+        operator's lever for how long time travel reaches back.
+        """
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1")
+        import shutil
+
+        vs = self.versions()
+        keep, drop = vs[-keep_versions:], vs[:-keep_versions]
+        # A manifest references a commit directory's parquet files
+        # wholesale (append keeps whole parent commits, overwrite drops
+        # whole commits), so liveness is per commit dir — which also
+        # keeps Spark's _SUCCESS/.crc sidecars out of the accounting.
+        live_dirs: set[str] = set()
+        for v in keep:
+            for rel in self.manifest(v)["files"]:
+                live_dirs.add(os.path.basename(os.path.dirname(rel)))
+        ddir = os.path.join(self.root, _DATA_DIR)
+        dead_dirs = sorted(d for d in os.listdir(ddir) if d not in live_dirs)
+        dead_files = [
+            os.path.join(_DATA_DIR, d, f)
+            for d in dead_dirs
+            for f in sorted(os.listdir(os.path.join(ddir, d)))
+            if f.endswith(".parquet")
+        ]
+        out = {"dropped_versions": drop, "deleted_files": dead_files}
+        if dry_run:
+            return out
+        for v in drop:
+            os.unlink(_version_path(self.root, v))
+        for d in dead_dirs:
+            shutil.rmtree(os.path.join(ddir, d), ignore_errors=True)
+        return out

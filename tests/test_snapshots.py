@@ -1,0 +1,282 @@
+"""Snapshot tables (sources/snapshots.py) + incremental materialized
+views (operators/matview.py).
+
+Contracts under test:
+
+* commit/read round-trip, append vs overwrite semantics;
+* time travel: every historical version stays byte-stable after later
+  commits; a reader's pinned file list survives an overwrite;
+* atomicity: staged-but-unpublished data (crashed writer) is invisible;
+* optimistic concurrency: racing the same parent version yields exactly
+  one winner; ``expected_version`` guards read-modify-write;
+* rollback restores old contents as a NEW auditable version;
+* read_changes == the appended rows, and REFUSES non-append history;
+* vacuum deletes exactly the unreferenced files, keeps pinned history;
+* matview: incremental refresh equals the full recompute for every
+  decomposable aggregate (incl. avg + HLL), cursor makes replay a
+  no-op, base overwrite triggers full-recompute fallback, and
+  non-decomposable specs are rejected.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_zero_spark.operators.matview import (
+    MaterializedAgg,
+    finalize,
+    merge_partials,
+    partial_agg,
+    validate_spec,
+)
+from etl_zero_spark.sources.snapshots import CommitConflict, SnapshotTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, grp string, v double")
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return SnapshotTable(str(tmp_path / "t"))
+
+
+def test_commit_read_roundtrip(spark, tbl):
+    v0 = tbl.commit(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    assert v0 == 0
+    got = sorted(tbl.read(spark).collect(), key=lambda r: r.id)
+    assert [(r.id, r.grp, r.v) for r in got] == [(1, "a", 1.0), (2, "b", 2.0)]
+
+
+def test_append_and_time_travel(spark, tbl):
+    tbl.commit(_df(spark, [(1, "a", 1.0)]))
+    tbl.commit(_df(spark, [(2, "b", 2.0)]), mode="append")
+    v2 = tbl.commit(_df(spark, [(9, "z", 9.0)]), mode="overwrite")
+    assert v2 == 2
+    assert tbl.read(spark, version=0).count() == 1
+    assert tbl.read(spark, version=1).count() == 2
+    assert {r.id for r in tbl.read(spark, version=1).collect()} == {1, 2}
+    assert {r.id for r in tbl.read(spark).collect()} == {9}
+    hist = tbl.history()
+    assert [h["version"] for h in hist] == [2, 1, 0]
+    assert hist[1]["operation"] == "append"
+
+
+def test_pinned_reader_survives_overwrite(spark, tbl):
+    tbl.commit(_df(spark, [(1, "a", 1.0), (2, "a", 2.0)]))
+    pinned = tbl.read(spark)  # plan pins version-0 file list
+    tbl.commit(_df(spark, [(3, "b", 3.0)]), mode="overwrite")
+    # the pinned plan still reads version 0's files
+    assert {r.id for r in pinned.collect()} == {1, 2}
+
+
+def test_crashed_writer_invisible(spark, tbl):
+    tbl.commit(_df(spark, [(1, "a", 1.0)]))
+    # simulate a crash between staging and publish: stage writes files
+    # but no manifest appears
+    tbl._stage(_df(spark, [(99, "x", 99.0)]))
+    assert tbl.current_version() == 0
+    assert {r.id for r in tbl.read(spark).collect()} == {1}
+    # vacuum reclaims the orphaned commit dir
+    dead = tbl.vacuum(keep_versions=1)
+    assert len(dead["deleted_files"]) >= 1
+    assert {r.id for r in tbl.read(spark).collect()} == {1}
+
+
+def test_commit_conflict_cas(spark, tbl):
+    tbl.commit(_df(spark, [(1, "a", 1.0)]))
+    # two writers stage against parent 0; both publish version 1 — the
+    # CAS admits exactly one
+    m = tbl.manifest(0)
+    f1, r1, s1 = tbl._stage(_df(spark, [(2, "b", 2.0)]))
+    f2, r2, s2 = tbl._stage(_df(spark, [(3, "c", 3.0)]))
+    base = {"parent": 0, "operation": "overwrite", "added_files": [], "committed_at": 0.0}
+    tbl._publish({**base, "version": 1, "files": f1, "rows": r1, "schema": s1}, 1)
+    with pytest.raises(CommitConflict):
+        tbl._publish({**base, "version": 1, "files": f2, "rows": r2, "schema": s2}, 1)
+    assert {r.id for r in tbl.read(spark).collect()} == {2}
+
+
+def test_expected_version_guard(spark, tbl):
+    tbl.commit(_df(spark, [(1, "a", 1.0)]))
+    tbl.commit(_df(spark, [(2, "b", 2.0)]), mode="append")
+    with pytest.raises(CommitConflict):
+        tbl.commit(_df(spark, [(3, "c", 3.0)]), expected_version=0)
+
+
+def test_rollback_is_new_version(spark, tbl):
+    tbl.commit(_df(spark, [(1, "a", 1.0)]))
+    tbl.commit(_df(spark, [(9, "z", 9.0)]), mode="overwrite")
+    v = tbl.rollback(0)
+    assert v == 2
+    assert {r.id for r in tbl.read(spark).collect()} == {1}
+    # the bad version stays in history for audit
+    assert {r.id for r in tbl.read(spark, version=1).collect()} == {9}
+
+
+def test_read_changes_append_only(spark, tbl):
+    tbl.commit(_df(spark, [(1, "a", 1.0)]))
+    tbl.commit(_df(spark, [(2, "b", 2.0), (3, "b", 3.0)]), mode="append")
+    tbl.commit(_df(spark, [(4, "c", 4.0)]), mode="append")
+    delta = tbl.read_changes(spark, 0)
+    assert {r.id for r in delta.collect()} == {2, 3, 4}
+    delta12 = tbl.read_changes(spark, 1, 2)
+    assert {r.id for r in delta12.collect()} == {4}
+
+
+def test_read_changes_refuses_overwrite(spark, tbl):
+    tbl.commit(_df(spark, [(1, "a", 1.0)]))
+    tbl.commit(_df(spark, [(2, "b", 2.0)]), mode="overwrite")
+    with pytest.raises(ValueError, match="non-append"):
+        tbl.read_changes(spark, 0)
+
+
+def test_vacuum_retention(spark, tbl):
+    tbl.commit(_df(spark, [(1, "a", 1.0)]))
+    tbl.commit(_df(spark, [(2, "b", 2.0)]), mode="overwrite")
+    tbl.commit(_df(spark, [(3, "c", 3.0)]), mode="overwrite")
+    plan = tbl.vacuum(keep_versions=2, dry_run=True)
+    assert plan["dropped_versions"] == [0]
+    assert len(plan["deleted_files"]) >= 1
+    # dry run deleted nothing
+    assert tbl.read(spark, version=0).count() == 1
+    out = tbl.vacuum(keep_versions=2)
+    assert out["dropped_versions"] == [0]
+    # retained versions still read fine
+    assert {r.id for r in tbl.read(spark, version=1).collect()} == {2}
+    assert {r.id for r in tbl.read(spark).collect()} == {3}
+    # expired manifest is gone
+    assert tbl.versions() == [1, 2]
+
+
+def test_compact_preserves_contents(spark, tbl):
+    tbl.commit(_df(spark, [(i, "a", float(i)) for i in range(10)]))
+    for i in range(10, 14):
+        tbl.commit(_df(spark, [(i, "b", float(i))]), mode="append")
+    n_files_before = len(tbl.manifest(tbl.current_version())["files"])
+    v = tbl.compact(spark)
+    m = tbl.manifest(v)
+    assert len(m["files"]) < n_files_before
+    assert tbl.read(spark).count() == 14
+    assert {r.id for r in tbl.read(spark).collect()} == set(range(14))
+
+
+def test_empty_commit_reads_back_empty(spark, tbl):
+    tbl.commit(_df(spark, []).where(F.lit(False)))
+    df = tbl.read(spark)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["id", "grp", "v"]
+
+
+# --- matview ----------------------------------------------------------------
+
+AGGS = {"v": ["sum", "count", "min", "max", "avg"], "grp": ["approx_count_distinct"]}
+
+
+def _mv(spark, tmp_path):
+    base = SnapshotTable(str(tmp_path / "base"))
+    state = SnapshotTable(str(tmp_path / "state"))
+    return base, MaterializedAgg(base, state, keys=["grp"], aggs=AGGS)
+
+
+def _expected(spark, base):
+    return (
+        base.read(spark)
+        .groupBy("grp")
+        .agg(
+            F.sum("v").alias("v_sum"),
+            F.count("v").alias("v_count"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+            F.avg("v").alias("v_avg"),
+        )
+    )
+
+
+def _assert_view_matches(spark, base, mv):
+    got = {
+        r.grp: (r.v_sum, r.v_count, r.v_min, r.v_max, round(r.v_avg, 9))
+        for r in mv.read(spark).collect()
+    }
+    want = {
+        r.grp: (r.v_sum, r.v_count, r.v_min, r.v_max, round(r.v_avg, 9))
+        for r in _expected(spark, base).collect()
+    }
+    assert got == want
+
+
+def test_matview_incremental_equals_full(spark, tmp_path):
+    base, mv = _mv(spark, tmp_path)
+    base.commit(_df(spark, [(1, "a", 1.0), (2, "a", 3.0), (3, "b", 5.0)]))
+    r = mv.refresh(spark)
+    assert r["mode"] == "full"
+    _assert_view_matches(spark, base, mv)
+    base.commit(
+        _df(spark, [(4, "a", 7.0), (5, "c", 2.0), (6, "b", -1.0)]), mode="append"
+    )
+    r = mv.refresh(spark)
+    assert r["mode"] == "incremental"
+    _assert_view_matches(spark, base, mv)
+    # HLL estimate present and sane (1 distinct grp value per group)
+    for row in mv.read(spark).collect():
+        assert row.grp_approx_count_distinct == 1
+
+
+def test_matview_replay_noop(spark, tmp_path):
+    base, mv = _mv(spark, tmp_path)
+    base.commit(_df(spark, [(1, "a", 1.0)]))
+    mv.refresh(spark)
+    r = mv.refresh(spark)
+    assert r["mode"] == "noop"
+
+
+def test_matview_overwrite_falls_back_to_full(spark, tmp_path):
+    base, mv = _mv(spark, tmp_path)
+    base.commit(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    mv.refresh(spark)
+    base.commit(_df(spark, [(7, "a", 7.0)]), mode="overwrite")
+    r = mv.refresh(spark)
+    assert r["mode"] == "full"
+    _assert_view_matches(spark, base, mv)
+
+
+def test_matview_multi_round_incremental(spark, tmp_path):
+    base, mv = _mv(spark, tmp_path)
+    base.commit(_df(spark, [(1, "a", 2.0)]))
+    mv.refresh(spark)
+    for i in range(2, 6):
+        base.commit(
+            _df(spark, [(i, "ab"[i % 2], float(i) * 1.5)]), mode="append"
+        )
+        r = mv.refresh(spark)
+        assert r["mode"] == "incremental"
+        _assert_view_matches(spark, base, mv)
+
+
+def test_matview_rejects_non_decomposable():
+    with pytest.raises(ValueError, match="not incrementally maintainable"):
+        validate_spec({"v": ["count_distinct"]})
+    with pytest.raises(ValueError, match="not incrementally maintainable"):
+        validate_spec({"v": ["median"]})
+
+
+def test_partial_merge_algebra(spark):
+    """merge(partial(A), partial(B)) == partial(A ∪ B) — the algebraic
+    identity the whole module rests on, checked directly."""
+    a = _df(spark, [(1, "g", 1.0), (2, "g", 4.0), (3, "h", 2.0)])
+    b = _df(spark, [(4, "g", -3.0), (5, "h", 8.0), (6, "h", 0.5)])
+    aggs = {"v": ["sum", "count", "min", "max", "avg"]}
+    merged = finalize(
+        merge_partials(
+            partial_agg(a, ["grp"], aggs), partial_agg(b, ["grp"], aggs), ["grp"], aggs
+        ),
+        ["grp"],
+        aggs,
+    )
+    direct = finalize(partial_agg(a.unionByName(b), ["grp"], aggs), ["grp"], aggs)
+    got = {r.grp: (r.v_sum, r.v_count, r.v_min, r.v_max, r.v_avg) for r in merged.collect()}
+    want = {r.grp: (r.v_sum, r.v_count, r.v_min, r.v_max, r.v_avg) for r in direct.collect()}
+    assert got == want
