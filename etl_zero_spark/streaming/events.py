@@ -358,3 +358,32 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def enrich_with_dimension(
+    events: DataFrame, dim: DataFrame, on: str | list[str], how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the event
+    stream joins the static dimension frame — the streaming analog of
+    the reference's silver-zone mapping join (mapping.py:105-150), and
+    the standard way to attach dimension attributes to a live feed.
+
+    The static side is explicitly ``broadcast()``: a dimension beside
+    a 100 TB/day stream is small by definition, and broadcasting keeps
+    the stream side shuffle-free (stateless stage — no watermark, no
+    state store; Spark re-plans the static side per micro-batch, so a
+    dimension OVERWRITTEN between batches is picked up on the next
+    trigger without restarting the query — pair with
+    sources/scd.scd2_asof for a version-stable view instead when
+    mid-run drift is unacceptable).
+
+    Join types are restricted to the stateless set (inner / left with
+    the stream on the left): a right/full join against a stream would
+    need to know "rows the stream will never send", which is a
+    watermark question, not a lookup."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how {how!r}: stream-static enrichment supports 'inner' or "
+            "'left' (stream side preserved); right/full need stream state"
+        )
+    return events.join(F.broadcast(dim), on, how)

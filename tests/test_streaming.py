@@ -158,3 +158,33 @@ def test_transform_with_state_matches_legacy_and_batch(spark, stream):
         .collect()
     }
     assert final == want
+
+
+def test_stream_static_enrichment_matches_batch(spark, stream):
+    """Stream-static dimension join under availableNow equals the batch
+    join; plan carries a broadcast, stream side stays stateless."""
+    users = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("string"))
+    )
+    enriched = sev.enrich_with_dimension(
+        stream.select("event_id", "user_id", "value"), users, "user_id"
+    )
+    out = sev.run_available_now(enriched, "t_enrich", "append")
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "user_id", "value")
+        .join(users, "user_id", "left")
+    )
+    cols = ["event_id", "user_id", "segment"]
+    assert _rowset(out, cols) == _rowset(batch, cols)
+    # every stream row survived the left join
+    assert out.count() == load_table(spark, SF_SMOKE, "events").count()
+
+
+def test_stream_static_rejects_stateful_join_types(spark, stream):
+    users = load_table(spark, SF_SMOKE, "events").select("user_id").distinct()
+    with pytest.raises(ValueError, match="stream state"):
+        sev.enrich_with_dimension(stream, users, "user_id", how="full")
