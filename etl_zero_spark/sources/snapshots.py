@@ -329,3 +329,54 @@ class SnapshotTable:
         for d in dead_dirs:
             shutil.rmtree(os.path.join(ddir, d), ignore_errors=True)
         return out
+
+
+def snapshot_sink(stream_df, table: SnapshotTable, query_name: str, checkpoint: str):
+    """Exactly-once streaming append into a snapshot table via
+    ``foreachBatch``: each micro-batch commits as one ``append``
+    version whose manifest records the epoch id (operation
+    ``stream@{batch_id}``), so a batch REPLAYED after a crash (Spark
+    re-runs the last uncommitted epoch from the checkpoint) is
+    detected in the history and skipped — the sink-side idempotence
+    Structured Streaming requires from any exactly-once sink. The
+    manifest CAS makes the data+ledger write a single atomic publish
+    (the streaming-sink commit-ledger pattern, here unified with the
+    table format instead of a side file).
+
+    Returns the started StreamingQuery; the caller owns awaiting/
+    stopping it. Downstream consumers get incremental reads for free:
+    ``table.read_changes(spark, v)`` serves exactly the micro-batches
+    committed after version ``v``.
+    """
+
+    def _commit_batch(batch_df, batch_id: int) -> None:
+        seen = {
+            m["operation"] for m in (table.history() or [])
+        }
+        if f"stream@{batch_id}" in seen:
+            return  # replayed epoch — already durable
+        files, rows, schema_json = table._stage(batch_df)
+        parent = table.current_version()
+        pfiles, prows = ([], 0)
+        if parent is not None:
+            pm = table.manifest(parent)
+            pfiles, prows = pm["files"], pm["rows"]
+        manifest = {
+            "version": (parent + 1) if parent is not None else 0,
+            "parent": parent,
+            "operation": f"stream@{batch_id}",
+            "files": pfiles + files,
+            "added_files": files,
+            "rows": prows + rows,
+            "schema": schema_json,
+            "committed_at": time.time(),
+        }
+        table._publish(manifest, manifest["version"])
+
+    return (
+        stream_df.writeStream.foreachBatch(_commit_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

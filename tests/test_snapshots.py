@@ -280,3 +280,48 @@ def test_partial_merge_algebra(spark):
     got = {r.grp: (r.v_sum, r.v_count, r.v_min, r.v_max, r.v_avg) for r in merged.collect()}
     want = {r.grp: (r.v_sum, r.v_count, r.v_min, r.v_max, r.v_avg) for r in direct.collect()}
     assert got == want
+
+
+# --- streaming sink ---------------------------------------------------------
+
+
+def test_snapshot_sink_exactly_once(spark, tmp_path):
+    """availableNow stream lands in the snapshot table; a replayed
+    epoch (same batch id, e.g. fresh checkpoint reprocessing the same
+    input) is detected in the manifest history and skipped — rows are
+    never duplicated."""
+    from etl_zero_spark.sources.snapshots import snapshot_sink
+    from etl_zero_spark.streaming import events as sev
+    from tests.conftest import SF_SMOKE
+
+    tbl = SnapshotTable(str(tmp_path / "sink"))
+    stream = sev.read_events_stream(spark, SF_SMOKE).select(
+        "event_id", "user_id", "value"
+    )
+    n_fixture = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    )
+
+    q = snapshot_sink(stream, tbl, "t_snap_sink", str(tmp_path / "ck1"))
+    q.awaitTermination()
+    assert tbl.read(spark).count() == n_fixture
+    v1 = tbl.current_version()
+    assert tbl.manifest(v1)["operation"].startswith("stream@")
+
+    # same checkpoint: no new input -> no new batches -> no new versions
+    q = snapshot_sink(stream, tbl, "t_snap_sink", str(tmp_path / "ck1"))
+    q.awaitTermination()
+    assert tbl.current_version() == v1
+
+    # FRESH checkpoint: Spark replays everything as batch 0 again; the
+    # sink sees stream@0 in history and skips — exactly-once holds
+    q = snapshot_sink(stream, tbl, "t_snap_sink", str(tmp_path / "ck2"))
+    q.awaitTermination()
+    assert tbl.current_version() == v1
+    assert tbl.read(spark).count() == n_fixture
+
+    # downstream incremental consumers see the appended files
+    if v1 > 0:
+        assert tbl.read_changes(spark, v1 - 1, v1).count() > 0
+    else:  # single epoch: the whole table IS the first delta
+        assert tbl.manifest(v1)["added_files"] == tbl.manifest(v1)["files"]
