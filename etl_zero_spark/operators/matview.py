@@ -199,7 +199,7 @@ class MaterializedAgg:
         """Commit new state with the consumed base version recorded in
         the manifest's operation field — state and cursor move in ONE
         atomic publish, which is what makes refresh exactly-once."""
-        files, rows, schema_json = self.state._stage(df)
+        files, rows, schema_json, stats = self.state._stage(df)
         parent = self.state.current_version()
         if parent != expected:
             raise RuntimeError(
@@ -215,6 +215,7 @@ class MaterializedAgg:
             "added_files": files,
             "rows": rows,
             "schema": schema_json,
+            "stats": stats,
             "committed_at": _time.time(),
         }
         return self.state._publish(manifest, manifest["version"])

@@ -125,22 +125,54 @@ class SnapshotTable:
 
     # -- commit protocol ---------------------------------------------------
 
-    def _stage(self, df: DataFrame) -> tuple[list[str], int, str]:
+    def _stage(self, df: DataFrame) -> tuple[list[str], int, str, dict]:
         """Write ``df``'s part files into a fresh commit directory and
-        return (relative file paths, row count, schema json). Row counts
-        come from the parquet footers — no second Spark job."""
+        return (relative file paths, row count, schema json, per-file
+        column stats). Rows and stats come from the parquet footers the
+        write just produced — no second Spark job; stats (min/max per
+        numeric/string column, folded across row groups) ride the
+        manifest and power ``read_where``'s file skipping."""
         import pyarrow.parquet as pq
 
         commit_dir = f"commit-{uuid.uuid4().hex[:16]}"
         abs_dir = os.path.join(self.root, _DATA_DIR, commit_dir)
         df.write.mode("overwrite").parquet(abs_dir)
-        rel_files, rows = [], 0
+        rel_files, rows, stats = [], 0, {}
         for f in sorted(os.listdir(abs_dir)):
             if f.endswith(".parquet"):
                 rel = os.path.join(_DATA_DIR, commit_dir, f)
                 rel_files.append(rel)
-                rows += pq.ParquetFile(os.path.join(self.root, rel)).metadata.num_rows
-        return rel_files, rows, df.schema.json()
+                meta = pq.ParquetFile(os.path.join(self.root, rel)).metadata
+                rows += meta.num_rows
+                fstats: dict[str, list] = {}
+                for rg in range(meta.num_row_groups):
+                    g = meta.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        mn, mx = st.min, st.max
+                        if isinstance(mn, bytes):
+                            try:
+                                mn, mx = mn.decode(), mx.decode()
+                            except UnicodeDecodeError:
+                                continue
+                        if not isinstance(mn, (int, float, str)) or isinstance(
+                            mn, bool
+                        ):
+                            continue  # stats must stay JSON-comparable
+                        name = col.path_in_schema
+                        if name in fstats:
+                            fstats[name] = [
+                                min(fstats[name][0], mn),
+                                max(fstats[name][1], mx),
+                            ]
+                        else:
+                            fstats[name] = [mn, mx]
+                if fstats:
+                    stats[rel] = fstats
+        return rel_files, rows, df.schema.json(), stats
 
     def _publish(self, manifest: dict, version: int) -> int:
         """Atomically publish ``manifest`` as ``version``: write to a
@@ -188,12 +220,13 @@ class SnapshotTable:
                 f"expected to commit on top of version {expected_version} "
                 f"but current is {parent}"
             )
-        new_files, new_rows, schema_json = self._stage(df)
-        files, rows = list(new_files), new_rows
+        new_files, new_rows, schema_json, new_stats = self._stage(df)
+        files, rows, stats = list(new_files), new_rows, dict(new_stats)
         if mode == "append" and parent is not None:
             pm = self.manifest(parent)
             files = pm["files"] + files
             rows = pm["rows"] + new_rows
+            stats = {**pm.get("stats", {}), **stats}
         manifest = {
             "version": (parent + 1) if parent is not None else 0,
             "parent": parent,
@@ -202,6 +235,7 @@ class SnapshotTable:
             "added_files": new_files,
             "rows": rows,
             "schema": schema_json,
+            "stats": stats,
             "committed_at": time.time(),
         }
         return self._publish(manifest, manifest["version"])
@@ -220,6 +254,7 @@ class SnapshotTable:
             "added_files": [],
             "rows": m["rows"],
             "schema": m["schema"],
+            "stats": m.get("stats", {}),
             "committed_at": time.time(),
         }
         return self._publish(manifest, manifest["version"])
@@ -242,6 +277,47 @@ class SnapshotTable:
             raise FileNotFoundError(f"snapshot table {self.root} has no commits")
         m = self.manifest(v)
         return self._read_files(spark, m["files"], m["schema"])
+
+    def prune_files(
+        self, column: str, lo, hi, version: int | None = None
+    ) -> dict:
+        """Manifest-level data skipping: which files can contain rows
+        with ``lo <= column <= hi``, judged from the per-file min/max
+        captured at commit time. Files with no stats for the column are
+        conservatively kept. Zero Spark jobs, O(manifest)."""
+        v = self.current_version() if version is None else version
+        m = self.manifest(v)
+        stats = m.get("stats", {})
+        kept = []
+        for f in m["files"]:
+            s = stats.get(f, {}).get(column)
+            if s is None or not (
+                (hi is not None and s[0] > hi) or (lo is not None and s[1] < lo)
+            ):
+                kept.append(f)
+        return {"kept": kept, "n_kept": len(kept), "n_total": len(m["files"])}
+
+    def read_where(
+        self, spark: SparkSession, column: str, lo, hi, version: int | None = None
+    ) -> DataFrame:
+        """Range read with manifest-level file skipping: plans only the
+        files whose stats overlap [lo, hi], then applies the exact
+        predicate. On a range-laid-out or Z-ordered table
+        (operators/layout.py) this is the snapshot-format version of
+        partition pruning — the scan never opens the skipped files'
+        footers, let alone their bytes.
+        """
+        v = self.current_version() if version is None else version
+        pr = self.prune_files(column, lo, hi, version=v)
+        df = self._read_files(spark, pr["kept"], self.manifest(v)["schema"])
+        from pyspark.sql import functions as F
+
+        c = F.col(column)
+        if lo is not None:
+            df = df.where(c >= F.lit(lo))
+        if hi is not None:
+            df = df.where(c <= F.lit(hi))
+        return df
 
     def diff(self, from_version: int, to_version: int) -> dict:
         """File-level delta between two versions: which files were added
@@ -355,12 +431,13 @@ def snapshot_sink(stream_df, table: SnapshotTable, query_name: str, checkpoint: 
         }
         if f"stream@{batch_id}" in seen:
             return  # replayed epoch — already durable
-        files, rows, schema_json = table._stage(batch_df)
+        files, rows, schema_json, stats = table._stage(batch_df)
         parent = table.current_version()
-        pfiles, prows = ([], 0)
+        pfiles, prows, pstats = [], 0, {}
         if parent is not None:
             pm = table.manifest(parent)
             pfiles, prows = pm["files"], pm["rows"]
+            pstats = pm.get("stats", {})
         manifest = {
             "version": (parent + 1) if parent is not None else 0,
             "parent": parent,
@@ -369,6 +446,7 @@ def snapshot_sink(stream_df, table: SnapshotTable, query_name: str, checkpoint: 
             "added_files": files,
             "rows": prows + rows,
             "schema": schema_json,
+            "stats": {**pstats, **stats},
             "committed_at": time.time(),
         }
         table._publish(manifest, manifest["version"])

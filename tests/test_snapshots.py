@@ -91,8 +91,8 @@ def test_commit_conflict_cas(spark, tbl):
     # two writers stage against parent 0; both publish version 1 — the
     # CAS admits exactly one
     m = tbl.manifest(0)
-    f1, r1, s1 = tbl._stage(_df(spark, [(2, "b", 2.0)]))
-    f2, r2, s2 = tbl._stage(_df(spark, [(3, "c", 3.0)]))
+    f1, r1, s1, _ = tbl._stage(_df(spark, [(2, "b", 2.0)]))
+    f2, r2, s2, _ = tbl._stage(_df(spark, [(3, "c", 3.0)]))
     base = {"parent": 0, "operation": "overwrite", "added_files": [], "committed_at": 0.0}
     tbl._publish({**base, "version": 1, "files": f1, "rows": r1, "schema": s1}, 1)
     with pytest.raises(CommitConflict):
@@ -325,3 +325,53 @@ def test_snapshot_sink_exactly_once(spark, tmp_path):
         assert tbl.read_changes(spark, v1 - 1, v1).count() > 0
     else:  # single epoch: the whole table IS the first delta
         assert tbl.manifest(v1)["added_files"] == tbl.manifest(v1)["files"]
+
+
+# --- data skipping ----------------------------------------------------------
+
+
+def test_manifest_stats_and_read_where(spark, tbl):
+    """Per-file min/max ride the manifest; a range read plans only the
+    overlapping files and still returns exact results."""
+    # three appends with disjoint id ranges -> three separately
+    # stat-bounded commit dirs
+    tbl.commit(_df(spark, [(i, "a", float(i)) for i in range(0, 10)]).coalesce(1))
+    tbl.commit(
+        _df(spark, [(i, "b", float(i)) for i in range(100, 110)]).coalesce(1),
+        mode="append",
+    )
+    tbl.commit(
+        _df(spark, [(i, "c", float(i)) for i in range(200, 210)]).coalesce(1),
+        mode="append",
+    )
+    m = tbl.manifest(tbl.current_version())
+    assert m["stats"], "stats missing from manifest"
+    pr = tbl.prune_files("id", 100, 109)
+    assert pr["n_total"] == 3 and pr["n_kept"] == 1
+    got = {r.id for r in tbl.read_where(spark, "id", 100, 109).collect()}
+    assert got == set(range(100, 110))
+    # open ranges
+    assert tbl.prune_files("id", 150, None)["n_kept"] == 1
+    assert tbl.prune_files("id", None, 50)["n_kept"] == 1
+    # unknown column -> conservatively keep everything
+    assert tbl.prune_files("nope", 0, 1)["n_kept"] == 3
+
+
+def test_read_where_exact_at_file_boundaries(spark, tbl):
+    """Skipping is a superset filter: rows outside [lo, hi] inside a
+    kept file are still filtered out by the residual predicate."""
+    tbl.commit(_df(spark, [(i, "a", float(i)) for i in range(0, 100)]).coalesce(1))
+    got = sorted(r.id for r in tbl.read_where(spark, "id", 10, 12).collect())
+    assert got == [10, 11, 12]
+
+
+def test_string_stats_prune(spark, tbl):
+    tbl.commit(
+        _df(spark, [(1, "apple", 1.0), (2, "banana", 1.0)]).coalesce(1)
+    )
+    tbl.commit(
+        _df(spark, [(3, "yak", 1.0), (4, "zebra", 1.0)]).coalesce(1), mode="append"
+    )
+    assert tbl.prune_files("grp", "x", "zzz")["n_kept"] == 1
+    got = {r.grp for r in tbl.read_where(spark, "grp", "x", "zzz").collect()}
+    assert got == {"yak", "zebra"}
