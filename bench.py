@@ -27,7 +27,7 @@ import time
 HEADLINE = [
     # reference-parity core
     "q1_pricing_summary",
-    "j1_inner_equijoin",
+    "j1_j6_inner_left_join",
     "j5_revenue_by_nation",
     "a1_a2_multi_func_groupby",
     "a3_histogram",
@@ -49,7 +49,10 @@ HEADLINE = [
     "sim2_sim3_lsh_topk",
     "sim4_ivf_topk",
     "tx1_tx2_stats_quality",
-    "tx4_fingerprints",
+    "tx3_tx4_lang_fingerprints",
+    # table-management tier (R4)
+    "scd1_type2_merge",
+    "ts1_gap_fill",
 ]
 
 

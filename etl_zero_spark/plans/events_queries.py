@@ -150,6 +150,56 @@ def e3_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts1_gap_fill",
+    "§2.13-L10: time-series resample + dense grid + forward fill",
+    """
+    WITH res AS (
+      SELECT event_type,
+             CAST(to_timestamp((epoch(CAST(ts AS TIMESTAMP))::BIGINT // 21600) * 21600)
+                  AS TIMESTAMP) AS bucket,
+             sum(value) AS value_sum
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT event_type, min(bucket) lo, max(bucket) hi FROM res GROUP BY 1
+    ), grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS bucket
+      FROM spans
+    ), joined AS (
+      SELECT g.event_type, g.bucket, r.value_sum,
+             r.event_type IS NULL AS filled
+      FROM grid g LEFT JOIN res r
+        ON g.event_type = r.event_type AND g.bucket = r.bucket
+    )
+    SELECT event_type, bucket,
+           round(last_value(value_sum IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value_sum,
+           filled
+    FROM joined
+    """,
+    "Irregular telemetry regularized to a dense 6-hour grid per event "
+    "type: resample (one hash aggregate) + per-key grid materialization "
+    "(min/max span exploded through sequence — O(output), no cross "
+    "join, no driver calendar) + last-observation-carried-forward (one "
+    "ordered window), with imputed slots flagged. operators/"
+    "timeseries.fill_gaps; oracle is DuckDB generate_series + "
+    "last_value IGNORE NULLS.",
+)
+def ts1_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_zero_spark.operators.timeseries import fill_gaps
+
+    ev = load_table(spark, sf_dir, "events")
+    return fill_gaps(
+        ev, "ts", "event_type", "6 hours", {"value": "sum"}, fill="ffill"
+    ).select(
+        "event_type",
+        "bucket",
+        F.round("value_sum", 2).alias("value_sum"),
+        F.col("__filled").alias("filled"),
+    )
+
+
+@query(
     "aj1_asof_join",
     "join family: point-in-time (as-of) join",
     """

@@ -398,10 +398,11 @@ _LANG_LISTS = {
 
 
 @query(
-    "tx3_lang_id",
-    "text: n-gram/stopword language ID heuristic",
+    "tx3_tx4_lang_fingerprints",
+    "text: language ID + document fingerprinting",
     f"""
-    WITH t AS (SELECT doc_id, {_DUCK_TOK_LOCAL} AS toks FROM documents),
+    WITH {_DUCK_SHINGLES},
+    t AS (SELECT doc_id, {_DUCK_TOK_LOCAL} AS toks FROM documents),
     s AS (
       SELECT doc_id,
              {_DUCK_LANG_SCORE.format(words=_LANG_LISTS["en"])} AS s_en,
@@ -409,40 +410,34 @@ _LANG_LISTS = {
              {_DUCK_LANG_SCORE.format(words=_LANG_LISTS["es"])} AS s_es,
              {_DUCK_LANG_SCORE.format(words=_LANG_LISTS["fr"])} AS s_fr
       FROM t
+    ), lang AS (
+      SELECT doc_id,
+             CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                  WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS lang_guess
+      FROM s
     )
-    SELECT doc_id,
-           CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
-                WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
-                WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
-                WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
-                ELSE 'fr' END AS lang_guess
-    FROM s
-    """,
-    "Deterministic stopword-count language ID (precedence en>de>es>fr).",
-)
-def tx3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", text.lang_id_expr(F.col("text")).alias("lang_guess"))
-
-
-@query(
-    "tx4_fingerprints",
-    "text: document fingerprinting",
-    f"""
-    WITH {_DUCK_SHINGLES}
-    SELECT d.doc_id,
+    SELECT d.doc_id, l.lang_guess,
            md5(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g')) AS content_md5,
            list_aggregate(list_transform(sh.shingles, s -> md5(s)), 'min') AS min_shingle_md5
-    FROM documents d JOIN sh ON d.doc_id = sh.doc_id
+    FROM documents d
+    JOIN lang l ON d.doc_id = l.doc_id
+    JOIN sh ON d.doc_id = sh.doc_id
     """,
-    "content_md5 (normalized exact-dup key) + min-shingle-md5 "
-    "(1-hash MinHash pre-cluster key).",
+    "Deterministic stopword-count language ID (precedence en>de>es>fr) "
+    "+ content_md5 (normalized exact-dup key) + min-shingle-md5 (1-hash "
+    "MinHash pre-cluster key), one codegen'd projection per document — "
+    "the R4 fold that freed a declared slot for ts1 (tx3 + tx4 operator "
+    "ids both preserved).",
 )
-def tx4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tx3_tx4_lang_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fps = text.fingerprint_exprs(F.col("text"))
     return docs.select(
         "doc_id",
+        text.lang_id_expr(F.col("text")).alias("lang_guess"),
         fps["content_md5"].alias("content_md5"),
         fps["min_shingle_md5"].alias("min_shingle_md5"),
     )

@@ -327,25 +327,44 @@ def p7_p8_name_concat_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.3 joins
 # --------------------------------------------------------------------------
 @query(
-    "j1_inner_equijoin",
-    "J1+P1",
+    "j1_j6_inner_left_join",
+    "J1+P1 + join family (left outer)",
     """
-    SELECT o.o_orderkey, o.o_totalprice AS o_totalprice_orders,
+    SELECT 'inner' AS op, c.c_custkey, o.o_orderkey,
+           o.o_totalprice AS o_totalprice_orders,
            c.c_name AS c_name_customer, c.c_mktsegment AS c_mktsegment_customer
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'left', c.c_custkey, o.o_orderkey, o.o_totalprice,
+           c.c_name, c.c_mktsegment
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     """,
     "Inner equi-join with the mapper's source-table column aliasing "
-    "(mapping.py:105-127); customer side broadcasts.",
+    "(mapping.py:105-127; customer side broadcasts) UNIONED with the "
+    "left-outer variant (unmatched customers survive with null order "
+    "columns) under an op tag — the R4 fold that freed a declared "
+    "slot for scd1 (J1 + J6 operator ids both preserved).",
 )
-def j1_inner_equijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def j1_j6_inner_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+    inner = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        F.lit("inner").alias("op"),
+        "c_custkey",
         "o_orderkey",
         F.col("o_totalprice").alias("o_totalprice_orders"),
         F.col("c_name").alias("c_name_customer"),
         F.col("c_mktsegment").alias("c_mktsegment_customer"),
     )
+    left = c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        F.lit("left").alias("op"),
+        "c_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").alias("o_totalprice_orders"),
+        F.col("c_name").alias("c_name_customer"),
+        F.col("c_mktsegment").alias("c_mktsegment_customer"),
+    )
+    return inner.unionByName(left)
 
 
 @query(
@@ -386,20 +405,64 @@ def j5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j6_left_join",
-    "join family (left outer)",
+    "scd1_type2_merge",
+    "§2.13-L8: SCD Type-2 dimension merge",
     """
-    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
-    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    WITH cur AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal,
+             TIMESTAMP '2020-01-01' AS effective_from, 0 AS src
+      FROM customer
+    ), ups AS (
+      SELECT c_custkey AS k, lower(c_mktsegment) AS seg, c_acctbal AS bal,
+             TIMESTAMP '2020-06-01' AS effective_from, 1 AS src
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, lower(c_mktsegment), c_acctbal + 10.0,
+             TIMESTAMP '2020-09-01', 1
+      FROM customer WHERE c_custkey % 6 = 0
+    ), unioned AS (
+      SELECT * FROM cur UNION ALL SELECT * FROM ups
+    ), flagged AS (
+      SELECT *, lag((seg, bal)) OVER w IS DISTINCT FROM (seg, bal) AS keep
+      FROM unioned WINDOW w AS (PARTITION BY k ORDER BY effective_from, src)
+    ), kept AS (SELECT * FROM flagged WHERE keep)
+    SELECT k, seg, bal, effective_from,
+           lead(effective_from) OVER w2 AS effective_to,
+           lead(effective_from) OVER w2 IS NULL AS is_current
+    FROM kept WINDOW w2 AS (PARTITION BY k ORDER BY effective_from, src)
     """,
-    "Left outer join — reachable via the reference's free-SQL surface (Q1).",
+    "Slowly-changing-dimension Type 2 over customer: two deterministic "
+    "update waves (segment lowercased at 2020-06; +10 balance at "
+    "2020-09 for every 6th key) merged into version chains — exactly "
+    "one open row per key, no-op updates collapse, intervals half-open "
+    "[from, to). sources/scd.scd2_merge runs in ONE by-key hash "
+    "exchange (plan-asserted in tests/test_scd.py); the oracle is the "
+    "same linearize/change-detect/chain algebra in DuckDB window SQL.",
 )
-def j6_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
-        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+def scd1_type2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from etl_zero_spark.sources.scd import scd2_init, scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
     )
+    dim = scd2_init(cust, dt.datetime(2020, 1, 1))
+    w1 = (
+        cust.where(F.col("k") % 3 == 0)
+        .withColumn("seg", F.lower("seg"))
+        .withColumn("ts", F.lit(dt.datetime(2020, 6, 1)))
+    )
+    w2 = (
+        cust.where(F.col("k") % 6 == 0)
+        .withColumn("seg", F.lower("seg"))
+        .withColumn("bal", F.col("bal") + 10.0)
+        .withColumn("ts", F.lit(dt.datetime(2020, 9, 1)))
+    )
+    ups = w1.unionByName(w2)
+    return scd2_merge(dim, ups, key="k", tracked=["seg", "bal"])
 
 
 @query(
