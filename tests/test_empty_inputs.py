@@ -130,3 +130,62 @@ def test_ivf_empty_raises_clear_error(spark, empty_emb):
 
     with pytest.raises(ValueError, match="empty corpus"):
         ivf.train_ivf_centroids(empty_emb, 4, max_iter=2)
+
+
+def test_scd2_and_timeseries_empty(spark):
+    import datetime as dt
+
+    from etl_zero_spark.operators.timeseries import fill_gaps, resample
+    from etl_zero_spark.sources.scd import scd2_init, scd2_merge
+
+    empty_src = spark.createDataFrame([], "k long, a string")
+    dim = scd2_init(empty_src, dt.datetime(2020, 1, 1))
+    assert dim.count() == 0
+    ups = spark.createDataFrame([], "k long, a string, ts timestamp")
+    # empty dim + empty updates; and a real dim + empty updates
+    assert scd2_merge(dim, ups, key="k", tracked=["a"]).count() == 0
+    live = scd2_init(
+        spark.createDataFrame([(1, "x")], "k long, a string"), dt.datetime(2020, 1, 1)
+    )
+    out = scd2_merge(live, ups, key="k", tracked=["a"])
+    assert out.count() == 1 and out.collect()[0].is_current
+
+    empty_ts = spark.createDataFrame([], "k string, ts timestamp, v double")
+    assert resample(empty_ts, "ts", "k", "1 hour", {"v": "sum"}).count() == 0
+    assert (
+        fill_gaps(empty_ts, "ts", "k", "1 hour", {"v": "sum"}, fill="ffill").count()
+        == 0
+    )
+
+
+def test_reshape_empty(spark):
+    from etl_zero_spark.operators.reshape import pivot_table, pivot_values, unpivot
+
+    empty = spark.createDataFrame([], "k string, p string, v double")
+    assert pivot_values(empty, "p") == []
+    wide = pivot_table(empty, "k", "p", ["x", "y"], {"v": "sum"})
+    assert wide.count() == 0
+    assert set(wide.columns) == {"k", "x_v_sum", "y_v_sum"}
+    assert unpivot(empty, "k", ["v"]).count() == 0
+
+
+def test_snapshot_and_matview_empty(spark, tmp_path):
+    from etl_zero_spark.operators.matview import MaterializedAgg
+    from etl_zero_spark.sources.snapshots import SnapshotTable
+
+    empty = spark.createDataFrame([], "k string, v double")
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    v = tbl.commit(empty)
+    assert tbl.read(spark).count() == 0
+    assert tbl.manifest(v)["rows"] == 0
+    # matview over an empty base: full build yields an empty view
+    state = SnapshotTable(str(tmp_path / "s"))
+    mv = MaterializedAgg(tbl, state, keys=["k"], aggs={"v": ["sum"]})
+    r = mv.refresh(spark)
+    assert r["mode"] == "full"
+    assert mv.read(spark).count() == 0
+    # appending 0 rows is still a version; refresh handles the empty delta
+    tbl.commit(empty, mode="append")
+    r = mv.refresh(spark)
+    assert r["mode"] == "incremental"
+    assert mv.read(spark).count() == 0
