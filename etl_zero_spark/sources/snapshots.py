@@ -220,6 +220,27 @@ class SnapshotTable:
                 f"expected to commit on top of version {expected_version} "
                 f"but current is {parent}"
             )
+        if mode == "append" and parent is not None:
+            # Schema guard: a manifest mixes old and new files into ONE
+            # read, and spark.read.parquet without mergeSchema takes an
+            # arbitrary file's schema — an appended drifted schema would
+            # silently drop or re-type columns. Name+type equality (any
+            # field order) or the append is refused; overwrite is the
+            # explicit evolution path.
+            prev = {
+                (f["name"], str(f["type"]))
+                for f in json.loads(self.manifest(parent)["schema"])["fields"]
+            }
+            new = {
+                (f["name"], str(f["type"]))
+                for f in json.loads(df.schema.json())["fields"]
+            }
+            if prev != new:
+                raise ValueError(
+                    "append schema mismatch vs current version "
+                    f"(only in table: {sorted(prev - new)}; only in append: "
+                    f"{sorted(new - prev)}); evolve via mode='overwrite'"
+                )
         new_files, new_rows, schema_json, new_stats = self._stage(df)
         files, rows, stats = list(new_files), new_rows, dict(new_stats)
         if mode == "append" and parent is not None:
@@ -236,6 +257,93 @@ class SnapshotTable:
             "rows": rows,
             "schema": schema_json,
             "stats": stats,
+            "committed_at": time.time(),
+        }
+        return self._publish(manifest, manifest["version"])
+
+    def upsert(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key: str,
+        expected_version: int | None = None,
+    ) -> int:
+        """Row-level MERGE (upsert) with copy-on-write file pruning:
+        rows in ``updates`` replace current rows with an equal ``key``;
+        new keys insert. Only the files whose manifest key-range
+        overlaps the update batch are rewritten — every other file is
+        carried into the new manifest untouched, so a 100-row update
+        against a 100 TB range-laid-out table rewrites a handful of
+        files, not the table. (This is Delta/Iceberg's copy-on-write
+        MERGE shape; clustering the table on the merge key —
+        operators/layout.write_sorted — is what makes the pruning
+        bite.)
+
+        The overlap test uses the single [min, max] interval of the
+        update keys (one tiny aggregate job, nothing collected beyond
+        two scalars); files without stats for ``key`` are
+        conservatively rewritten. Updates must match the table schema
+        (same guard as append).
+        """
+        v = self.current_version()
+        if v is None:
+            return self.commit(updates, mode="overwrite")
+        if expected_version is not None and v != expected_version:
+            raise CommitConflict(
+                f"expected to upsert on top of version {expected_version} "
+                f"but current is {v}"
+            )
+        m = self.manifest(v)
+        prev = {
+            (f["name"], str(f["type"]))
+            for f in json.loads(m["schema"])["fields"]
+        }
+        new = {
+            (f["name"], str(f["type"]))
+            for f in json.loads(updates.schema.json())["fields"]
+        }
+        if prev != new:
+            raise ValueError(
+                "upsert schema mismatch vs current version "
+                f"(only in table: {sorted(prev - new)}; only in updates: "
+                f"{sorted(new - prev)})"
+            )
+        from pyspark.sql import functions as F
+
+        bounds = updates.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).first()
+        if bounds is None or bounds["lo"] is None:
+            return v  # empty update batch: nothing to do
+        pr = self.prune_files(key, bounds["lo"], bounds["hi"], version=v)
+        candidates, cand_set = pr["kept"], set(pr["kept"])
+        untouched = [f for f in m["files"] if f not in cand_set]
+        base_cand = self._read_files(spark, candidates, m["schema"])
+        cols = [f["name"] for f in json.loads(m["schema"])["fields"]]
+        merged = base_cand.join(
+            updates.select(key).dropDuplicates(), key, "left_anti"
+        ).select(*cols).unionByName(updates.select(*cols))
+        new_files, new_rows, schema_json, new_stats = self._stage(merged)
+        # untouched rows from their parquet footers (local metadata read)
+        import pyarrow.parquet as pq
+
+        untouched_rows = sum(
+            pq.ParquetFile(os.path.join(self.root, f)).metadata.num_rows
+            for f in untouched
+        )
+        old_stats = m.get("stats", {})
+        manifest = {
+            "version": v + 1,
+            "parent": v,
+            "operation": f"upsert({len(candidates)}/{len(m['files'])} files rewritten)",
+            "files": untouched + new_files,
+            "added_files": new_files,
+            "rows": untouched_rows + new_rows,
+            "schema": schema_json,
+            "stats": {
+                **{f: old_stats[f] for f in untouched if f in old_stats},
+                **new_stats,
+            },
             "committed_at": time.time(),
         }
         return self._publish(manifest, manifest["version"])

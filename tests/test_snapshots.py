@@ -375,3 +375,74 @@ def test_string_stats_prune(spark, tbl):
     assert tbl.prune_files("grp", "x", "zzz")["n_kept"] == 1
     got = {r.grp for r in tbl.read_where(spark, "grp", "x", "zzz").collect()}
     assert got == {"yak", "zebra"}
+
+
+# --- schema guard + copy-on-write upsert ------------------------------------
+
+
+def test_append_schema_guard(spark, tbl):
+    tbl.commit(_df(spark, [(1, "a", 1.0)]))
+    drifted = spark.createDataFrame([(2, "b")], "id long, grp string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        tbl.commit(drifted, mode="append")
+    # overwrite is the explicit evolution path
+    v = tbl.commit(drifted, mode="overwrite")
+    assert [f.name for f in tbl.read(spark).schema.fields] == ["id", "grp"]
+    assert v == 1
+
+
+def test_upsert_semantics_and_pruning(spark, tbl):
+    """Updates replace matching keys, new keys insert; files outside
+    the update key range survive UNREWRITTEN (same paths in the new
+    manifest)."""
+    # three range-disjoint files
+    tbl.commit(_df(spark, [(i, "a", float(i)) for i in range(0, 10)]).coalesce(1))
+    tbl.commit(
+        _df(spark, [(i, "b", float(i)) for i in range(100, 110)]).coalesce(1),
+        mode="append",
+    )
+    tbl.commit(
+        _df(spark, [(i, "c", float(i)) for i in range(200, 210)]).coalesce(1),
+        mode="append",
+    )
+    before = tbl.manifest(tbl.current_version())
+    ups = _df(spark, [(105, "UPD", -1.0), (150, "NEW", -2.0)])
+    v = tbl.upsert(spark, ups, key="id")
+    after = tbl.manifest(v)
+    assert after["operation"].startswith("upsert(1/3")
+    # the low and high files survived by path
+    survivors = set(before["files"]) & set(after["files"])
+    assert len(survivors) == 2
+    rows = {r.id: (r.grp, r.v) for r in tbl.read(spark).collect()}
+    assert rows[105] == ("UPD", -1.0)          # replaced
+    assert rows[150] == ("NEW", -2.0)          # inserted
+    assert rows[104] == ("b", 104.0)           # same-file neighbor kept
+    assert rows[5] == ("a", 5.0) and rows[205] == ("c", 205.0)
+    assert len(rows) == 31
+    assert after["rows"] == 31
+    # time travel still serves the pre-upsert table
+    assert {r.id for r in tbl.read(spark, version=v - 1).collect()} == (
+        set(range(0, 10)) | set(range(100, 110)) | set(range(200, 210))
+    )
+
+
+def test_upsert_empty_batch_noop(spark, tbl):
+    tbl.commit(_df(spark, [(1, "a", 1.0)]))
+    v = tbl.upsert(spark, _df(spark, []).where(F.lit(False)), key="id")
+    assert v == 0 and tbl.current_version() == 0
+
+
+def test_upsert_matches_full_merge(spark, tbl):
+    """Pruned copy-on-write result == the naive full-table merge."""
+    tbl.commit(
+        _df(spark, [(i, "x", float(i)) for i in range(0, 50)]).repartitionByRange(
+            4, "id"
+        )
+    )
+    ups = _df(spark, [(i, "u", -float(i)) for i in (3, 17, 17, 44, 99)]).dropDuplicates(["id"])
+    base = tbl.read(spark)
+    want_df = base.join(ups.select("id"), "id", "left_anti").unionByName(ups)
+    want = {(r.id, r.grp, r.v) for r in want_df.collect()}
+    tbl.upsert(spark, ups, key="id")
+    got = {(r.id, r.grp, r.v) for r in tbl.read(spark).collect()}
+    assert got == want
