@@ -1,0 +1,164 @@
+"""Funnel analysis (operators/funnel.py): planted sequences + a
+DuckDB step-chained min-aggregate oracle (a different algorithm than
+the array fold) on the events fixture."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_zero_spark.catalog import load_table
+from etl_zero_spark.operators.funnel import funnel_counts, funnel_users
+from tests.oracle_harness import compare, duckdb_connection
+
+T0 = dt.datetime(2022, 1, 1)
+
+
+def _t(h: int) -> dt.datetime:
+    return T0 + dt.timedelta(hours=h)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+STEPS = ["view", "click", "buy"]
+
+
+def test_ordered_progression(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, _t(0), "view"), (1, _t(1), "click"), (1, _t(2), "buy"),   # full
+            (2, _t(0), "view"), (2, _t(1), "buy"),                        # skipped click
+            (3, _t(0), "click"), (3, _t(1), "view"),                      # wrong order
+            (4, _t(5), "buy"), (4, _t(6), "view"), (4, _t(7), "click"),   # late start
+        ],
+    )
+    got = {r.user_id: r.steps_completed for r in funnel_users(ev, STEPS).collect()}
+    assert got == {1: 3, 2: 1, 3: 1, 4: 2}
+    u1 = funnel_users(ev, STEPS).where("user_id = 1").collect()[0]
+    assert (u1.step_1_ts, u1.step_2_ts, u1.step_3_ts) == (_t(0), _t(1), _t(2))
+
+
+def test_first_qualifying_occurrence_wins(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, _t(0), "view"),
+            (1, _t(1), "view"),    # later views irrelevant
+            (1, _t(2), "click"),
+            (1, _t(3), "click"),   # later clicks irrelevant
+        ],
+    )
+    u = funnel_users(ev, STEPS).collect()[0]
+    assert (u.step_1_ts, u.step_2_ts, u.step_3_ts) == (_t(0), _t(2), None)
+
+
+def test_repeated_step_name(spark):
+    """A->B->A: the second A slot needs a NEW occurrence at/after B —
+    one event can't fill two slots."""
+    steps = ["view", "click", "view"]
+    one_view = _ev(spark, [(1, _t(0), "view"), (1, _t(1), "click")])
+    u = funnel_users(one_view, steps).collect()[0]
+    assert u.steps_completed == 2
+    again = _ev(
+        spark, [(1, _t(0), "view"), (1, _t(1), "click"), (1, _t(2), "view")]
+    )
+    u = funnel_users(again, steps).collect()[0]
+    assert u.steps_completed == 3 and u.step_3_ts == _t(2)
+
+
+def test_same_timestamp_counts_in_order(spark):
+    """Events at the identical timestamp can satisfy consecutive steps
+    (>= comparison — the batch-grain tie rule, pinned here)."""
+    ev = _ev(spark, [(1, _t(0), "view"), (1, _t(0), "click")])
+    u = funnel_users(ev, STEPS).collect()[0]
+    assert u.steps_completed == 2
+
+
+def test_within_deadline(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, _t(0), "view"), (1, _t(1), "click"), (1, _t(100), "buy"),
+            (2, _t(0), "view"), (2, _t(1), "click"), (2, _t(10), "buy"),
+        ],
+    )
+    got = {
+        r.user_id: r.steps_completed
+        for r in funnel_users(ev, STEPS, within="1 DAY").collect()
+    }
+    assert got == {1: 2, 2: 3}  # user 1's buy fell outside 24h of view
+
+
+def test_counts_monotone_and_conversion(spark):
+    ev = _ev(
+        spark,
+        [
+            (u, _t(i), s)
+            for u in range(10)
+            for i, s in enumerate(STEPS[: 1 + (u % 3)])
+        ],
+    )
+    rows = funnel_counts(ev, STEPS).orderBy("step_index").collect()
+    ns = [r.n_users for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert rows[0].conversion == 1.0
+    assert rows[1].conversion == pytest.approx(ns[1] / ns[0])
+
+
+def test_events_fixture_vs_duckdb(spark, sf_dir):
+    """page_view -> click -> purchase on the real events table vs a
+    step-chained min-aggregate SQL oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    steps = ["page_view", "click", "purchase"]
+    out = funnel_users(ev, steps).select(
+        "user_id", "step_1_ts", "step_2_ts", "step_3_ts", "steps_completed"
+    )
+    con = duckdb_connection(sf_dir)
+    sql = """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+      WHERE event_type IN ('page_view', 'click', 'purchase')
+    ), s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'page_view'
+      GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id, s1.t1 AS step_1_ts, s2.t2 AS step_2_ts, s3.t3 AS step_3_ts,
+           (s1.user_id IS NOT NULL)::INT + (s2.user_id IS NOT NULL)::INT
+             + (s3.user_id IS NOT NULL)::INT AS steps_completed
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN s1 ON u.user_id = s1.user_id
+    LEFT JOIN s2 ON u.user_id = s2.user_id
+    LEFT JOIN s3 ON u.user_id = s3.user_id
+    """
+    assert compare(out, con, sql) == []
+
+
+def test_single_shuffle_plan(spark, sf_dir):
+    import re
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = (
+        funnel_users(ev, ["page_view", "click", "purchase"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
