@@ -113,10 +113,10 @@ def test_counts_monotone_and_conversion(spark):
 
 
 def test_events_fixture_vs_duckdb(spark, sf_dir):
-    """page_view -> click -> purchase on the real events table vs a
+    """view -> click -> purchase on the real events table vs a
     step-chained min-aggregate SQL oracle."""
     ev = load_table(spark, sf_dir, "events")
-    steps = ["page_view", "click", "purchase"]
+    steps = ["view", "click", "purchase"]
     out = funnel_users(ev, steps).select(
         "user_id", "step_1_ts", "step_2_ts", "step_3_ts", "steps_completed"
     )
@@ -124,9 +124,9 @@ def test_events_fixture_vs_duckdb(spark, sf_dir):
     sql = """
     WITH e AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
-      WHERE event_type IN ('page_view', 'click', 'purchase')
+      WHERE event_type IN ('view', 'click', 'purchase')
     ), s1 AS (
-      SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'page_view'
+      SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view'
       GROUP BY user_id
     ), s2 AS (
       SELECT e.user_id, min(e.ts) AS t2
@@ -155,7 +155,7 @@ def test_single_shuffle_plan(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     plan = (
-        funnel_users(ev, ["page_view", "click", "purchase"])
+        funnel_users(ev, ["view", "click", "purchase"])
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
