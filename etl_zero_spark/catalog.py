@@ -273,6 +273,18 @@ class Zone:
         ).json(path)
         return path
 
+    def snapshot(self, table: str):
+        """The zone table as a versioned snapshot table
+        (sources/snapshots.SnapshotTable): atomic manifest commits,
+        time travel, rollback, incremental reads, copy-on-write upsert
+        and vacuum — the transactional upgrade of the plain
+        ``write``/``read`` path for tables whose refreshes race
+        readers or need history. Lives beside the plain layout at
+        ``{table}_snapshot`` so both coexist."""
+        from etl_zero_spark.sources.snapshots import SnapshotTable
+
+        return SnapshotTable(self.path(table) + "_snapshot")
+
     def read_jsonl(self, spark: SparkSession, table: str, schema=None) -> DataFrame:
         """Read back a ``write_jsonl`` table; pass the original schema
         to skip inference (and keep integer widths / timestamp types)."""

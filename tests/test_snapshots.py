@@ -446,3 +446,19 @@ def test_upsert_matches_full_merge(spark, tbl):
     tbl.upsert(spark, ups, key="id")
     got = {(r.id, r.grp, r.v) for r in tbl.read(spark).collect()}
     assert got == want
+
+
+def test_zone_snapshot_accessor(spark, tmp_path):
+    """Zones expose the transactional table path: commit via the zone,
+    read versions back, coexisting with the plain parquet layout."""
+    from etl_zero_spark.catalog import Zone
+
+    zone = Zone(str(tmp_path), "golden")
+    df = _df(spark, [(1, "a", 1.0)])
+    zone.write(df, "t")  # plain layout
+    snap = zone.snapshot("t")
+    snap.commit(df)
+    snap.commit(_df(spark, [(2, "b", 2.0)]), mode="append")
+    assert snap.read(spark).count() == 2
+    assert snap.read(spark, version=0).count() == 1
+    assert zone.read(spark, "t").count() == 1  # plain path untouched
