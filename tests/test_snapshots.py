@@ -462,3 +462,48 @@ def test_zone_snapshot_accessor(spark, tmp_path):
     assert snap.read(spark).count() == 2
     assert snap.read(spark, version=0).count() == 1
     assert zone.read(spark, "t").count() == 1  # plain path untouched
+
+
+def test_diff_rows_multiset_and_keyed(spark, tbl):
+    """Row-level CDC across an overwrite: inserts/deletes as multiset
+    diff; keyed mode classifies updates with both images."""
+    tbl.commit(_df(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]))
+    tbl.commit(
+        _df(spark, [(1, "a", 1.0), (2, "B", 2.5), (4, "d", 4.0)]),
+        mode="overwrite",
+    )
+    plain = tbl.diff_rows(spark, 0, 1)
+    got = {(r.id, r.grp, r._change_type) for r in plain.collect()}
+    assert got == {
+        (2, "B", "insert"), (4, "d", "insert"),
+        (2, "b", "delete"), (3, "c", "delete"),
+    }  # unchanged row 1 never surfaces
+    keyed = tbl.diff_rows(spark, 0, 1, key="id")
+    got = {(r.id, r._change_type) for r in keyed.collect()}
+    assert got == {
+        (2, "update_pre"), (2, "update_post"),
+        (3, "delete"), (4, "insert"),
+    }
+
+
+def test_diff_rows_skips_shared_files(spark, tbl):
+    """Shared untouched files cancel BEFORE any row work: after a
+    pruned upsert the diff plan reads only the rewritten + new files."""
+    tbl.commit(_df(spark, [(i, "a", float(i)) for i in range(0, 10)]).coalesce(1))
+    tbl.commit(
+        _df(spark, [(i, "b", float(i)) for i in range(100, 110)]).coalesce(1),
+        mode="append",
+    )
+    v0 = tbl.current_version()
+    tbl.upsert(spark, _df(spark, [(105, "UPD", -1.0)]), key="id")
+    d = tbl.diff_rows(spark, v0, key="id")
+    got = {(r.id, r._change_type) for r in d.collect()}
+    assert got == {(105, "update_pre"), (105, "update_post")}
+    # the 0-9 file is shared between versions -> not in the diff scan
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    a = tbl.manifest(v0)["files"]
+    b = tbl.manifest(tbl.current_version())["files"]
+    shared = set(a) & set(b)
+    assert shared, "expected a surviving shared file"
+    for f in shared:
+        assert f.split("/")[-1] not in plan
