@@ -161,3 +161,33 @@ def fill_gaps(
     elif fill != "null":
         raise ValueError(f"fill {fill!r}: use 'null', 'ffill', 'zero', or a number")
     return out
+
+
+def moving_agg(
+    df: DataFrame,
+    keys: list[str] | str,
+    order_col: str,
+    aggs: dict[str, str],
+    preceding: int = 3,
+) -> DataFrame:
+    """Trailing moving aggregates per key: for each row, ``{col}_{fn}_
+    moving`` over the current + ``preceding`` prior rows in
+    ``order_col`` order — the rolling-average / rolling-max smoothing
+    pass that usually follows ``fill_gaps`` (run it AFTER densifying:
+    on a gappy series "3 preceding rows" silently spans the holes).
+    One window, one shuffle; reuses the by-key partitioning of every
+    other per-key operator here."""
+    from pyspark.sql import Window
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-preceding, Window.currentRow)
+    )
+    out = df
+    for col, fn in aggs.items():
+        out = out.withColumn(
+            f"{col}_{fn}_moving", getattr(F, fn)(col).over(w)
+        )
+    return out

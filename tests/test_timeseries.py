@@ -153,3 +153,32 @@ def test_single_exchange_for_resample(spark, sf_dir):
         .toString()
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_moving_agg_vs_duckdb(spark, sf_dir):
+    """Trailing 4-bucket moving average over the resampled events
+    series, replayed by a DuckDB ROWS BETWEEN window."""
+    from etl_zero_spark.operators.timeseries import moving_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    res = resample(ev, "ts", "event_type", "6 hours", {"value": "sum"})
+    out = moving_agg(res, "event_type", "bucket", {"value_sum": "avg"}, preceding=3).select(
+        "event_type",
+        "bucket",
+        F.round("value_sum", 2).alias("value_sum"),
+        F.round("value_sum_avg_moving", 2).alias("mov_avg"),
+    )
+    con = duckdb_connection(sf_dir)
+    sql = """
+    WITH res AS (
+      SELECT event_type,
+             CAST(to_timestamp((epoch(CAST(ts AS TIMESTAMP))::BIGINT // 21600) * 21600) AS TIMESTAMP) AS bucket,
+             sum(value) AS value_sum
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, bucket, round(value_sum, 2) AS value_sum,
+           round(avg(value_sum) OVER (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS mov_avg
+    FROM res
+    """
+    assert compare(out, con, sql) == []
