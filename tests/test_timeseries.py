@@ -166,7 +166,7 @@ def test_moving_agg_vs_duckdb(spark, sf_dir):
         "event_type",
         "bucket",
         F.round("value_sum", 2).alias("value_sum"),
-        F.round("value_sum_avg_moving", 2).alias("mov_avg"),
+        F.col("value_sum_avg_moving").alias("mov_avg"),
     )
     con = duckdb_connection(sf_dir)
     sql = """
@@ -177,8 +177,8 @@ def test_moving_agg_vs_duckdb(spark, sf_dir):
       FROM events GROUP BY 1, 2
     )
     SELECT event_type, bucket, round(value_sum, 2) AS value_sum,
-           round(avg(value_sum) OVER (PARTITION BY event_type ORDER BY bucket
-             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS mov_avg
+           avg(value_sum) OVER (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mov_avg
     FROM res
     """
     assert compare(out, con, sql) == []
