@@ -267,6 +267,7 @@ class SnapshotTable:
         updates: DataFrame,
         key: str,
         expected_version: int | None = None,
+        operation_prefix: str | None = None,
     ) -> int:
         """Row-level MERGE (upsert) with copy-on-write file pruning:
         rows in ``updates`` replace current rows with an equal ``key``;
@@ -287,7 +288,25 @@ class SnapshotTable:
         """
         v = self.current_version()
         if v is None:
-            return self.commit(updates, mode="overwrite")
+            files, rows, schema_json, stats = self._stage(updates)
+            return self._publish(
+                {
+                    "version": 0,
+                    "parent": None,
+                    "operation": (
+                        f"{operation_prefix}:overwrite"
+                        if operation_prefix
+                        else "overwrite"
+                    ),
+                    "files": files,
+                    "added_files": files,
+                    "rows": rows,
+                    "schema": schema_json,
+                    "stats": stats,
+                    "committed_at": time.time(),
+                },
+                0,
+            )
         if expected_version is not None and v != expected_version:
             raise CommitConflict(
                 f"expected to upsert on top of version {expected_version} "
@@ -332,10 +351,13 @@ class SnapshotTable:
             for f in untouched
         )
         old_stats = m.get("stats", {})
+        op = f"upsert({len(candidates)}/{len(m['files'])} files rewritten)"
+        if operation_prefix:
+            op = f"{operation_prefix}:{op}"
         manifest = {
             "version": v + 1,
             "parent": v,
-            "operation": f"upsert({len(candidates)}/{len(m['files'])} files rewritten)",
+            "operation": op,
             "files": untouched + new_files,
             "added_files": new_files,
             "rows": untouched_rows + new_rows,
@@ -573,30 +595,54 @@ class SnapshotTable:
         return out
 
 
-def snapshot_sink(stream_df, table: SnapshotTable, query_name: str, checkpoint: str):
-    """Exactly-once streaming append into a snapshot table via
-    ``foreachBatch``: each micro-batch commits as one ``append``
-    version whose manifest records the epoch id (operation
-    ``stream@{batch_id}``), so a batch REPLAYED after a crash (Spark
-    re-runs the last uncommitted epoch from the checkpoint) is
-    detected in the history and skipped — the sink-side idempotence
-    Structured Streaming requires from any exactly-once sink. The
-    manifest CAS makes the data+ledger write a single atomic publish
-    (the streaming-sink commit-ledger pattern, here unified with the
-    table format instead of a side file).
+def snapshot_sink(
+    stream_df,
+    table: SnapshotTable,
+    query_name: str,
+    checkpoint: str,
+    mode: str = "append",
+    key: str | None = None,
+):
+    """Exactly-once streaming commit into a snapshot table via
+    ``foreachBatch``: each micro-batch commits as one version whose
+    manifest records the epoch id (operation ``stream@{batch_id}``),
+    so a batch REPLAYED after a crash (Spark re-runs the last
+    uncommitted epoch from the checkpoint) is detected in the history
+    and skipped — the sink-side idempotence Structured Streaming
+    requires from any exactly-once sink. The manifest CAS makes the
+    data+ledger write a single atomic publish (the streaming-sink
+    commit-ledger pattern, here unified with the table format instead
+    of a side file).
+
+    ``mode='append'`` lands events as-is; ``mode='upsert'`` (requires
+    ``key``) is CDC APPLY — each micro-batch of a changelog stream
+    MERGEs into the table through the stats-pruned copy-on-write
+    upsert, so the table holds current state, exactly-once, while
+    history stays time-travelable version-by-epoch. Multiple versions
+    of one key INSIDE a micro-batch must be pre-collapsed (e.g.
+    incremental.merge_latest semantics in the stream plan); the upsert
+    applies the batch as one set.
 
     Returns the started StreamingQuery; the caller owns awaiting/
     stopping it. Downstream consumers get incremental reads for free:
-    ``table.read_changes(spark, v)`` serves exactly the micro-batches
-    committed after version ``v``.
+    ``table.read_changes(spark, v)`` (append mode) or
+    ``table.diff_rows(spark, v)`` (upsert mode).
     """
+    if mode not in ("append", "upsert"):
+        raise ValueError(f"mode {mode!r}: use 'append' or 'upsert'")
+    if mode == "upsert" and not key:
+        raise ValueError("mode='upsert' requires key=")
 
     def _commit_batch(batch_df, batch_id: int) -> None:
-        seen = {
-            m["operation"] for m in (table.history() or [])
-        }
-        if f"stream@{batch_id}" in seen:
+        tag = f"stream@{batch_id}"
+        seen = {m["operation"] for m in (table.history() or [])}
+        if any(op == tag or op.startswith(tag + ":") for op in seen):
             return  # replayed epoch — already durable
+        if mode == "upsert":
+            table.upsert(
+                batch_df.sparkSession, batch_df, key=key, operation_prefix=tag
+            )
+            return
         files, rows, schema_json, stats = table._stage(batch_df)
         parent = table.current_version()
         pfiles, prows, pstats = [], 0, {}

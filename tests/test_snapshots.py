@@ -507,3 +507,47 @@ def test_diff_rows_skips_shared_files(spark, tbl):
     assert shared, "expected a surviving shared file"
     for f in shared:
         assert f.split("/")[-1] not in plan
+
+
+def test_snapshot_sink_cdc_upsert(spark, tmp_path):
+    """mode='upsert': a changelog stream MERGEs into the table per
+    epoch — final state is last-writer-wins by key, replays skip."""
+    from etl_zero_spark.sources.snapshots import snapshot_sink
+    from etl_zero_spark.streaming import events as sev
+    from tests.conftest import SF_SMOKE
+
+    tbl = SnapshotTable(str(tmp_path / "cdc"))
+    # seed: every event with a sentinel value
+    seed = (
+        load_smoke_events(spark)
+        .select("event_id", "user_id")
+        .withColumn("value", F.lit(-1.0))
+    )
+    tbl.commit(seed.coalesce(2))
+    v0 = tbl.current_version()
+    stream = sev.read_events_stream(spark, SF_SMOKE).select(
+        "event_id", "user_id", "value"
+    )
+    q = snapshot_sink(
+        stream, tbl, "t_cdc", str(tmp_path / "ck"), mode="upsert", key="event_id"
+    )
+    q.awaitTermination()
+    v1 = tbl.current_version()
+    assert v1 == v0 + 1
+    assert tbl.manifest(v1)["operation"].startswith("stream@0:upsert(")
+    cur = tbl.read(spark)
+    assert cur.count() == seed.count()
+    assert cur.where("value = -1.0").count() == 0  # every row replaced
+    # replay with a fresh checkpoint: epoch 0 detected, no new version
+    q = snapshot_sink(
+        stream, tbl, "t_cdc", str(tmp_path / "ck2"), mode="upsert", key="event_id"
+    )
+    q.awaitTermination()
+    assert tbl.current_version() == v1
+
+
+def load_smoke_events(spark):
+    from etl_zero_spark.catalog import load_table
+    from tests.conftest import SF_SMOKE
+
+    return load_table(spark, SF_SMOKE, "events")
