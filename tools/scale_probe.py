@@ -300,6 +300,21 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             )
         return joined
 
+    def funnel_10m():
+        # MATCH_RECOGNIZE-lite over 10M events / 100k users: one
+        # collect_list shuffle + k nested folds — the per-user-array
+        # working-set claim at real volume
+        from etl_zero_spark.operators.funnel import funnel_users
+
+        ev = load_table(spark, probe_dir, "events")
+        return funnel_users(ev, ["view", "click", "purchase"])
+
+    def cohorts_10m():
+        from etl_zero_spark.operators.cohorts import cohort_retention
+
+        ev = load_table(spark, probe_dir, "events")
+        return cohort_retention(ev, "1 day")
+
     def scd2_1m():
         # SCD2 merge at 1M keys + 200k-row update wave: the whole
         # linearize/dedupe/chain pipeline in its single by-key exchange
@@ -426,6 +441,8 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("bucketed_join_6m", bucketed_join_6m),
         ("scd2_merge_1m", scd2_1m),
         ("matview_refresh_6m", matview_6m),
+        ("funnel_10m", funnel_10m),
+        ("cohorts_10m", cohorts_10m),
         ("dd2_t05", dd2),
     ]:
         if time.perf_counter() - t_start > budget_s:
