@@ -370,6 +370,111 @@ class SnapshotTable:
         }
         return self._publish(manifest, manifest["version"])
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        column: str,
+        lo,
+        hi,
+        expected_version: int | None = None,
+    ) -> int:
+        """Copy-on-write range delete: remove every row with
+        ``lo <= column <= hi`` (open ends via None) as a new version.
+
+        Three file classes, judged from manifest stats before any row
+        work:
+
+        * **disjoint** from the range — carried over untouched;
+        * **fully covered** (file min/max inside the range, no nulls
+          uncertainty — stats present) — DROPPED from the manifest
+          without reading a byte: on a range-laid-out table a
+          "delete last year" retention pass is metadata-only for
+          almost every file, the reason table formats exist;
+        * **boundary / unknown-stats** — rewritten with the residual
+          NOT-in-range filter.
+
+        Rows with NULL in ``column`` never match a range predicate and
+        are preserved (rewritten files keep them explicitly; fully-
+        covered classification requires stats, and parquet min/max
+        stats say nothing about nulls — so files that MIGHT hold nulls
+        are only ever dropped when their null_count metadata is absent
+        from our stats model, hence full-cover drop additionally
+        requires the rewrite check below to be impossible; we take the
+        conservative route and only drop a file when its stats bound
+        it inside the range AND a footer check shows zero nulls).
+        """
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"snapshot table {self.root} has no commits")
+        if expected_version is not None and v != expected_version:
+            raise CommitConflict(
+                f"expected to delete on top of version {expected_version} "
+                f"but current is {v}"
+            )
+        import pyarrow.parquet as pq
+
+        from pyspark.sql import functions as F
+
+        m = self.manifest(v)
+        stats = m.get("stats", {})
+        keep, drop, rewrite = [], [], []
+        for f in m["files"]:
+            s = stats.get(f, {}).get(column)
+            if s is None:
+                rewrite.append(f)
+                continue
+            mn, mx = s
+            disjoint = (hi is not None and mn > hi) or (lo is not None and mx < lo)
+            covered = (lo is None or mn >= lo) and (hi is None or mx <= hi)
+            if disjoint:
+                keep.append(f)
+            elif covered:
+                # stats bound all NON-NULL values inside the range; a
+                # zero-null footer check makes the drop exact
+                meta = pq.ParquetFile(os.path.join(self.root, f)).metadata
+                nulls = 0
+                for rg in range(meta.num_row_groups):
+                    g = meta.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        if col.path_in_schema == column and col.statistics:
+                            nulls += col.statistics.null_count or 0
+                (drop if nulls == 0 else rewrite).append(f)
+            else:
+                rewrite.append(f)
+        c = F.col(column)
+        in_range = F.lit(True)
+        if lo is not None:
+            in_range = in_range & (c >= F.lit(lo))
+        if hi is not None:
+            in_range = in_range & (c <= F.lit(hi))
+        survivors = self._read_files(spark, rewrite, m["schema"]).where(
+            ~F.coalesce(in_range, F.lit(False))  # NULLs survive a range delete
+        )
+        new_files, new_rows, schema_json, new_stats = self._stage(survivors)
+        kept_rows = sum(
+            pq.ParquetFile(os.path.join(self.root, f)).metadata.num_rows
+            for f in keep
+        )
+        manifest = {
+            "version": v + 1,
+            "parent": v,
+            "operation": (
+                f"delete({len(drop)} files dropped metadata-only, "
+                f"{len(rewrite)} rewritten, {len(keep)} untouched)"
+            ),
+            "files": keep + new_files,
+            "added_files": new_files,
+            "rows": kept_rows + new_rows,
+            "schema": schema_json,
+            "stats": {
+                **{f: stats[f] for f in keep if f in stats},
+                **new_stats,
+            },
+            "committed_at": time.time(),
+        }
+        return self._publish(manifest, manifest["version"])
+
     def rollback(self, to_version: int) -> int:
         """Restore the table to ``to_version``'s contents via a NEW
         commit that references that version's files — no data moves,

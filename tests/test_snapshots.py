@@ -551,3 +551,42 @@ def load_smoke_events(spark):
     from tests.conftest import SF_SMOKE
 
     return load_table(spark, SF_SMOKE, "events")
+
+
+def test_delete_where_metadata_only_drop(spark, tbl):
+    """Fully-covered files are dropped without reading; boundary files
+    are rewritten; disjoint files survive by path; NULL keys survive
+    any range delete."""
+    tbl.commit(_df(spark, [(i, "a", 1.0) for i in range(0, 10)]).coalesce(1))
+    tbl.commit(
+        _df(spark, [(i, "b", 1.0) for i in range(10, 20)]).coalesce(1),
+        mode="append",
+    )
+    null_rows = spark.createDataFrame(
+        [(None, "n", 9.0), (25, "c", 1.0)], "id long, grp string, v double"
+    )
+    tbl.commit(null_rows.coalesce(1), mode="append")
+    before = tbl.manifest(tbl.current_version())
+    v = tbl.delete_where(spark, "id", 10, 19)
+    m = tbl.manifest(v)
+    assert "1 files dropped metadata-only" in m["operation"]
+    # the 0-9 file survived by path (disjoint)
+    assert any(f in m["files"] for f in before["files"])
+    got = {r.id for r in tbl.read(spark).collect()}
+    assert got == set(range(0, 10)) | {None, 25}
+    assert m["rows"] == 12
+    # time travel still reaches the pre-delete version
+    assert tbl.read(spark, version=v - 1).count() == 22
+
+
+def test_delete_where_open_ranges_and_boundary(spark, tbl):
+    tbl.commit(
+        _df(spark, [(i, "x", 1.0) for i in range(0, 100)]).repartitionByRange(
+            4, "id"
+        )
+    )
+    v = tbl.delete_where(spark, "id", 37, None)  # delete everything >= 37
+    got = sorted(r.id for r in tbl.read(spark).collect())
+    assert got == list(range(0, 37))
+    op = tbl.manifest(v)["operation"]
+    assert "dropped metadata-only" in op and "rewritten" in op
