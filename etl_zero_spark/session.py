@@ -30,6 +30,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Write timestamps as INT64 micros, not the deprecated INT96: INT96
+    # columns carry NO min/max footer statistics, which silently
+    # disables every stats-based pruning tier (parquet row-group skip,
+    # layout.file_prune_stats, snapshot manifest data skipping and
+    # metadata-only range deletes) for time columns — the columns
+    # retention passes filter on most.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Compatibility shim: SOME events fixtures have shipped TIMESTAMP(NANOS)
     # parquet, which Spark 4 refuses by default; with this on they read as
     # long and catalog.load_table normalizes on the OBSERVED dtype (current

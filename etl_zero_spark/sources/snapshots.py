@@ -64,6 +64,30 @@ class CommitConflict(RuntimeError):
     concurrency loss). Re-read, re-apply, retry."""
 
 
+def _norm_stat(v):
+    """Normalize a stats/bound value to a JSON-storable type whose
+    ordering matches the column's: numbers as-is, strings as-is,
+    datetimes/dates as fixed-width ISO strings (lexicographic order ==
+    chronological order at equal precision). Returns None for types we
+    don't model (bytes that aren't UTF-8, structs, ...)."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, _dt.date):
+        return v.strftime("%Y-%m-%d") + " 00:00:00.000000"
+    if isinstance(v, bytes):
+        try:
+            return v.decode()
+        except UnicodeDecodeError:
+            return None
+    return None
+
+
 def _version_path(root: str, version: int) -> str:
     return os.path.join(root, _MANIFEST_DIR, f"v{version:08d}.json")
 
@@ -152,15 +176,8 @@ class SnapshotTable:
                         st = col.statistics
                         if st is None or not st.has_min_max:
                             continue
-                        mn, mx = st.min, st.max
-                        if isinstance(mn, bytes):
-                            try:
-                                mn, mx = mn.decode(), mx.decode()
-                            except UnicodeDecodeError:
-                                continue
-                        if not isinstance(mn, (int, float, str)) or isinstance(
-                            mn, bool
-                        ):
+                        mn, mx = _norm_stat(st.min), _norm_stat(st.max)
+                        if mn is None or mx is None:
                             continue  # stats must stay JSON-comparable
                         name = col.path_in_schema
                         if name in fstats:
@@ -417,6 +434,7 @@ class SnapshotTable:
 
         m = self.manifest(v)
         stats = m.get("stats", {})
+        lo_n, hi_n = _norm_stat(lo), _norm_stat(hi)
         keep, drop, rewrite = [], [], []
         for f in m["files"]:
             s = stats.get(f, {}).get(column)
@@ -424,8 +442,12 @@ class SnapshotTable:
                 rewrite.append(f)
                 continue
             mn, mx = s
-            disjoint = (hi is not None and mn > hi) or (lo is not None and mx < lo)
-            covered = (lo is None or mn >= lo) and (hi is None or mx <= hi)
+            disjoint = (hi_n is not None and mn > hi_n) or (
+                lo_n is not None and mx < lo_n
+            )
+            covered = (lo_n is None or mn >= lo_n) and (
+                hi_n is None or mx <= hi_n
+            )
             if disjoint:
                 keep.append(f)
             elif covered:
@@ -523,11 +545,13 @@ class SnapshotTable:
         v = self.current_version() if version is None else version
         m = self.manifest(v)
         stats = m.get("stats", {})
+        lo_n, hi_n = _norm_stat(lo), _norm_stat(hi)
         kept = []
         for f in m["files"]:
             s = stats.get(f, {}).get(column)
             if s is None or not (
-                (hi is not None and s[0] > hi) or (lo is not None and s[1] < lo)
+                (hi_n is not None and s[0] > hi_n)
+                or (lo_n is not None and s[1] < lo_n)
             ):
                 kept.append(f)
         return {"kept": kept, "n_kept": len(kept), "n_total": len(m["files"])}

@@ -590,3 +590,27 @@ def test_delete_where_open_ranges_and_boundary(spark, tbl):
     assert got == list(range(0, 37))
     op = tbl.manifest(v)["operation"]
     assert "dropped metadata-only" in op and "rewritten" in op
+
+
+def test_timestamp_stats_enable_time_pruning(spark, tmp_path, sf_dir):
+    """TIMESTAMP_MICROS output (session conf) puts min/max footer stats
+    on time columns, so retention deletes drop files metadata-only and
+    time-range reads prune — the INT96 default writes NO stats and
+    silently degrades both to full rewrites/scans."""
+    import datetime as dt
+
+    from etl_zero_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    tbl = SnapshotTable(str(tmp_path / "ev"))
+    tbl.commit(ev.repartitionByRange(8, "ts").sortWithinPartitions("ts"))
+    m = tbl.manifest(0)
+    assert any("ts" in s for s in m["stats"].values()), "no ts stats in manifest"
+    lo = dt.datetime(2024, 1, 8)
+    pr = tbl.prune_files("ts", None, lo)
+    assert 0 < pr["n_kept"] < pr["n_total"]
+    v = tbl.delete_where(spark, "ts", None, lo)
+    assert "dropped metadata-only" in tbl.manifest(v)["operation"]
+    assert int(tbl.manifest(v)["operation"].split("(")[1].split(" ")[0]) >= 1
+    left = tbl.read(spark)
+    assert left.where(F.col("ts") <= lo).count() == 0
