@@ -578,6 +578,25 @@ class SnapshotTable:
             df = df.where(c <= F.lit(hi))
         return df
 
+    def create_view(
+        self, spark: SparkSession, name: str, version: int | None = None
+    ) -> DataFrame:
+        """Register a (versioned) read as a temp view on the free-SQL
+        surface (Q1): ``spark.sql`` queries then run against a PINNED
+        manifest — a long interactive session keeps a consistent table
+        even while writers commit."""
+        df = self.read(spark, version=version)
+        df.createOrReplaceTempView(name)
+        return df
+
+    def rows(self, version: int | None = None) -> int:
+        """Exact row count from the manifest — O(1), no Spark job (the
+        counts were folded from parquet footers at commit time)."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"snapshot table {self.root} has no commits")
+        return self.manifest(v)["rows"]
+
     def diff(self, from_version: int, to_version: int) -> dict:
         """File-level delta between two versions: which files were added
         and which removed. O(manifest) — no Spark job."""
@@ -762,15 +781,26 @@ def snapshot_sink(
     if mode == "upsert" and not key:
         raise ValueError("mode='upsert' requires key=")
 
+    # Epoch ledger, loaded ONCE per query start then maintained in the
+    # writer's memory: scanning every manifest on every micro-batch is
+    # O(versions²) JSON reads over a long-running stream. Restarts
+    # rebuild the set from history (single writer per sink query — the
+    # Structured Streaming execution model).
+    seen_epochs = {
+        m["operation"].split(":", 1)[0]
+        for m in table.history()
+        if m["operation"].startswith("stream@")
+    }
+
     def _commit_batch(batch_df, batch_id: int) -> None:
         tag = f"stream@{batch_id}"
-        seen = {m["operation"] for m in (table.history() or [])}
-        if any(op == tag or op.startswith(tag + ":") for op in seen):
+        if tag in seen_epochs:
             return  # replayed epoch — already durable
         if mode == "upsert":
             table.upsert(
                 batch_df.sparkSession, batch_df, key=key, operation_prefix=tag
             )
+            seen_epochs.add(tag)
             return
         files, rows, schema_json, stats = table._stage(batch_df)
         parent = table.current_version()
@@ -791,6 +821,7 @@ def snapshot_sink(
             "committed_at": time.time(),
         }
         table._publish(manifest, manifest["version"])
+        seen_epochs.add(tag)
 
     return (
         stream_df.writeStream.foreachBatch(_commit_batch)

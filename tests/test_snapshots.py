@@ -614,3 +614,15 @@ def test_timestamp_stats_enable_time_pruning(spark, tmp_path, sf_dir):
     assert int(tbl.manifest(v)["operation"].split("(")[1].split(" ")[0]) >= 1
     left = tbl.read(spark)
     assert left.where(F.col("ts") <= lo).count() == 0
+
+
+def test_create_view_and_rows(spark, tbl):
+    tbl.commit(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    tbl.commit(_df(spark, [(3, "c", 3.0)]), mode="overwrite")
+    assert tbl.rows() == 1 and tbl.rows(version=0) == 2
+    tbl.create_view(spark, "snap_v0", version=0)
+    got = spark.sql("SELECT count(*) AS n FROM snap_v0").collect()[0].n
+    assert got == 2
+    # the view stays pinned to version 0 across later commits
+    tbl.commit(_df(spark, [(9, "z", 9.0)]), mode="overwrite")
+    assert spark.sql("SELECT count(*) AS n FROM snap_v0").collect()[0].n == 2
