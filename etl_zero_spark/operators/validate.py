@@ -179,3 +179,72 @@ def quarantine(
             pred = F.col(e.col).isNotNull() & pred
         bad = bad | pred
     return df.where(~bad), df.where(bad)
+
+
+def checked_commit(
+    table,
+    df: DataFrame,
+    expectations: list,
+    mode: str = "overwrite",
+    on_violation: str = "refuse",
+    quarantine_table=None,
+) -> dict:
+    """Write-audit-publish: gate a snapshot-table commit
+    (sources/snapshots.SnapshotTable) behind the expectation battery —
+    the write-path pairing of declarative validation with the atomic
+    table format. The reference publishes unvalidated frames straight
+    into silver_db; this is the version where bad data CANNOT become
+    the current version.
+
+    ``on_violation``:
+
+    * ``'refuse'`` — any violation aborts: no commit, the table's
+      current version is untouched (the audit step of
+      write-audit-publish; the staged data never becomes visible
+      because visibility IS the manifest).
+    * ``'quarantine'`` — row-level violators split off to
+      ``quarantine_table`` (a second SnapshotTable, appended so triage
+      history accumulates); clean rows commit. Table-level
+      expectations (unique, foreign-key) can't be attributed to
+      single rows, so they still refuse.
+
+    Returns {committed_version, quarantined_rows, report}.
+    """
+    if on_violation not in ("refuse", "quarantine"):
+        raise ValueError(f"on_violation {on_violation!r}: 'refuse' or 'quarantine'")
+    report = validate(df, expectations)
+    if report.passed:
+        return {
+            "committed_version": table.commit(df, mode=mode),
+            "quarantined_rows": 0,
+            "report": report,
+        }
+    if on_violation == "refuse":
+        raise ValueError(
+            f"checked_commit refused: {report.failing()} "
+            f"(table stays at version {table.current_version()})"
+        )
+    tbl_failing = [
+        e.name
+        for e in expectations
+        if isinstance(e, TableExpectation) and report.violations.get(e.name, 0) > 0
+    ]
+    if tbl_failing:
+        raise ValueError(
+            f"checked_commit: table-level expectations failed {tbl_failing} — "
+            "not attributable to rows, quarantine cannot apply"
+        )
+    if quarantine_table is None:
+        raise ValueError("on_violation='quarantine' needs quarantine_table=")
+    row_exps = [e for e in expectations if isinstance(e, RowExpectation)]
+    clean, bad = quarantine(df, row_exps)
+    q_prev = quarantine_table.current_version()
+    prev_rows = quarantine_table.rows() if q_prev is not None else 0
+    quarantine_table.commit(bad, mode="append" if q_prev is not None else "overwrite")
+    return {
+        "committed_version": table.commit(clean, mode=mode),
+        # exact distinct bad-row count from the quarantine manifest (a
+        # row violating several expectations is still one row)
+        "quarantined_rows": quarantine_table.rows() - prev_rows,
+        "report": report,
+    }

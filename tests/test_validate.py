@@ -138,3 +138,53 @@ def test_expectation_arg_validation(spark, dirty):
         V.unique()
     with pytest.raises(ValueError, match="duplicate"):
         V.validate(dirty, [V.not_null("id"), V.not_null("id")])
+
+
+# --- write-audit-publish (checked_commit) -----------------------------------
+
+
+def test_checked_commit_refuses_and_preserves(spark, tmp_path):
+    from etl_zero_spark.operators import validate as V
+    from etl_zero_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    good = spark.createDataFrame([(1, 10.0)], "id long, v double")
+    r = V.checked_commit(tbl, good, [V.not_null("id"), V.in_range("v", 0, 100)])
+    assert r["committed_version"] == 0 and r["quarantined_rows"] == 0
+    bad = spark.createDataFrame([(2, 10.0), (None, 5.0)], "id long, v double")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="refused"):
+        V.checked_commit(tbl, bad, [V.not_null("id")])
+    # publish never happened: table still at the good version
+    assert tbl.current_version() == 0
+    assert tbl.rows() == 1
+
+
+def test_checked_commit_quarantine_path(spark, tmp_path):
+    from etl_zero_spark.operators import validate as V
+    from etl_zero_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "t"))
+    q = SnapshotTable(str(tmp_path / "q"))
+    df = spark.createDataFrame(
+        [(1, 10.0), (None, 5.0), (3, -7.0), (4, 20.0)], "id long, v double"
+    )
+    r = V.checked_commit(
+        tbl,
+        df,
+        [V.not_null("id"), V.in_range("v", 0, 100)],
+        on_violation="quarantine",
+        quarantine_table=q,
+    )
+    assert r["quarantined_rows"] == 2
+    assert tbl.rows() == 2
+    assert {x.id for x in tbl.read(spark).collect()} == {1, 4}
+    assert q.rows() == 2
+    # second batch appends to the quarantine history
+    df2 = spark.createDataFrame([(5, -1.0)], "id long, v double")
+    V.checked_commit(
+        tbl, df2, [V.in_range("v", 0, 100)],
+        mode="append", on_violation="quarantine", quarantine_table=q,
+    )
+    assert q.rows() == 3 and tbl.rows() == 2
