@@ -92,6 +92,49 @@ def _version_path(root: str, version: int) -> str:
     return os.path.join(root, _MANIFEST_DIR, f"v{version:08d}.json")
 
 
+#: Bloom geometry: 8192 bits (1 KiB/file/column in the manifest after
+#: b64), 6 hash probes — ~1% false positives at ~850 distinct values
+#: per file, degrading gracefully (false positives only cost a read).
+_BLOOM_BITS = 8192
+_BLOOM_K = 6
+
+
+def _bloom_positions(value) -> list[int]:
+    """Stable hash positions for a value: md5 over the value's string
+    form (stable across processes/versions, unlike hash()), split into
+    k independent 32-bit probes. Convention: values serialize via
+    str() — both the build side and the query side use this function,
+    so the convention only has to be consistent, not canonical."""
+    import hashlib
+
+    digest = hashlib.md5(str(value).encode()).digest()
+    out = []
+    for i in range(_BLOOM_K):
+        chunk = digest[(i * 2) % 14 : (i * 2) % 14 + 4]
+        out.append(int.from_bytes(chunk, "little") % _BLOOM_BITS)
+    return out
+
+
+def _build_bloom(values) -> str:
+    """Base64 bloom filter over an iterable of non-null values."""
+    import base64
+
+    bits = bytearray(_BLOOM_BITS // 8)
+    for v in values:
+        for p in _bloom_positions(v):
+            bits[p // 8] |= 1 << (p % 8)
+    return base64.b64encode(bytes(bits)).decode()
+
+
+def _bloom_maybe_contains(b64: str, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(b64)
+    return all(
+        bits[p // 8] & (1 << (p % 8)) for p in _bloom_positions(value)
+    )
+
+
 class SnapshotTable:
     """A versioned parquet table rooted at ``root``.
 
@@ -191,6 +234,24 @@ class SnapshotTable:
                     stats[rel] = fstats
         return rel_files, rows, df.schema.json(), stats
 
+    def _index_files(self, files: list[str], cols: list[str]) -> dict:
+        """Per-file bloom filters for ``cols`` over freshly staged
+        files: one LOCAL columnar read per file of just the indexed
+        columns (pyarrow — no Spark job), ~1 KiB per (file, column) in
+        the manifest."""
+        import pyarrow.parquet as pq
+
+        out: dict = {}
+        for f in files:
+            t = pq.read_table(os.path.join(self.root, f), columns=cols)
+            fb = {}
+            for c in cols:
+                fb[c] = _build_bloom(
+                    v for v in t.column(c).to_pylist() if v is not None
+                )
+            out[f] = fb
+        return out
+
     def _publish(self, manifest: dict, version: int) -> int:
         """Atomically publish ``manifest`` as ``version``: write to a
         temp name, then ``os.link`` to the final name — link fails with
@@ -218,6 +279,7 @@ class SnapshotTable:
         df: DataFrame,
         mode: str = "overwrite",
         expected_version: int | None = None,
+        index: list[str] | None = None,
     ) -> int:
         """Commit ``df`` as a new version. ``mode='overwrite'`` replaces
         the logical table; ``mode='append'`` adds to it (the new
@@ -228,6 +290,13 @@ class SnapshotTable:
         read-modify-write flows: pass the version you read, and the
         commit refuses (``CommitConflict``) if anyone committed since —
         even before the CAS race on the manifest file itself.
+
+        ``index`` lists columns to bloom-index per file: min/max stats
+        only skip files for CLUSTERED columns (a random key's range
+        spans every file), blooms give point lookups (``read_point``)
+        file skipping on any key at ~1 KiB of manifest per
+        (file, column). Appends inherit the parent's blooms for its
+        files.
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode {mode!r}: use 'overwrite' or 'append'")
@@ -260,11 +329,13 @@ class SnapshotTable:
                 )
         new_files, new_rows, schema_json, new_stats = self._stage(df)
         files, rows, stats = list(new_files), new_rows, dict(new_stats)
+        bloom = self._index_files(new_files, index) if index else {}
         if mode == "append" and parent is not None:
             pm = self.manifest(parent)
             files = pm["files"] + files
             rows = pm["rows"] + new_rows
             stats = {**pm.get("stats", {}), **stats}
+            bloom = {**pm.get("bloom", {}), **bloom}
         manifest = {
             "version": (parent + 1) if parent is not None else 0,
             "parent": parent,
@@ -274,6 +345,7 @@ class SnapshotTable:
             "rows": rows,
             "schema": schema_json,
             "stats": stats,
+            "bloom": bloom,
             "committed_at": time.time(),
         }
         return self._publish(manifest, manifest["version"])
@@ -577,6 +649,40 @@ class SnapshotTable:
         if hi is not None:
             df = df.where(c <= F.lit(hi))
         return df
+
+    def prune_files_point(
+        self, column: str, value, version: int | None = None
+    ) -> dict:
+        """Point-lookup file skipping via the per-file blooms recorded
+        at commit time (``commit(index=[...])``): a file is skipped iff
+        its bloom definitively excludes ``value``; files without a
+        bloom for the column are conservatively kept. ~1% false
+        positives at the default geometry — a false positive costs one
+        extra file read, never a wrong result."""
+        v = self.current_version() if version is None else version
+        m = self.manifest(v)
+        blooms = m.get("bloom", {})
+        kept = []
+        for f in m["files"]:
+            b = blooms.get(f, {}).get(column)
+            if b is None or _bloom_maybe_contains(b, value):
+                kept.append(f)
+        return {"kept": kept, "n_kept": len(kept), "n_total": len(m["files"])}
+
+    def read_point(
+        self, spark: SparkSession, column: str, value, version: int | None = None
+    ) -> DataFrame:
+        """Exact point lookup: plan only the bloom-possible files, then
+        apply the equality filter. On an indexed key this is the
+        needle-in-100TB read: a handful of files regardless of how the
+        key scatters across the layout."""
+        v = self.current_version() if version is None else version
+        pr = self.prune_files_point(column, value, version=v)
+        from pyspark.sql import functions as F
+
+        return self._read_files(spark, pr["kept"], self.manifest(v)["schema"]).where(
+            F.col(column) == F.lit(value)
+        )
 
     def create_view(
         self, spark: SparkSession, name: str, version: int | None = None

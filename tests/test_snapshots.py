@@ -626,3 +626,41 @@ def test_create_view_and_rows(spark, tbl):
     # the view stays pinned to version 0 across later commits
     tbl.commit(_df(spark, [(9, "z", 9.0)]), mode="overwrite")
     assert spark.sql("SELECT count(*) AS n FROM snap_v0").collect()[0].n == 2
+
+
+# --- bloom point index -------------------------------------------------------
+
+
+def test_bloom_index_point_lookup(spark, tbl):
+    """A NON-clustered key (scattered across every file) still point-
+    prunes via per-file blooms; lookups are exact (no false negatives
+    by construction), and append inherits the parent's blooms."""
+    # 4 files laid out by grp (so id ranges overlap everywhere: min/max
+    # stats CANNOT prune on id)
+    df = spark.createDataFrame(
+        [(i, "abcd"[i % 4], float(i)) for i in range(400)],
+        "id long, grp string, v double",
+    )
+    tbl.commit(df.repartition(4, "grp"), index=["id"])
+    m = tbl.manifest(0)
+    assert m["bloom"] and all("id" in b for b in m["bloom"].values())
+    # min/max would keep everything; bloom keeps ~1 file
+    range_pr = tbl.prune_files("id", 137, 137)
+    point_pr = tbl.prune_files_point("id", 137)
+    assert point_pr["n_kept"] < range_pr["n_kept"]
+    got = tbl.read_point(spark, "id", 137).collect()
+    assert [(r.id, r.grp) for r in got] == [(137, "b")]
+    # every value findable — blooms never false-negative
+    for probe in (0, 1, 399, 200):
+        assert tbl.read_point(spark, "id", probe).count() == 1
+    # absent key: possibly a false-positive file read, never a row
+    assert tbl.read_point(spark, "id", 100_000).count() == 0
+    # append inherits parent blooms and indexes the new files
+    tbl.commit(
+        spark.createDataFrame([(1000, "z", 0.0)], "id long, grp string, v double"),
+        mode="append",
+        index=["id"],
+    )
+    assert tbl.read_point(spark, "id", 1000).count() == 1
+    assert tbl.read_point(spark, "id", 137).count() == 1
+    assert tbl.prune_files_point("id", 1000)["n_kept"] <= 2
