@@ -794,18 +794,38 @@ class SnapshotTable:
 
     # -- maintenance -------------------------------------------------------
 
-    def compact(self, spark: SparkSession, target_file_mb: int = 128) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_mb: int = 128,
+        cluster_by: list[str] | str | None = None,
+        index: list[str] | None = None,
+        n_files: int | None = None,
+    ) -> int:
         """Bin-pack the current version's files into ~``target_file_mb``
         outputs as a new commit (the snapshot-aware twin of
         operators/layout.compact): readers of old versions keep their
-        files until vacuum."""
+        files until vacuum.
+
+        ``cluster_by`` re-sorts while compacting (range partition +
+        sort within files on the given columns) so the rewritten
+        files carry DISJOINT key ranges — after a streaming ingest's
+        arrival-ordered small files, one maintenance pass restores the
+        layout that makes ``read_where``/``delete_where`` prune
+        (coalesce alone preserves the arrival scatter). ``index``
+        rebuilds bloom indexes on the compacted files."""
         cur = self.read(spark)
         total_bytes = sum(
             os.path.getsize(os.path.join(self.root, f))
             for f in self.manifest(self.current_version())["files"]
         )
-        n = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-        return self.commit(cur.coalesce(n), mode="overwrite")
+        n = n_files or max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+        if cluster_by:
+            cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+            out = cur.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+        else:
+            out = cur.coalesce(n)
+        return self.commit(out, mode="overwrite", index=index)
 
     def vacuum(self, keep_versions: int = 2, dry_run: bool = False) -> dict:
         """Expire history: retain the last ``keep_versions`` manifests,

@@ -664,3 +664,22 @@ def test_bloom_index_point_lookup(spark, tbl):
     assert tbl.read_point(spark, "id", 1000).count() == 1
     assert tbl.read_point(spark, "id", 137).count() == 1
     assert tbl.prune_files_point("id", 1000)["n_kept"] <= 2
+
+
+def test_compact_with_clustering_restores_pruning(spark, tbl):
+    """Arrival-ordered appends scatter each key range across every
+    file (range pruning useless); cluster-compacting restores disjoint
+    per-file ranges in one maintenance pass."""
+    for batch in range(4):  # interleaved arrival: every batch spans the domain
+        tbl.commit(
+            _df(spark, [(i, "x", 1.0) for i in range(batch, 400, 4)]).coalesce(1),
+            mode="append",
+        )
+    scattered = tbl.prune_files("id", 0, 50)
+    assert scattered["n_kept"] == scattered["n_total"]  # nothing prunes
+    tbl.compact(spark, cluster_by="id", n_files=4)
+    clustered = tbl.prune_files("id", 0, 50)
+    assert clustered["n_kept"] < clustered["n_total"]
+    assert tbl.read(spark).count() == 400
+    got = {r.id for r in tbl.read_where(spark, "id", 0, 50).collect()}
+    assert got == set(range(0, 51))

@@ -300,6 +300,51 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             )
         return joined
 
+    snap_detail: dict = {}
+
+    def snapshot_6m():
+        # The transactional tier at 6M rows: range-clustered commit,
+        # stats-pruned copy-on-write upsert (should rewrite a handful
+        # of the 48 files), then a retention delete (most covered files
+        # dropped metadata-only). Per-op secs + the manifest operation
+        # strings (which carry the file accounting) ride the result.
+        import shutil
+        import tempfile
+
+        from etl_zero_spark.sources.snapshots import SnapshotTable
+
+        li = load_table(spark, probe_dir, "lineitem")
+        root = tempfile.mkdtemp(prefix="etlzero_snap_probe_")
+        try:
+            tbl = SnapshotTable(os.path.join(root, "li"))
+            t = time.perf_counter()
+            tbl.commit(
+                li.repartitionByRange(48, "l_orderkey").sortWithinPartitions(
+                    "l_orderkey"
+                )
+            )
+            snap_detail["commit_sec"] = round(time.perf_counter() - t, 2)
+            ups = (
+                li.where(F.col("l_orderkey").between(700_000, 700_400))
+                .dropDuplicates(["l_orderkey"])
+                .withColumn("l_quantity", F.lit(999.0))
+            )
+            t = time.perf_counter()
+            v = tbl.upsert(spark, ups, key="l_orderkey")
+            snap_detail["upsert_sec"] = round(time.perf_counter() - t, 2)
+            snap_detail["upsert_op"] = tbl.manifest(v)["operation"]
+            t = time.perf_counter()
+            v = tbl.delete_where(spark, "l_orderkey", None, 150_000)
+            snap_detail["delete_sec"] = round(time.perf_counter() - t, 2)
+            snap_detail["delete_op"] = tbl.manifest(v)["operation"]
+            return (
+                tbl.read(spark)
+                .agg(F.count(F.lit(1)).alias("rows_after"))
+                .localCheckpoint()
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
     def funnel_10m():
         # MATCH_RECOGNIZE-lite over 10M events / 100k users: one
         # collect_list shuffle + k nested folds — the per-user-array
@@ -443,6 +488,7 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("matview_refresh_6m", matview_6m),
         ("funnel_10m", funnel_10m),
         ("cohorts_10m", cohorts_10m),
+        ("snapshot_ops_6m", snapshot_6m),
         ("dd2_t05", dd2),
     ]:
         if time.perf_counter() - t_start > budget_s:
@@ -464,6 +510,8 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             if name == "matview_refresh_6m" and len(matview_full_sec) == 2:
                 out[name]["full_build_sec"] = matview_full_sec[0]
                 out[name]["incremental_sec"] = matview_full_sec[1]
+            if name == "snapshot_ops_6m" and snap_detail:
+                out[name].update(snap_detail)
         except Exception as exc:  # noqa: BLE001 — probe must not kill bench
             out[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
         print(f"# probe {name}: {out[name]}", file=sys.stderr)
