@@ -308,24 +308,29 @@ class SnapshotTable:
             )
         if mode == "append" and parent is not None:
             # Schema guard: a manifest mixes old and new files into ONE
-            # read, and spark.read.parquet without mergeSchema takes an
-            # arbitrary file's schema — an appended drifted schema would
-            # silently drop or re-type columns. Name+type equality (any
-            # field order) or the append is refused; overwrite is the
-            # explicit evolution path.
+            # schema-pinned read, so the rules are Delta's: an append
+            # may ADD columns (additive evolution — the manifest schema
+            # widens, old files read NULL for the new fields via the
+            # pinned-schema read), but may not DROP or RE-TYPE existing
+            # ones; destructive evolution stays an explicit overwrite.
             prev = {
-                (f["name"], str(f["type"]))
+                f["name"]: str(f["type"])
                 for f in json.loads(self.manifest(parent)["schema"])["fields"]
             }
             new = {
-                (f["name"], str(f["type"]))
+                f["name"]: str(f["type"])
                 for f in json.loads(df.schema.json())["fields"]
             }
-            if prev != new:
+            missing = sorted(set(prev) - set(new))
+            retyped = sorted(
+                c for c in set(prev) & set(new) if prev[c] != new[c]
+            )
+            if missing or retyped:
                 raise ValueError(
                     "append schema mismatch vs current version "
-                    f"(only in table: {sorted(prev - new)}; only in append: "
-                    f"{sorted(new - prev)}); evolve via mode='overwrite'"
+                    f"(dropped: {missing}; re-typed: {retyped}); additive "
+                    "columns are allowed, destructive evolution needs "
+                    "mode='overwrite'"
                 )
         new_files, new_rows, schema_json, new_stats = self._stage(df)
         files, rows, stats = list(new_files), new_rows, dict(new_stats)
@@ -591,10 +596,16 @@ class SnapshotTable:
     # -- reads -------------------------------------------------------------
 
     def _read_files(self, spark: SparkSession, files: list[str], schema_json: str) -> DataFrame:
+        schema = StructType.fromJson(json.loads(schema_json))
         if not files:
-            schema = StructType.fromJson(json.loads(schema_json))
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*[os.path.join(self.root, f) for f in files])
+        # The manifest schema is authoritative: pinning it on the reader
+        # (a) skips footer-merging across files and (b) makes ADDITIVE
+        # schema evolution work — files written before a column existed
+        # surface NULL for it, exactly like Delta's column mapping.
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, f) for f in files]
+        )
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Read the table as of ``version`` (default: latest). The plan

@@ -683,3 +683,24 @@ def test_compact_with_clustering_restores_pruning(spark, tbl):
     assert tbl.read(spark).count() == 400
     got = {r.id for r in tbl.read_where(spark, "id", 0, 50).collect()}
     assert got == set(range(0, 51))
+
+
+def test_additive_schema_evolution_on_append(spark, tbl):
+    """An append may ADD columns: the manifest schema widens and old
+    files read NULL for the new field; drops/re-types stay refused."""
+    tbl.commit(_df(spark, [(1, "a", 1.0)]))
+    wider = spark.createDataFrame(
+        [(2, "b", 2.0, "eu")], "id long, grp string, v double, region string"
+    )
+    tbl.commit(wider, mode="append")
+    got = {r.id: r.region for r in tbl.read(spark).collect()}
+    assert got == {1: None, 2: "eu"}
+    # old version still reads with its own (narrow) schema
+    assert "region" not in tbl.read(spark, version=0).columns
+    # re-type stays refused
+    retyped = spark.createDataFrame(
+        [(3, "c", "not-a-double", "x")],
+        "id long, grp string, v string, region string",
+    )
+    with pytest.raises(ValueError, match="re-typed"):
+        tbl.commit(retyped, mode="append")
