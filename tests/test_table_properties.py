@@ -109,3 +109,78 @@ def test_matview_merge_associativity(spark, rows, split):
         }
 
     assert norm(merged) == norm(direct)
+
+
+# --- model-based snapshot-table test ----------------------------------------
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("overwrite"), st.lists(st.integers(0, 20), max_size=6)),
+        st.tuples(st.just("append"), st.lists(st.integers(0, 20), max_size=6)),
+        st.tuples(st.just("upsert"), st.lists(st.integers(0, 20), min_size=1, max_size=4)),
+        st.tuples(st.just("delete"), st.tuples(st.integers(0, 20), st.integers(0, 20))),
+        st.tuples(st.just("rollback"), st.integers(0, 10)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=_OPS)
+def test_snapshot_table_matches_model(spark, tmp_path_factory, ops):
+    """Random op sequences against a plain-Python MULTISET model
+    (Counter of (id, tag) pairs — appends may legitimately duplicate):
+    after every op the current read, the manifest row count, and at
+    the end every historical version all agree with the model."""
+    from collections import Counter
+
+    from etl_zero_spark.sources.snapshots import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path_factory.mktemp("snapmodel") / "t"))
+    versions: list[Counter] = []  # model per committed version
+
+    def df_of(pairs):
+        if not pairs:
+            return spark.createDataFrame([], "id long, tag string")
+        return spark.createDataFrame(pairs, "id long, tag string")
+
+    step = 0
+    for op, arg in ops:
+        step += 1
+        cur = Counter(versions[-1]) if versions else Counter()
+        if op == "overwrite":
+            pairs = [(i, f"s{step}") for i in arg]
+            tbl.commit(df_of(pairs))
+            versions.append(Counter(pairs))
+        elif op == "append":
+            pairs = [(i, f"s{step}") for i in arg]
+            tbl.commit(df_of(pairs), mode="append")
+            versions.append(cur + Counter(pairs))
+        elif op == "upsert":
+            ups = {i: f"s{step}" for i in arg}
+            tbl.upsert(spark, df_of(list(ups.items())), key="id")
+            kept = Counter({p: n for p, n in cur.items() if p[0] not in ups})
+            versions.append(kept + Counter(ups.items()))
+        elif op == "delete":
+            if not versions:
+                continue
+            lo, hi = min(arg), max(arg)
+            tbl.delete_where(spark, "id", lo, hi)
+            versions.append(
+                Counter({p: n for p, n in cur.items() if not (lo <= p[0] <= hi)})
+            )
+        elif op == "rollback":
+            if not versions:
+                continue
+            v = arg % len(versions)
+            tbl.rollback(v)
+            versions.append(Counter(versions[v]))
+        assert tbl.current_version() == len(versions) - 1
+        assert tbl.rows() == sum(versions[-1].values())
+        got = Counter((r.id, r.tag) for r in tbl.read(spark).collect())
+        assert got == versions[-1], (op, arg)
+    # full history replay, every version byte-stable after later ops
+    for v, model in enumerate(versions):
+        got = Counter((r.id, r.tag) for r in tbl.read(spark, version=v).collect())
+        assert got == model, f"version {v}"
