@@ -1,0 +1,167 @@
+"""Byte-pair-encoding tokenizer: trained on the corpus, applied at scale.
+
+The text tier counts tokens with whitespace+regex proxies
+(operators/text.py) — fine for quality heuristics, but sequence
+packing and token-budget accounting (operators/corpus.pack_sequences)
+ultimately meter COSTS in tokens of the model's real tokenizer. This
+module closes that loop with the classic BPE trainer (Sennrich et al.
+2016), structured the way the algorithm actually scales:
+
+* the CORPUS-SCALE pass is one distributed word-frequency aggregate
+  (lower/split/explode/groupBy — one shuffle over everything);
+* the MERGE LOOP runs over the word-frequency VOCABULARY, which is
+  small by Zipf's law and explicitly capped (``max_words`` most
+  frequent; the tail it drops contributes negligible pair mass).
+  This is not a driver-side shortcut of a distributed algorithm —
+  the published algorithm is a small-vocab loop after the corpus
+  count, and the cap is the documented approximation knob;
+* APPLICATION is embarrassingly parallel: the learned merge ranks
+  broadcast to executors once, each document tokenizes independently
+  in an Arrow-batched iterator UDF (the documented slow path — greedy
+  lowest-rank merging is inherently sequential per word, exactly the
+  shape mapInPandas exists for).
+
+Determinism: merge ties break on (count desc, pair lexicographic), so
+the same corpus always learns the same merges at any parallelism.
+
+Word model: whitespace-split, lowercased, ``</w>`` end-of-word marker
+(merges never cross word boundaries) — the original formulation, not
+a byte-level GPT-2 clone; swap ``_words`` to change the pre-tokenizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: End-of-word sentinel (the Sennrich formulation).
+EOW = "</w>"
+
+
+def _words(df: DataFrame, text_col: str):
+    return df.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("word")
+    ).where(F.col("word") != "")
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", max_words: int = 100_000
+) -> list[tuple[str, int]]:
+    """The corpus-scale pass: distributed word counts, top
+    ``max_words`` by (count desc, word asc) — a bounded
+    TakeOrderedAndProject, never an unbounded collect."""
+    rows = (
+        _words(df, text_col)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(max_words)
+        .collect()
+    )
+    return [(r.word, r.n) for r in rows]
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int = 200,
+    text_col: str = "text",
+    max_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the
+    ranked merge list (rank = position). Stops early when no pair
+    occurs twice."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, n in word_frequencies(df, text_col, max_words):
+        vocab[tuple(w) + (EOW,)] = vocab.get(tuple(w) + (EOW,), 0) + n
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, n in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        merged = a + b
+        out: dict[tuple[str, ...], int] = {}
+        for sym, n in vocab.items():
+            new_sym: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    new_sym.append(merged)
+                    i += 2
+                else:
+                    new_sym.append(sym[i])
+                    i += 1
+            key = tuple(new_sym)
+            out[key] = out.get(key, 0) + n
+        vocab = out
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank merging of one word (chars + EOW), the
+    standard BPE apply. Pure function — shared verbatim by the
+    distributed UDF and the test oracle."""
+    sym = list(word) + [EOW]
+    while len(sym) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize every document with the learned merges: adds
+    ``out_col`` (array<string>) and ``{out_col}_n`` (the REAL token
+    count for budget accounting). Merge ranks ship to executors inside
+    the serialized closure once per job; per-row work is the greedy
+    merge — inherently sequential per word, so this is an Arrow-batched
+    iterator UDF by design, with a per-batch word cache (Zipf again:
+    most words repeat, most lookups hit)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    fields = df.schema.fields
+
+    def run(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def enc_text(text):
+            if text is None:
+                return []
+            out: list[str] = []
+            for w in str(text).lower().split():
+                hit = cache.get(w)
+                if hit is None:
+                    hit = cache[w] = encode_word(w, ranks)
+                out.extend(hit)
+            return out
+
+        for pdf in batches:
+            toks = pdf[text_col].map(enc_text)
+            pdf[out_col] = toks
+            pdf[f"{out_col}_n"] = toks.map(len)
+            yield pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    schema += f", {out_col} array<string>, {out_col}_n long"
+    return df.mapInPandas(run, schema)
