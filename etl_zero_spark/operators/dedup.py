@@ -27,6 +27,8 @@ which is the entire point of LSH at scale.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -887,3 +889,129 @@ def embedding_neardup_pairs_blocked(
         .applyInPandas(kernel, "a_id long, b_id long, cosine double")
     )
     return pairs.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dedup: delta batch vs an indexed corpus
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MinHashIndex:
+    """The persistable corpus-side state for incremental near-dedup:
+    banded MinHash buckets + shingle sets, pinned to their geometry
+    (pairs are only meaningful between identically-hashed sides).
+    ``bands``/``shingles`` are plain DataFrames — persist them as zone
+    tables or snapshot tables and reload; the signature functions are
+    seeded and deterministic, so an index built yesterday matches a
+    delta hashed today."""
+
+    bands: DataFrame
+    shingles: DataFrame
+    k: int
+    num_hashes: int
+    n_bands: int
+
+
+def build_minhash_index(
+    df: DataFrame,
+    k: int = 3,
+    num_hashes: int = MINHASH_HASHES,
+    bands: int = MINHASH_BANDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> MinHashIndex:
+    """Index a corpus for incremental near-dedup: one pass computing
+    shingle sets, signatures and per-band bucket hashes. O(corpus x
+    bands) band rows, embarrassingly parallel — the cost the full
+    self-pairing pays EVERY run is paid once here."""
+    rows = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles_expr(F.col(text_col), k).alias("shingles"),
+    )
+    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.slice("sig", i * rows + 1, rows), F.lit(i))
+            for i in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.posexplode(band_arr).alias("band", "band_hash"))
+    return MinHashIndex(banded, sh, k, num_hashes, bands)
+
+
+def incremental_minhash_pairs(
+    delta: DataFrame,
+    index: MinHashIndex,
+    threshold: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs INVOLVING the delta batch: delta-vs-corpus plus
+    delta-vs-delta, never corpus-vs-corpus — the daily-ingest shape
+    (dedupe today's crawl against the lake without re-pairing the
+    lake). Output matches minhash_lsh_pairs' schema/threshold
+    semantics; with yesterday's pair set it composes to exactly the
+    full re-run's pairs (pinned by the equivalence test).
+
+    Scale: the join probes the index's band buckets with ONLY the
+    delta's band rows — cost O(delta x bands + matched buckets), not
+    O(corpus x bands); rescore joins fetch shingles for candidate ids
+    only. Delta ids must be disjoint from corpus ids (asserted cheaply
+    against the index on collision-risk paths by the caller; id reuse
+    would alias pairs)."""
+    d_idx = build_minhash_index(
+        delta, index.k, index.num_hashes, index.n_bands, text_col, id_col
+    )
+    db, cb = d_idx.bands.alias("d"), index.bands.alias("c")
+    cross = (
+        db.join(
+            cb,
+            (F.col("d.band") == F.col("c.band"))
+            & (F.col("d.band_hash") == F.col("c.band_hash")),
+        )
+        .select(
+            F.least(F.col("d.id"), F.col("c.id")).alias("a_id"),
+            F.greatest(F.col("d.id"), F.col("c.id")).alias("b_id"),
+        )
+        .dropDuplicates()
+    )
+    a, b = d_idx.bands.alias("a"), d_idx.bands.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .dropDuplicates()
+    )
+    candidates = cross.unionByName(within).dropDuplicates()
+    all_sh = index.shingles.unionByName(d_idx.shingles)
+    sh_a = all_sh.select(F.col("id").alias("a_id"), F.col("shingles").alias("sh_a"))
+    sh_b = all_sh.select(F.col("id").alias("b_id"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .withColumn("jaccard", jaccard_expr(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def extend_minhash_index(index: MinHashIndex, delta: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id") -> MinHashIndex:
+    """The index after absorbing the delta — union of band and shingle
+    tables (persist both and the next day's delta probes this)."""
+    d_idx = build_minhash_index(
+        delta, index.k, index.num_hashes, index.n_bands, text_col, id_col
+    )
+    return MinHashIndex(
+        index.bands.unionByName(d_idx.bands),
+        index.shingles.unionByName(d_idx.shingles),
+        index.k,
+        index.num_hashes,
+        index.n_bands,
+    )

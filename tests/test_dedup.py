@@ -306,3 +306,71 @@ def test_df_cap_applies_to_prefix_path(spark):
         ).collect()
     }
     assert capped == {(100, 101): pytest.approx(1.0, abs=1e-6)}
+
+
+# --- incremental near-dedup --------------------------------------------------
+
+
+def test_incremental_equals_full_rerun(spark, sf_dir):
+    """pairs(corpus) ∪ incremental(delta, index(corpus)) == pairs(corpus ∪ delta):
+    the daily-ingest path composes to exactly the full re-pairing."""
+    from etl_zero_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") < 400)
+    delta = docs.where(F.col("doc_id") >= 400)
+    t = 0.3
+
+    def pairset(df):
+        return {(r.a_id, r.b_id, r.jaccard) for r in df.collect()}
+
+    full = pairset(minhash_lsh_pairs(docs, threshold=t))
+    base = pairset(minhash_lsh_pairs(corpus, threshold=t))
+    idx = build_minhash_index(corpus)
+    inc = pairset(incremental_minhash_pairs(delta, idx, threshold=t))
+    assert base | inc == full
+    assert base & inc == set()  # incremental never re-emits corpus pairs
+
+
+def test_extend_index_chains_days(spark, sf_dir):
+    """Two delta days through extend_minhash_index reach the same pair
+    universe as one big re-run."""
+    from etl_zero_spark.operators.dedup import (
+        build_minhash_index,
+        extend_minhash_index,
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    day0 = docs.where(F.col("doc_id") < 300)
+    day1 = docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    day2 = docs.where(F.col("doc_id") >= 400)
+    t = 0.3
+
+    def pairset(df):
+        return {(r.a_id, r.b_id) for r in df.collect()}
+
+    idx = build_minhash_index(day0)
+    p0 = pairset(minhash_lsh_pairs(day0, threshold=t))
+    p1 = pairset(incremental_minhash_pairs(day1, idx, threshold=t))
+    idx = extend_minhash_index(idx, day1)
+    p2 = pairset(incremental_minhash_pairs(day2, idx, threshold=t))
+    full = pairset(minhash_lsh_pairs(docs, threshold=t))
+    assert p0 | p1 | p2 == full
+
+
+def test_incremental_empty_delta(spark, sf_dir):
+    from etl_zero_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_minhash_index(docs)
+    empty = docs.where(F.lit(False))
+    assert incremental_minhash_pairs(empty, idx).count() == 0
