@@ -91,13 +91,17 @@ def train_pq(
         cents = sub[init_idx].copy()
         if len(cents) < ksub:  # tiny corpora: pad by repeating
             cents = np.vstack([cents] * (ksub // len(cents) + 1))[:ksub]
+        sub_sq = (sub**2).sum(1, keepdims=True)
         for _ in range(max_iter):
-            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 : (n, ksub) GEMM,
+            # never the (n, ksub, dsub) broadcast temp
+            d2 = sub_sq - 2 * sub @ cents.T + (cents**2).sum(1)[None, :]
             assign = d2.argmin(1)
-            for c in range(ksub):
-                mask = assign == c
-                if mask.any():
-                    cents[c] = sub[mask].mean(0)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, assign, sub)
+            counts = np.bincount(assign, minlength=ksub).astype(np.float64)
+            nonzero = counts > 0
+            cents[nonzero] = sums[nonzero] / counts[nonzero, None]
         books[j] = cents
     return books
 
