@@ -97,8 +97,13 @@ def train_pq(
             # never the (n, ksub, dsub) broadcast temp
             d2 = sub_sq - 2 * sub @ cents.T + (cents**2).sum(1)[None, :]
             assign = d2.argmin(1)
-            sums = np.zeros_like(cents)
-            np.add.at(sums, assign, sub)
+            sums = np.stack(
+                [
+                    np.bincount(assign, weights=sub[:, d], minlength=ksub)
+                    for d in range(dsub)
+                ],
+                axis=1,
+            )
             counts = np.bincount(assign, minlength=ksub).astype(np.float64)
             nonzero = counts > 0
             cents[nonzero] = sums[nonzero] / counts[nonzero, None]

@@ -226,13 +226,35 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         return similarity.lsh_partitioned_topk(queries_df, emb, k=10)
 
     sim4_train_sec: list[float] = []
+    sim4_cents: list = []
 
     def sim4():
         # index build is amortized in real operation — timed separately
         t = time.perf_counter()
         cents = ivf.train_ivf_centroids(emb, 128, max_iter=4)
         sim4_train_sec.append(round(time.perf_counter() - t, 2))
+        sim4_cents.append(cents)  # sim5_pq reuses the coarse quantizer
         return ivf.ivf_topk(queries_df, emb, k=10, centroids=cents, nprobe=16)
+
+    pq_train_sec: list[float] = []
+
+    def sim5_pq():
+        # IVF-PQ at 100k x 64: codebook train (bounded sample, timed
+        # separately like sim4's k-means) + ADC search with exact
+        # refine — the compressed-domain tier at 32x fewer bytes/vec
+        from etl_zero_spark.operators import pq as pqm
+
+        t = time.perf_counter()
+        books = pqm.train_pq(emb, m=8, sample_rows=16_384, max_iter=8)
+        cents = (
+            sim4_cents[0]
+            if sim4_cents  # the SAME coarse quantizer sim4 trained
+            else ivf.train_ivf_centroids(emb, 128, max_iter=4)
+        )
+        pq_train_sec.append(round(time.perf_counter() - t, 2))
+        return pqm.ivf_pq_topk(
+            queries_df, emb, k=10, codebooks=books, centroids=cents, nprobe=16
+        )
 
     def scan_agg_6m():
         return QUERIES["q1_pricing_summary"].fn(spark, probe_dir)
@@ -476,6 +498,7 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("dd8_t09", dd8),
         ("sim3_k10", sim3),
         ("sim4_nprobe16", sim4),
+        ("sim5_pq_nprobe16", sim5_pq),
         ("e3_sessionize_10m", sessionize_10m),
         ("aj1_asof_10m", asof_10m),
         ("rj1_range_10m", range_10m),
@@ -506,6 +529,11 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
                 out[name]["train_sec"] = sim4_train_sec[0]
                 out[name]["search_sec"] = round(
                     out[name]["sec"] - sim4_train_sec[0], 2
+                )
+            if name == "sim5_pq_nprobe16" and pq_train_sec:
+                out[name]["train_sec"] = pq_train_sec[0]
+                out[name]["search_sec"] = round(
+                    out[name]["sec"] - pq_train_sec[0], 2
                 )
             if name == "matview_refresh_6m" and len(matview_full_sec) == 2:
                 out[name]["full_build_sec"] = matview_full_sec[0]
