@@ -265,6 +265,10 @@ def render_svg(
         return _render_scatter(rows, title)
     if kind == "pie":
         return _render_pie(rows, title)
+    if kind == "funnel":
+        return _render_funnel(rows, title)
+    if kind == "retention":
+        return _render_retention(rows, title)
     raise ValueError(f"render_svg: unknown kind {kind!r}")
 
 
@@ -393,3 +397,118 @@ def chart_svg(
     else:
         raise ValueError(f"chart_svg: unknown kind {kind!r}")
     return render_svg(kind, [r.asDict() for r in prepped.collect()], title=title)
+
+
+# ---------------------------------------------------------------------------
+# product-analytics charts (R4): funnel + retention heatmap
+# ---------------------------------------------------------------------------
+
+
+def funnel_data(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    within: str | None = None,
+) -> DataFrame:
+    """Chart prep for a conversion funnel: operators/funnel.
+    funnel_counts bounded by construction (k rows, k <= funnel
+    length)."""
+    from etl_zero_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(df, steps, user_col, ts_col, event_col, within)
+
+
+def retention_data(
+    df: DataFrame,
+    interval: str = "1 week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_cohorts: int = 52,
+    max_offsets: int = 52,
+) -> DataFrame:
+    """Chart prep for the retention heatmap: operators/cohorts.
+    cohort_retention clipped to the newest ``max_cohorts`` cohorts x
+    first ``max_offsets`` periods — a year-by-year triangle stays
+    bounded however old the product is. Clipping is by RANK (newest
+    cohorts), not silent truncation of arbitrary rows."""
+    from pyspark.sql import Window
+
+    from etl_zero_spark.operators.cohorts import cohort_retention
+
+    tri = cohort_retention(df, interval, user_col, ts_col)
+    newest = (
+        tri.select("cohort")
+        .distinct()
+        .withColumn(
+            "__r", F.row_number().over(Window.orderBy(F.col("cohort").desc()))
+        )
+        .where(F.col("__r") <= max_cohorts)
+        .drop("__r")
+    )
+    return tri.join(F.broadcast(newest), "cohort").where(
+        F.col("period_offset") < max_offsets
+    )
+
+
+def _render_funnel(rows: list[dict], title: str | None) -> str:
+    """Horizontal funnel: one bar per step (width ∝ users), conversion
+    label on each transition."""
+    rows = sorted(rows, key=lambda r: r["step_index"])
+    n_max = max(float(r["n_users"]) for r in rows) or 1.0
+    parts = _header(title)
+    x0 = _MARGIN
+    plot_w = _W - 2 * _MARGIN
+    slot_h = (_H - 2 * _MARGIN) / len(rows)
+    bar_h = slot_h * 0.62
+    for i, r in enumerate(rows):
+        w = max(float(r["n_users"]), 0.0) / n_max * plot_w
+        y = _MARGIN + i * slot_h
+        x = x0 + (plot_w - w) / 2  # centered: the classic funnel shape
+        parts.append(
+            f'<rect x="{_fmt(x)}" y="{_fmt(y)}" width="{_fmt(w)}" '
+            f'height="{_fmt(bar_h)}" fill="steelblue"/>'
+        )
+        label = f"{escape(str(r['step']))}: {int(r['n_users'])}"
+        if i > 0:
+            label += f" ({float(r['conversion']) * 100:.1f}%)"
+        parts.append(
+            f'<text x="{_W // 2}" y="{_fmt(y + bar_h / 2 + 4)}" '
+            f'text-anchor="middle" font-size="11" fill="black">{label}</text>'
+        )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def _render_retention(rows: list[dict], title: str | None) -> str:
+    """Retention heatmap: cohorts down, period offsets across, cell
+    opacity = retention fraction."""
+    cohorts = sorted({str(r["cohort"]) for r in rows})
+    offsets = sorted({int(r["period_offset"]) for r in rows})
+    by_cell = {(str(r["cohort"]), int(r["period_offset"])): float(r["retention"]) for r in rows}
+    parts = _header(title)
+    x0, y0 = _MARGIN + 40, _MARGIN
+    cw = (_W - x0 - _MARGIN) / max(1, len(offsets))
+    ch = (_H - 2 * _MARGIN) / max(1, len(cohorts))
+    for ci, cohort in enumerate(cohorts):
+        parts.append(
+            f'<text x="{x0 - 6}" y="{_fmt(y0 + ci * ch + ch / 2 + 3)}" '
+            f'text-anchor="end" font-size="9">{escape(cohort[:10])}</text>'
+        )
+        for oi, off in enumerate(offsets):
+            v = by_cell.get((cohort, off))
+            if v is None:
+                continue
+            parts.append(
+                f'<rect x="{_fmt(x0 + oi * cw)}" y="{_fmt(y0 + ci * ch)}" '
+                f'width="{_fmt(cw * 0.94)}" height="{_fmt(ch * 0.94)}" '
+                f'fill="steelblue" fill-opacity="{_fmt(max(0.06, v))}"/>'
+            )
+    for oi, off in enumerate(offsets):
+        parts.append(
+            f'<text x="{_fmt(x0 + oi * cw + cw / 2)}" y="{_fmt(y0 - 6)}" '
+            f'text-anchor="middle" font-size="9">+{off}</text>'
+        )
+    parts.append("</svg>")
+    return "".join(parts)

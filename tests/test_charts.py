@@ -229,3 +229,32 @@ def test_chart_svg_end_to_end(spark, orders):
         root = _parse(svg)
         assert root.tag == f"{SVG_NS}svg"
         assert len(svg) < 2_000_000
+
+
+# --- funnel + retention charts (R4) ------------------------------------------
+
+
+def test_funnel_chart_end_to_end(spark, sf_dir):
+    from etl_zero_spark.plans.charts import funnel_data, render_svg
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = [r.asDict() for r in funnel_data(ev, ["view", "click", "purchase"]).collect()]
+    assert len(rows) == 3
+    svg = render_svg("funnel", rows, title="conversion")
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert "view" in svg and "%" in svg
+    # deterministic
+    assert svg == render_svg("funnel", rows, title="conversion")
+
+
+def test_retention_chart_bounded_and_rendered(spark, sf_dir):
+    from etl_zero_spark.plans.charts import render_svg, retention_data
+
+    ev = load_table(spark, sf_dir, "events")
+    tri = retention_data(ev, "1 day", max_cohorts=3, max_offsets=5)
+    rows = [r.asDict() for r in tri.collect()]
+    assert 0 < len(rows) <= 15
+    assert tri.select("cohort").distinct().count() <= 3
+    svg = render_svg("retention", rows, title="retention")
+    assert svg.count("<rect") >= len(rows)  # one cell per row (+bg)
+    assert "+0" in svg
