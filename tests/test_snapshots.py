@@ -704,3 +704,38 @@ def test_additive_schema_evolution_on_append(spark, tbl):
     )
     with pytest.raises(ValueError, match="re-typed"):
         tbl.commit(retyped, mode="append")
+
+
+def test_concurrent_writers_race_cas(spark, tbl):
+    """N threads race append commits with retry-on-conflict: every
+    append eventually lands exactly once, versions are a linear chain,
+    and no rows are lost or duplicated — the optimistic-concurrency
+    contract under a real race, not just the two-staged-writers case."""
+    import threading
+
+    tbl.commit(_df(spark, [(0, "seed", 0.0)]))
+    n_writers, results, errors = 6, [], []
+
+    def writer(i):
+        df = _df(spark, [(100 + i, f"w{i}", float(i))])
+        for _ in range(50):  # retry loop — the documented CAS-loser path
+            try:
+                results.append(tbl.commit(df, mode="append"))
+                return
+            except CommitConflict:
+                continue
+        errors.append(i)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, f"writers starved: {errors}"
+    assert sorted(results) == list(range(1, n_writers + 1))  # linear chain
+    got = {r.id for r in tbl.read(spark).collect()}
+    assert got == {0} | {100 + i for i in range(n_writers)}
+    assert tbl.rows() == n_writers + 1
+    # parent pointers chain without gaps
+    for v in range(1, n_writers + 1):
+        assert tbl.manifest(v)["parent"] == v - 1
