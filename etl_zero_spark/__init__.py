@@ -23,5 +23,27 @@ Layout:
 
 from etl_zero_spark.session import get_spark
 
-__all__ = ["get_spark"]
+#: The user-facing front door. Heavier surfaces stay behind their
+#: modules (importing the package must not drag numpy/pandas/ml in),
+#: but the names a notebook reaches for first are importable flat —
+#: lazily, via PEP 562 module __getattr__.
+_LAZY = {
+    "Zone": ("etl_zero_spark.catalog", "Zone"),
+    "Warehouse": ("etl_zero_spark.catalog", "Warehouse"),
+    "load_table": ("etl_zero_spark.catalog", "load_table"),
+    "register_views": ("etl_zero_spark.catalog", "register_views"),
+    "SnapshotTable": ("etl_zero_spark.sources.snapshots", "SnapshotTable"),
+}
+
+
+def __getattr__(name: str):
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'etl_zero_spark' has no attribute {name!r}")
+
+
+__all__ = ["get_spark", *_LAZY]
 __version__ = "0.1.0"
