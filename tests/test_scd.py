@@ -245,3 +245,18 @@ def test_single_exchange_plan(spark):
     ups = _ups(spark, [(1, "b", "g", _t(1))])
     plan = _merge(dim, ups)._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_nullifying_update_is_a_real_version(spark):
+    """Setting a tracked attribute to NULL is a change, and a NULL->NULL
+    update is a no-op: struct equality in Spark is NULL-SAFE (null ==
+    null inside a struct), which is exactly the semantics change
+    detection needs — pinned here because row-level `col = col` would
+    NOT behave this way."""
+    dim = _dim(spark, [(1, "rome", "gold", _t(0), None, True)])
+    out = _merge(dim, _ups(spark, [(1, None, "gold", _t(5))]))
+    rows = sorted(out.collect(), key=lambda r: r.effective_from)
+    assert [(r.city, r.is_current) for r in rows] == [("rome", False), (None, True)]
+    # null -> null: collapses as a no-op
+    again = _merge(out, _ups(spark, [(1, None, "gold", _t(9))]))
+    assert again.count() == 2
