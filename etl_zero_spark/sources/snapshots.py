@@ -460,6 +460,14 @@ class SnapshotTable:
                 **{f: old_stats[f] for f in untouched if f in old_stats},
                 **new_stats,
             },
+            # blooms survive for untouched files; rewritten files lose
+            # theirs (conservatively kept by point pruning) until the
+            # next indexed commit/compact
+            "bloom": {
+                f: b
+                for f, b in m.get("bloom", {}).items()
+                if f in set(untouched)
+            },
             "committed_at": time.time(),
         }
         return self._publish(manifest, manifest["version"])
@@ -570,6 +578,9 @@ class SnapshotTable:
                 **{f: stats[f] for f in keep if f in stats},
                 **new_stats,
             },
+            "bloom": {
+                f: b for f, b in m.get("bloom", {}).items() if f in set(keep)
+            },
             "committed_at": time.time(),
         }
         return self._publish(manifest, manifest["version"])
@@ -589,6 +600,7 @@ class SnapshotTable:
             "rows": m["rows"],
             "schema": m["schema"],
             "stats": m.get("stats", {}),
+            "bloom": m.get("bloom", {}),
             "committed_at": time.time(),
         }
         return self._publish(manifest, manifest["version"])
@@ -955,6 +967,9 @@ def snapshot_sink(
             "rows": prows + rows,
             "schema": schema_json,
             "stats": {**pstats, **stats},
+            "bloom": (
+                table.manifest(parent).get("bloom", {}) if parent is not None else {}
+            ),
             "committed_at": time.time(),
         }
         table._publish(manifest, manifest["version"])

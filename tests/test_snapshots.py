@@ -739,3 +739,30 @@ def test_concurrent_writers_race_cas(spark, tbl):
     # parent pointers chain without gaps
     for v in range(1, n_writers + 1):
         assert tbl.manifest(v)["parent"] == v - 1
+
+
+def test_blooms_survive_unrelated_upsert_and_delete(spark, tbl):
+    """Maintenance ops carry untouched files' blooms forward: point
+    pruning keeps working after an upsert/delete elsewhere."""
+    tbl.commit(
+        _df(spark, [(i, "a", float(i)) for i in range(0, 100)]).coalesce(1),
+        index=["id"],
+    )
+    tbl.commit(
+        _df(spark, [(i, "b", float(i)) for i in range(1000, 1100)]).coalesce(1),
+        mode="append",
+        index=["id"],
+    )
+    tbl.upsert(spark, _df(spark, [(1050, "U", -1.0)]), key="id")
+    # the untouched low file kept its bloom: a key in NO file excludes
+    # it (rewritten files have no bloom yet and stay, conservatively)
+    pr = tbl.prune_files_point("id", 999_999)
+    assert pr["n_kept"] < pr["n_total"]
+    m = tbl.manifest(tbl.current_version())
+    assert m["bloom"], "untouched blooms were dropped"
+    v = tbl.delete_where(spark, "id", 1000, 1200)
+    assert tbl.manifest(v)["bloom"]
+    assert tbl.prune_files_point("id", 999_999, version=v)["n_kept"] < len(
+        tbl.manifest(v)["files"]
+    )
+    assert {r.id for r in tbl.read_point(spark, "id", 50).collect()} == {50}
