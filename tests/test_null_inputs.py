@@ -110,3 +110,56 @@ def test_pack_sequences_null_text(spark, docs_with_nulls):
     rows = {r.doc_id: r for r in packed.collect()}
     assert len(rows) == 4  # null-text doc still assigned (0 tokens)
     assert rows[2].n_tokens in (0, None)
+
+
+def test_analytics_ops_with_null_users_and_timestamps(spark):
+    """Funnel/cohorts/drift on rows carrying NULL user ids, timestamps
+    and values: nulls must neither crash nor silently inflate counts."""
+    import datetime as dt
+
+    from etl_zero_spark.operators.cohorts import cohort_retention
+    from etl_zero_spark.operators.drift import drift_report
+    from etl_zero_spark.operators.funnel import funnel_users
+
+    t0 = dt.datetime(2022, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, t0, "view"),
+            (1, t0 + dt.timedelta(hours=1), "click"),
+            (None, t0, "view"),                 # null user
+            (2, None, "view"),                  # null ts
+            (3, t0, None),                      # null event type
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    f = {r.user_id: r.steps_completed for r in funnel_users(ev, ["view", "click"]).collect()}
+    assert f[1] == 2
+    assert f.get(None, 0) <= 1  # null user groups alone, never merges
+    # null ts sorts first in its user's sequence; step can still match
+    assert 2 in f
+
+    tri = cohort_retention(ev.where("ts IS NOT NULL"), "1 week")
+    assert tri.where(F.col("cohort").isNull()).count() == 0
+
+    rep = drift_report(ev, ev, columns=["event_type"])
+    assert rep[0]["verdict"] == "stable"
+
+
+def test_scd2_null_keys_pass_through(spark):
+    """A NULL key row in the dim groups with other NULL keys (Spark
+    window partitioning) — document-by-test rather than surprise."""
+    import datetime as dt
+
+    from etl_zero_spark.sources.scd import scd2_init, scd2_merge
+
+    t0 = dt.datetime(2020, 1, 1)
+    dim = scd2_init(
+        spark.createDataFrame([(None, "x"), (1, "y")], "k long, a string"), t0
+    )
+    ups = spark.createDataFrame(
+        [(1, "z", t0 + dt.timedelta(days=1))], "k long, a string, ts timestamp"
+    )
+    out = scd2_merge(dim, ups, key="k", tracked=["a"])
+    assert out.count() == 3
+    nulls = out.where(F.col("k").isNull()).collect()
+    assert len(nulls) == 1 and nulls[0].is_current
