@@ -45,18 +45,41 @@ def funnel_users(
     ts_col: str = "ts",
     event_col: str = "event_type",
     within: str | None = None,
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Per-user funnel progress: (user, step_1_ts..step_k_ts,
     steps_completed). ``step_i_ts`` is the first time the user
     completed steps 1..i in order (NULL = never); ``within`` (an
     INTERVAL string, e.g. ``'7 days'``) bounds steps 2..k relative to
-    the user's step-1 time."""
+    the user's step-1 time.
+
+    Per-user state: the fold's working set is one user's DISTINCT
+    (ts, event) pairs — duplicate events collapse in the aggregation
+    itself (``collect_set``; a chained-min fold minimizes over a set,
+    so duplicates provably cannot change any slot), which already
+    defuses the bot-user-replays-one-event hot key. For data where a
+    single user can still carry millions of *distinct* timestamps,
+    ``max_events_per_user`` caps the working set hard: only the user's
+    EARLIEST n funnel events (ordered by ts, tie by event name) are
+    considered — a documented truncation (journeys completing only via
+    later events read as incomplete), applied through a row_number
+    window whose sort spills to disk instead of an in-memory array.
+    """
     if not steps:
         raise ValueError("funnel needs at least one step")
     k = len(steps)
+    filtered = events.where(F.col(event_col).isin(steps))
+    if max_events_per_user is not None:
+        w = Window.partitionBy(user_col).orderBy(
+            F.col(ts_col).cast("timestamp"), F.col(event_col)
+        )
+        filtered = (
+            filtered.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= F.lit(int(max_events_per_user)))
+            .drop("__rn")
+        )
     seq = (
-        events.where(F.col(event_col).isin(steps))
-        .select(
+        filtered.select(
             F.col(user_col).alias("user"),
             F.struct(
                 F.col(ts_col).cast("timestamp").alias("ts"),
@@ -64,7 +87,7 @@ def funnel_users(
             ).alias("ev"),
         )
         .groupBy("user")
-        .agg(F.sort_array(F.collect_list("ev")).alias("seq"))
+        .agg(F.sort_array(F.collect_set("ev")).alias("seq"))
     )
     steps_sql = "array(" + ", ".join(_sql_str(s) for s in steps) + ")"
     deadline = (
@@ -75,22 +98,28 @@ def funnel_users(
     # the PRE-update acc, which under TIMESTAMP TIES can miss a
     # qualifying event that sorts before the event finalizing the
     # predecessor slot; k chained passes fix that exactly (pass p
-    # finalizes slot p-1: its predecessor is final, and the scan takes
-    # the first — i.e. minimum — qualifying ts). Expression nests k
-    # folds deep; funnels are short (k <= ~10), per-user cost is
-    # k * |events|, still one shuffle and zero UDFs.
+    # finalizes slot p-1: its predecessor is final and constant through
+    # the pass, and the pass takes the MINIMUM qualifying ts — a filled
+    # slot is LOWERED when a qualifying event with a smaller ts is
+    # seen, which is what makes re-passes able to repair a slot that
+    # pass 1 filled with a later tied event; `least` skips NULL, so one
+    # branch covers fill-and-lower). A pass can only lower a slot, and
+    # any lowered value qualifies against the final predecessor too
+    # (predecessor values also only decrease), so pass p's slot p-1 is
+    # exact. Expression nests k folds deep; funnels are short
+    # (k <= ~10), per-user cost is k * |events|, still one shuffle and
+    # zero UDFs.
     body = f"""
         aggregate(
           seq,
           {{init}},
           (acc, x) -> transform(acc, (slot, i) ->
             CASE
-              WHEN slot IS NOT NULL THEN slot
               WHEN element_at({steps_sql}, i + 1) = x.e
                    AND (i = 0 OR (acc[i - 1] IS NOT NULL AND x.ts >= acc[i - 1]))
                    AND (i = 0 OR ({deadline}))
-              THEN x.ts
-              ELSE CAST(NULL AS TIMESTAMP)
+              THEN least(slot, x.ts)
+              ELSE slot
             END)
         )
     """

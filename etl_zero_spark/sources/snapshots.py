@@ -66,16 +66,29 @@ class CommitConflict(RuntimeError):
 
 def _norm_stat(v):
     """Normalize a stats/bound value to a JSON-storable type whose
-    ordering matches the column's: numbers as-is, strings as-is,
-    datetimes/dates as fixed-width ISO strings (lexicographic order ==
-    chronological order at equal precision). Returns None for types we
-    don't model (bytes that aren't UTF-8, structs, ...)."""
+    ordering matches the column's: numbers as-is (numpy scalars and
+    Decimal fold to int/float through the abstract-number registries,
+    so a caller's ``np.int64`` bound means what it says), strings
+    as-is, datetimes/dates as fixed-width ISO strings (lexicographic
+    order == chronological order at equal precision). Returns None for
+    types we don't model (bool, bytes that aren't UTF-8, structs, ...)
+    — callers MUST distinguish "value was None" from "value didn't
+    normalize" (see ``delete_where``): conflating them turns an
+    unmodeled bound into an open range end."""
     import datetime as _dt
+    import decimal
+    import numbers
 
-    if isinstance(v, bool):
+    if isinstance(v, bool) or type(v).__name__ == "bool_":
         return None
-    if isinstance(v, (int, float, str)):
+    if isinstance(v, str):
         return v
+    if isinstance(v, numbers.Integral):
+        return int(v)
+    if isinstance(v, numbers.Real):
+        return float(v)
+    if isinstance(v, decimal.Decimal):
+        return int(v) if v == v.to_integral_value() else float(v)
     if isinstance(v, _dt.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, _dt.date):
@@ -99,15 +112,55 @@ _BLOOM_BITS = 8192
 _BLOOM_K = 6
 
 
+def _bloom_key(value) -> str:
+    """CANONICAL string for bloom hashing. The build side hashes
+    pyarrow ``to_pylist`` values and the query side hashes whatever
+    Python literal the caller wrote; any two values that are equal
+    under the column's (Spark) equality must map to the SAME key or
+    the filter produces FALSE NEGATIVES — ``read_point(col, 5)``
+    silently returning no rows while ``read_point(col, 5.0)`` finds
+    them. So, mirroring ``_norm_stat``: all numerics fold to one form
+    (integral-valued floats print as the integer — 5, 5.0 and
+    np.int64(5) collide, exactly like Spark's 5 == 5.0), datetimes and
+    dates to the fixed ISO form, UTF-8 bytes to their text. A type tag
+    prefixes each class so e.g. the STRING '5' stays distinct from the
+    number 5 (Spark would not equate those without a cast either)."""
+    import datetime as _dt
+    import decimal
+    import math
+    import numbers
+
+    if isinstance(value, bool) or type(value).__name__ == "bool_":
+        return f"bool:{bool(value)}"
+    if isinstance(value, str):
+        return f"str:{value}"
+    if isinstance(value, numbers.Integral):
+        return f"num:{int(value)}"
+    if isinstance(value, (numbers.Real, decimal.Decimal)):
+        f = float(value)
+        if math.isfinite(f) and f.is_integer():
+            return f"num:{int(f)}"
+        return f"num:{f!r}"
+    if isinstance(value, _dt.datetime):
+        return f"ts:{value.strftime('%Y-%m-%d %H:%M:%S.%f')}"
+    if isinstance(value, _dt.date):
+        return f"ts:{value.strftime('%Y-%m-%d')} 00:00:00.000000"
+    if isinstance(value, bytes):
+        try:
+            return f"str:{value.decode()}"
+        except UnicodeDecodeError:
+            return f"bin:{value.hex()}"
+    return f"{type(value).__name__}:{value}"
+
+
 def _bloom_positions(value) -> list[int]:
-    """Stable hash positions for a value: md5 over the value's string
-    form (stable across processes/versions, unlike hash()), split into
-    k independent 32-bit probes. Convention: values serialize via
-    str() — both the build side and the query side use this function,
-    so the convention only has to be consistent, not canonical."""
+    """Stable hash positions for a value: md5 over the value's
+    CANONICAL form (``_bloom_key`` — stable across processes/versions
+    AND across the Python types an equal value can arrive in), split
+    into k independent 32-bit probes."""
     import hashlib
 
-    digest = hashlib.md5(str(value).encode()).digest()
+    digest = hashlib.md5(_bloom_key(value).encode()).digest()
     out = []
     for i in range(_BLOOM_K):
         chunk = digest[(i * 2) % 14 : (i * 2) % 14 + 4]
@@ -520,19 +573,35 @@ class SnapshotTable:
         m = self.manifest(v)
         stats = m.get("stats", {})
         lo_n, hi_n = _norm_stat(lo), _norm_stat(hi)
+        # A non-None bound that _norm_stat can't model must NOT read as
+        # an open range end: "covered" with a phantom -inf/+inf bound
+        # drops files metadata-only that the real predicate would keep
+        # — silent data loss from e.g. a bool bound. (Numpy scalars and
+        # Decimal normalize fine; this guard is for genuinely unmodeled
+        # types.) Conservative route: skip the stats classification and
+        # rewrite every file with the exact predicate.
+        unmodeled = (lo is not None and lo_n is None) or (
+            hi is not None and hi_n is None
+        )
         keep, drop, rewrite = [], [], []
         for f in m["files"]:
-            s = stats.get(f, {}).get(column)
+            s = None if unmodeled else stats.get(f, {}).get(column)
             if s is None:
                 rewrite.append(f)
                 continue
             mn, mx = s
-            disjoint = (hi_n is not None and mn > hi_n) or (
-                lo_n is not None and mx < lo_n
-            )
-            covered = (lo_n is None or mn >= lo_n) and (
-                hi_n is None or mx <= hi_n
-            )
+            try:
+                disjoint = (hi_n is not None and mn > hi_n) or (
+                    lo_n is not None and mx < lo_n
+                )
+                covered = (lo_n is None or mn >= lo_n) and (
+                    hi_n is None or mx <= hi_n
+                )
+            except TypeError:
+                # bound/stat type mismatch (e.g. string bound on a
+                # numeric column): no safe classification — rewrite
+                rewrite.append(f)
+                continue
             if disjoint:
                 keep.append(f)
             elif covered:
@@ -644,10 +713,14 @@ class SnapshotTable:
         kept = []
         for f in m["files"]:
             s = stats.get(f, {}).get(column)
-            if s is None or not (
-                (hi_n is not None and s[0] > hi_n)
-                or (lo_n is not None and s[1] < lo_n)
-            ):
+            try:
+                skip = s is not None and (
+                    (hi_n is not None and s[0] > hi_n)
+                    or (lo_n is not None and s[1] < lo_n)
+                )
+            except TypeError:
+                skip = False  # bound/stat type mismatch: keep (conservative)
+            if not skip:
                 kept.append(f)
         return {"kept": kept, "n_kept": len(kept), "n_total": len(m["files"])}
 
@@ -836,11 +909,22 @@ class SnapshotTable:
         arrival-ordered small files, one maintenance pass restores the
         layout that makes ``read_where``/``delete_where`` prune
         (coalesce alone preserves the arrival scatter). ``index``
-        rebuilds bloom indexes on the compacted files."""
-        cur = self.read(spark)
+        rebuilds bloom indexes on the compacted files.
+
+        Read-set guard: the version read is PINNED and passed as the
+        commit's ``expected_version`` — a writer landing between
+        compact's read and its publish raises ``CommitConflict`` (retry
+        the maintenance pass) instead of being silently overwritten
+        with pre-commit contents. The manifest CAS alone cannot catch
+        that (the next version number is free either way); upsert/
+        delete_where already pin their read version the same way."""
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"snapshot table {self.root} has no commits")
+        cur = self.read(spark, version=v)
         total_bytes = sum(
             os.path.getsize(os.path.join(self.root, f))
-            for f in self.manifest(self.current_version())["files"]
+            for f in self.manifest(v)["files"]
         )
         n = n_files or max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
         if cluster_by:
@@ -848,7 +932,7 @@ class SnapshotTable:
             out = cur.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
         else:
             out = cur.coalesce(n)
-        return self.commit(out, mode="overwrite", index=index)
+        return self.commit(out, mode="overwrite", index=index, expected_version=v)
 
     def vacuum(self, keep_versions: int = 2, dry_run: bool = False) -> dict:
         """Expire history: retain the last ``keep_versions`` manifests,

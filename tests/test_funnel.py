@@ -162,3 +162,44 @@ def test_single_shuffle_plan(spark, sf_dir):
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_timestamp_tie_repair_lowers_filled_slot(spark):
+    """ADVICE r4: click@t0, view@t0, click@t5 with steps [view, click]
+    must yield step_2_ts = t0 (chained-min semantics). Pass 1 fills
+    the click slot with t5 — the t0 click sorts BEFORE the view that
+    finalizes slot 1 — so the re-fold pass must LOWER the filled slot
+    to the tied earlier click, not keep it sticky."""
+    ev = _ev(
+        spark, [(1, _t(0), "click"), (1, _t(0), "view"), (1, _t(5), "click")]
+    )
+    u = funnel_users(ev, ["view", "click"]).collect()[0]
+    assert (u.step_1_ts, u.step_2_ts) == (_t(0), _t(0))
+    # a deadline between t0 and t5 must not flip completion either
+    u = funnel_users(ev, ["view", "click"], within="2 hours").collect()[0]
+    assert u.steps_completed == 2 and u.step_2_ts == _t(0)
+
+
+def test_duplicate_events_collapse_in_aggregation(spark):
+    """Per-user state is the user's DISTINCT (ts, event) set: a bot
+    replaying one event 50x contributes one array element, and the
+    funnel result is unchanged."""
+    rows = [(1, _t(0), "view")] * 50 + [(1, _t(1), "click"), (1, _t(2), "buy")]
+    u = funnel_users(_ev(spark, rows), STEPS).collect()[0]
+    assert u.steps_completed == 3
+    assert (u.step_1_ts, u.step_2_ts, u.step_3_ts) == (_t(0), _t(1), _t(2))
+
+
+def test_max_events_per_user_truncation_contract(spark):
+    """max_events_per_user keeps only the EARLIEST n funnel events per
+    user (ts, then event name): a generous cap changes nothing; a
+    tight cap truncates later steps — the documented trade for a hard
+    per-user working-set bound."""
+    rows = [(1, _t(h), "view") for h in range(10)] + [
+        (1, _t(20), "click"),
+        (1, _t(21), "buy"),
+    ]
+    ev = _ev(spark, rows)
+    assert funnel_users(ev, STEPS, max_events_per_user=100).collect()[0].steps_completed == 3
+    u = funnel_users(ev, STEPS, max_events_per_user=11).collect()[0]
+    assert u.steps_completed == 2 and u.step_3_ts is None

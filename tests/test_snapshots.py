@@ -766,3 +766,76 @@ def test_blooms_survive_unrelated_upsert_and_delete(spark, tbl):
         tbl.manifest(v)["files"]
     )
     assert {r.id for r in tbl.read_point(spark, "id", 50).collect()} == {50}
+
+
+def test_delete_where_numpy_bound_deletes_exact_range(spark, tbl):
+    """ADVICE r4 (high): a numpy-scalar bound must mean what it says —
+    np.int64(90) deletes rows 90..99, not the whole table. (numpy
+    scalars now normalize through the abstract-number registries; the
+    old str/int/float isinstance chain returned None for them, which
+    the covered-classification read as an OPEN range end.)"""
+    import numpy as np
+
+    tbl.commit(
+        _df(spark, [(i, "x", 1.0) for i in range(100)]).repartitionByRange(4, "id")
+    )
+    tbl.delete_where(spark, "id", np.int64(90), None)
+    got = sorted(r.id for r in tbl.read(spark).collect())
+    assert got == list(range(0, 90))
+
+
+def test_delete_where_unmodeled_bound_rewrites_conservatively(spark, tmp_path):
+    """A bound type the stats model doesn't cover (bool) must route
+    every file to the exact-predicate rewrite path — never into the
+    covered/disjoint classification where it reads as an open end."""
+    t = SnapshotTable(str(tmp_path / "b"))
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0) for i in range(20)], "id long, flag boolean"
+    )
+    t.commit(df.coalesce(2))
+    v = t.delete_where(spark, "flag", True, True)
+    got = sorted(r.id for r in t.read(spark).collect())
+    assert got == [i for i in range(20) if i % 2 == 1]
+    assert "0 files dropped metadata-only" in t.manifest(v)["operation"]
+
+
+def test_bloom_point_lookup_numeric_type_canonical(spark, tbl):
+    """ADVICE r4: read_point(col, 5) and read_point(col, 5.0) must hit
+    the same bloom bits (Spark's 5 == 5.0) — a type-sensitive hash
+    yields FALSE NEGATIVES, i.e. silently empty exact lookups."""
+    import numpy as np
+
+    tbl.commit(
+        _df(spark, [(i, "g", float(i)) for i in range(64)]).repartition(8),
+        index=["id", "v"],
+    )
+    # double column probed with int / float / numpy scalars
+    for probe in (5, 5.0, np.int64(5), np.float64(5.0)):
+        assert [r.id for r in tbl.read_point(spark, "v", probe).collect()] == [5]
+    # long column probed with a float literal
+    assert [r.v for r in tbl.read_point(spark, "id", 7.0).collect()] == [7.0]
+
+
+def test_compact_race_raises_instead_of_lost_update(spark, tbl, monkeypatch):
+    """ADVICE r4: a writer landing between compact's read and its
+    publish must surface as CommitConflict — compact previously
+    committed without expected_version, silently overwriting the
+    racer's rows with pre-commit contents."""
+    tbl.commit(_df(spark, [(i, "a", 1.0) for i in range(10)]).coalesce(4))
+    real_read = tbl.read
+    raced = {"done": False}
+
+    def read_then_race(spark_, version=None):
+        df = real_read(spark_, version=version)
+        if not raced["done"]:
+            raced["done"] = True
+            SnapshotTable(tbl.root).commit(
+                _df(spark_, [(99, "z", 9.0)]), mode="append"
+            )
+        return df
+
+    monkeypatch.setattr(tbl, "read", read_then_race)
+    with pytest.raises(CommitConflict):
+        tbl.compact(spark, n_files=1)
+    # the racing append survived; nothing was lost
+    assert 99 in {r.id for r in real_read(spark).collect()}
