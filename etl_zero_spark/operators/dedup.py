@@ -95,6 +95,44 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
+def compute_stop_shingles(
+    df: DataFrame,
+    k: int = 3,
+    df_cap: int | None = 10_000,
+    max_stop_broadcast: int = 10_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[str] | None:
+    """Resolve the stop-shingle set for ``df_cap`` with ONE corpus
+    aggregation: the shingles whose document frequency exceeds the cap
+    (see ``ngram_jaccard_pairs``). Returns ``[]`` when none exist (a
+    corpus of <= df_cap documents provably has none — only a count is
+    paid), the collected list when it fits ``max_stop_broadcast``, or
+    ``None`` when it doesn't (callers then let the pairs op use its
+    distributed stop path).
+
+    This is the cacheable half of the dd2 plan: a recurring pipeline
+    should pay corpus-wide discovery ONCE — persist the returned list
+    (functions/artifacts.save_artifact travels well) keyed on
+    (corpus version, k, df_cap) and feed it back through
+    ``ngram_jaccard_pairs(stop_shingles=...)`` on every later run
+    instead of re-probing per invocation (the r4 bench regression)."""
+    if df_cap is None or df.count() <= df_cap:
+        return []
+    flat = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_expr(F.col(text_col), k)).alias("shingle"),
+    )
+    stop_df = (
+        flat.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > F.lit(int(df_cap)))
+        .select("shingle")
+    )
+    probe = stop_df.limit(max_stop_broadcast + 1).collect()
+    return [r.shingle for r in probe] if len(probe) <= max_stop_broadcast else None
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.3,
@@ -104,6 +142,7 @@ def ngram_jaccard_pairs(
     prefix_filter: bool | None = None,
     df_cap: int | None = 10_000,
     max_stop_broadcast: int = 10_000,
+    stop_shingles: list[str] | None = None,
 ) -> DataFrame:
     """All pairs with word-k-shingle Jaccard >= threshold, computed by
     exploding shingles and joining on the shingle (an inverted index —
@@ -149,6 +188,13 @@ def ngram_jaccard_pairs(
     stop-set DataFrame. This build-time corpus probe is the same
     data-dependent planning pattern as similarity.auto_geometry.
 
+    ``stop_shingles`` short-circuits the probe with a PRECOMPUTED set
+    (``compute_stop_shingles`` — cache it per corpus version): pass
+    ``[]`` to assert the corpus has none (plan is then byte-identical
+    to the uncapped one, zero probe jobs), or the actual list. The
+    default ``None`` probes inline per call — correct but re-pays
+    corpus-wide discovery every invocation.
+
     Columns: a_id, b_id (a_id < b_id), jaccard.
     """
     if prefix_filter is None:
@@ -163,7 +209,9 @@ def ngram_jaccard_pairs(
     # A shingle's DF can't exceed the doc count, so a corpus of <= df_cap
     # docs provably has no stop shingles — one cheap count() skips the
     # probe aggregation entirely (the common case below web scale).
-    if df_cap is not None and df.count() > df_cap:
+    if stop_shingles is not None:
+        stop_list = list(stop_shingles)
+    elif df_cap is not None and df.count() > df_cap:
         stop_df = (
             flat.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))

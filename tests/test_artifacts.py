@@ -8,7 +8,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_zero_spark.catalog import load_table
-from etl_zero_spark.functions.artifacts import load_artifact, save_artifact
+from etl_zero_spark.functions.artifacts import (
+    cached_artifact,
+    load_artifact,
+    save_artifact,
+)
 from etl_zero_spark.plans.audit import assert_scale_clean, plan_digest
 
 
@@ -95,3 +99,33 @@ def test_pushed_filter_detection(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     d = plan_digest(li.where(F.col("l_orderkey") == 42))
     assert d["pushed_filters"]
+
+
+def test_cached_artifact_builds_once_then_loads(tmp_path):
+    """cached_artifact is the train-once path the declared ANN queries
+    use (r4 verdict #3): first call builds and persists, later calls
+    with identical params load without invoking the builder; changed
+    params (geometry/corpus) rebuild; a corrupted payload rebuilds
+    rather than serving wrong data."""
+    calls = []
+
+    def build():
+        calls.append(1)
+        return np.arange(6, dtype=np.float64).reshape(2, 3)
+
+    params = {"corpus": "probe", "nlist": 4, "seed": 42}
+    a = cached_artifact("ivf_centroids", params, build, root=str(tmp_path))
+    b = cached_artifact("ivf_centroids", params, build, root=str(tmp_path))
+    assert len(calls) == 1 and np.array_equal(a, b)
+    cached_artifact(
+        "ivf_centroids", {**params, "nlist": 8}, build, root=str(tmp_path)
+    )
+    assert len(calls) == 2
+    # corrupt every persisted payload -> digest check fails -> rebuild
+    import pathlib
+
+    for npy in pathlib.Path(tmp_path).rglob("payload.npy"):
+        data = npy.read_bytes()
+        npy.write_bytes(data[:-1] + bytes([data[-1] ^ 0xFF]))
+    c = cached_artifact("ivf_centroids", params, build, root=str(tmp_path))
+    assert len(calls) == 3 and np.array_equal(c, a)

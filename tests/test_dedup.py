@@ -291,6 +291,42 @@ def test_df_cap_bounds_pathological_shared_shingle(spark):
     assert uncapped.count() == n * (n - 1) // 2 + 2 * n + 1
 
 
+def test_precomputed_stop_shingles_match_inline_probe(spark):
+    """compute_stop_shingles + stop_shingles= (the cached path the
+    declared queries and any recurring pipeline use) must return
+    exactly the inline probe's pairs; an empty precomputed set is the
+    no-stop-shingles assertion (zero probe jobs, uncapped-identical
+    plan)."""
+    boiler = "all rights reserved"
+    rows = [(i, f"{boiler} u{i}a u{i}b") for i in range(40)]
+    rows += [(100, f"{boiler} same tail here"), (101, f"{boiler} same tail here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    stop = dedup.compute_stop_shingles(df, df_cap=5)
+    assert stop == [boiler]
+    inline = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.05, df_cap=5).collect()
+    }
+    cached = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.05, df_cap=5, stop_shingles=stop
+        ).collect()
+    }
+    assert set(cached) == set(inline)
+    for pair, j in inline.items():
+        assert cached[pair] == pytest.approx(j, abs=1e-6)
+    # under the doc-count short-circuit the resolved set is empty and
+    # the empty-set fast path equals the uncapped result
+    small = spark.createDataFrame(rows[:10], ["doc_id", "text"])
+    assert dedup.compute_stop_shingles(small, df_cap=10_000) == []
+    a = dedup.ngram_jaccard_pairs(small, threshold=0.05, stop_shingles=[]).collect()
+    b = dedup.ngram_jaccard_pairs(small, threshold=0.05, df_cap=None).collect()
+    assert sorted((r.a_id, r.b_id, r.jaccard) for r in a) == sorted(
+        (r.a_id, r.b_id, r.jaccard) for r in b
+    )
+
+
 def test_df_cap_applies_to_prefix_path(spark):
     """The cap must also bound the prefix (t>=0.5) index: a stop shingle
     inside prefixes is excluded, sub-cap discovery still finds the

@@ -229,9 +229,21 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
     sim4_cents: list = []
 
     def sim4():
-        # index build is amortized in real operation — timed separately
+        # Index build amortizes through the SAME persisted-artifact path
+        # production uses (functions/artifacts.cached_artifact keyed on
+        # corpus+geometry): the first probe run pays the k-means pass,
+        # every later run digest-verifies and loads — train_sec in the
+        # artifact records what THIS run actually paid, and search_sec
+        # is the headline either way.
+        from etl_zero_spark.functions.artifacts import cached_artifact
+
         t = time.perf_counter()
-        cents = ivf.train_ivf_centroids(emb, 128, max_iter=4)
+        cents = cached_artifact(
+            "ivf_centroids",
+            {"corpus": probe_dir, "nlist": 128, "seed": ivf.IVF_SEED,
+             "max_iter": 4, "vec_col": "embedding"},
+            lambda: ivf.train_ivf_centroids(emb, 128, max_iter=4),
+        )
         sim4_train_sec.append(round(time.perf_counter() - t, 2))
         sim4_cents.append(cents)  # sim5_pq reuses the coarse quantizer
         return ivf.ivf_topk(queries_df, emb, k=10, centroids=cents, nprobe=16)
@@ -239,16 +251,23 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
     pq_train_sec: list[float] = []
 
     def sim5_pq():
-        # IVF-PQ at 100k x 64: codebook train (bounded sample, timed
-        # separately like sim4's k-means) + ADC search with exact
-        # refine — the compressed-domain tier at 32x fewer bytes/vec
+        # IVF-PQ at 100k x 64: codebook train (bounded sample, persisted
+        # like sim4's quantizer, timed separately) + ADC search with
+        # exact refine — the compressed-domain tier at 32x fewer
+        # bytes/vec
+        from etl_zero_spark.functions.artifacts import cached_artifact
         from etl_zero_spark.operators import pq as pqm
 
         t = time.perf_counter()
-        books = pqm.train_pq(emb, m=8, sample_rows=16_384, max_iter=8)
+        books = cached_artifact(
+            "pq_codebooks",
+            {"corpus": probe_dir, "m": 8, "sample_rows": 16_384,
+             "max_iter": 8, "vec_col": "embedding"},
+            lambda: pqm.train_pq(emb, m=8, sample_rows=16_384, max_iter=8),
+        )
         cents = (
             sim4_cents[0]
-            if sim4_cents  # the SAME coarse quantizer sim4 trained
+            if sim4_cents  # the SAME coarse quantizer sim4 trained/loaded
             else ivf.train_ivf_centroids(emb, 128, max_iter=4)
         )
         pq_train_sec.append(round(time.perf_counter() - t, 2))
