@@ -4,7 +4,8 @@
 
 # Import order IS registration order, and the driver records correctness
 # rows for the first 50 registered queries: keep the total set <= 50 (50
-# EXACTLY as of R3 — consolidate before adding!) and keep northstar +
+# EXACTLY as of R5 — w1/w3/w4 folded into one window-family slot to
+# admit snap1; consolidate before adding!) and keep northstar +
 # streaming AHEAD of analytics so the
 # multimodal/streaming queries can never fall outside the window again
 # (the R2 regression: mm1-mm3/st1-st3 sat at positions 51-56).
@@ -12,6 +13,7 @@ import etl_zero_spark.plans.registry  # noqa: F401  (core: scans/transforms/join
 import etl_zero_spark.plans.events_queries  # noqa: F401  (event-time/json)
 import etl_zero_spark.plans.northstar  # noqa: F401  (dedup/similarity/text/multimodal)
 import etl_zero_spark.plans.streaming_queries  # noqa: F401  (availableNow streaming)
+import etl_zero_spark.plans.snapshot_queries  # noqa: F401  (table-format lifecycle)
 import etl_zero_spark.plans.analytics  # noqa: F401  (windows/set ops/grouping)
 
 from etl_zero_spark.plans.registry import QUERIES  # noqa: F401

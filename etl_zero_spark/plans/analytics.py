@@ -22,30 +22,76 @@ from etl_zero_spark.plans.registry import query
 
 
 @query(
-    "w1_row_number_topn",
-    "window: row_number top-N per group",
+    "w1_w3_w4_window_family",
+    "window: row_number top-N per group + lag/lead + rank/dense_rank",
     """
-    SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+    SELECT 'topn' AS op, c_mktsegment AS grp, o_orderkey AS id,
+           o_totalprice AS val, rn,
+           CAST(NULL AS DOUBLE) AS prev_val, CAST(NULL AS DOUBLE) AS next_val,
+           CAST(NULL AS BIGINT) AS val_rank, CAST(NULL AS BIGINT) AS val_dense_rank
+    FROM (
       SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
              row_number() OVER (PARTITION BY c.c_mktsegment
                                 ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ) WHERE rn <= 3
+    UNION ALL
+    SELECT 'lag_rank', p_brand, p_partkey, p_retailprice,
+           CAST(NULL AS BIGINT),
+           lag(p_retailprice)  OVER (PARTITION BY p_brand
+                 ORDER BY p_retailprice DESC, p_partkey),
+           lead(p_retailprice) OVER (PARTITION BY p_brand
+                 ORDER BY p_retailprice DESC, p_partkey),
+           rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC),
+           dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+    FROM part
     """,
-    "Top-3 orders per market segment via ranked window.",
+    "The window-function family in one tagged union (the R5 fold that "
+    "freed a declared slot for snap1; operator ids W1+W3+W4 all "
+    "preserved): 'topn' = top-3 orders per market segment via ranked "
+    "row_number; 'lag_rank' = lag/lead over a totally-ordered window "
+    "(unique p_partkey tiebreaker) plus rank/dense_rank over the "
+    "tie-bearing price order (ties share rank), both families in one "
+    "pass over part.",
 )
-def w1_row_number_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def w1_w3_w4_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
-    return (
+    topn = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 3)
+        .select(
+            F.lit("topn").alias("op"),
+            F.col("c_mktsegment").alias("grp"),
+            F.col("o_orderkey").alias("id"),
+            F.col("o_totalprice").alias("val"),
+            F.col("rn").cast("long").alias("rn"),
+            F.lit(None).cast("double").alias("prev_val"),
+            F.lit(None).cast("double").alias("next_val"),
+            F.lit(None).cast("long").alias("val_rank"),
+            F.lit(None).cast("long").alias("val_dense_rank"),
+        )
     )
+    p = load_table(spark, sf_dir, "part")
+    w_uniq = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    w_tie = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    lag_rank = p.select(
+        F.lit("lag_rank").alias("op"),
+        F.col("p_brand").alias("grp"),
+        F.col("p_partkey").alias("id"),
+        F.col("p_retailprice").alias("val"),
+        F.lit(None).cast("long").alias("rn"),
+        F.lag("p_retailprice").over(w_uniq).alias("prev_val"),
+        F.lead("p_retailprice").over(w_uniq).alias("next_val"),
+        F.rank().over(w_tie).cast("long").alias("val_rank"),
+        F.dense_rank().over(w_tie).cast("long").alias("val_dense_rank"),
+    )
+    return topn.unionByName(lag_rank)
 
 
 @query(
@@ -71,39 +117,6 @@ def w2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
-    )
-
-
-@query(
-    "w3_w4_lag_lead_rank",
-    "window: lag/lead + rank/dense_rank",
-    """
-    SELECT p_brand, p_partkey, p_retailprice,
-           lag(p_retailprice)  OVER (PARTITION BY p_brand
-                 ORDER BY p_retailprice DESC, p_partkey) AS prev_price,
-           lead(p_retailprice) OVER (PARTITION BY p_brand
-                 ORDER BY p_retailprice DESC, p_partkey) AS next_price,
-           rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
-           dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank
-    FROM part
-    """,
-    "lag/lead over a totally-ordered window (unique p_partkey "
-    "tiebreaker keeps them deterministic) plus rank/dense_rank over the "
-    "tie-bearing price order (ties share rank) — both window families "
-    "in one pass over part.",
-)
-def w3_w4_lag_lead_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load_table(spark, sf_dir, "part")
-    w_uniq = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
-    w_tie = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
-    return p.select(
-        "p_brand",
-        "p_partkey",
-        "p_retailprice",
-        F.lag("p_retailprice").over(w_uniq).alias("prev_price"),
-        F.lead("p_retailprice").over(w_uniq).alias("next_price"),
-        F.rank().over(w_tie).alias("price_rank"),
-        F.dense_rank().over(w_tie).alias("price_dense_rank"),
     )
 
 
