@@ -79,6 +79,8 @@ class RuleBasedGenerator:
     * ``top N <table> [by <col>]``                     -> ORDER BY DESC LIMIT N
     * ``average/sum/min/max <col> [by/per <group>]``   -> agg [+ GROUP BY]
     * ``distinct/unique <col>``                        -> SELECT DISTINCT
+    * ``show <tA> with their <tB or col> / joined with`` -> two-table FK
+      join on the mapper-inferred (J3) name-similarity key pair
     * ``... where <col> greater/less than X``          -> comparison WHERE
     * ``... <col> is/equals <value>``                  -> equality WHERE
 
@@ -160,6 +162,26 @@ class RuleBasedGenerator:
             if col:
                 return f"SELECT DISTINCT {col} FROM {table}{where}"
 
+        # plain two-table join (R5, matching the reference demo space's
+        # join questions): 'show customers with their orders', 'orders
+        # and their customer names', 'list orders joined with customer'.
+        # The mention resolves to another TABLE (-> t1.*, t2.*) or to a
+        # column living in exactly one other table (-> t1.*, t2.col);
+        # the join key pair is the mapper's name-similarity inference
+        # (J3) applied to the rendered schema.
+        m = re.search(
+            r"\b(?:with|and)\s+(?:their|its|the)\s+(\w+)\b", q
+        ) or re.search(r"\bjoin(?:ed)?\s+(?:with\s+)?(?:the\s+)?(\w+)\b", q)
+        if m:
+            hit = self._resolve_join(m.group(1), table, schema)
+            if hit:
+                other, sel, lk, rk = hit
+                jwhere = self._where_clause(raw, cols, prefix="t1.")
+                return (
+                    f"SELECT {sel} FROM {table} t1 "
+                    f"JOIN {other} t2 ON t1.{lk} = t2.{rk}{jwhere}"
+                )
+
         return f"SELECT * FROM {table}{where}"
 
     # -- prompt / schema plumbing --------------------------------------
@@ -193,9 +215,13 @@ class RuleBasedGenerator:
 
     def _resolve_table(self, q: str, schema: dict) -> str | None:
         words = re.findall(r"\w+", q)
-        for t in schema:  # exact mention (incl. naive plural)
-            if t in words or f"{t}s" in words or t.rstrip("s") in words:
-                return t
+        # earliest QUESTION-ORDER mention wins ('orders joined with
+        # customer' targets orders, whatever the schema order); naive
+        # plural tolerated both ways
+        for w in words:
+            for t in schema:
+                if w in (t, f"{t}s", t.rstrip("s")) or w.rstrip("s") == t:
+                    return t
         if re.search(r"\bfirst table\b", q):  # reference demo question
             return next(iter(schema))
         for w in words:
@@ -232,16 +258,29 @@ class RuleBasedGenerator:
         m = re.search(r"\b(?:by|per|for each|grouped by)\s+(\w+)", q)
         return self._resolve_column(m.group(1), cols) if m else None
 
-    def _resolve_foreign_group(
-        self, word: str, table: str, schema: dict
-    ) -> tuple[str, str, str, str] | None:
-        """(other_table, group_col, left_key, right_key) when ``word``
-        resolves in exactly one OTHER table and a join-key pair exists:
-        the (left, right) column pair with the highest difflib name
+    @staticmethod
+    def _best_key_pair(
+        a_cols: dict[str, str], b_cols: dict[str, str]
+    ) -> tuple[str, str] | None:
+        """The (left, right) column pair with the highest difflib name
         similarity >= 0.6 — the same heuristic the mapper applies to
         real schemas (J3)."""
         import difflib
 
+        best, best_score = None, 0.0
+        for lk in a_cols:
+            for rk in b_cols:
+                score = difflib.SequenceMatcher(None, lk, rk).ratio()
+                if score > best_score:
+                    best, best_score = (lk, rk), score
+        return best if best is not None and best_score >= 0.6 else None
+
+    def _resolve_foreign_group(
+        self, word: str, table: str, schema: dict
+    ) -> tuple[str, str, str, str] | None:
+        """(other_table, group_col, left_key, right_key) when ``word``
+        resolves in exactly one OTHER table and a join-key pair
+        exists."""
         candidates = []
         for other, ocols in schema.items():
             if other == table:
@@ -252,19 +291,53 @@ class RuleBasedGenerator:
         if len(candidates) != 1:
             return None
         other, gcol = candidates[0]
-        best, best_score = None, 0.0
-        for lk in schema[table]:
-            for rk in schema[other]:
-                score = difflib.SequenceMatcher(None, lk, rk).ratio()
-                if score > best_score:
-                    best, best_score = (lk, rk), score
-        if best is None or best_score < 0.6:
+        keys = self._best_key_pair(schema[table], schema[other])
+        if keys is None:
             return None
-        return (other, gcol, best[0], best[1])
+        return (other, gcol, keys[0], keys[1])
 
-    def _where_clause(self, raw: str, cols: dict[str, str]) -> str:
+    def _resolve_join(
+        self, word: str, table: str, schema: dict
+    ) -> tuple[str, str, str, str] | None:
+        """(other_table, select_list, left_key, right_key) for a plain
+        two-table join mention: ``word`` names another table (naive
+        plural tolerated) -> all its columns ride along; else a column
+        in exactly ONE other table -> just that column rides along.
+        None when nothing resolves or no key pair clears the 0.6 bar —
+        the caller falls through and unresolvable stays unresolvable."""
+        other = None
+        for t in schema:
+            if t == table:
+                continue
+            if word in (t, f"{t}s", t.rstrip("s")) or word.rstrip("s") == t:
+                other = t
+                break
+        if other is None:
+            other = self._fuzzy(word, [t for t in schema if t != table])
+        if other is not None:
+            sel = "t1.*, t2.*"
+        else:
+            candidates = []
+            for t, ocols in schema.items():
+                if t == table:
+                    continue
+                col = self._resolve_column(word, ocols)
+                if col:
+                    candidates.append((t, col))
+            if len(candidates) != 1:
+                return None
+            other, col = candidates[0]
+            sel = f"t1.*, t2.{col}"
+        keys = self._best_key_pair(schema[table], schema[other])
+        if keys is None:
+            return None
+        return (other, sel, keys[0], keys[1])
+
+    def _where_clause(self, raw: str, cols: dict[str, str], prefix: str = "") -> str:
         """Parses the ORIGINAL-case question (literals like 'F' must
-        survive); keywords match case-insensitively."""
+        survive); keywords match case-insensitively. ``prefix``
+        qualifies the column (``t1.``) on join paths where a bare name
+        could be ambiguous across the joined tables."""
         m = re.search(
             r"(\w+)\s+(?:is\s+)?(?:(greater|more|larger|bigger|above|over)"
             r"|(less|smaller|lower|below|under))\s*(?:than)?\s+(-?\d+(?:\.\d+)?)",
@@ -275,14 +348,14 @@ class RuleBasedGenerator:
             col = self._resolve_column(m.group(1).lower(), cols)
             if col:
                 op = ">" if m.group(2) else "<"
-                return f" WHERE {col} {op} {m.group(4)}"
+                return f" WHERE {prefix}{col} {op} {m.group(4)}"
         m = re.search(r"(\w+)\s+(?:is|equals|=)\s+'?([\w-]+)'?(?:\s|$)", raw, re.IGNORECASE)
         if m and m.group(2).lower() not in ("greater", "less", "more", "smaller"):
             col = self._resolve_column(m.group(1).lower(), cols)
             if col:
                 val = m.group(2)
                 lit = val if re.fullmatch(r"-?\d+(\.\d+)?", val) else f"'{val}'"
-                return f" WHERE {col} = {lit}"
+                return f" WHERE {prefix}{col} = {lit}"
         return ""
 
 

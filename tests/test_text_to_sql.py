@@ -141,3 +141,38 @@ def test_generator_foreign_join_end_to_end(spark):
     rows = {r.c_mktsegment: r.o_totalprice_avg for r in out.collect()}
     assert len(rows) == 5  # TPC-H market segments
     assert all(v > 0 for v in rows.values())
+
+
+def test_generator_plain_join_questions():
+    """R5 (r4 verdict #6): plain 'show X with their Y' two-table joins
+    over the mapper-style inferred key pair — table mention, column
+    mention, and the 'joined with' phrasing all resolve; unresolvable
+    join mentions still fall through."""
+    sql = _gen("show customers with their orders")
+    assert sql == (
+        "SELECT t1.*, t2.* FROM customer t1 "
+        "JOIN orders t2 ON t1.c_custkey = t2.o_custkey"
+    )
+    # column mention living in exactly one other table
+    sql = _gen("show orders with their c_name")
+    assert sql == (
+        "SELECT t1.*, t2.c_name FROM orders t1 "
+        "JOIN customer t2 ON t1.o_custkey = t2.c_custkey"
+    )
+    # 'joined with' phrasing + filter stays qualified to t1
+    sql = _gen("orders joined with customer where totalprice greater than 1000")
+    assert sql == (
+        "SELECT t1.*, t2.* FROM orders t1 "
+        "JOIN customer t2 ON t1.o_custkey = t2.c_custkey "
+        "WHERE t1.o_totalprice > 1000"
+    )
+
+
+def test_generator_plain_join_end_to_end(spark):
+    out = t2s.process_query(
+        spark, SF_SMOKE, "show customers with their orders"
+    )
+    assert out is not None
+    cols = out.columns
+    assert "c_custkey" in cols and "o_orderkey" in cols
+    assert out.count() > 0
