@@ -53,7 +53,62 @@ HEADLINE = [
     # table-management tier (R4)
     "scd1_type2_merge",
     "ts1_gap_fill",
+    "snap1_time_travel_read",
 ]
+
+
+def _extras(spark, sf_dir: str) -> dict:
+    """R4-tier hot paths a training-data pipeline actually runs at
+    scale (VERDICT r4 #7) — not declared queries, so they bench as
+    callables that fully execute and return a row count. BPE merges
+    load from the persisted artifact after the first (cold) run, so
+    warm timings measure APPLY, the per-run cost."""
+    from etl_zero_spark.catalog import load_table
+    from etl_zero_spark.functions.artifacts import cached_artifact
+    from etl_zero_spark.operators import bpe, quality, validate
+    from etl_zero_spark.plans.corpus_pipeline import prepare_corpus
+
+    def x_bpe_tokenize() -> int:
+        docs = load_table(spark, sf_dir, "documents")
+        merges = cached_artifact(
+            "bpe_merges",
+            {"corpus": sf_dir, "n_merges": 200, "max_words": 100_000},
+            lambda: [list(m) for m in bpe.train_bpe(docs, n_merges=200)],
+        )
+        return bpe.bpe_tokenize(docs, [tuple(m) for m in merges]).count()
+
+    def x_gopher_gate() -> int:
+        return quality.gopher_filter(load_table(spark, sf_dir, "documents")).count()
+
+    def x_validate_single_scan() -> int:
+        li = load_table(spark, sf_dir, "lineitem")
+        report = validate.validate(
+            li,
+            [
+                validate.not_null("l_orderkey"),
+                validate.not_null("l_shipdate"),
+                validate.in_range("l_quantity", 0, 100),
+                validate.in_range("l_discount", 0.0, 0.5),
+                validate.in_set("l_returnflag", ["A", "N", "R"]),
+            ],
+        )
+        return report.n_rows
+
+    def x_corpus_pipeline() -> int:
+        docs = load_table(spark, sf_dir, "documents")
+        return prepare_corpus(
+            docs,
+            near_dedup_threshold=0.5,
+            pack_budget=2048,
+            collect_stats=False,
+        ).df.count()
+
+    return {
+        "x_bpe_tokenize": x_bpe_tokenize,
+        "x_gopher_gate": x_gopher_gate,
+        "x_validate_single_scan": x_validate_single_scan,
+        "x_corpus_pipeline": x_corpus_pipeline,
+    }
 
 
 def main() -> None:
@@ -88,16 +143,21 @@ def main() -> None:
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        spec = QUERIES[name]
+    runs = [(name, None) for name in HEADLINE] + [
+        (name, fn) for name, fn in _extras(spark, sf_dir).items()
+    ]
+    for name, extra_fn in runs:
+        run = extra_fn if extra_fn is not None else (
+            lambda spec=QUERIES[name]: spec.fn(spark, sf_dir).count()
+        )
         try:
             t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).count()
+            run()
             cold[name] = round(time.perf_counter() - t0, 3)
             reps = []
             for _ in range(3):
                 t1 = time.perf_counter()
-                spec.fn(spark, sf_dir).count()
+                run()
                 reps.append(time.perf_counter() - t1)
             warm[name] = round(min(reps), 3)
             print(f"# {name}: cold {cold[name]}s / warm {warm[name]}s", file=sys.stderr)
@@ -143,32 +203,41 @@ def main() -> None:
     }
 
     total = round(sum(warm.values()), 3)
-    print(
-        json.dumps(
-            {
-                # Schema v2 (R2+): 'value'/'queries' are WARM min-of-3
-                # timings (v1 recorded one contended cold run). Automated
-                # round-over-round diffs must check this field first.
-                "bench_schema_version": 2,
-                "metric": (
-                    "headline-query warm wall time "
-                    f"({len(HEADLINE)} queries: parity core + dedup/similarity/text; "
-                    "cold timings in queries_cold)"
-                ),
-                "value": total,
-                "unit": "sec",
-                "queries": warm,
-                "queries_cold": cold,
-                "total_cold": round(sum(cold.values()), 3),
-                "errors": errors,
-                "n_ok": len(warm),
-                "n_err": len(errors),
-                "sf": sf,
-                "sf_scale_probe": scale_probe,
-                "warm_ratio_vs_prev": {"baseline": prev_name, "ratios": delta},
-            }
-        )
-    )
+    doc = {
+        # Schema v3 (R5+): 'value'/'queries' are WARM min-of-3 timings
+        # over HEADLINE declared queries PLUS the x_* pipeline extras
+        # (BPE apply / gopher gate / validate / corpus pipeline).
+        # The FULL document (incl. cold timings + scale probe) is also
+        # written to BENCH_LOCAL.json so the committed artifact never
+        # depends on how much stdout the driver's tail preserves (the
+        # r4 artifact's tail truncated mid-dict -> parsed: null).
+        "bench_schema_version": 3,
+        "metric": (
+            "headline-query warm wall time "
+            f"({len(warm)} of {len(runs)} ran: parity core + dedup/"
+            "similarity/text + table tier + pipeline extras; cold "
+            "timings and scale probe in BENCH_LOCAL.json)"
+        ),
+        "value": total,
+        "unit": "sec",
+        "queries": warm,
+        "queries_cold": cold,
+        "total_cold": round(sum(cold.values()), 3),
+        "errors": errors,
+        "n_ok": len(warm),
+        "n_err": len(errors),
+        "sf": sf,
+        "sf_scale_probe": scale_probe,
+        "warm_ratio_vs_prev": {"baseline": prev_name, "ratios": delta},
+    }
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(doc, fh, indent=1)
+    # stdout line stays COMPACT (the driver records a bounded tail):
+    # warm timings + errors carry the round-over-round signal; bulky
+    # sub-docs live in the committed BENCH_LOCAL.json.
+    slim = {k: v for k, v in doc.items() if k not in ("queries_cold", "sf_scale_probe")}
+    slim["detail_file"] = "BENCH_LOCAL.json"
+    print(json.dumps(slim, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -11,6 +11,26 @@ extraction fans out across executors instead of the reference's single
 driver connection pulling every row (data_extraction.py:46), and
 predicates land in the remote query via Spark's JDBC pushdown rather
 than string-formatted SQL (data_extraction.py:95-96).
+
+MySQL dialect parity (document-only in this sandbox — no MySQL server
+ships here; the JDBC path itself is integration-tested for real
+against embedded Derby in tests/test_jdbc.py). Semantics pinned
+against the reference's pandas/SQLAlchemy load (data_extraction.py:
+32-43) for when a MySQL URL + Connector/J jar are supplied:
+
+* **DECIMAL(p,s)** arrives as Spark ``DecimalType(p,s)`` — exact,
+  unlike the reference's pandas path which coerces to float64 (lossy
+  past 2^53). Downstream numeric operators accept DecimalType; cast
+  explicitly where float math is intended.
+* **Zero dates** (``0000-00-00``): Connector/J rejects them by
+  default; append ``?zeroDateTimeBehavior=CONVERT_TO_NULL`` to the
+  URL to map them to NULL, matching what the reference's pandas read
+  silently yields (NaT). ``EXCEPTION`` (the driver default) fails the
+  extraction.
+* **TINYINT(1)** maps to BooleanType (``tinyInt1isBit=true`` default);
+  add ``tinyInt1isBit=false`` to keep the reference's 0/1 integers.
+* **Unsigned BIGINT** widens to DecimalType(20,0) (no unsigned 64-bit
+  in the JVM); the reference's pandas path overflows to float.
 """
 
 from __future__ import annotations
