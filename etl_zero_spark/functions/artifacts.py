@@ -96,11 +96,16 @@ def load_artifact(root: str, expect_kind: str | None = None):
 
 def default_artifact_root() -> str:
     """Where cached artifacts live: ``$ETL_ZERO_ARTIFACTS`` when set,
-    else ``.artifacts/`` under the current working directory (the repo
-    root in this harness; a lake path in production)."""
-    return os.environ.get("ETL_ZERO_ARTIFACTS") or os.path.join(
-        os.getcwd(), ".artifacts"
+    else ``.artifacts/`` beside the package (the repo root in this
+    harness — NOT the process cwd, which a caller may run from
+    anywhere; a lake path in production)."""
+    env = os.environ.get("ETL_ZERO_ARTIFACTS")
+    if env:
+        return env
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    return os.path.join(repo_root, ".artifacts")
 
 
 def cached_artifact(kind: str, params: dict, builder, root: str | None = None):

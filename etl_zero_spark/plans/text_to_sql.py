@@ -76,12 +76,13 @@ class RuleBasedGenerator:
 
     * ``show/list all records from <table>``           -> SELECT *
     * ``how many / count ... <table> [where ...]``     -> COUNT(*)
-    * ``top N <table> [by <col>]``                     -> ORDER BY DESC LIMIT N
+    * ``top/bottom N <table> [by <col>]``              -> ORDER BY DESC/ASC LIMIT N
     * ``average/sum/min/max <col> [by/per <group>]``   -> agg [+ GROUP BY]
     * ``distinct/unique <col>``                        -> SELECT DISTINCT
     * ``show <tA> with their <tB or col> / joined with`` -> two-table FK
       join on the mapper-inferred (J3) name-similarity key pair
     * ``... where <col> greater/less than X``          -> comparison WHERE
+    * ``... <col> between X and Y``                    -> BETWEEN WHERE
     * ``... <col> is/equals <value>``                  -> equality WHERE
 
     Table and column mentions resolve by containment first, then
@@ -121,6 +122,17 @@ class RuleBasedGenerator:
             return (
                 f"SELECT * FROM {table}{where} "
                 f"ORDER BY {order} DESC LIMIT {n}"
+            )
+
+        m = re.search(r"\b(?:bottom|lowest|smallest)\s+(\d+)\b", q)
+        if m:
+            n = int(m.group(1))
+            order = self._order_column(q, cols)
+            if order is None:
+                return ""
+            return (
+                f"SELECT * FROM {table}{where} "
+                f"ORDER BY {order} ASC LIMIT {n}"
             )
 
         if re.search(r"\bhow many\b|\bcount\b|number of", q):
@@ -338,6 +350,18 @@ class RuleBasedGenerator:
         survive); keywords match case-insensitively. ``prefix``
         qualifies the column (``t1.``) on join paths where a bare name
         could be ambiguous across the joined tables."""
+        m = re.search(
+            r"(\w+)\s+(?:is\s+)?between\s+(-?\d+(?:\.\d+)?)\s+and\s+"
+            r"(-?\d+(?:\.\d+)?)",
+            raw,
+            re.IGNORECASE,
+        )
+        if m:
+            col = self._resolve_column(m.group(1).lower(), cols)
+            if col:
+                return (
+                    f" WHERE {prefix}{col} BETWEEN {m.group(2)} AND {m.group(3)}"
+                )
         m = re.search(
             r"(\w+)\s+(?:is\s+)?(?:(greater|more|larger|bigger|above|over)"
             r"|(less|smaller|lower|below|under))\s*(?:than)?\s+(-?\d+(?:\.\d+)?)",

@@ -176,3 +176,17 @@ def test_generator_plain_join_end_to_end(spark):
     cols = out.columns
     assert "c_custkey" in cols and "o_orderkey" in cols
     assert out.count() > 0
+
+
+def test_generator_bottom_n_and_between():
+    sql = _gen("bottom 5 orders by totalprice")
+    assert sql == (
+        "SELECT * FROM orders ORDER BY o_totalprice ASC LIMIT 5"
+    )
+    sql = _gen("show orders where totalprice between 100 and 2000")
+    assert sql == (
+        "SELECT * FROM orders WHERE o_totalprice BETWEEN 100 AND 2000"
+    )
+    # 'lowest <col>' (no count) still means MIN, not a limit
+    sql = _gen("lowest totalprice of orders")
+    assert sql == "SELECT MIN(o_totalprice) AS o_totalprice_min FROM orders"
