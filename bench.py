@@ -63,6 +63,8 @@ def _extras(spark, sf_dir: str) -> dict:
     callables that fully execute and return a row count. BPE merges
     load from the persisted artifact after the first (cold) run, so
     warm timings measure APPLY, the per-run cost."""
+    from pyspark.sql import functions as F
+
     from etl_zero_spark.catalog import load_table
     from etl_zero_spark.functions.artifacts import cached_artifact
     from etl_zero_spark.operators import bpe, quality, validate
@@ -95,19 +97,53 @@ def _extras(spark, sf_dir: str) -> dict:
         return report.n_rows
 
     def x_corpus_pipeline() -> int:
+        # quality=False: the synthetic fixture text fails the published
+        # Gopher thresholds wholesale, and a gate that zeroes the corpus
+        # would make every later stage a no-op — the gate itself is
+        # benchmarked as x_gopher_gate. Fork inputs persist (and are
+        # released after the count) so the single action computes each
+        # stage once.
         docs = load_table(spark, sf_dir, "documents")
-        return prepare_corpus(
+        res = prepare_corpus(
             docs,
+            quality=False,
             near_dedup_threshold=0.5,
             pack_budget=2048,
             collect_stats=False,
-        ).df.count()
+        )
+        n = res.df.count()
+        res.unpersist()
+        return n
+
+    # Production-path ANN/dedup timings. The DECLARED dd3/dd8/sim2-4
+    # queries bundle the exact twin + oracle-pinned audit booleans (the
+    # R5 checked-row conversion), so their headline numbers measure
+    # exact+approx+audit together; these two isolate what a production
+    # caller actually runs per invocation — the approximate path alone,
+    # with learned artifacts loaded, search-only.
+    def x_dd3_lsh_only() -> int:
+        from etl_zero_spark.operators import dedup as dd
+
+        return dd.minhash_lsh_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=0.3
+        ).count()
+
+    def x_sim4_search_only() -> int:
+        from etl_zero_spark.operators import ivf
+        from etl_zero_spark.plans.northstar import _ivf_centroids_cached
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = _ivf_centroids_cached(emb, sf_dir)
+        q = emb.where(F.col("vec_id") < 20)
+        return ivf.ivf_topk(q, emb, k=5, centroids=cents, nprobe=8).count()
 
     return {
         "x_bpe_tokenize": x_bpe_tokenize,
         "x_gopher_gate": x_gopher_gate,
         "x_validate_single_scan": x_validate_single_scan,
         "x_corpus_pipeline": x_corpus_pipeline,
+        "x_dd3_lsh_only": x_dd3_lsh_only,
+        "x_sim4_search_only": x_sim4_search_only,
     }
 
 

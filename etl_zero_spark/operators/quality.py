@@ -294,7 +294,32 @@ def gopher_filter(
     the exchange), a ``keep`` verdict, and the list of violated rules
     so dropped documents stay auditable (quarantine-style, like
     operators/validate.py)."""
+    # Every limit is overridable through ``thresholds`` — the published
+    # Gopher numbers target web prose, and corpora far from it (code,
+    # logs, synthetic fixtures) need per-corpus calibration: the
+    # repetition fractions by their signal name, the structural bounds
+    # by the lower-case keys below.
     th = {**GOPHER_THRESHOLDS, **(thresholds or {})}
+    bounds = {
+        "min_words": MIN_WORDS,
+        "max_words": MAX_WORDS,
+        "min_avg_word_len": MIN_AVG_WORD_LEN,
+        "max_avg_word_len": MAX_AVG_WORD_LEN,
+        "max_symbol_word_ratio": MAX_SYMBOL_WORD_RATIO,
+        "max_bullet_line_frac": MAX_BULLET_LINE_FRAC,
+        "max_ellipsis_line_frac": MAX_ELLIPSIS_LINE_FRAC,
+        "min_alpha_word_frac": MIN_ALPHA_WORD_FRAC,
+        "min_stopword_hits": MIN_STOPWORD_HITS,
+    }
+    for k in list(th):
+        if k in bounds:
+            bounds[k] = th.pop(k)
+    unknown = [k for k in th if k not in GOPHER_THRESHOLDS]
+    if unknown:
+        raise ValueError(
+            f"gopher_filter: unknown threshold key(s) {unknown}; valid: "
+            f"{sorted(GOPHER_THRESHOLDS)} + {sorted(bounds)}"
+        )
     rep = repetition_signals(df, text_col, id_col)
     qual = quality_signals(df, text_col, id_col)
     joined = rep.join(qual, id_col)
@@ -304,15 +329,15 @@ def gopher_filter(
         for name, limit in th.items()
     ]
     checks += [
-        ("too_few_words", F.col("n_words") < MIN_WORDS),
-        ("too_many_words", F.col("n_words") > MAX_WORDS),
-        ("avg_word_len_low", F.coalesce(F.col("avg_word_len"), F.lit(0.0)) < MIN_AVG_WORD_LEN),
-        ("avg_word_len_high", F.coalesce(F.col("avg_word_len"), F.lit(0.0)) > MAX_AVG_WORD_LEN),
-        ("symbol_ratio_high", F.coalesce(F.col("symbol_word_ratio"), F.lit(0.0)) > MAX_SYMBOL_WORD_RATIO),
-        ("bullet_lines_high", F.coalesce(F.col("bullet_line_frac"), F.lit(0.0)) > MAX_BULLET_LINE_FRAC),
-        ("ellipsis_lines_high", F.coalesce(F.col("ellipsis_line_frac"), F.lit(0.0)) > MAX_ELLIPSIS_LINE_FRAC),
-        ("alpha_words_low", F.coalesce(F.col("alpha_word_frac"), F.lit(1.0)) < MIN_ALPHA_WORD_FRAC),
-        ("too_few_stopwords", F.col("stopword_hits") < MIN_STOPWORD_HITS),
+        ("too_few_words", F.col("n_words") < bounds["min_words"]),
+        ("too_many_words", F.col("n_words") > bounds["max_words"]),
+        ("avg_word_len_low", F.coalesce(F.col("avg_word_len"), F.lit(0.0)) < bounds["min_avg_word_len"]),
+        ("avg_word_len_high", F.coalesce(F.col("avg_word_len"), F.lit(0.0)) > bounds["max_avg_word_len"]),
+        ("symbol_ratio_high", F.coalesce(F.col("symbol_word_ratio"), F.lit(0.0)) > bounds["max_symbol_word_ratio"]),
+        ("bullet_lines_high", F.coalesce(F.col("bullet_line_frac"), F.lit(0.0)) > bounds["max_bullet_line_frac"]),
+        ("ellipsis_lines_high", F.coalesce(F.col("ellipsis_line_frac"), F.lit(0.0)) > bounds["max_ellipsis_line_frac"]),
+        ("alpha_words_low", F.coalesce(F.col("alpha_word_frac"), F.lit(1.0)) < bounds["min_alpha_word_frac"]),
+        ("too_few_stopwords", F.col("stopword_hits") < bounds["min_stopword_hits"]),
     ]
     violations = F.filter(
         F.array(

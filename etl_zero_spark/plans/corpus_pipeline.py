@@ -45,6 +45,16 @@ from ..operators.text import scrub_pii
 class CorpusResult:
     df: DataFrame
     stats: dict[str, int] = field(default_factory=dict)
+    #: frames this run persisted (stage caches or fork inputs); call
+    #: :meth:`unpersist` when done consuming ``df``.
+    persisted: list = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        for frame in self.persisted:
+            try:
+                frame.unpersist()
+            except Exception:  # noqa: BLE001 — session may be gone
+                pass
 
 
 def prepare_corpus(
@@ -55,6 +65,7 @@ def prepare_corpus(
     blocked_sources: list[str] | None = None,
     source_col: str = "source",
     quality: bool = True,
+    gopher_thresholds: dict[str, float] | None = None,
     near_dedup_threshold: float | None = 0.5,
     test_set: DataFrame | None = None,
     decontam_n: int = 8,
@@ -64,14 +75,42 @@ def prepare_corpus(
 ) -> CorpusResult:
     """Run the full preparation chain; every stage is optional via its
     parameter (``None``/``False`` skips it). Returns the prepared
-    corpus plus per-stage surviving-row counts."""
+    corpus plus per-stage surviving-row counts.
+
+    ``gopher_thresholds`` overrides individual Gopher limits (passed
+    through to :func:`gopher_filter`) — corpora far from web prose
+    (code, logs, synthetic fixtures) fail the published thresholds
+    wholesale, and a gate that zeroes the corpus silently is a
+    misconfiguration; with ``collect_stats`` on, a ``quality_gate``
+    count of 0 is the tell.
+
+    Persistence: two stages consume their input in more than one
+    downstream subtree of the SINGLE final action (the quality gate
+    semi-join reuses the scrubbed frame; near-dedup reuses the deduped
+    frame for pairing AND for the anti-join). With ``collect_stats``
+    every stage is cached anyway; with stats off those fork inputs are
+    still persisted — otherwise one action re-executes the upstream
+    chain once per consumer (observed 4-6x recompute at bench). All
+    frames this call persisted are listed in ``CorpusResult.persisted``
+    — call ``result.unpersist()`` when done.
+    """
     stats: dict[str, int] = {}
+    persisted: list = []
     df = docs
 
     def record(stage: str, frame: DataFrame) -> DataFrame:
         if collect_stats:
             frame = frame.cache()
+            persisted.append(frame)
             stats[stage] = frame.count()
+        return frame
+
+    def fork(frame: DataFrame) -> DataFrame:
+        """Persist an input consumed by >1 downstream subtree (no-op
+        when collect_stats already cached it)."""
+        if not collect_stats:
+            frame = frame.persist()
+            persisted.append(frame)
         return frame
 
     df = record("input", df)
@@ -79,14 +118,18 @@ def prepare_corpus(
         df = record("blocklist", blocklist_filter(df, source_col, blocked_sources))
     df = record("pii_scrub", scrub_pii(df, text_col=text_col))
     if quality:
+        df = fork(df)
         kept = (
-            gopher_filter(df, text_col=text_col, id_col=id_col)
+            gopher_filter(
+                df, text_col=text_col, id_col=id_col, thresholds=gopher_thresholds
+            )
             .where("keep")
             .select(id_col)
         )
         df = record("quality_gate", df.join(kept, id_col, "left_semi"))
     df = record("exact_dedup", exact_dedup(df, text_col=text_col, id_col=id_col))
     if near_dedup_threshold is not None:
+        df = fork(df)
         pairs = minhash_lsh_pairs(
             df, threshold=near_dedup_threshold, text_col=text_col, id_col=id_col
         )
@@ -104,4 +147,4 @@ def prepare_corpus(
         df = record(
             "packed", pack_sequences(df, budget=pack_budget, id_col=id_col, text_col=text_col)
         )
-    return CorpusResult(df=df, stats=stats)
+    return CorpusResult(df=df, stats=stats, persisted=persisted)

@@ -134,9 +134,17 @@ def merge_latest(
     u = base.withColumn("__src", F.lit(0)).unionByName(
         updates.withColumn("__src", F.lit(1))
     )
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(version_col).desc(), F.col("__src").desc()
-    )
+    # Final tiebreak: when one BATCH carries two updates with equal
+    # (key, version) but different payloads, row_number alone picks
+    # whichever arrived first in partition order — nondeterministic
+    # across runs/partitionings. The greatest remaining-column struct
+    # wins instead (the same order-independent rule scd2_merge uses
+    # for same-(key, ts) dedupe), so replays and re-partitions agree.
+    payload = [c for c in base.columns if c not in keys and c != version_col]
+    order = [F.col(version_col).desc(), F.col("__src").desc()]
+    if payload:
+        order.append(F.struct(*[F.col(c) for c in payload]).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         u.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

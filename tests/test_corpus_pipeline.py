@@ -145,3 +145,21 @@ def test_prepare_corpus_quality_gate_on_natural_text(spark):
     ids = {r["doc_id"] for r in res.df.select("doc_id").collect()}
     assert ids == {1}
     assert res.stats["quality_gate"] == 1
+
+
+def test_prepare_corpus_stats_off_matches_stats_on(spark):
+    """collect_stats=False must produce the SAME corpus as the
+    accounting path, with fork inputs persisted so the single final
+    action computes each stage once (R5: 4-6x upstream recompute
+    observed unpersisted), and unpersist() releases them."""
+    docs = load_table(spark, SF, "documents")
+    kw = dict(quality=False, near_dedup_threshold=0.5, shuffle_seed=3)
+    on = prepare_corpus(docs, collect_stats=True, **kw)
+    off = prepare_corpus(docs, collect_stats=False, **kw)
+    a = [r["doc_id"] for r in on.df.select("doc_id").collect()]
+    b = [r["doc_id"] for r in off.df.select("doc_id").collect()]
+    assert a == b  # identical membership AND shuffle order
+    assert off.persisted and all(f.is_cached for f in off.persisted)
+    off.unpersist()
+    on.unpersist()
+    assert not any(f.is_cached for f in off.persisted)

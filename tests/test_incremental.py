@@ -65,6 +65,8 @@ def test_merge_latest_upsert_semantics(spark):
     update side winning version ties (last-writer-wins)."""
     import duckdb
 
+    from pyspark.sql import functions as F
+
     from etl_zero_spark.sources.incremental import merge_latest
 
     base = spark.createDataFrame(
@@ -104,6 +106,8 @@ def test_merge_latest_upsert_semantics(spark):
 
 
 def test_merge_latest_composite_key(spark):
+    from pyspark.sql import functions as F
+
     from etl_zero_spark.sources.incremental import merge_latest
 
     base = spark.createDataFrame(
@@ -135,3 +139,23 @@ def test_jsonl_sink_roundtrip(spark, tmp_path):
     a = {tuple(r[c] for c in cols) for r in ev.collect()}
     b = {tuple(r[c] for c in cols) for r in back.collect()}
     assert a == b  # lossless incl. timestamps and null props
+
+
+def test_merge_latest_equal_version_updates_deterministic(spark):
+    """Two updates with equal (key, version) but different payloads in
+    one batch must resolve the same way on every run and partitioning:
+    greatest payload struct wins (order-independent), never arrival
+    order."""
+    from pyspark.sql import functions as F
+
+    from etl_zero_spark.sources.incremental import merge_latest
+
+    base = spark.createDataFrame([(1, "base", 0)], "k long, v string, ver long")
+    ups_a = spark.createDataFrame(
+        [(1, "alpha", 5), (1, "zeta", 5)], "k long, v string, ver long"
+    )
+    ups_b = ups_a.repartition(7).sortWithinPartitions(F.desc("v"))
+    got_a = merge_latest(base, ups_a, key="k", version_col="ver").collect()
+    got_b = merge_latest(base, ups_b, key="k", version_col="ver").collect()
+    assert len(got_a) == len(got_b) == 1
+    assert got_a[0].v == got_b[0].v == "zeta"

@@ -156,3 +156,31 @@ def test_fixture_documents_profile(spark):
     ).count()
     assert bad == 0
     out.unpersist()
+
+
+def test_gopher_thresholds_fully_overridable(spark):
+    """R5: every limit — repetition fractions AND structural bounds —
+    calibrates through the thresholds dict (non-web-prose corpora fail
+    the published numbers wholesale); unknown keys raise instead of
+    silently gating nothing."""
+    import pytest
+
+    from etl_zero_spark.operators.quality import gopher_filter
+
+    docs = load_table(spark, SF, "documents")
+    strict = gopher_filter(docs).where("keep").count()
+    relaxed = gopher_filter(
+        docs,
+        thresholds={
+            "min_words": 1,
+            "min_avg_word_len": 0.0,
+            "max_avg_word_len": 100.0,
+            "min_stopword_hits": 0,
+            "min_alpha_word_frac": 0.0,
+            "max_symbol_word_ratio": 1.0,
+        },
+    ).where("keep")
+    n_relaxed = relaxed.count()
+    assert n_relaxed > strict and n_relaxed > 0
+    with pytest.raises(ValueError, match="unknown threshold"):
+        gopher_filter(docs, thresholds={"not_a_rule": 1.0})

@@ -275,6 +275,49 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             queries_df, emb, k=10, codebooks=books, centroids=cents, nprobe=16
         )
 
+    dd9_build_sec: list[float] = []
+    dd9_index_frames: list = []  # persisted index halves, released after the probe
+
+    def dd9_incremental():
+        # The daily-ingest regime (R5 evidence for the O(delta) claim):
+        # index the 100k corpus ONCE (build_sec — in production this is
+        # yesterday's persisted index), then pair a 1k delta against it
+        # — delta-vs-corpus + delta-vs-delta, never corpus-vs-corpus.
+        # probe_sec is the recurring daily cost; compare it against
+        # dd3_t05's full self-pairing above.
+        idx = dedup.build_minhash_index(docs)
+        t = time.perf_counter()
+        idx.bands.persist().count()
+        idx.shingles.persist().count()
+        dd9_index_frames.extend([idx.bands, idx.shingles])
+        dd9_build_sec.append(round(time.perf_counter() - t, 2))
+        delta = docs.where(F.col("doc_id") < 1_000).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+        return dedup.incremental_minhash_pairs(delta, idx, threshold=0.5)
+
+    def funnel_hotuser_1m():
+        # One user with 1M distinct-timestamp events (the bot shape
+        # from the r4 hot-key note): the capped path bounds the fold's
+        # working set through a spillable window instead of a 1M-element
+        # in-memory array.
+        from etl_zero_spark.operators.funnel import funnel_users
+
+        ev = (
+            spark.range(1_000_000)
+            .select(
+                F.lit(7).alias("user_id"),
+                F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id")).alias("ts"),
+                F.when(F.col("id") % 3 == 0, F.lit("view"))
+                .when(F.col("id") % 3 == 1, F.lit("click"))
+                .otherwise(F.lit("purchase"))
+                .alias("event_type"),
+            )
+        )
+        return funnel_users(
+            ev, ["view", "click", "purchase"], max_events_per_user=100_000
+        )
+
     def scan_agg_6m():
         return QUERIES["q1_pricing_summary"].fn(spark, probe_dir)
 
@@ -529,8 +572,10 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("scd2_merge_1m", scd2_1m),
         ("matview_refresh_6m", matview_6m),
         ("funnel_10m", funnel_10m),
+        ("funnel_hotuser_1m_capped", funnel_hotuser_1m),
         ("cohorts_10m", cohorts_10m),
         ("snapshot_ops_6m", snapshot_6m),
+        ("dd9_incremental_1k_delta", dd9_incremental),
         ("dd2_t05", dd2),
     ]:
         if time.perf_counter() - t_start > budget_s:
@@ -544,6 +589,17 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
                 "sec": round(time.perf_counter() - t0, 2),
                 "rows": rows,
             }
+            if name == "dd9_incremental_1k_delta" and dd9_build_sec:
+                out[name]["build_sec"] = dd9_build_sec[0]
+                out[name]["probe_sec"] = round(
+                    out[name]["sec"] - dd9_build_sec[0], 2
+                )
+                # release the persisted index: leaving ~350MB of
+                # storage resident starves execution memory for the
+                # shuffle-heavy probes that follow (observed 5x on
+                # dd2_t05 before this unpersist)
+                for frame in dd9_index_frames:
+                    frame.unpersist()
             if name == "sim4_nprobe16" and sim4_train_sec:
                 out[name]["train_sec"] = sim4_train_sec[0]
                 out[name]["search_sec"] = round(
