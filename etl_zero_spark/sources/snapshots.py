@@ -432,6 +432,13 @@ class SnapshotTable:
         two scalars); files without stats for ``key`` are
         conservatively rewritten. Updates must match the table schema
         (same guard as append).
+
+        NULL merge keys have no identity: a null-key update row matches
+        no existing row (SQL null-equality, same as Delta/Iceberg MERGE)
+        and therefore INSERTS on every application — a replayed batch
+        with null keys accumulates its null-key rows. Scrub or
+        surrogate-key nulls upstream (operators/validate.not_null is
+        the gate) when replays are possible.
         """
         v = self.current_version()
         if v is None:
@@ -749,20 +756,33 @@ class SnapshotTable:
     def prune_files_point(
         self, column: str, value, version: int | None = None
     ) -> dict:
-        """Point-lookup file skipping via the per-file blooms recorded
-        at commit time (``commit(index=[...])``): a file is skipped iff
-        its bloom definitively excludes ``value``; files without a
-        bloom for the column are conservatively kept. ~1% false
-        positives at the default geometry — a false positive costs one
-        extra file read, never a wrong result."""
+        """Point-lookup file skipping: a file is kept only if BOTH
+        filters admit it — the per-file bloom recorded at commit time
+        (``commit(index=[...])``; ~1% false positives at the default
+        geometry, a false positive costs one extra read, never a wrong
+        result) AND the manifest min/max stats treated as the
+        degenerate range [value, value]. The stats half means point
+        lookups on a CLUSTERED column prune even when the column was
+        never bloom-indexed; files missing either structure for the
+        column are conservatively kept by that structure."""
         v = self.current_version() if version is None else version
         m = self.manifest(v)
         blooms = m.get("bloom", {})
+        stats = m.get("stats", {})
+        v_n = _norm_stat(value)
         kept = []
         for f in m["files"]:
             b = blooms.get(f, {}).get(column)
-            if b is None or _bloom_maybe_contains(b, value):
-                kept.append(f)
+            if b is not None and not _bloom_maybe_contains(b, value):
+                continue
+            s = stats.get(f, {}).get(column)
+            if s is not None and v_n is not None:
+                try:
+                    if s[0] > v_n or s[1] < v_n:
+                        continue
+                except TypeError:
+                    pass  # bound/stat type mismatch: keep (conservative)
+            kept.append(f)
         return {"kept": kept, "n_kept": len(kept), "n_total": len(m["files"])}
 
     def read_point(

@@ -839,3 +839,20 @@ def test_compact_race_raises_instead_of_lost_update(spark, tbl, monkeypatch):
         tbl.compact(spark, n_files=1)
     # the racing append survived; nothing was lost
     assert 99 in {r.id for r in real_read(spark).collect()}
+
+
+def test_point_prune_uses_stats_on_clustered_unindexed_column(spark, tbl):
+    """R5: read_point prunes via manifest min/max even when the column
+    was never bloom-indexed — on a range-clustered key the degenerate
+    [v, v] range skips every non-covering file; with blooms present
+    both filters compose."""
+    tbl.commit(
+        _df(spark, [(i, "g", float(i)) for i in range(100)]).repartitionByRange(
+            5, "id"
+        )
+    )
+    pr = tbl.prune_files_point("id", 7)
+    assert pr["n_kept"] == 1 and pr["n_total"] == 5
+    assert [r.id for r in tbl.read_point(spark, "id", 7).collect()] == [7]
+    # a value outside every file's range keeps nothing
+    assert tbl.prune_files_point("id", 10_000)["n_kept"] == 0
