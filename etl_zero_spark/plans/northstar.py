@@ -323,6 +323,80 @@ def dd8_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(F.broadcast(prec.crossJoin(rec)))
 
 
+@query(
+    "dd9_incremental_neardup",
+    "dedup: incremental near-dedup index (build corpus index, probe a delta)",
+    r"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100
+    ),
+    words AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+      FROM all_docs
+    ),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                      for i in range(1, len(w) - 1)])
+             END AS shingles
+      FROM words
+    ),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             len(list_intersect(a.shingles, b.shingles))::DOUBLE
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT a_id, b_id, round(jac, 6) AS jaccard,
+           TRUE AS lsh_precision_ok, TRUE AS lsh_recall_ok
+    FROM pairs
+    WHERE jac >= 0.3 AND (a_id >= 100000 OR b_id >= 100000)
+    """,
+    "The daily-ingest dedup regime, declared CHECKED (new slot in R5 — "
+    "the largest previously pytest-only north-star operator): the "
+    "corpus is indexed once (build_minhash_index: banded buckets + "
+    "shingle sets, persistable), a 100-document delta (clones of the "
+    "first 100 docs at doc_id+100000) probes the index "
+    "(incremental_minhash_pairs: delta-vs-corpus + delta-vs-delta, "
+    "NEVER corpus-vs-corpus), and the declared rows are the EXACT "
+    "delta-involving pair set (DuckDB all-pairs oracle over the union "
+    "corpus) carrying the dd3-pattern booleans the oracle pins TRUE: "
+    "lsh_precision_ok (every incremental pair is an exact pair) and "
+    "lsh_recall_ok (>= 0.85 of true delta-involving pairs found — the "
+    "100 identical clones are found with probability 1, near-dup cross "
+    "pairs follow the banded s-curve). Full-rerun set-equivalence "
+    "stays pinned in tests/test_dedup.py.",
+)
+def dd9_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    offset = 100_000
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = docs.where(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + offset).alias("doc_id"), "text"
+    )
+    idx = dedup.build_minhash_index(docs)
+    inc = dedup.incremental_minhash_pairs(delta, idx, threshold=0.3)
+    union = docs.unionByName(delta)
+    exact = dedup.ngram_jaccard_pairs(
+        union, threshold=0.3, stop_shingles=[]
+    ).where((F.col("a_id") >= offset) | (F.col("b_id") >= offset))
+    extra = inc.select("a_id", "b_id").join(
+        exact.select("a_id", "b_id"), ["a_id", "b_id"], "left_anti"
+    )
+    prec = extra.agg((F.count(F.lit(1)) == 0).alias("lsh_precision_ok"))
+    hits = exact.join(
+        inc.select("a_id", "b_id"), ["a_id", "b_id"], "left_semi"
+    ).agg(F.count(F.lit(1)).alias("hits"))
+    tot = exact.agg(F.count(F.lit(1)).alias("tot"))
+    rec = hits.crossJoin(tot).select(
+        (F.col("hits") >= 0.85 * F.col("tot")).alias("lsh_recall_ok")
+    )
+    return exact.crossJoin(F.broadcast(prec.crossJoin(rec)))
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

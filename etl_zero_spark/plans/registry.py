@@ -64,7 +64,9 @@ def query(name: str, operator: str, sql: str | None, description: str = ""):
 # --------------------------------------------------------------------------
 @query(
     "q1_pricing_summary",
-    "A1+S2+O2",
+    "A1+A5+S2+O2 (A5 row count rides the hash-checked count_order "
+    "column; its standalone query retired in R5 to free the slot that "
+    "declares dd9)",
     """
     SELECT
       l_returnflag,
@@ -591,16 +593,6 @@ def a3_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("count"))
         .orderBy("bucket")
     )
-
-
-@query(
-    "a5_count_rows",
-    "A5",
-    "SELECT count(*) AS n_rows FROM lineitem",
-    "Row count (the reference's len(df) status reporting).",
-)
-def a5_count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
 # --------------------------------------------------------------------------
