@@ -54,6 +54,8 @@ HEADLINE = [
     "scd1_type2_merge",
     "ts1_gap_fill",
     "snap1_time_travel_read",
+    # daily-ingest dedup regime (R5)
+    "dd9_incremental_neardup",
 ]
 
 
