@@ -176,8 +176,16 @@ class MaterializedAgg:
         if cur == base_v:
             return {"mode": "noop", "reason": f"already at base v{base_v}"}
         state_v = self.state.current_version()
+        # Every base read below PINS base_v: an unpinned read resolves
+        # the current version AT READ TIME, so a writer landing between
+        # the cursor capture and the read would feed the view rows the
+        # cursor doesn't account for — the next incremental refresh
+        # then re-reads those files and double-counts them (same
+        # read-pin discipline as SnapshotTable.compact).
         if cur is None:
-            new_state = partial_agg(self.base.read(spark), self.keys, self.aggs)
+            new_state = partial_agg(
+                self.base.read(spark, version=base_v), self.keys, self.aggs
+            )
             mode = "full"
         else:
             try:
@@ -190,7 +198,9 @@ class MaterializedAgg:
             except ValueError:
                 # overwrite/rollback in the base's history: a file-diff
                 # delta would be wrong, recompute from the snapshot
-                new_state = partial_agg(self.base.read(spark), self.keys, self.aggs)
+                new_state = partial_agg(
+                    self.base.read(spark, version=base_v), self.keys, self.aggs
+                )
                 mode = "full"
         v = self._commit_state(new_state, base_v, expected=state_v)
         return {"mode": mode, "base_version": base_v, "state_version": v}

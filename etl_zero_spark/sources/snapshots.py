@@ -415,6 +415,7 @@ class SnapshotTable:
         key: str,
         expected_version: int | None = None,
         operation_prefix: str | None = None,
+        check_unique_keys: bool = True,
     ) -> int:
         """Row-level MERGE (upsert) with copy-on-write file pruning:
         rows in ``updates`` replace current rows with an equal ``key``;
@@ -439,6 +440,15 @@ class SnapshotTable:
         with null keys accumulates its null-key rows. Scrub or
         surrogate-key nulls upstream (operators/validate.not_null is
         the gate) when replays are possible.
+
+        DUPLICATE keys within one batch have no defined winner, and a
+        merge applying them would silently break the table's key
+        uniqueness (every later pruned upsert assumes one row per key).
+        ``check_unique_keys`` (default on) spends one small aggregation
+        job on the UPDATE BATCH — the small side by design — and raises
+        instead; pre-collapse with ``incremental.merge_latest`` (the
+        CDC keep-latest rule) or pass ``check_unique_keys=False`` when
+        the feed is already collapsed and the job matters.
         """
         v = self.current_version()
         if v is None:
@@ -483,6 +493,23 @@ class SnapshotTable:
             )
         from pyspark.sql import functions as F
 
+        if check_unique_keys:
+            dup = (
+                updates.where(F.col(key).isNotNull())
+                .groupBy(key)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > 1)
+                .limit(3)
+                .collect()
+            )
+            if dup:
+                sample = ", ".join(str(r[key]) for r in dup)
+                raise ValueError(
+                    f"upsert batch has duplicate values for key {key!r} "
+                    f"(e.g. {sample}): no defined winner — pre-collapse "
+                    "with incremental.merge_latest, or pass "
+                    "check_unique_keys=False for an already-collapsed feed"
+                )
         bounds = updates.agg(
             F.min(key).alias("lo"), F.max(key).alias("hi")
         ).first()

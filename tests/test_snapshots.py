@@ -856,3 +856,56 @@ def test_point_prune_uses_stats_on_clustered_unindexed_column(spark, tbl):
     assert [r.id for r in tbl.read_point(spark, "id", 7).collect()] == [7]
     # a value outside every file's range keeps nothing
     assert tbl.prune_files_point("id", 10_000)["n_kept"] == 0
+
+
+def test_upsert_rejects_duplicate_key_batch(spark, tbl):
+    """R5: a merge batch with two rows for one key has no defined
+    winner and would silently break table key-uniqueness — refused by
+    default (one small agg job on the batch); an explicitly
+    pre-collapsed feed can skip the probe."""
+    tbl.commit(_df(spark, [(1, "a", 1.0)]))
+    dups = _df(spark, [(2, "x", 1.0), (2, "y", 2.0)])
+    with pytest.raises(ValueError, match="duplicate"):
+        tbl.upsert(spark, dups, key="id")
+    tbl.upsert(
+        spark, _df(spark, [(2, "y", 2.0)]), key="id", check_unique_keys=False
+    )
+    assert {(r.id, r.grp) for r in tbl.read(spark).collect()} == {
+        (1, "a"),
+        (2, "y"),
+    }
+
+
+def test_matview_full_refresh_pins_base_version(spark, tmp_path, monkeypatch):
+    """R5: a base commit landing between the refresh's cursor capture
+    and its read must NOT leak into this refresh — the cursor records
+    base_v, so an unpinned read would double-count the racer's rows on
+    the next incremental refresh."""
+    base = SnapshotTable(str(tmp_path / "b"))
+    state = SnapshotTable(str(tmp_path / "s"))
+    base.commit(_df(spark, [(1, "a", 1.0), (2, "a", 2.0)]))
+    view = MaterializedAgg(base, state, keys=["grp"], aggs={"v": ["sum", "count"]})
+
+    real_read = base.read
+    raced = {"done": False}
+
+    def read_then_race(spark_, version=None):
+        df = real_read(spark_, version=version)
+        if not raced["done"]:
+            raced["done"] = True
+            SnapshotTable(base.root).commit(
+                _df(spark_, [(3, "a", 10.0)]), mode="append"
+            )
+        return df
+
+    monkeypatch.setattr(base, "read", read_then_race)
+    r1 = view.refresh(spark)  # full build, racer lands mid-refresh
+    assert r1["mode"] == "full" and r1["base_version"] == 0
+    monkeypatch.setattr(base, "read", real_read)
+    r2 = view.refresh(spark)  # consumes the racer's append incrementally
+    assert r2["mode"] == "incremental"
+    got = {
+        (r.grp, r.v_sum, r.v_count)
+        for r in finalize(state.read(spark), ["grp"], {"v": ["sum", "count"]}).collect()
+    }
+    assert got == {("a", 13.0, 3)}  # racer counted exactly once
