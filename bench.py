@@ -74,9 +74,12 @@ def _extras(spark, sf_dir: str) -> dict:
 
     def x_bpe_tokenize() -> int:
         docs = load_table(spark, sf_dir, "documents")
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
         merges = cached_artifact(
             "bpe_merges",
-            {"corpus": sf_dir, "n_merges": 200, "max_words": 100_000},
+            {"corpus": sf_dir, "src_size": st.st_size,
+             "src_mtime": int(st.st_mtime), "n_merges": 200,
+             "max_words": 100_000},
             lambda: [list(m) for m in bpe.train_bpe(docs, n_merges=200)],
         )
         return bpe.bpe_tokenize(docs, [tuple(m) for m in merges]).count()

@@ -514,10 +514,21 @@ def sim2_sim3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: capped at 8 Lloyd iterations: bucket-assignment quality converges in
 #: a handful of passes and each distributed pass is a fixed-cost job.
 def _ivf_centroids_cached(emb: DataFrame, sf_dir: str, nlist: int = 16):
+    import os
+
     from etl_zero_spark.functions.artifacts import cached_artifact
 
+    # Corpus identity includes the parquet file's (size, mtime): a
+    # regenerated fixture — even a byte-identical one — retrains rather
+    # than risking a stale index. (Exactness is robust either way: at
+    # nprobe=nlist every cell is probed for ANY centroids; this guards
+    # the nprobe<nlist recall path.)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
     params = {
         "corpus": sf_dir,
+        "src_size": st.st_size,
+        "src_mtime": int(st.st_mtime),
         "nlist": nlist,
         "seed": ivf.IVF_SEED,
         "max_iter": 8,
