@@ -535,6 +535,14 @@ class SnapshotTable:
         op = f"upsert({len(candidates)}/{len(m['files'])} files rewritten)"
         if operation_prefix:
             op = f"{operation_prefix}:{op}"
+        # Blooms survive for untouched files; files this merge REWROTE
+        # are re-indexed on the columns the parent carried blooms for —
+        # otherwise every upsert quietly widens point lookups (the
+        # bloom-less rewritten files are conservatively kept forever
+        # until an explicit indexed commit/compact). The re-index is a
+        # local pyarrow column read per new file — noise next to the
+        # rewrite that produced them.
+        bloom_cols = sorted({c for fb in m.get("bloom", {}).values() for c in fb})
         manifest = {
             "version": v + 1,
             "parent": v,
@@ -547,13 +555,13 @@ class SnapshotTable:
                 **{f: old_stats[f] for f in untouched if f in old_stats},
                 **new_stats,
             },
-            # blooms survive for untouched files; rewritten files lose
-            # theirs (conservatively kept by point pruning) until the
-            # next indexed commit/compact
             "bloom": {
-                f: b
-                for f, b in m.get("bloom", {}).items()
-                if f in set(untouched)
+                **{
+                    f: b
+                    for f, b in m.get("bloom", {}).items()
+                    if f in set(untouched)
+                },
+                **(self._index_files(new_files, bloom_cols) if bloom_cols else {}),
             },
             "committed_at": time.time(),
         }
@@ -681,8 +689,20 @@ class SnapshotTable:
                 **{f: stats[f] for f in keep if f in stats},
                 **new_stats,
             },
+            # kept files keep their blooms; rewritten survivors are
+            # re-indexed on the parent's bloom columns (see upsert)
             "bloom": {
-                f: b for f, b in m.get("bloom", {}).items() if f in set(keep)
+                **{f: b for f, b in m.get("bloom", {}).items() if f in set(keep)},
+                **(
+                    self._index_files(
+                        new_files,
+                        sorted(
+                            {c for fb in m.get("bloom", {}).values() for c in fb}
+                        ),
+                    )
+                    if m.get("bloom")
+                    else {}
+                ),
             },
             "committed_at": time.time(),
         }

@@ -909,3 +909,23 @@ def test_matview_full_refresh_pins_base_version(spark, tmp_path, monkeypatch):
         for r in finalize(state.read(spark), ["grp"], {"v": ["sum", "count"]}).collect()
     }
     assert got == {("a", 13.0, 3)}  # racer counted exactly once
+
+
+def test_rewritten_files_reindexed_on_upsert_and_delete(spark, tbl):
+    """R5: merge/delete rewrites re-bloom their output files on the
+    parent's indexed columns — point-lookup pruning no longer decays
+    with every upsert until a manual indexed compact."""
+    tbl.commit(
+        _df(spark, [(i, "g", float(i)) for i in range(100)]).repartitionByRange(
+            4, "id"
+        ),
+        index=["id"],
+    )
+    tbl.upsert(spark, _df(spark, [(50, "U", -1.0)]), key="id")
+    m = tbl.manifest(tbl.current_version())
+    assert set(m["files"]) == set(m["bloom"])  # every live file indexed
+    assert {r.grp for r in tbl.read_point(spark, "id", 50).collect()} == {"U"}
+    v = tbl.delete_where(spark, "id", 10, 30)
+    m = tbl.manifest(v)
+    assert set(m["files"]) == set(m["bloom"])
+    assert [r.id for r in tbl.read_point(spark, "id", 77).collect()] == [77]
