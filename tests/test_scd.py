@@ -260,3 +260,22 @@ def test_nullifying_update_is_a_real_version(spark):
     # null -> null: collapses as a no-op
     again = _merge(out, _ups(spark, [(1, None, "gold", _t(9))]))
     assert again.count() == 2
+
+
+def test_update_at_exact_current_effective_from(spark):
+    """An update timestamped EXACTLY at the current row's
+    effective_from is not late (>= comparison): the superseded version
+    closes to the zero-length interval [T, T) — which contains no
+    instant, so every as-of read (including as-of T itself) sees
+    exactly one version per key, the new one. Pinned so the half-open
+    convention can't drift."""
+    dim = _dim(spark, [(1, "paris", "gold", T0, None, True)])
+    ups = _ups(spark, [(1, "lyon", "gold", T0)])
+    out = _merge(dim, ups).collect()
+    assert len(out) == 2
+    by_city = {r.city: r for r in out}
+    old, new = by_city["paris"], by_city["lyon"]
+    assert (old.effective_from, old.effective_to, old.is_current) == (T0, T0, False)
+    assert (new.effective_from, new.effective_to, new.is_current) == (T0, None, True)
+    at_t0 = scd2_asof(_merge(dim, ups), T0).collect()
+    assert len(at_t0) == 1 and at_t0[0].city == "lyon"

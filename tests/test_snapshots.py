@@ -929,3 +929,26 @@ def test_rewritten_files_reindexed_on_upsert_and_delete(spark, tbl):
     m = tbl.manifest(v)
     assert set(m["files"]) == set(m["bloom"])
     assert [r.id for r in tbl.read_point(spark, "id", 77).collect()] == [77]
+
+
+def test_delete_on_column_added_by_append(spark, tbl):
+    """Schema-evolution x stats interplay: deleting on a column that a
+    later append ADDED must treat pre-evolution files as unknown-stats
+    (rewritten with the exact predicate) — their rows read NULL for the
+    new column, never match a range, and must all survive."""
+    tbl.commit(_df(spark, [(i, "old", 1.0) for i in range(10)]).coalesce(1))
+    widened = spark.createDataFrame(
+        [(100 + i, "new", 1.0, i * 10) for i in range(10)],
+        "id long, grp string, v double, extra long",
+    )
+    tbl.commit(widened.coalesce(1), mode="append")
+    v = tbl.delete_where(spark, "extra", 50, None)  # drops extra>=50 only
+    got = tbl.read(spark)
+    # pre-evolution rows (extra IS NULL) all survive
+    assert got.where("extra IS NULL").count() == 10
+    kept_extra = sorted(
+        r.extra for r in got.where("extra IS NOT NULL").collect()
+    )
+    assert kept_extra == [0, 10, 20, 30, 40]
+    # time travel to the pre-delete version still sees everything
+    assert tbl.read(spark, version=v - 1).count() == 20
