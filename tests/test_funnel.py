@@ -203,3 +203,75 @@ def test_max_events_per_user_truncation_contract(spark):
     assert funnel_users(ev, STEPS, max_events_per_user=100).collect()[0].steps_completed == 3
     u = funnel_users(ev, STEPS, max_events_per_user=11).collect()[0]
     assert u.steps_completed == 2 and u.step_3_ts is None
+
+
+# --- property: fold == sequential chained-min oracle ------------------------
+
+
+def _chained_min_oracle(events, steps, within_hours=None):
+    """Pure-Python chained-min: T_i = min ts of a steps[i] event with
+    ts >= T_{i-1} (and <= T_0 + within). The definition the fold must
+    realize under ANY tie/ordering structure."""
+    slots = []
+    prev = None
+    t0 = None
+    for i, s in enumerate(steps):
+        if i > 0 and prev is None:
+            slots.append(None)
+            continue
+        cand = [
+            t
+            for (t, e) in events
+            if e == s
+            and (i == 0 or t >= prev)
+            and (
+                i == 0
+                or within_hours is None
+                or t <= t0 + dt.timedelta(hours=within_hours)
+            )
+        ]
+        v = min(cand) if cand else None
+        slots.append(v)
+        prev = v
+        if i == 0:
+            t0 = v
+    return slots
+
+
+def test_fold_matches_oracle_under_ties(spark):
+    """Exhaustive small-case sweep (cheaper and denser than hypothesis
+    round-tripping Spark per example): EVERY multiset of up to 4 events
+    over 3 timestamps x 2 event names, against funnels ['a','b'] and
+    ['a','b','a'], with and without a deadline that bisects the
+    timestamp range. This space contains the r4 ADVICE tie repro and
+    every same-shape variant."""
+    import itertools
+
+    universe = [(_t(h), e) for h in (0, 1, 2) for e in ("a", "b")]
+    cases = []
+    for n in (2, 3, 4):
+        cases.extend(itertools.combinations_with_replacement(universe, n))
+    rows, expected = [], {}
+    for uid, evs in enumerate(cases):
+        for ts, e in evs:
+            rows.append((uid, ts, e))
+        for steps_key, steps in (("ab", ["a", "b"]), ("aba", ["a", "b", "a"])):
+            for wh in (None, 1):
+                expected[(uid, steps_key, wh)] = _chained_min_oracle(
+                    list(evs), steps, within_hours=wh
+                )
+    ev = _ev(spark, rows)
+    for steps_key, steps in (("ab", ["a", "b"]), ("aba", ["a", "b", "a"])):
+        for wh in (None, 1):
+            got = funnel_users(
+                ev, steps, within=None if wh is None else f"{wh} hours"
+            ).collect()
+            assert len(got) == len(cases)
+            for r in got:
+                want = expected[(r.user_id, steps_key, wh)]
+                have = [getattr(r, f"step_{i + 1}_ts") for i in range(len(steps))]
+                assert have == want, (
+                    f"user {r.user_id} steps={steps} within={wh}: "
+                    f"fold={have} oracle={want} events="
+                    f"{[x for x in rows if x[0] == r.user_id]}"
+                )
