@@ -279,3 +279,57 @@ def test_update_at_exact_current_effective_from(spark):
     assert (new.effective_from, new.effective_to, new.is_current) == (T0, None, True)
     at_t0 = scd2_asof(_merge(dim, ups), T0).collect()
     assert len(at_t0) == 1 and at_t0[0].city == "lyon"
+
+
+def test_merge_matches_sequential_oracle_exhaustively(spark):
+    """Exhaustive small-case sweep: every multiset of up to 2 updates
+    over 3 timestamps (one LATE) x 2 attribute values, merged into a
+    one-row dimension, against a pure-Python oracle of the documented
+    semantics — same-(key,ts) dedupe by greatest struct, late drop,
+    transitive run-collapse change detection, half-open chaining."""
+    import itertools
+
+    cur_from = _t(1)
+
+    def oracle(updates):  # updates: [(ts, city)]
+        best = {}
+        for ts, c in updates:  # dedupe same-ts: greatest struct wins
+            if ts not in best or c > best[ts]:
+                best[ts] = c
+        seq = [(ts, c) for ts, c in sorted(best.items()) if ts >= cur_from]
+        rows = [("paris", cur_from)] + [(c, ts) for ts, c in seq]
+        kept = [rows[0]]
+        for c, ts in rows[1:]:  # collapse consecutive equal-attr runs
+            if c != kept[-1][0]:
+                kept.append((c, ts))
+        out = []
+        for i, (c, ts) in enumerate(kept):
+            to = kept[i + 1][1] if i + 1 < len(kept) else None
+            out.append((c, ts, to, to is None))
+        return sorted(out, key=lambda r: (r[1], r[0]))
+
+    universe = [(_t(d), c) for d in (0, 1, 2) for c in ("lyon", "nice")]
+    cases = [()]
+    for n in (1, 2):
+        cases.extend(itertools.combinations_with_replacement(universe, n))
+    dim_rows, up_rows, want = [], [], {}
+    for k, ups in enumerate(cases):
+        dim_rows.append((k, "paris", "gold", cur_from, None, True))
+        for ts, c in ups:
+            up_rows.append((k, c, "gold", ts))
+        want[k] = oracle(list(ups))
+    dim = _dim(spark, dim_rows)
+    ups_df = _ups(spark, up_rows) if up_rows else _ups(spark, [])
+    got = _merge(dim, ups_df).collect()
+    by_key: dict[int, list] = {}
+    for r in got:
+        by_key.setdefault(r.k, []).append(
+            (r.city, r.effective_from, r.effective_to, r.is_current)
+        )
+    assert set(by_key) == set(want)
+    for k in want:
+        have = sorted(by_key[k], key=lambda r: (r[1], r[0]))
+        assert have == want[k], (
+            f"key {k}: merge={have} oracle={want[k]} "
+            f"updates={[u for u in up_rows if u[0] == k]}"
+        )
