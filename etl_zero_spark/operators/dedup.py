@@ -995,6 +995,7 @@ def incremental_minhash_pairs(
     threshold: float = 0.3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    check_disjoint_ids: bool = False,
 ) -> DataFrame:
     """Near-dup pairs INVOLVING the delta batch: delta-vs-corpus plus
     delta-vs-delta, never corpus-vs-corpus — the daily-ingest shape
@@ -1006,9 +1007,30 @@ def incremental_minhash_pairs(
     Scale: the join probes the index's band buckets with ONLY the
     delta's band rows — cost O(delta x bands + matched buckets), not
     O(corpus x bands); rescore joins fetch shingles for candidate ids
-    only. Delta ids must be disjoint from corpus ids (asserted cheaply
-    against the index on collision-risk paths by the caller; id reuse
-    would alias pairs)."""
+    only. Delta ids must be DISJOINT from corpus ids (reuse would
+    alias pairs): ``check_disjoint_ids`` enforces it with one
+    semi-join probe of the index's shingle table against the delta's
+    ids (limit-1 — stops at the first collision, never a full count) —
+    opt-in because a well-formed ingest already guarantees it and the
+    probe is a per-call job."""
+    if check_disjoint_ids:
+        clash = (
+            index.shingles.select("id")
+            .join(
+                delta.select(F.col(id_col).alias("id")).dropDuplicates(),
+                "id",
+                "left_semi",
+            )
+            .limit(3)
+            .collect()
+        )
+        if clash:
+            sample = ", ".join(str(r.id) for r in clash)
+            raise ValueError(
+                f"incremental_minhash_pairs: delta reuses indexed ids "
+                f"(e.g. {sample}) — pairs would alias; re-key the delta "
+                "or rebuild the index"
+            )
     d_idx = build_minhash_index(
         delta, index.k, index.num_hashes, index.n_bands, text_col, id_col
     )

@@ -410,3 +410,20 @@ def test_incremental_empty_delta(spark, sf_dir):
     idx = build_minhash_index(docs)
     empty = docs.where(F.lit(False))
     assert incremental_minhash_pairs(empty, idx).count() == 0
+
+
+def test_incremental_rejects_reused_ids_when_checked(spark):
+    """R5: check_disjoint_ids catches a delta that reuses indexed ids
+    (pairs would alias) with a limit-1 semi-join probe; disjoint deltas
+    pass, and the default skips the probe job entirely."""
+    rows = [(i, f"doc {i} alpha beta gamma delta") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = dedup.build_minhash_index(df)
+    reused = spark.createDataFrame(rows[:3], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="reuses indexed ids"):
+        dedup.incremental_minhash_pairs(reused, idx, check_disjoint_ids=True)
+    fresh = spark.createDataFrame(
+        [(100 + i, t) for i, t in rows[:3]], ["doc_id", "text"]
+    )
+    out = dedup.incremental_minhash_pairs(fresh, idx, check_disjoint_ids=True)
+    assert out.count() > 0  # identical texts pair with their originals
