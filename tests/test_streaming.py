@@ -188,3 +188,47 @@ def test_stream_static_rejects_stateful_join_types(spark, stream):
     users = load_table(spark, SF_SMOKE, "events").select("user_id").distinct()
     with pytest.raises(ValueError, match="stream state"):
         sev.enrich_with_dimension(stream, users, "user_id", how="full")
+
+
+def test_session_gap_boundary_inclusive_both_formulations(spark):
+    """R5 pin: an event at EXACTLY the session gap continues the
+    session in BOTH formulations — the batch lag-expression uses
+    strict `> gap` for the break, and Spark's session_window is
+    empirically inclusive at start+gap — so the batch/streaming
+    equivalence cannot silently break on boundary-grain data."""
+    import datetime as dt
+
+    T0 = dt.datetime(2022, 1, 1)
+    gap_s = 1800  # SESSION_GAP_S
+    rows = [
+        (1, T0, "a"), (1, T0 + dt.timedelta(seconds=gap_s), "a"),       # exact
+        (2, T0, "a"), (2, T0 + dt.timedelta(seconds=gap_s - 1), "a"),   # inside
+        (3, T0, "a"), (3, T0 + dt.timedelta(seconds=gap_s + 1), "a"),   # beyond
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    want = {1: 1, 2: 1, 3: 2}
+    # Spark's native session_window (the streaming formulation's core)
+    sw = (
+        df.groupBy("user_id", F.session_window("ts", f"{gap_s} seconds"))
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert {r.user_id: r.n for r in sw.collect()} == want
+    # the batch lag-expression formulation (e3's shape)
+    from pyspark.sql import Window
+
+    order = Window.partitionBy("user_id").orderBy("ts")
+    brk = (
+        (F.unix_micros(F.col("ts")) - F.lag(F.unix_micros("ts")).over(order))
+        > gap_s * 1_000_000
+    ).cast("int")
+    batch = (
+        df.withColumn("b", F.coalesce(brk, F.lit(0)))
+        .withColumn("sid", F.sum("b").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+        .groupBy("user_id")
+        .agg(F.count_distinct("sid").alias("n"))
+    )
+    assert {r.user_id: r.n for r in batch.collect()} == want
