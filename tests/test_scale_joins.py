@@ -307,3 +307,74 @@ def test_range_join_plan_has_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_matches_sequential_oracle_exhaustively(spark):
+    """Exhaustive small-case sweep (completing the funnel/SCD2 trilogy
+    of window-composition operators): every multiset of up to 3 right
+    rows over 3 timestamps x 2 payloads, probed by left rows at each
+    timestamp, both directions, with and without a tolerance that
+    bisects the range — against a pure-Python oracle of the documented
+    semantics (backward: max rts <= lts; forward: min rts >= lts;
+    equal-rts ties to the greatest payload struct; |gap| <= tol)."""
+    import itertools
+    from datetime import datetime, timedelta
+
+    from etl_zero_spark.operators.joins import asof_join
+
+    T0 = datetime(2024, 1, 1)
+
+    def t(h):
+        return T0 + timedelta(hours=h)
+
+    universe = [(h, p) for h in (0, 1, 2) for p in (10.0, 20.0)]
+    cases = [()]
+    for n in (1, 2, 3):
+        cases.extend(itertools.combinations_with_replacement(universe, n))
+
+    def oracle(rights, lh, direction, tol_h):
+        if direction == "backward":
+            cand = [(rh, p) for rh, p in rights if rh <= lh]
+            if not cand:
+                return (None, None)
+            best_h = max(rh for rh, _ in cand)
+        else:
+            cand = [(rh, p) for rh, p in rights if rh >= lh]
+            if not cand:
+                return (None, None)
+            best_h = min(rh for rh, _ in cand)
+        best_p = max(p for rh, p in cand if rh == best_h)
+        if tol_h is not None and abs(lh - best_h) > tol_h:
+            return (None, None)
+        return (best_h, best_p)
+
+    l_rows, r_rows = [], []
+    for k, rights in enumerate(cases):
+        for lh in (0, 1, 2):
+            l_rows.append((k * 10 + lh, k, t(lh)))
+        for rh, p in rights:
+            r_rows.append((k, t(rh), p))
+    left = spark.createDataFrame(l_rows, "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(r_rows, "k long, ts timestamp, price double")
+    for direction in ("backward", "forward"):
+        for tol_h in (None, 1):
+            got = asof_join(
+                left,
+                right,
+                on="ts",
+                by="k",
+                direction=direction,
+                tolerance_seconds=None if tol_h is None else tol_h * 3600,
+            ).collect()
+            assert len(got) == len(l_rows)
+            for r in got:
+                k, lh = r.k, (r.ts - T0).total_seconds() / 3600
+                want_h, want_p = oracle(cases[k], lh, direction, tol_h)
+                have = (
+                    None if r.ts_right is None else (r.ts_right - T0).total_seconds() / 3600,
+                    r.price,
+                )
+                assert have == (want_h, want_p), (
+                    f"case {k} {direction} tol={tol_h} left@{lh}: "
+                    f"join={have} oracle=({want_h}, {want_p}) rights={cases[k]}"
+                )
