@@ -111,6 +111,31 @@ def _version_path(root: str, version: int) -> str:
 _BLOOM_BITS = 8192
 _BLOOM_K = 6
 
+#: Bloom HASH-INPUT format version, stamped into every manifest that
+#: carries blooms. Version 2 = the type-canonical ``_bloom_key`` form;
+#: version 1 (implicit — manifests with no ``bloom_format`` field) was
+#: ``md5(str(value))``. The two formats place equal values at
+#: DIFFERENT bit positions, so consulting a v1 bloom with v2 probes
+#: yields FALSE NEGATIVES — files silently skipped, wrong (empty)
+#: point reads. Readers therefore ignore (conservatively keep all
+#: files for) any bloom section whose manifest is not stamped with the
+#: CURRENT format; re-index via ``compact(index=[...])`` or a fresh
+#: ``commit(index=[...])`` to upgrade a pre-v2 table.
+_BLOOM_FORMAT = 2
+
+
+def _inherited_bloom_format(parent_manifest: dict | None):
+    """Format tag for a manifest whose bloom section may mix freshly
+    built blooms (current format) with blooms inherited from
+    ``parent_manifest``. Fresh-only → current. A parent carrying
+    blooms under a different (or unstamped, pre-v2) format makes the
+    merged section mixed-format, so the parent's tag is propagated —
+    the read side then distrusts the WHOLE section (keeps every file)
+    rather than wrongly skipping files through stale bit positions."""
+    if parent_manifest is None or not parent_manifest.get("bloom"):
+        return _BLOOM_FORMAT
+    return parent_manifest.get("bloom_format")
+
 
 def _bloom_key(value) -> str:
     """CANONICAL string for bloom hashing. The build side hashes
@@ -333,11 +358,15 @@ class SnapshotTable:
         mode: str = "overwrite",
         expected_version: int | None = None,
         index: list[str] | None = None,
+        operation_prefix: str | None = None,
     ) -> int:
         """Commit ``df`` as a new version. ``mode='overwrite'`` replaces
         the logical table; ``mode='append'`` adds to it (the new
         manifest references the parent's files PLUS the new ones — no
-        data is rewritten).
+        data is rewritten). ``operation_prefix`` tags the manifest's
+        operation as ``{prefix}:{mode}`` — the epoch-ledger hook
+        streaming writers use for replay detection (upsert has the
+        same parameter).
 
         ``expected_version`` is the read-set guard for
         read-modify-write flows: pass the version you read, and the
@@ -394,16 +423,20 @@ class SnapshotTable:
             rows = pm["rows"] + new_rows
             stats = {**pm.get("stats", {}), **stats}
             bloom = {**pm.get("bloom", {}), **bloom}
+            bloom_format = _inherited_bloom_format(pm)
+        else:
+            bloom_format = _BLOOM_FORMAT
         manifest = {
             "version": (parent + 1) if parent is not None else 0,
             "parent": parent,
-            "operation": mode,
+            "operation": f"{operation_prefix}:{mode}" if operation_prefix else mode,
             "files": files,
             "added_files": new_files,
             "rows": rows,
             "schema": schema_json,
             "stats": stats,
             "bloom": bloom,
+            "bloom_format": bloom_format,
             "committed_at": time.time(),
         }
         return self._publish(manifest, manifest["version"])
@@ -563,6 +596,7 @@ class SnapshotTable:
                 },
                 **(self._index_files(new_files, bloom_cols) if bloom_cols else {}),
             },
+            "bloom_format": _inherited_bloom_format(m),
             "committed_at": time.time(),
         }
         return self._publish(manifest, manifest["version"])
@@ -704,6 +738,7 @@ class SnapshotTable:
                     else {}
                 ),
             },
+            "bloom_format": _inherited_bloom_format(m),
             "committed_at": time.time(),
         }
         return self._publish(manifest, manifest["version"])
@@ -724,6 +759,7 @@ class SnapshotTable:
             "schema": m["schema"],
             "stats": m.get("stats", {}),
             "bloom": m.get("bloom", {}),
+            "bloom_format": _inherited_bloom_format(m),
             "committed_at": time.time(),
         }
         return self._publish(manifest, manifest["version"])
@@ -814,7 +850,15 @@ class SnapshotTable:
         column are conservatively kept by that structure."""
         v = self.current_version() if version is None else version
         m = self.manifest(v)
-        blooms = m.get("bloom", {})
+        # Bloom sections stamped with a different (or missing, pre-v2)
+        # hash format would probe stale bit positions → false negatives
+        # → files wrongly skipped. Distrust the whole section instead:
+        # min/max stats still prune, blooms resume after a re-index.
+        blooms = (
+            m.get("bloom", {})
+            if m.get("bloom_format") == _BLOOM_FORMAT
+            else {}
+        )
         stats = m.get("stats", {})
         v_n = _norm_stat(value)
         kept = []
@@ -1120,6 +1164,9 @@ def snapshot_sink(
             "stats": {**pstats, **stats},
             "bloom": (
                 table.manifest(parent).get("bloom", {}) if parent is not None else {}
+            ),
+            "bloom_format": _inherited_bloom_format(
+                table.manifest(parent) if parent is not None else None
             ),
             "committed_at": time.time(),
         }

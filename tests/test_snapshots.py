@@ -816,6 +816,63 @@ def test_bloom_point_lookup_numeric_type_canonical(spark, tbl):
     assert [r.v for r in tbl.read_point(spark, "id", 7.0).collect()] == [7.0]
 
 
+def test_bloom_format_version_guards_stale_hash(spark, tbl):
+    """ADVICE r5: blooms persisted under the pre-canonical hash
+    (manifests with no ``bloom_format`` stamp) probe DIFFERENT bit
+    positions than the current code — trusting them silently skips
+    files (empty point reads). Unstamped/mismatched sections must be
+    ignored (conservative keep), commits inheriting them must
+    propagate the distrust, and a fresh re-index restores pruning."""
+    import json
+
+    from etl_zero_spark.sources.snapshots import _BLOOM_FORMAT, _version_path
+
+    df = spark.createDataFrame(
+        [(i, "abcd"[i % 4], float(i)) for i in range(400)],
+        "id long, grp string, v double",
+    )
+    tbl.commit(df.repartition(4, "grp"), index=["id"])
+    assert tbl.manifest(0)["bloom_format"] == _BLOOM_FORMAT
+    n_total = tbl.prune_files_point("id", 137)["n_total"]
+    assert tbl.prune_files_point("id", 137)["n_kept"] < n_total
+    # simulate a table written by the pre-v2 code: blooms present but
+    # no format stamp (their bits are actually stale garbage)
+    mpath = _version_path(tbl.root, 0)
+    m = json.load(open(mpath))
+    del m["bloom_format"]
+    os.unlink(mpath)
+    json.dump(m, open(mpath, "w"))
+    # unstamped blooms are distrusted: every file kept, lookup exact
+    pr = tbl.prune_files_point("id", 137)
+    assert pr["n_kept"] == n_total
+    assert [r.id for r in tbl.read_point(spark, "id", 137).collect()] == [137]
+    # append on the unstamped parent: the merged bloom section mixes
+    # formats, so the child must NOT claim the current stamp
+    v1 = tbl.commit(
+        spark.createDataFrame([(1000, "z", 0.0)], "id long, grp string, v double"),
+        mode="append",
+        index=["id"],
+    )
+    assert tbl.manifest(v1).get("bloom_format") != _BLOOM_FORMAT
+    # blooms distrusted → all 4 scattered parent files kept; min/max
+    # stats legitimately still prune the appended id=1000 file
+    assert tbl.prune_files_point("id", 137, version=v1)["n_kept"] >= n_total
+    # upsert likewise propagates the distrust
+    v2 = tbl.upsert(
+        spark,
+        spark.createDataFrame([(137, "B", 137.5)], "id long, grp string, v double"),
+        key="id",
+    )
+    assert tbl.manifest(v2).get("bloom_format") != _BLOOM_FORMAT
+    # a full re-index (compact) rebuilds every bloom under the current
+    # format: stamp restored, point pruning resumes
+    v3 = tbl.compact(spark, n_files=4, cluster_by="grp", index=["id"])
+    assert tbl.manifest(v3)["bloom_format"] == _BLOOM_FORMAT
+    pr3 = tbl.prune_files_point("id", 137, version=v3)
+    assert pr3["n_kept"] < pr3["n_total"]
+    assert [r.grp for r in tbl.read_point(spark, "id", 137).collect()] == ["B"]
+
+
 def test_compact_race_raises_instead_of_lost_update(spark, tbl, monkeypatch):
     """ADVICE r4: a writer landing between compact's read and its
     publish must surface as CommitConflict — compact previously
