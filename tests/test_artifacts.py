@@ -129,3 +129,33 @@ def test_cached_artifact_builds_once_then_loads(tmp_path):
         npy.write_bytes(data[:-1] + bytes([data[-1] ^ 0xFF]))
     c = cached_artifact("ivf_centroids", params, build, root=str(tmp_path))
     assert len(calls) == 3 and np.array_equal(c, a)
+
+
+def test_stop_shingles_persist_across_processes(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r5 #3: dd2's stop-shingle set must persist via
+    functions/artifacts — a FRESH process (simulated by clearing the
+    in-process L1 dict) loads the persisted set instead of re-paying
+    the corpus-wide discovery aggregation. Builder-call counter: one
+    probe total across two 'processes'."""
+    from etl_zero_spark.operators import dedup
+    from etl_zero_spark.plans import northstar
+
+    monkeypatch.setenv("ETL_ZERO_ARTIFACTS", str(tmp_path))
+    monkeypatch.setattr(northstar, "_STOP_SHINGLES", {})
+    calls = []
+    real = dedup.compute_stop_shingles
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(dedup, "compute_stop_shingles", counting)
+    first = northstar._stop_shingles_cached(spark, sf_dir)
+    assert calls == [1]
+    # same process: L1 dict, no probe, no artifact read
+    assert northstar._stop_shingles_cached(spark, sf_dir) == first
+    assert calls == [1]
+    # "new process": L1 cleared -> artifact load, probe NOT re-run
+    monkeypatch.setattr(northstar, "_STOP_SHINGLES", {})
+    assert northstar._stop_shingles_cached(spark, sf_dir) == first
+    assert calls == [1]

@@ -327,6 +327,30 @@ def test_precomputed_stop_shingles_match_inline_probe(spark):
     )
 
 
+def test_stop_shingles_without_df_cap_still_repairs_counts(spark):
+    """ADVICE r5: an explicit stop_shingles=[...] with df_cap=None
+    still drops those shingles from the counting join, so the
+    exact-hybrid repair must run — the repair was gated on df_cap and
+    this combination understated Jaccard (missing pairs). Pairs
+    sharing BOTH the stop shingle and sub-cap shingles must report the
+    same exact Jaccard as with the cap set."""
+    boiler = "all rights reserved"
+    rows = [(i, f"{boiler} u{i}a u{i}b") for i in range(40)]
+    rows += [(100, f"{boiler} same tail here"), (101, f"{boiler} same tail here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.05, df_cap=None, stop_shingles=[boiler]
+        ).collect()
+    }
+    # identical docs share the stop shingle AND rare shingles: without
+    # the repair their jaccard reads 8/9 ≈ 0.889 instead of 1.0
+    assert got[(100, 101)] == pytest.approx(1.0, abs=1e-6)
+    # boilerplate-only pairs still (documented recall contract) absent
+    assert all(a == 100 and b == 101 for a, b in got)
+
+
 def test_df_cap_applies_to_prefix_path(spark):
     """The cap must also bound the prefix (t>=0.5) index: a stop shingle
     inside prefixes is excluded, sub-cap discovery still finds the
@@ -427,3 +451,17 @@ def test_incremental_rejects_reused_ids_when_checked(spark):
     )
     out = dedup.incremental_minhash_pairs(fresh, idx, check_disjoint_ids=True)
     assert out.count() > 0  # identical texts pair with their originals
+
+
+def test_exact_tier_refuses_oversized_corpus(spark):
+    """R6 (VERDICT r5 #7): ngram_jaccard_pairs is the expensive verify
+    tier — above max_exact_docs it refuses with a pointer to the
+    banded LSH tier (like reshape's pivot bound); None disables."""
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("doc "), F.col("id")).alias("text")
+    )
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        dedup.ngram_jaccard_pairs(df, max_exact_docs=5)
+    # at or under the bound: runs; guard disabled: runs
+    assert dedup.ngram_jaccard_pairs(df, max_exact_docs=10).count() >= 0
+    assert dedup.ngram_jaccard_pairs(df, max_exact_docs=None).count() >= 0
