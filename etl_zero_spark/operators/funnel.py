@@ -70,11 +70,19 @@ def funnel_users(
     k = len(steps)
     filtered = events.where(F.col(event_col).isin(steps))
     if max_events_per_user is not None:
+        # Collapse exact replays BEFORE ranking (ADVICE r5): the cap
+        # must count DISTINCT (ts, event) pairs — otherwise a bot
+        # replaying one event burns the budget and evicts real later
+        # events, contradicting the duplicates-cannot-change-any-slot
+        # guarantee the collect_set below provides when uncapped. The
+        # dropDuplicates is a partial-agg-combined shuffle on the same
+        # user key the window needs anyway.
         w = Window.partitionBy(user_col).orderBy(
             F.col(ts_col).cast("timestamp"), F.col(event_col)
         )
         filtered = (
-            filtered.withColumn("__rn", F.row_number().over(w))
+            filtered.dropDuplicates([user_col, ts_col, event_col])
+            .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= F.lit(int(max_events_per_user)))
             .drop("__rn")
         )

@@ -205,6 +205,17 @@ def test_max_events_per_user_truncation_contract(spark):
     assert u.steps_completed == 2 and u.step_3_ts is None
 
 
+def test_cap_counts_distinct_events_not_replays(spark):
+    """ADVICE r5: exact replays must NOT consume the cap budget. 50
+    replays of one view + click + buy under cap=3 still completes the
+    funnel — the cap ranks DISTINCT (ts, event) pairs, preserving the
+    duplicates-cannot-change-any-slot guarantee in capped mode."""
+    rows = [(1, _t(0), "view")] * 50 + [(1, _t(1), "click"), (1, _t(2), "buy")]
+    u = funnel_users(_ev(spark, rows), STEPS, max_events_per_user=3).collect()[0]
+    assert u.steps_completed == 3
+    assert (u.step_1_ts, u.step_2_ts, u.step_3_ts) == (_t(0), _t(1), _t(2))
+
+
 # --- property: fold == sequential chained-min oracle ------------------------
 
 
