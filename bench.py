@@ -142,6 +142,60 @@ def _extras(spark, sf_dir: str) -> dict:
         q = emb.where(F.col("vec_id") < 20)
         return ivf.ivf_topk(q, emb, k=5, centroids=cents, nprobe=8).count()
 
+    # R6 (VERDICT r5 #1): production-path rows for the remaining
+    # audit-converted queries — each declared dd4/dd8/dd9/sim2_sim3
+    # deliberately runs 2-4x verification work (exact twin + oracle
+    # booleans), so a regression in the path users actually run could
+    # hide inside audit noise. These isolate that path.
+    def x_dd8_lsh_only() -> int:
+        from etl_zero_spark.operators import similarity
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.lsh_neardup_pairs(
+            emb, threshold=0.4, n_planes=3, n_tables=12
+        ).count()
+
+    def x_sim2_sim3_real() -> int:
+        # one tier (distributed — the 100 TB path), real 6x6 geometry
+        from etl_zero_spark.operators import similarity
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.where(F.col("vec_id") < 20)
+        return similarity.lsh_partitioned_topk(
+            q, emb, k=5, n_planes=6, n_tables=6
+        ).count()
+
+    def x_dd4_single_corpus() -> int:
+        from etl_zero_spark.operators import dedup as dd
+
+        return dd.simhash_pairs(
+            load_table(spark, sf_dir, "documents"), max_hamming=3
+        ).count()
+
+    # dd9 probe-only: the index is built + persisted ONCE (first/cold
+    # call pays it, like x_bpe_tokenize's train); warm timings measure
+    # the probe alone — the per-delta cost the daily-ingest regime
+    # actually pays (the declared dd9 re-runs build + exact oracle +
+    # audits every invocation by design).
+    dd9_state: dict = {}
+
+    def x_dd9_probe_only() -> int:
+        from etl_zero_spark.operators import dedup as dd
+
+        if "idx" not in dd9_state:
+            docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+            idx = dd.build_minhash_index(docs)
+            idx.bands.persist().count()
+            idx.shingles.persist().count()
+            dd9_state["idx"] = idx
+            dd9_state["docs"] = docs
+        delta = dd9_state["docs"].where(F.col("doc_id") < 100).select(
+            (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+        )
+        return dd.incremental_minhash_pairs(
+            delta, dd9_state["idx"], threshold=0.3
+        ).count()
+
     return {
         "x_bpe_tokenize": x_bpe_tokenize,
         "x_gopher_gate": x_gopher_gate,
@@ -149,6 +203,10 @@ def _extras(spark, sf_dir: str) -> dict:
         "x_corpus_pipeline": x_corpus_pipeline,
         "x_dd3_lsh_only": x_dd3_lsh_only,
         "x_sim4_search_only": x_sim4_search_only,
+        "x_dd8_lsh_only": x_dd8_lsh_only,
+        "x_sim2_sim3_real": x_sim2_sim3_real,
+        "x_dd4_single_corpus": x_dd4_single_corpus,
+        "x_dd9_probe_only": x_dd9_probe_only,
     }
 
 
