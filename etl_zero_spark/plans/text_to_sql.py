@@ -84,6 +84,13 @@ class RuleBasedGenerator:
     * ``... where <col> greater/less than X``          -> comparison WHERE
     * ``... <col> between X and Y``                    -> BETWEEN WHERE
     * ``... <col> is/equals <value>``                  -> equality WHERE
+    * ``... <cond> and/or <cond> [and/or ...]``        -> multi-condition
+      WHERE (R6 — the reference demo's 'price over X and stock under Y'
+      space; the connective between two stated conditions is the one
+      the question used, defaulting to AND)
+    * ``... having <agg> [col] over/under N``          -> HAVING on the
+      grouped branches (R6); a stated HAVING that no branch can honor
+      REFUSES the question instead of answering without the constraint
 
     Table and column mentions resolve by containment first, then
     difflib fuzzy match (cutoff 0.6 — the reference's column-matching
@@ -110,11 +117,22 @@ class RuleBasedGenerator:
             return ""
         cols = schema[table]
         # WHERE values keep the question's original case ('status is F'
-        # must emit 'F'), so the clause parses the raw text.
-        where = self._where_clause(raw, cols)
+        # must emit 'F'), so the clause parses the raw text. An explicit
+        # 'having' splits the question: conditions before it are row
+        # filters (WHERE), the aggregate condition after it is parsed by
+        # the grouped branches below — and a question that states a
+        # having constraint which no branch can honor is REFUSED, never
+        # silently answered without the constraint.
+        hv = re.search(r"\bhaving\b", raw, re.IGNORECASE)
+        raw_where = raw[: hv.start()] if hv else raw
+        having_raw = raw[hv.end():] if hv else ""
+        where = self._where_clause(raw_where, cols)
+        having = self._having_clause(having_raw, cols) if hv else ""
+        if hv and not having:
+            return ""  # stated constraint we cannot parse -> refuse
 
         m = re.search(r"\btop\s+(\d+)\b", q)
-        if m:
+        if m and not hv:
             n = int(m.group(1))
             order = self._order_column(q, cols)
             if order is None:
@@ -125,7 +143,7 @@ class RuleBasedGenerator:
             )
 
         m = re.search(r"\b(?:bottom|lowest|smallest)\s+(\d+)\b", q)
-        if m:
+        if m and not hv:
             n = int(m.group(1))
             order = self._order_column(q, cols)
             if order is None:
@@ -135,29 +153,40 @@ class RuleBasedGenerator:
                 f"ORDER BY {order} ASC LIMIT {n}"
             )
 
-        if re.search(r"\bhow many\b|\bcount\b|number of", q):
+        if re.search(r"\bhow many\b|\bcount\b|number of", q.split("having")[0]):
+            # R6: grouped counts ('count of orders per orderpriority'),
+            # with optional HAVING on the groups
+            group = self._group_column(q.split("having")[0], cols)
+            if group:
+                return (
+                    f"SELECT {group}, COUNT(*) AS n FROM {table}{where} "
+                    f"GROUP BY {group}{having}"
+                )
+            if hv:
+                return ""  # HAVING needs groups; none resolved
             return f"SELECT COUNT(*) AS n FROM {table}{where}"
 
+        q_main = q.split("having")[0]
         for word, fn in self._AGGS.items():
-            m = re.search(rf"\b{word}\b(?:\s+of)?\s+(\w+)", q)
+            m = re.search(rf"\b{word}\b(?:\s+of)?\s+(\w+)", q_main)
             if m:
                 col = self._resolve_column(m.group(1), cols)
                 if col is None:
                     continue
                 alias = f"{col}_{fn.lower()}"
-                group = self._group_column(q, cols)
+                group = self._group_column(q_main, cols)
                 if group:
                     return (
                         f"SELECT {group}, {fn}({col}) AS {alias} "
-                        f"FROM {table}{where} GROUP BY {group}"
+                        f"FROM {table}{where} GROUP BY {group}{having}"
                     )
                 # group column living in ANOTHER table -> FK join (the
                 # mapper's name-similarity key inference, J3, applied
                 # to the rendered schema): 'average totalprice per
                 # mktsegment' joins orders to customer on the most
                 # name-similar column pair.
-                g = re.search(r"\b(?:by|per|for each|grouped by)\s+(\w+)", q)
-                if g:
+                g = re.search(r"\b(?:by|per|for each|grouped by)\s+(\w+)", q_main)
+                if g and not hv:  # HAVING cols would be ambiguous across the join
                     hit = self._resolve_foreign_group(g.group(1), table, schema)
                     if hit:
                         other, gcol, lk, rk = hit
@@ -166,7 +195,12 @@ class RuleBasedGenerator:
                             f"FROM {table} t1 JOIN {other} t2 "
                             f"ON t1.{lk} = t2.{rk}{where} GROUP BY t2.{gcol}"
                         )
+                if hv:
+                    return ""  # HAVING needs groups; none resolved
                 return f"SELECT {fn}({col}) AS {alias} FROM {table}{where}"
+
+        if hv:
+            return ""  # no remaining shape can honor a HAVING constraint
 
         m = re.search(r"\b(?:distinct|unique)\s+(\w+)", q)
         if m:
@@ -345,42 +379,114 @@ class RuleBasedGenerator:
             return None
         return (other, sel, keys[0], keys[1])
 
-    def _where_clause(self, raw: str, cols: dict[str, str], prefix: str = "") -> str:
-        """Parses the ORIGINAL-case question (literals like 'F' must
-        survive); keywords match case-insensitively. ``prefix``
-        qualifies the column (``t1.``) on join paths where a bare name
-        could be ambiguous across the joined tables."""
-        m = re.search(
+    #: words the equality parser must never treat as a VALUE — they are
+    #: fragments of the other condition shapes ('price is greater
+    #: than', 'qty is between').
+    _EQ_STOP = frozenset(
+        {"greater", "less", "more", "smaller", "larger", "bigger",
+         "above", "over", "below", "under", "between", "equal"}
+    )
+
+    def _conditions(
+        self, raw: str, cols: dict[str, str], prefix: str
+    ) -> list[tuple[int, int, str]]:
+        """Every resolvable condition in the question as (start, end,
+        sql), non-overlapping, question order. BETWEEN claims its span
+        first (its 'and' must not read as a conjunction, and its 'is'
+        must not read as an equality); comparisons next; equality last."""
+        found: list[tuple[int, int, str]] = []
+
+        def free(s: int, e: int) -> bool:
+            return all(e <= fs or s >= fe for fs, fe, _ in found)
+
+        for m in re.finditer(
             r"(\w+)\s+(?:is\s+)?between\s+(-?\d+(?:\.\d+)?)\s+and\s+"
             r"(-?\d+(?:\.\d+)?)",
             raw,
             re.IGNORECASE,
-        )
-        if m:
+        ):
             col = self._resolve_column(m.group(1).lower(), cols)
             if col:
-                return (
-                    f" WHERE {prefix}{col} BETWEEN {m.group(2)} AND {m.group(3)}"
+                found.append(
+                    (m.start(), m.end(),
+                     f"{prefix}{col} BETWEEN {m.group(2)} AND {m.group(3)}")
                 )
-        m = re.search(
+        for m in re.finditer(
             r"(\w+)\s+(?:is\s+)?(?:(greater|more|larger|bigger|above|over)"
             r"|(less|smaller|lower|below|under))\s*(?:than)?\s+(-?\d+(?:\.\d+)?)",
             raw,
             re.IGNORECASE,
-        )
-        if m:
+        ):
+            if not free(m.start(), m.end()):
+                continue
             col = self._resolve_column(m.group(1).lower(), cols)
             if col:
                 op = ">" if m.group(2) else "<"
-                return f" WHERE {prefix}{col} {op} {m.group(4)}"
-        m = re.search(r"(\w+)\s+(?:is|equals|=)\s+'?([\w-]+)'?(?:\s|$)", raw, re.IGNORECASE)
-        if m and m.group(2).lower() not in ("greater", "less", "more", "smaller"):
+                found.append(
+                    (m.start(), m.end(), f"{prefix}{col} {op} {m.group(4)}")
+                )
+        for m in re.finditer(
+            r"(\w+)\s+(?:is|equals|=)\s+'?([\w-]+)'?(?:\s|$)", raw, re.IGNORECASE
+        ):
+            if not free(m.start(), m.end()) or m.group(2).lower() in self._EQ_STOP:
+                continue
             col = self._resolve_column(m.group(1).lower(), cols)
             if col:
                 val = m.group(2)
                 lit = val if re.fullmatch(r"-?\d+(\.\d+)?", val) else f"'{val}'"
-                return f" WHERE {prefix}{col} = {lit}"
-        return ""
+                found.append((m.start(), m.end(), f"{prefix}{col} = {lit}"))
+        return sorted(found)
+
+    def _where_clause(self, raw: str, cols: dict[str, str], prefix: str = "") -> str:
+        """Parses the ORIGINAL-case question (literals like 'F' must
+        survive); keywords match case-insensitively. ``prefix``
+        qualifies the column (``t1.``) on join paths where a bare name
+        could be ambiguous across the joined tables.
+
+        R6: multi-condition — every resolvable condition is kept, and
+        consecutive conditions combine with the connective the question
+        used between them ('price over 100 and stock under 50' -> AND;
+        'or' in the gap -> OR; no connective word defaults to AND,
+        matching the reference demo's 'products with price over X and
+        stock under Y' space, text_to_sql.py:110-144)."""
+        conds = self._conditions(raw, cols, prefix)
+        if not conds:
+            return ""
+        sql = conds[0][2]
+        for prev, cur in zip(conds, conds[1:]):
+            gap = raw[prev[1]:cur[0]]
+            conj = "OR" if re.search(r"\bor\b", gap, re.IGNORECASE) else "AND"
+            sql += f" {conj} {cur[2]}"
+        return f" WHERE {sql}"
+
+    def _having_clause(self, having_raw: str, cols: dict[str, str]) -> str | None:
+        """HAVING grammar (R6): '<agg> [of] [col] over/under N' after an
+        explicit 'having'. 'count' needs no column (COUNT(*)); other
+        aggregates resolve their column or the clause is unresolvable
+        (None — the caller refuses the whole question rather than
+        silently dropping a stated constraint)."""
+        if not having_raw.strip():
+            return ""
+        m = re.search(
+            r"\b(count|average|avg|mean|sum|total|minimum|min|maximum|max)\b"
+            r"(?:\s+of)?(?:\s+(\w+))?\s+"
+            r"(?:is\s+)?(?:(greater|more|larger|bigger|above|over)"
+            r"|(less|smaller|lower|below|under))\s*(?:than)?\s+(-?\d+(?:\.\d+)?)",
+            having_raw,
+            re.IGNORECASE,
+        )
+        if not m:
+            return None
+        word = m.group(1).lower()
+        op = ">" if m.group(3) else "<"
+        n = m.group(5)
+        if word == "count":
+            return f" HAVING COUNT(*) {op} {n}"
+        fn = self._AGGS.get(word)
+        col = self._resolve_column(m.group(2), cols) if m.group(2) else None
+        if fn is None or col is None:
+            return None
+        return f" HAVING {fn}({col}) {op} {n}"
 
 
 def process_query(

@@ -190,3 +190,62 @@ def test_generator_bottom_n_and_between():
     # 'lowest <col>' (no count) still means MIN, not a limit
     sql = _gen("lowest totalprice of orders")
     assert sql == "SELECT MIN(o_totalprice) AS o_totalprice_min FROM orders"
+
+
+def test_generator_multi_condition_where():
+    """R6 (VERDICT r5 #6): the reference demo's 'price over X and stock
+    under Y' space — every stated condition survives, joined by the
+    question's own connective (AND default, OR when said)."""
+    sql = _gen("show orders where totalprice is greater than 100 and orderkey less than 50")
+    assert sql == "SELECT * FROM orders WHERE o_totalprice > 100 AND o_orderkey < 50"
+    sql = _gen("orders where orderstatus is F or orderstatus is O")
+    assert sql == "SELECT * FROM orders WHERE o_orderstatus = 'F' OR o_orderstatus = 'O'"
+    # three conditions, mixed connectives, BETWEEN's 'and' untouched
+    sql = _gen(
+        "orders where totalprice between 100 and 2000 "
+        "and orderstatus is F or orderkey greater than 10"
+    )
+    assert sql == (
+        "SELECT * FROM orders WHERE o_totalprice BETWEEN 100 AND 2000 "
+        "AND o_orderstatus = 'F' OR o_orderkey > 10"
+    )
+    # multi-condition composes with the other shapes
+    sql = _gen("count orders where totalprice over 100 and orderstatus is F")
+    assert sql == (
+        "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > 100 "
+        "AND o_orderstatus = 'F'"
+    )
+
+
+def test_generator_having_shapes():
+    """R6: explicit HAVING on grouped branches; count needs no column;
+    a stated HAVING that cannot be honored refuses the question."""
+    sql = _gen("average totalprice of orders by orderstatus having average totalprice over 100")
+    assert sql == (
+        "SELECT o_orderstatus, AVG(o_totalprice) AS o_totalprice_avg "
+        "FROM orders GROUP BY o_orderstatus HAVING AVG(o_totalprice) > 100"
+    )
+    sql = _gen("count orders per orderstatus having count over 5")
+    assert sql == (
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+        "GROUP BY o_orderstatus HAVING COUNT(*) > 5"
+    )
+    # WHERE and HAVING together, split at the keyword
+    sql = _gen(
+        "count orders where totalprice over 10 per orderstatus having count under 99"
+    )
+    assert sql == (
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+        "WHERE o_totalprice > 10 GROUP BY o_orderstatus HAVING COUNT(*) < 99"
+    )
+    # HAVING without resolvable groups / unparseable constraint: refuse
+    assert _gen("count orders having count over 5") == ""
+    assert _gen("average totalprice of orders by orderstatus having vibes") == ""
+    assert _gen("show all orders having count over 5") == ""
+
+
+def test_generator_grouped_count():
+    sql = _gen("count of orders per orderstatus")
+    assert sql == (
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
+    )
