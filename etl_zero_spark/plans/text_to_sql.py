@@ -91,6 +91,12 @@ class RuleBasedGenerator:
     * ``... having <agg> [col] over/under N``          -> HAVING on the
       grouped branches (R6); a stated HAVING that no branch can honor
       REFUSES the question instead of answering without the constraint
+    * ``top/bottom N <group> by <agg> [col]``          -> grouped agg
+      ranked by the aggregate (R6 — the reference's 'top 5 products by
+      revenue' demo phrasing); unresolvable mentions refuse rather
+      than silently ranking raw rows by a guessed column
+    * ``... ordered/sorted by <col> [descending]``     -> ORDER BY on
+      the plain-select fallback (R6)
 
     Table and column mentions resolve by containment first, then
     difflib fuzzy match (cutoff 0.6 — the reference's column-matching
@@ -134,6 +140,13 @@ class RuleBasedGenerator:
         m = re.search(r"\btop\s+(\d+)\b", q)
         if m and not hv:
             n = int(m.group(1))
+            # R6: 'top N <group> by <agg> <col>' — grouped aggregate
+            # ranked by the aggregate ('top 3 orderstatus by average
+            # totalprice'). Without this, the plain top-N path would
+            # silently rank raw rows by a guessed numeric column.
+            ranked = self._ranked_group_sql(q, cols, table, where, n, "DESC")
+            if ranked is not None:
+                return ranked
             order = self._order_column(q, cols)
             if order is None:
                 return ""
@@ -145,6 +158,9 @@ class RuleBasedGenerator:
         m = re.search(r"\b(?:bottom|lowest|smallest)\s+(\d+)\b", q)
         if m and not hv:
             n = int(m.group(1))
+            ranked = self._ranked_group_sql(q, cols, table, where, n, "ASC")
+            if ranked is not None:
+                return ranked
             order = self._order_column(q, cols)
             if order is None:
                 return ""
@@ -228,7 +244,20 @@ class RuleBasedGenerator:
                     f"JOIN {other} t2 ON t1.{lk} = t2.{rk}{jwhere}"
                 )
 
-        return f"SELECT * FROM {table}{where}"
+        # R6: explicit sort on the plain-select fallback ('show orders
+        # sorted by totalprice descending')
+        order_sql = ""
+        m = re.search(
+            r"\b(?:ordered|sorted)\s+by\s+(\w+)"
+            r"(?:\s+(desc|descending|asc|ascending))?",
+            q,
+        )
+        if m:
+            col = self._resolve_column(m.group(1), cols)
+            if col:
+                d = " DESC" if m.group(2) in ("desc", "descending") else ""
+                order_sql = f" ORDER BY {col}{d}"
+        return f"SELECT * FROM {table}{where}{order_sql}"
 
     # -- prompt / schema plumbing --------------------------------------
 
@@ -288,6 +317,42 @@ class RuleBasedGenerator:
         if len(contains) == 1:
             return contains[0]
         return self._fuzzy(word, list(cols))
+
+    def _ranked_group_sql(
+        self, q: str, cols: dict[str, str], table: str, where: str,
+        n: int, direction: str,
+    ) -> str | None:
+        """'top/bottom N <group> by <agg> [of] [col]' -> grouped
+        aggregate ranked by the aggregate ('top 5 products by revenue'
+        is the reference's own demo phrasing, front_end.py:578). None
+        when the question is not this shape (caller falls back to the
+        raw-row ranking); '' when the shape IS stated but a mention
+        fails to resolve — refusing beats silently ranking raw rows by
+        a guessed column."""
+        m = re.search(
+            rf"\b(?:top|bottom|lowest|smallest)\s+\d+\s+(\w+)\s+by\s+"
+            rf"({'|'.join(self._AGGS)}|count)\b(?:\s+of)?(?:\s+(\w+))?",
+            q,
+        )
+        if not m:
+            return None
+        group = self._resolve_column(m.group(1), cols)
+        if group is None:
+            return ""
+        if m.group(2) == "count":
+            return (
+                f"SELECT {group}, COUNT(*) AS n FROM {table}{where} "
+                f"GROUP BY {group} ORDER BY n {direction} LIMIT {n}"
+            )
+        fn = self._AGGS[m.group(2)]
+        col = self._resolve_column(m.group(3), cols) if m.group(3) else None
+        if col is None:
+            return ""
+        alias = f"{col}_{fn.lower()}"
+        return (
+            f"SELECT {group}, {fn}({col}) AS {alias} FROM {table}{where} "
+            f"GROUP BY {group} ORDER BY {alias} {direction} LIMIT {n}"
+        )
 
     def _order_column(self, q: str, cols: dict[str, str]) -> str | None:
         m = re.search(r"\bby\s+(\w+)", q)

@@ -249,3 +249,36 @@ def test_generator_grouped_count():
     assert sql == (
         "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
     )
+
+
+def test_generator_ranked_group_topn():
+    """R6: 'top/bottom N <group> by <agg> <col>' ranks GROUPS by the
+    aggregate — previously this mistranslated into a raw-row ORDER BY
+    on a guessed numeric column."""
+    sql = _gen("top 3 orderstatus by average totalprice")
+    assert sql == (
+        "SELECT o_orderstatus, AVG(o_totalprice) AS o_totalprice_avg "
+        "FROM orders GROUP BY o_orderstatus "
+        "ORDER BY o_totalprice_avg DESC LIMIT 3"
+    )
+    sql = _gen("bottom 2 mktsegment by sum of totalprice from orders")
+    # group col lives in customer — not resolvable single-table: falls
+    # back to... nothing matching in orders for 'mktsegment' is fuzzy;
+    # accept either refusal or a customer-table parse, but never a
+    # silent wrong-column ranking of raw orders rows
+    assert "ORDER BY o_orderkey" not in sql
+    sql = _gen("top 2 orderstatus by count orderkey")
+    assert "GROUP BY o_orderstatus" in sql or sql == ""
+    # plain raw-row top-N unchanged
+    assert _gen("top 5 orders by totalprice") == (
+        "SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 5"
+    )
+
+
+def test_generator_explicit_sort_on_plain_select():
+    assert _gen("show all orders sorted by totalprice descending") == (
+        "SELECT * FROM orders ORDER BY o_totalprice DESC"
+    )
+    assert _gen("orders where orderstatus is F ordered by orderkey") == (
+        "SELECT * FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey"
+    )
