@@ -512,7 +512,26 @@ def lsh_neardup_pairs(
         n_tables = n_tables if n_tables is not None else auto_l
     buckets_udf = lsh_bucket_udf(n_planes, n_tables)
     b = _bucketed(emb, "id", "v", buckets_udf, id_col, vec_col)
+    pairs = _within_group_pairs(b, ["table", "bucket"], threshold, max_bucket_rows)
+    return pairs.dropDuplicates(["a_id", "b_id"]).select(
+        "a_id", "b_id", F.round("cosine", 6).alias("cosine")
+    )
 
+
+def _within_group_pairs(
+    b: DataFrame,
+    group_cols: list[str],
+    threshold: float,
+    max_bucket_rows: int | None,
+) -> DataFrame:
+    """All pairs at cosine >= threshold WITHIN each group of ``b``
+    (columns: id, v, *group_cols) via per-group GEMM — the shared
+    kernel behind LSH-bucket near-dup (groups = (table, bucket)) and
+    semantic dedup (groups = cluster). ``max_bucket_rows`` bounds the
+    worst-case task frame by hash-splitting oversized groups into
+    sub-blocks and decomposing the all-pairs GEMM into sub-block pairs
+    (each unordered row pair lands in exactly one (p1, p2) group)."""
+    group_cols = list(group_cols)
     if max_bucket_rows is None:
 
         def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -526,63 +545,59 @@ def lsh_neardup_pairs(
                 {"a_id": ids[ii], "b_id": ids[jj], "cosine": sims[ii, jj]}
             )
 
-        pairs = b.groupby("table", "bucket").applyInPandas(
+        return b.groupby(*group_cols).applyInPandas(
             kernel, "a_id long, b_id long, cosine double"
         )
-    else:
-        counts = _bucket_block_counts(b, max_bucket_rows)
-        # Row with sub-block s meets sub-block t in group (min(s,t),
-        # max(s,t)): exploding t over 0..nb-1 lands each row in its nb
-        # pair-groups and each unordered row pair in exactly one group.
-        bs = (
-            b.join(counts, ["table", "bucket"])
-            .withColumn("sub", F.pmod(F.xxhash64(F.col("id")), F.col("nb")).cast("int"))
-            .withColumn("t", F.explode(F.sequence(F.lit(0), F.col("nb") - 1)))
-            .select(
-                "id", "v", "table", "bucket", "sub",
-                F.least("sub", "t").alias("p1"),
-                F.greatest("sub", "t").alias("p2"),
-            )
-        )
 
-        def pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
-            if len(pdf) < 2:
-                return empty
-            p1, p2 = pdf["p1"].iat[0], pdf["p2"].iat[0]
-            if p1 == p2:
-                ids = pdf["id"].to_numpy()
-                mat = _stack_normalized(pdf["v"])
-                sims = mat @ mat.T
-                ii, jj = np.nonzero(
-                    (sims >= threshold) & (ids[:, None] < ids[None, :])
-                )
-                return pd.DataFrame(
-                    {"a_id": ids[ii], "b_id": ids[jj], "cosine": sims[ii, jj]}
-                )
-            left = pdf[pdf["sub"] == p1]
-            right = pdf[pdf["sub"] == p2]
-            if not len(left) or not len(right):
-                return empty
-            l_ids = left["id"].to_numpy()
-            r_ids = right["id"].to_numpy()
-            sims = _stack_normalized(left["v"]) @ _stack_normalized(right["v"]).T
-            ii, jj = np.nonzero(sims >= threshold)
-            la, rb = l_ids[ii], r_ids[jj]
+    counts = _bucket_block_counts(b, max_bucket_rows, group_cols)
+    # Row with sub-block s meets sub-block t in group (min(s,t),
+    # max(s,t)): exploding t over 0..nb-1 lands each row in its nb
+    # pair-groups and each unordered row pair in exactly one group.
+    bs = (
+        b.join(counts, group_cols)
+        .withColumn("sub", F.pmod(F.xxhash64(F.col("id")), F.col("nb")).cast("int"))
+        .withColumn("t", F.explode(F.sequence(F.lit(0), F.col("nb") - 1)))
+        .select(
+            "id", "v", *group_cols, "sub",
+            F.least("sub", "t").alias("p1"),
+            F.greatest("sub", "t").alias("p2"),
+        )
+    )
+
+    def pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
+        if len(pdf) < 2:
+            return empty
+        p1, p2 = pdf["p1"].iat[0], pdf["p2"].iat[0]
+        if p1 == p2:
+            ids = pdf["id"].to_numpy()
+            mat = _stack_normalized(pdf["v"])
+            sims = mat @ mat.T
+            ii, jj = np.nonzero(
+                (sims >= threshold) & (ids[:, None] < ids[None, :])
+            )
             return pd.DataFrame(
-                {
-                    "a_id": np.minimum(la, rb),
-                    "b_id": np.maximum(la, rb),
-                    "cosine": sims[ii, jj],
-                }
+                {"a_id": ids[ii], "b_id": ids[jj], "cosine": sims[ii, jj]}
             )
-
-        pairs = bs.groupby("table", "bucket", "p1", "p2").applyInPandas(
-            pair_kernel, "a_id long, b_id long, cosine double"
+        left = pdf[pdf["sub"] == p1]
+        right = pdf[pdf["sub"] == p2]
+        if not len(left) or not len(right):
+            return empty
+        l_ids = left["id"].to_numpy()
+        r_ids = right["id"].to_numpy()
+        sims = _stack_normalized(left["v"]) @ _stack_normalized(right["v"]).T
+        ii, jj = np.nonzero(sims >= threshold)
+        la, rb = l_ids[ii], r_ids[jj]
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(la, rb),
+                "b_id": np.maximum(la, rb),
+                "cosine": sims[ii, jj],
+            }
         )
 
-    return pairs.dropDuplicates(["a_id", "b_id"]).select(
-        "a_id", "b_id", F.round("cosine", 6).alias("cosine")
+    return bs.groupby(*group_cols, "p1", "p2").applyInPandas(
+        pair_kernel, "a_id long, b_id long, cosine double"
     )
 
 
@@ -659,3 +674,88 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).repartition(n_parts)
     return q.mapInPandas(gen, TOPK_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def cluster_assign_udf(centroids: np.ndarray):
+    """Vectorized nearest-centroid assignment by cosine (k-means on
+    unit vectors): each Arrow batch scores with one (batch x dim) @
+    (dim x k) matmul against the broadcast-by-closure centroid matrix.
+    The same assignment rule as IVF's coarse quantizer at nprobe=1."""
+    from pyspark.sql.functions import pandas_udf
+
+    cn = np.asarray(centroids, dtype=np.float64)
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        mat = _stack_normalized(v)
+        return pd.Series(np.argmax(mat @ cn.T, axis=1).astype(np.int32))
+
+    return assign
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_rows: int | None = TARGET_BUCKET_ROWS,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings
+    with k-means, then find near-duplicate pairs ONLY within each
+    cluster — the web-scale semantic-dedup recipe (used on LAION to
+    drop ~50% of data with no quality loss). Cluster-local search is
+    the entire point: candidate work drops from n²/2 to
+    sum_c |c|²/2, and each cluster's GEMM is an independent task.
+
+    Spark shape: one vectorized assignment pass (``cluster_assign_udf``
+    — the IVF coarse quantizer at nprobe=1, so IVF centroids trained
+    for sim4 / loaded from the artifact cache are reusable here), then
+    the SAME per-group GEMM kernel as ``lsh_neardup_pairs``
+    (``_within_group_pairs``), with oversized clusters hash-split into
+    bounded sub-blocks — a giant cluster cannot OOM a task.
+
+    The documented recall trade vs exact dd5: a pair whose members
+    land in DIFFERENT clusters is missed (boundary-straddlers). More
+    clusters = faster and more misses; SemDeDup's published operating
+    point accepts this because true semantic duplicates sit far inside
+    cluster cores. For exact pairs use dd5
+    (``dedup.embedding_neardup_pairs_blocked``); for hash-geometry
+    recall control use ``lsh_neardup_pairs``.
+
+    Columns: a_id, b_id (a_id < b_id), cosine.
+    """
+    emb = _drop_null_vectors(emb, vec_col)
+    assign = cluster_assign_udf(centroids)
+    b = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        assign(F.col(vec_col)).alias("cluster"),
+    )
+    pairs = _within_group_pairs(b, ["cluster"], threshold, max_cluster_rows)
+    return pairs.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_rows: int | None = TARGET_BUCKET_ROWS,
+) -> DataFrame:
+    """The resolved SemDeDup keep-set: drop every vector that pairs (at
+    cosine >= threshold, within its cluster) with a lower-id vector —
+    keep-min-id, one anti-join, same resolution rule as dd6."""
+    pairs = semantic_dedup_pairs(
+        emb, centroids, threshold, id_col, vec_col, max_cluster_rows
+    )
+    drop = pairs.select(F.col("b_id").alias(id_col)).dropDuplicates()
+    return emb.join(drop, id_col, "left_anti")

@@ -281,3 +281,102 @@ def test_distributed_topk_tie_break_matches_broadcast(spark):
         ).collect()
     }
     assert ref == dist
+
+
+# --- SemDeDup (semantic dedup) -----------------------------------------------
+
+
+def _clustered_vectors():
+    """3 well-separated cluster cores in 8-dim + members with small
+    noise; planted near-dup pairs INSIDE clusters and one near-dup
+    pair STRADDLING two clusters (the documented miss)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    cores = np.eye(8)[:3]  # orthogonal cluster directions
+    rows = []
+    vid = 0
+    for c in range(3):
+        for _ in range(6):
+            v = cores[c] + rng.normal(0, 0.05, 8)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    # planted exact dup inside cluster 0: clone of vec 0
+    rows.append((100, list(rows[0][1])))
+    # straddler pair: two vectors at the midpoint of cores 1 and 2,
+    # nearly identical to each other but assigned to different
+    # clusters by the tiny asymmetric nudge
+    mid = (cores[1] + cores[2]) / np.linalg.norm(cores[1] + cores[2])
+    rows.append((200, [float(x) for x in mid + 1e-3 * cores[1]]))
+    rows.append((201, [float(x) for x in mid + 1e-3 * cores[2]]))
+    return rows, cores
+
+
+def test_semantic_dedup_pairs_within_clusters(spark):
+    import numpy as np
+
+    rows, cores = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = similarity.semantic_dedup_pairs(df, cores, threshold=0.95).collect()
+    got = {(r.a_id, r.b_id) for r in pairs}
+    # the planted clone is found with its exact cosine
+    assert (0, 100) in got
+    clone = [r for r in pairs if (r.a_id, r.b_id) == (0, 100)][0]
+    assert clone.cosine == pytest.approx(1.0, abs=1e-6)
+    # precision: every returned pair truly >= threshold (numpy oracle)
+    vecs = {i: np.asarray(v) for i, v in rows}
+    for r in pairs:
+        a, b = vecs[r.a_id], vecs[r.b_id]
+        true = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert true >= 0.95 - 1e-9
+        assert r.cosine == pytest.approx(true, abs=1e-6)
+    # the straddler pair is nearly identical (cosine ~1) but lands in
+    # different clusters -> missed, the documented SemDeDup trade
+    assert (200, 201) not in got
+
+
+def test_semantic_dedup_subblock_matches_unsplit(spark):
+    rows, cores = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = {
+        (r.a_id, r.b_id, r.cosine)
+        for r in similarity.semantic_dedup_pairs(
+            df, cores, threshold=0.9, max_cluster_rows=None
+        ).collect()
+    }
+    split = {
+        (r.a_id, r.b_id, r.cosine)
+        for r in similarity.semantic_dedup_pairs(
+            df, cores, threshold=0.9, max_cluster_rows=2
+        ).collect()
+    }
+    assert split == full and full
+
+
+def test_semantic_dedup_keepset_resolution(spark):
+    rows, cores = _clustered_vectors()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {r.vec_id for r in similarity.semantic_dedup(df, cores, 0.95).collect()}
+    pairs = similarity.semantic_dedup_pairs(df, cores, 0.95).collect()
+    dropped = {r.b_id for r in pairs}
+    assert kept == {i for i, _ in rows} - dropped
+    assert 100 not in kept and 0 in kept  # keep-min-id
+
+
+def test_semantic_dedup_with_ivf_centroids_is_subset_of_exact(spark, emb):
+    """Reusing sim4's trained IVF centroids as the SemDeDup clustering:
+    every cluster-local pair must be an EXACT near-dup pair (precision
+    1.0 vs dd5's blocked exact pairs at the same threshold)."""
+    from etl_zero_spark.operators import dedup, ivf
+
+    cents = ivf.train_ivf_centroids(emb, nlist=8, max_iter=4)
+    sem = {
+        (r.a_id, r.b_id)
+        for r in similarity.semantic_dedup_pairs(emb, cents, threshold=0.4).collect()
+    }
+    exact = {
+        (r.a_id, r.b_id)
+        for r in dedup.embedding_neardup_pairs_blocked(emb, threshold=0.4).collect()
+    }
+    assert sem <= exact
+    assert sem  # the fixture has same-cluster near-dups at 0.4

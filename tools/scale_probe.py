@@ -523,6 +523,23 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         # deterministic training-order shuffle: one range exchange
         return corpus.shuffle_corpus(docs, seed=1)
 
+    def semdedup_100k():
+        # R6: SemDeDup at 100k x 64 — cluster-local near-dup pairs
+        # reusing sim4's persisted IVF centroids as the k-means
+        # clustering (the operator's designed amortization: one trained
+        # index serves both ANN search and semantic dedup). Work is
+        # sum-per-cluster GEMM with sub-block caps, never n^2/2.
+        from etl_zero_spark.functions.artifacts import cached_artifact
+        from etl_zero_spark.operators import similarity as sim
+
+        cents = cached_artifact(
+            "ivf_centroids",
+            {"corpus": probe_dir, "nlist": 128, "seed": ivf.IVF_SEED,
+             "max_iter": 4, "vec_col": "embedding"},
+            lambda: ivf.train_ivf_centroids(emb, 128, max_iter=4),
+        )
+        return sim.semantic_dedup_pairs(emb, cents, threshold=0.9)
+
     def drift_1m_distinct():
         # R6 (VERDICT r5 #8): drift_report on a ~1M-distinct
         # categorical. The categorical path is top-N + '(other)'
@@ -600,6 +617,7 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("rj1_range_10m", range_10m),
         ("st1_stream_tumbling_10m", stream_tumbling_10m),
         ("gopher_100k", gopher_100k),
+        ("semdedup_100k_t09", semdedup_100k),
         ("drift_1m_distinct_cat", drift_1m_distinct),
         ("shuffle_100k", shuffle_100k),
         ("zorder_6m", zorder_6m),
