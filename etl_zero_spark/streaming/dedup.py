@@ -81,6 +81,26 @@ class StreamingNeardupState:
             if m["operation"].startswith("stream@")
         }
 
+    def compact(self, spark, target_file_mb: int = 128) -> dict[str, int]:
+        """Maintenance pass: bin-pack each state table's
+        append-scattered small files (every micro-batch adds a commit,
+        so a long-running ingest accumulates one small file per epoch
+        per table). Compaction adds a NEW version and rewrites no
+        manifests, so the ``stream@`` epoch tags stay in history and
+        replay detection is unaffected; only ``vacuum`` below the
+        epochs' versions would forget them (at which point the stream's
+        checkpoint is the remaining replay guard). Returns the new
+        version per table."""
+        out = {}
+        for name, t in (
+            ("pairs", self.pairs),
+            ("bands", self.bands),
+            ("shingles", self.shingles),
+        ):
+            if t.current_version() is not None:
+                out[name] = t.compact(spark, target_file_mb=target_file_mb)
+        return out
+
 
 def streaming_neardup_sink(
     stream_docs: DataFrame,

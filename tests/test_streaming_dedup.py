@@ -134,3 +134,39 @@ def test_crash_suffix_replay_converges(spark, tmp_path):
     assert state.committed_epochs(state.bands) == {"stream@0"}
     assert state.committed_epochs(state.shingles) == {"stream@0"}
     assert state.bands.read(spark).select("id").distinct().count() == 5
+
+
+def test_compact_preserves_ledger_and_next_day_probe(spark, tmp_path):
+    """The maintenance pass bin-packs each state table without
+    disturbing the epoch ledger, and a later ingest day probes the
+    compacted index to the same pairs a batch re-run yields."""
+    src = str(tmp_path / "src")
+    _write_days(spark, src)
+    state = StreamingNeardupState(str(tmp_path / "state"))
+    ckpt = str(tmp_path / "ckpt")
+    _run(spark, src, state, ckpt, "neardup_maint")
+    epochs_before = state.committed_epochs(state.bands)
+
+    new_versions = state.compact(spark, target_file_mb=128)
+    assert set(new_versions) == {"pairs", "bands", "shingles"}
+    # ledger intact across compaction (history keeps old manifests)
+    assert state.committed_epochs(state.bands) == epochs_before
+    # fewer files, same rows
+    m = state.bands.manifest(new_versions["bands"])
+    assert len(m["files"]) <= 2
+    assert state.bands.read(spark).count() == m["rows"]
+
+    # day 3 arrives after compaction: new near-dups vs day-1 docs
+    import os
+
+    day3 = [(30, _DAY1[0][1]), (31, "entirely novel text about nothing else")]
+    spark.createDataFrame(day3, "doc_id long, text string").coalesce(1).write.parquet(
+        os.path.join(src, "day2")
+    )
+    _run(spark, src, state, ckpt, "neardup_maint_d3")
+    all_docs = spark.createDataFrame(
+        _DAY1 + _DAY2 + day3, "doc_id long, text string"
+    )
+    expected = _pairs_set(dedup.minhash_lsh_pairs(all_docs, threshold=0.9))
+    assert _pairs_set(state.pairs.read(spark)) == expected
+    assert (1, 30) in _pairs_set(state.pairs.read(spark))
