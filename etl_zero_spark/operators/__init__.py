@@ -6,4 +6,6 @@ index/SimHash/embedding + connected components), similarity search
 tokenizer, corpus prep, Gopher quality, validation +
 write-audit-publish, multimodal plumbing, storage layout,
 materialized views, SCD-adjacent reshaping (pivot/unpivot),
-time series, funnels, cohorts, drift detection. See SURVEY.md §2."""
+time series, funnels, cohorts, drift detection, n-gram LM perplexity
+(CCNet buckets), DSIR importance resampling, semantic dedup
+(SemDeDup). See SURVEY.md §2."""
