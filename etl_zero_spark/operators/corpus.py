@@ -320,3 +320,139 @@ def blocklist_filter(
         return df.join(bl, col, how)
     cond = F.col(col).isin(blocked)
     return df.where(cond if invert else ~F.coalesce(cond, F.lit(False)))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling
+# ---------------------------------------------------------------------------
+
+
+def _hashed_gram_buckets(col: Column, n_buckets: int, ns=(1, 2)) -> Column:
+    """NON-distinct hashed word n-gram buckets (DSIR counts feature
+    OCCURRENCES, so repeats matter — unlike the contamination index's
+    distinct grams). Unigrams + bigrams by default, each bucketed by
+    pmod(xxhash64(gram), B)."""
+    toks = _tokens(col)
+    parts = []
+    for n in ns:
+        if n == 1:
+            grams = toks
+        else:
+            grams = F.when(
+                F.size(toks) < n, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                )
+            )
+        parts.append(grams)
+    grams = F.concat(*parts) if len(parts) > 1 else parts[0]
+    grams = F.when(col.isNull(), F.array().cast("array<string>")).otherwise(grams)
+    return F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets)))
+
+
+def dsir_bucket_logratio(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    ns=(1, 2),
+) -> DataFrame:
+    """The DSIR importance model (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed-n-gram bucket
+    distributions p (target) and q (raw), add-1 smoothed, as a
+    ``(bucket, logratio)`` table of exactly ``n_buckets`` rows —
+    broadcast-sized BY CONSTRUCTION regardless of corpus size (the
+    whole point of the hashing trick). Two count aggregations, one
+    outer join over B rows."""
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    _hashed_gram_buckets(F.col(text_col), n_buckets, ns)
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    p, q = counts(target, "p_n"), counts(raw, "q_n")
+    spark = raw.sparkSession
+    all_b = spark.range(n_buckets).select(F.col("id").cast("bigint").alias("bucket"))
+    joined = (
+        all_b.join(p, "bucket", "left")
+        .join(q, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("p_n", F.lit(0)).alias("p_n"),
+            F.coalesce("q_n", F.lit(0)).alias("q_n"),
+        )
+    )
+    # add-1 smoothing; the normalizers ride as scalar subqueries folded
+    # into one agg pass each
+    p_tot = joined.agg(F.sum("p_n")).collect()[0][0] + n_buckets
+    q_tot = joined.agg(F.sum("q_n")).collect()[0][0] + n_buckets
+    return joined.select(
+        "bucket",
+        (
+            F.log((F.col("p_n") + 1) / F.lit(float(p_tot)))
+            - F.log((F.col("q_n") + 1) / F.lit(float(q_tot)))
+        ).alias("logratio"),
+    )
+
+
+def dsir_scores(
+    raw: DataFrame,
+    logratio: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    ns=(1, 2),
+) -> DataFrame:
+    """Per-document log importance weight log(p(x)/q(x)) = sum over the
+    doc's hashed-n-gram occurrences of the bucket logratio. Shape:
+    explode -> broadcast join (B rows) -> per-doc sum -> join back.
+    Docs with no grams (null/empty text) weight 0 (= ratio 1, neutral).
+    """
+    per_doc = (
+        raw.select(
+            F.col(id_col),
+            F.explode_outer(
+                _hashed_gram_buckets(F.col(text_col), n_buckets, ns)
+            ).alias("bucket"),
+        )
+        .join(F.broadcast(logratio), "bucket", "left")
+        .groupBy(id_col)
+        .agg(F.coalesce(F.sum("logratio"), F.lit(0.0)).alias("log_importance"))
+    )
+    return raw.join(per_doc, id_col, "left")
+
+
+def dsir_resample(
+    scored: DataFrame,
+    k: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    weight_col: str = "log_importance",
+) -> DataFrame:
+    """Importance resampling without replacement via the Gumbel top-k
+    trick: rank by ``log_w + Gumbel(0,1)`` where the Gumbel noise is
+    derived from xxhash64(id, seed) — sampling probabilities are
+    proportional to the importance weights, and the draw is
+    DETERMINISTIC across runs/partitionings/retries (the same
+    reproducibility contract as stratified_sample/shuffle_corpus,
+    which rand()-based sampling cannot give). One
+    TakeOrderedAndProject, no full sort."""
+    u = (
+        (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 53)) + 0.5)
+        / F.lit(float(1 << 53))
+    )
+    gumbel = -F.log(-F.log(u))
+    return (
+        scored.withColumn("__key", F.col(weight_col) + gumbel)
+        .orderBy(F.col("__key").desc())
+        .limit(k)
+        .drop("__key")
+    )
