@@ -523,6 +523,29 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         # deterministic training-order shuffle: one range exchange
         return corpus.shuffle_corpus(docs, seed=1)
 
+    def lm_ppl_100k():
+        # R6: CCNet-style quality signal at 100k docs — train the
+        # pruned bigram LM on a 20k-doc reference slice (two groupBy
+        # aggs), score the full corpus with one Arrow-UDF pass, tercile
+        # cuts per language from one percentile_approx sketch.
+        from etl_zero_spark.operators import lm as lmod
+
+        model = lmod.train_ngram_lm(docs.where(F.col("doc_id") < 20_000))
+        return lmod.ccnet_buckets(lmod.score_perplexity(docs, model)).where(
+            F.col("ppl_bucket") == "head"
+        )
+
+    def dsir_100k():
+        # R6: DSIR importance resampling at 100k — target = one source
+        # shard, weights over 10k hashed-n-gram buckets (B-row
+        # broadcast), deterministic Gumbel top-10k draw.
+        from etl_zero_spark.operators import corpus as corp
+
+        target = docs.where(F.col("source") == "src_0")
+        lr = corp.dsir_bucket_logratio(docs, target)
+        scored = corp.dsir_scores(docs, lr)
+        return corp.dsir_resample(scored, 10_000, seed=1)
+
     def semdedup_100k():
         # R6: SemDeDup at 100k x 64 — cluster-local near-dup pairs
         # reusing sim4's persisted IVF centroids as the k-means
@@ -618,6 +641,8 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("st1_stream_tumbling_10m", stream_tumbling_10m),
         ("gopher_100k", gopher_100k),
         ("semdedup_100k_t09", semdedup_100k),
+        ("lm_ppl_100k", lm_ppl_100k),
+        ("dsir_100k_top10k", dsir_100k),
         ("drift_1m_distinct_cat", drift_1m_distinct),
         ("shuffle_100k", shuffle_100k),
         ("zorder_6m", zorder_6m),
