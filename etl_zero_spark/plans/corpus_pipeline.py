@@ -7,16 +7,20 @@ below, each stage an operator that already exists and is individually
 oracle/property-tested — this module contributes the COMPOSITION, its
 stage accounting, and the single place the stage order is documented:
 
-    blocklist -> PII scrub -> Gopher quality gate -> exact dedup ->
-    MinHash near-dedup -> eval-set decontamination -> deterministic
-    shuffle -> sequence packing
+    blocklist -> PII scrub -> Gopher quality gate -> LM perplexity
+    gate -> exact dedup -> MinHash near-dedup -> eval-set
+    decontamination -> DSIR selection -> deterministic shuffle ->
+    sequence packing
 
 Stage order rationale (each earlier stage shrinks the input of a more
 expensive later one): the blocklist is a broadcast filter (cheapest),
-quality gating is one projection, exact dedup is one groupBy, near-dup
-is the first join-heavy stage, decontamination touches the eval corpus
-too, and packing/shuffle are layout stages that must run LAST so pack
-assignments reflect the final membership.
+quality gating is one projection, the perplexity gate one Arrow-UDF
+pass (R6 — the CCNet signal, operators/lm.py), exact dedup is one
+groupBy, near-dup is the first join-heavy stage, decontamination
+touches the eval corpus too, DSIR selection (R6) runs after
+membership is final so importance mass is not spent on rows later
+stages would drop anyway, and packing/shuffle are layout stages that
+must run LAST so pack assignments reflect the final selection.
 
 Every stage is lazy; ``collect_stats=True`` materializes per-stage
 row counts (caching each counted frame so the lineage is not
@@ -66,9 +70,14 @@ def prepare_corpus(
     source_col: str = "source",
     quality: bool = True,
     gopher_thresholds: dict[str, float] | None = None,
+    perplexity_model=None,
+    max_perplexity: float | None = None,
     near_dedup_threshold: float | None = 0.5,
     test_set: DataFrame | None = None,
     decontam_n: int = 8,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
+    dsir_seed: int = 0,
     shuffle_seed: int | None = 0,
     pack_budget: int | None = None,
     collect_stats: bool = True,
@@ -127,6 +136,20 @@ def prepare_corpus(
             .select(id_col)
         )
         df = record("quality_gate", df.join(kept, id_col, "left_semi"))
+    if perplexity_model is not None and max_perplexity is not None:
+        # CCNet-style gate (operators/lm.py): one vectorized UDF pass;
+        # the trained model rides by closure. Docs with NULL perplexity
+        # (empty text) are dropped — nothing to judge, nothing to train
+        # on. Calibrate max_perplexity from ccnet_buckets' tercile cuts
+        # on a reference slice.
+        from ..operators.lm import score_perplexity
+
+        df = record(
+            "perplexity_gate",
+            score_perplexity(df, perplexity_model, text_col=text_col)
+            .where(f"perplexity <= {float(max_perplexity)}")
+            .drop("perplexity"),
+        )
     df = record("exact_dedup", exact_dedup(df, text_col=text_col, id_col=id_col))
     if near_dedup_threshold is not None:
         df = fork(df)
@@ -139,6 +162,26 @@ def prepare_corpus(
             "decontaminate",
             decontaminate(
                 df, test_set, n=decontam_n, id_col=id_col, text_col=text_col
+            ),
+        )
+    if dsir_target is not None and dsir_k is not None:
+        # DSIR selection (operators/corpus.py): importance weights vs
+        # the target distribution over the SURVIVING corpus, then the
+        # deterministic Gumbel top-k draw. Runs after dedup/decontam so
+        # importance mass is not spent on rows already condemned.
+        from ..operators.corpus import (
+            dsir_bucket_logratio,
+            dsir_resample,
+            dsir_scores,
+        )
+
+        df = fork(df)
+        lr = dsir_bucket_logratio(df, dsir_target, text_col=text_col)
+        scored = dsir_scores(df, lr, text_col=text_col, id_col=id_col)
+        df = record(
+            "dsir_select",
+            dsir_resample(scored, dsir_k, seed=dsir_seed, id_col=id_col).drop(
+                "log_importance"
             ),
         )
     if shuffle_seed is not None:

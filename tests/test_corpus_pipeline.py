@@ -163,3 +163,54 @@ def test_prepare_corpus_stats_off_matches_stats_on(spark):
     off.unpersist()
     on.unpersist()
     assert not any(f.is_cached for f in off.persisted)
+
+
+def test_prepare_corpus_perplexity_gate_and_dsir(spark):
+    """R6 composition: the CCNet perplexity gate drops planted
+    gibberish; DSIR selection then pulls the corpus toward the target
+    distribution — each stage appearing in the accounting."""
+    from etl_zero_spark.operators import lm
+
+    ref = ["the cat sat on the mat", "the dog sat on the rug",
+           "a cat chased a dog on the mat", "the mat was on the floor"]
+    model = lm.train_ngram_lm(
+        spark.createDataFrame([(i, t) for i, t in enumerate(ref)],
+                              ["doc_id", "text"])
+    )
+    rows = []
+    for i in range(8):
+        rows.append((i, ref[i % len(ref)] + f" extra{i}", "en", "web"))
+    rows.append((50, "glorp zz blat qq vonk wibble snee crunk", "en", "web"))
+    # target distribution: cat-docs
+    rows += [(60 + i, "the cat sat on the mat again", "en", "web") for i in range(4)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+    # calibrate the cutoff from the reference slice's own scores
+    cut = (
+        lm.score_perplexity(docs.where("doc_id < 8"), model)
+        .agg({"perplexity": "max"})
+        .collect()[0][0]
+    )
+    target = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "a cat chased the cat")],
+        ["doc_id", "text"],
+    )
+    res = prepare_corpus(
+        docs,
+        quality=False,
+        perplexity_model=model,
+        max_perplexity=cut * 1.01,
+        near_dedup_threshold=None,
+        dsir_target=target,
+        dsir_k=6,
+        shuffle_seed=None,
+        collect_stats=True,
+    )
+    ids = {r["doc_id"] for r in res.df.select("doc_id").collect()}
+    assert 50 not in ids  # gibberish gated out by perplexity
+    assert "perplexity_gate" in res.stats and "dsir_select" in res.stats
+    assert res.stats["dsir_select"] == 6
+    # the exact-dedup stage collapses the 4 identical cat docs to one;
+    # DSIR then favors cat-like docs among the survivors
+    assert any(i >= 60 for i in ids)
+    res.unpersist()
