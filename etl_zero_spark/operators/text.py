@@ -277,3 +277,64 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .where(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-window document chunking (R6) — the step between cleaned
+    documents and embedding/training: one output row per window of
+    ``chunk_tokens`` whitespace tokens, advancing by ``stride`` tokens
+    (default = chunk_tokens, i.e. disjoint windows; stride < chunk
+    gives the overlapping-context windows RAG embedders use). Chunk
+    text re-joins tokens with single spaces — the token-stream view,
+    the standard contract for window chunkers.
+
+    Entirely inside codegen: tokens -> start-offset sequence ->
+    posexplode of per-offset slices. No shuffle, no UDF; output size
+    is ~n_tokens/stride rows per doc. Documents with no tokens
+    (null/empty/whitespace text) produce NO chunks; trailing windows
+    shorter than ``chunk_tokens`` are kept (standard tail handling),
+    except that a stride<chunk tail already fully covered by the
+    previous window is skipped (offsets stop once a window reaches the
+    end).
+
+    Columns: <id_col>, chunk_id (0-based), chunk_text, n_tokens.
+    """
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    stride = chunk_tokens if stride is None else stride
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    toks = tokens_expr(F.col(text_col))
+    n = F.size(toks)
+    # last start offset: the smallest s with s + chunk >= n (so the
+    # final window reaches the end); sequence is 1-based for slice
+    last = F.greatest(
+        F.lit(1),
+        (
+            F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int")
+            * F.lit(stride)
+            + F.lit(1)
+        ),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), last, F.lit(stride)),
+        lambda s: F.slice(toks, s, chunk_tokens),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(n > 0, chunks).otherwise(F.array().cast("array<array<string>>"))
+        ).alias("chunk_id", "__toks"),
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.array_join("__toks", " ").alias("chunk_text"),
+        F.size("__toks").alias("n_tokens"),
+    )

@@ -317,3 +317,45 @@ def test_winnow_density(spark):
     # fixture text repeats a tiny vocab (duplicate grams collapse), so
     # allow a wide band around 2/(w+1) ≈ 0.22
     assert 0.02 < stats.density < 0.5, stats.density
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    from etl_zero_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+    # disjoint windows: 4+4+2
+    got = chunk_documents(df, chunk_tokens=4).orderBy("chunk_id").collect()
+    assert [(r.chunk_id, r.n_tokens) for r in got] == [(0, 4), (1, 4), (2, 2)]
+    assert got[0].chunk_text == "w0 w1 w2 w3"
+    assert got[2].chunk_text == "w8 w9"
+    # overlapping windows: stride 3, chunk 4 -> starts 0,3,6 (last
+    # window reaches the end, no redundant tail)
+    got = chunk_documents(df, chunk_tokens=4, stride=3).orderBy("chunk_id").collect()
+    assert [r.chunk_text for r in got] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"
+    ]
+    # full coverage property at several geometries
+    for chunk, stride in [(3, 3), (5, 2), (7, 7), (512, 100)]:
+        rows = chunk_documents(df, chunk, stride).collect()
+        covered = set()
+        for r in rows:
+            ws = r.chunk_text.split()
+            covered |= set(ws)
+            assert len(ws) == r.n_tokens <= chunk
+        assert covered == {f"w{i}" for i in range(10)}
+
+
+def test_chunk_documents_short_null_empty(spark):
+    from etl_zero_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "only three words"), (2, None), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    got = chunk_documents(df, chunk_tokens=512).collect()
+    assert [(r.doc_id, r.chunk_id, r.n_tokens) for r in got] == [(1, 0, 3)]
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, stride=0)
