@@ -92,10 +92,14 @@ def train_ngram_lm(
     toks = reference.select(tokens_expr(F.col(text_col)).alias("toks")).where(
         F.size("toks") > 0
     )
+    # the aggregated unigram table is vocabulary-sized (not corpus-
+    # sized) and feeds two consumers (top-k and total mass): persist it
+    # so the corpus-wide tokenize+count pass runs once
     uni = (
         toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     top = uni.orderBy(F.col("c").desc(), F.col("w")).limit(max_vocab).collect()
     vocab = {r.w for r in top}
@@ -103,6 +107,7 @@ def train_ngram_lm(
     # pooled OOV mass = total token mass minus the kept vocabulary's
     # (one scalar agg — no giant isin filter)
     all_mass = uni.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("c")).collect()[0].c
+    uni.unpersist()
     unigrams[UNK] = max(int(all_mass) - sum(unigrams.values()), 1)
 
     # Raw bigram counts (BOS-prefixed zip of each token array with its

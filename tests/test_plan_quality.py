@@ -58,3 +58,42 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "DataFilters: []" in plan, plan
     n_click = ev.where(F.col("event_type") == "click").count()
     assert q.count() == n_click
+
+
+def test_r6_operators_plan_shape(spark, sf_dir):
+    """R6 ops honor the plan contracts their docstrings claim:
+    chunk_documents is pure codegen (zero exchanges, zero Python
+    stages); LM scoring is one Arrow stage with no shuffle on the doc
+    path; DSIR scoring and semantic dedup carry no cartesian product
+    and no row-at-a-time Python anywhere."""
+    import numpy as np
+
+    from etl_zero_spark.catalog import load_table
+    from etl_zero_spark.operators import corpus as corp
+    from etl_zero_spark.operators import lm, similarity
+    from etl_zero_spark.operators.text import chunk_documents
+    from etl_zero_spark.plans.audit import plan_digest
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = plan_digest(chunk_documents(docs, 64, 32))
+    assert d["exchanges"] == 0 and d["arrow_python"] == 0
+
+    model = lm.NGramLM({"the": 5, lm.UNK: 1, lm.BOS: 2}, {(lm.BOS, "the"): 2}, 6)
+    d = plan_digest(lm.score_perplexity(docs, model))
+    assert d["exchanges"] == 0 and d["arrow_python"] == 1
+
+    target = docs.where("doc_id < 50")
+    lr = corp.dsir_bucket_logratio(docs, target, n_buckets=64)
+    scored = corp.dsir_scores(docs, lr, n_buckets=64)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = np.random.RandomState(0).randn(4, len(emb.first().embedding))
+    plan = (
+        similarity.semantic_dedup_pairs(emb, cents, threshold=0.9)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
