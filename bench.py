@@ -196,6 +196,44 @@ def _extras(spark, sf_dir: str) -> dict:
             delta, dd9_state["idx"], threshold=0.3
         ).count()
 
+    # R6 operator tier: semantic dedup / LM perplexity / DSIR /
+    # chunking at sf0.1. LM model and IVF centroids build once (cold
+    # pays it, warm measures the per-run path — the bpe/dd9 pattern).
+    r6_state: dict = {}
+
+    def x_semdedup_pairs() -> int:
+        from etl_zero_spark.operators import similarity
+        from etl_zero_spark.plans.northstar import _ivf_centroids_cached
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = _ivf_centroids_cached(emb, sf_dir)
+        return similarity.semantic_dedup_pairs(emb, cents, threshold=0.4).count()
+
+    def x_lm_perplexity_buckets() -> int:
+        from etl_zero_spark.operators import lm
+
+        docs = load_table(spark, sf_dir, "documents")
+        if "lm" not in r6_state:
+            r6_state["lm"] = lm.train_ngram_lm(docs.where(F.col("doc_id") % 5 == 0))
+        return lm.ccnet_buckets(
+            lm.score_perplexity(docs, r6_state["lm"])
+        ).where(F.col("ppl_bucket") == "head").count()
+
+    def x_dsir_select() -> int:
+        from etl_zero_spark.operators import corpus as corp
+
+        docs = load_table(spark, sf_dir, "documents")
+        target = docs.where(F.col("source") == docs.first().source)
+        lr = corp.dsir_bucket_logratio(docs, target)
+        return corp.dsir_resample(corp.dsir_scores(docs, lr), 1000, seed=1).count()
+
+    def x_chunk_documents() -> int:
+        from etl_zero_spark.operators.text import chunk_documents
+
+        return chunk_documents(
+            load_table(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
+        ).count()
+
     return {
         "x_bpe_tokenize": x_bpe_tokenize,
         "x_gopher_gate": x_gopher_gate,
@@ -207,6 +245,10 @@ def _extras(spark, sf_dir: str) -> dict:
         "x_sim2_sim3_real": x_sim2_sim3_real,
         "x_dd4_single_corpus": x_dd4_single_corpus,
         "x_dd9_probe_only": x_dd9_probe_only,
+        "x_semdedup_pairs": x_semdedup_pairs,
+        "x_lm_perplexity_buckets": x_lm_perplexity_buckets,
+        "x_dsir_select": x_dsir_select,
+        "x_chunk_documents": x_chunk_documents,
     }
 
 
