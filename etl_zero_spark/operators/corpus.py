@@ -378,10 +378,12 @@ def dsir_bucket_logratio(
             .agg(F.count(F.lit(1)).alias(name))
         )
 
+    import math
+
     p, q = counts(target, "p_n"), counts(raw, "q_n")
     spark = raw.sparkSession
     all_b = spark.range(n_buckets).select(F.col("id").cast("bigint").alias("bucket"))
-    joined = (
+    rows = (
         all_b.join(p, "bucket", "left")
         .join(q, "bucket", "left")
         .select(
@@ -389,17 +391,23 @@ def dsir_bucket_logratio(
             F.coalesce("p_n", F.lit(0)).alias("p_n"),
             F.coalesce("q_n", F.lit(0)).alias("q_n"),
         )
+        .collect()
     )
-    # add-1 smoothing; the normalizers ride as scalar subqueries folded
-    # into one agg pass each
-    p_tot = joined.agg(F.sum("p_n")).collect()[0][0] + n_buckets
-    q_tot = joined.agg(F.sum("q_n")).collect()[0][0] + n_buckets
-    return joined.select(
-        "bucket",
-        (
-            F.log((F.col("p_n") + 1) / F.lit(float(p_tot)))
-            - F.log((F.col("q_n") + 1) / F.lit(float(q_tot)))
-        ).alias("logratio"),
+    # The table is B rows BY CONSTRUCTION (broadcast-sized — that is
+    # the hashing trick's point), so materialize it once: the two
+    # corpus-wide count aggregations run exactly one time, the add-1
+    # smoothed log-ratios compute on the driver, and the returned
+    # local relation broadcasts into dsir_scores with no lineage back
+    # to the corpora (a lazy return was recomputing both corpus scans
+    # per consumer).
+    p_tot = float(sum(r.p_n for r in rows) + n_buckets)
+    q_tot = float(sum(r.q_n for r in rows) + n_buckets)
+    return spark.createDataFrame(
+        [
+            (r.bucket, math.log((r.p_n + 1) / p_tot) - math.log((r.q_n + 1) / q_tot))
+            for r in rows
+        ],
+        "bucket bigint, logratio double",
     )
 
 
