@@ -19,8 +19,9 @@ Scale shape:
   unigrams, ``max_bigrams`` bigram entries kept by count — standard
   count-pruning) so it broadcasts: at the caps' defaults the model is
   a few MB regardless of corpus size, exactly like a pruned KenLM
-  binary. A real deployment trains once per reference corpus and
-  persists via functions/artifacts (the IVF/BPE pattern).
+  binary. ``cached_ngram_lm`` persists it via functions/artifacts
+  keyed on corpus identity + geometry (the IVF/BPE pattern): train
+  once per reference corpus, digest-verified load everywhere after.
 * ``score_perplexity`` — one Arrow-vectorized UDF pass; the model
   rides to executors by closure broadcast. No shuffle.
 * ``ccnet_buckets`` — per-language tercile cuts from ONE
@@ -206,3 +207,57 @@ def ccnet_buckets(
         )
         .drop("cuts")
     )
+
+
+def _lm_to_payload(model: NGramLM) -> dict:
+    """JSON-serializable form: bigram keys joined with one space —
+    unambiguous because tokens are whitespace-split (no token contains
+    whitespace by construction)."""
+    return {
+        "unigrams": model.unigrams,
+        "bigrams": {f"{w1} {w2}": c for (w1, w2), c in model.bigrams.items()},
+        "total": model.total,
+        "alpha": model.alpha,
+    }
+
+
+def _lm_from_payload(payload: dict) -> NGramLM:
+    return NGramLM(
+        dict(payload["unigrams"]),
+        {tuple(k.split(" ", 1)): c for k, c in payload["bigrams"].items()},
+        int(payload["total"]),
+        float(payload["alpha"]),
+    )
+
+
+def cached_ngram_lm(
+    reference: DataFrame,
+    corpus_key: dict,
+    text_col: str = "text",
+    max_vocab: int = 65_536,
+    max_bigrams: int = 1_000_000,
+    alpha: float = 0.4,
+) -> NGramLM:
+    """Load-or-train through ``functions/artifacts`` — the IVF/PQ/BPE
+    amortization pattern: the reference-corpus training pass is paid
+    once per corpus identity, then every later process digest-verifies
+    and loads. ``corpus_key`` is the caller's corpus identity (path +
+    file size/mtime, or a snapshot table version) and joins the
+    geometry knobs in the artifact key."""
+    from etl_zero_spark.functions.artifacts import cached_artifact
+
+    params = {
+        **corpus_key,
+        "max_vocab": max_vocab,
+        "max_bigrams": max_bigrams,
+        "alpha": alpha,
+        "text_col": text_col,
+    }
+    payload = cached_artifact(
+        "ngram_lm",
+        params,
+        lambda: _lm_to_payload(
+            train_ngram_lm(reference, text_col, max_vocab, max_bigrams, alpha)
+        ),
+    )
+    return _lm_from_payload(payload)

@@ -135,3 +135,30 @@ def test_ccnet_buckets_per_language(spark):
     n_head = sum(1 for r in en if r.ppl_bucket == "head")
     assert 0 < n_head < len(en)
     assert {r.ppl_bucket for r in out} <= {"head", "middle", "tail"}
+
+
+def test_cached_lm_trains_once_then_loads(spark, tmp_path, monkeypatch):
+    """The IVF/BPE amortization pattern for the LM: one training pass
+    per corpus identity; a fresh process (fresh artifact read) loads
+    the identical model without retraining."""
+    monkeypatch.setenv("ETL_ZERO_ARTIFACTS", str(tmp_path))
+    calls = []
+    real = lm.train_ngram_lm
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(lm, "train_ngram_lm", counting)
+    key = {"corpus": "fixture", "v": 1}
+    a = lm.cached_ngram_lm(_ref_df(spark), key)
+    b = lm.cached_ngram_lm(_ref_df(spark), key)
+    assert calls == [1]
+    assert (a.unigrams, a.bigrams, a.total) == (b.unigrams, b.bigrams, b.total)
+    # scoring through the round-tripped model matches the direct one
+    direct = real(_ref_df(spark))
+    probe = "the cat sat on the rug"
+    assert _py_ppl(b, probe) == pytest.approx(_py_ppl(direct, probe), rel=1e-12)
+    # changed corpus identity retrains
+    lm.cached_ngram_lm(_ref_df(spark), {"corpus": "fixture", "v": 2})
+    assert calls == [1, 1]
