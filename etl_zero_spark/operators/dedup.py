@@ -203,15 +203,26 @@ def ngram_jaccard_pairs(
     than this refuses with a pointer to ``minhash_lsh_pairs``, the
     banded tier built for that regime, mirroring how reshape.pivot
     refuses an unbounded pivot. ``None`` disables the guard (an
-    explicit "I know, run it anyway"). The count it spends is reused
-    by the stop-shingle doc-count short-circuit.
+    explicit "I know, run it anyway"), and so does passing a
+    precomputed ``stop_shingles`` set — that caller already ran
+    corpus-scale discovery knowingly, and the guard must not re-add a
+    per-call corpus count to the cached recurring-pipeline path. On
+    the probe path the count is reused by the stop-shingle doc-count
+    short-circuit (no extra job vs pre-guard behavior).
 
     Columns: a_id, b_id (a_id < b_id), jaccard.
     """
     if prefix_filter is None:
         prefix_filter = threshold >= 0.5
+    # The guard count runs only on the probe path (stop_shingles is
+    # None) — exactly the calls that already paid a corpus count for
+    # the stop-shingle short-circuit pre-R6. A caller passing a
+    # precomputed stop set has run corpus-scale discovery knowingly
+    # (the cached recurring-pipeline path, e.g. dd2's artifact); adding
+    # an unconditional per-call count there would re-create the very
+    # per-invocation corpus job the r4/r5 rounds removed.
     n_docs: int | None = None
-    if max_exact_docs is not None:
+    if max_exact_docs is not None and stop_shingles is None:
         n_docs = df.count()
         if n_docs > max_exact_docs:
             raise ValueError(

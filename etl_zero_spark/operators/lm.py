@@ -159,15 +159,22 @@ def score_perplexity(
     """Per-document perplexity exp(-mean log P(w_i | w_{i-1})) under
     ``lm`` — one vectorized UDF pass, model by closure. Empty documents
     score NULL (no tokens to judge)."""
+    import re as _re
+
     from pyspark.sql.functions import pandas_udf
 
     model = lm  # closure capture; ~MBs at the pruning caps
+    # EXACTLY tokens_expr's rule: Java-regex \s+ is ASCII whitespace
+    # only, while Python str.split() splits all Unicode whitespace — a
+    # divergence would tokenize 'foo\xa0bar' as one token at train
+    # time and two at score time, inflating OOV/backoff hits.
+    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
 
     @pandas_udf("double")
     def ppl(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            words = [w for w in (t or "").lower().split() if w]
+            words = [w for w in ws.split((t or "").lower()) if w]
             if not words:
                 out.append(None)
                 continue
@@ -191,13 +198,21 @@ def ccnet_buckets(
     of the perplexity distribution (head = lowest third — the text the
     reference model finds most natural). Cuts come from one
     ``percentile_approx`` sketch aggregation and broadcast-join back;
-    NULL perplexity (empty docs) buckets NULL."""
-    cuts = scored.groupBy(lang_col).agg(
-        F.percentile_approx(ppl_col, [1.0 / 3.0, 2.0 / 3.0]).alias("cuts")
+    NULL perplexity (empty docs) buckets NULL. NULL language is a
+    language of its own (sentinel key for the group/join — a plain
+    equi-join never matches NULL and would silently 'tail' every
+    unknown-language doc regardless of perplexity): those docs tercile
+    among themselves, and the output ``lang_col`` stays NULL."""
+    key = F.coalesce(F.col(lang_col), F.lit("\x00<null-lang>"))
+    cuts = (
+        scored.withColumn("__lk", key)
+        .groupBy("__lk")
+        .agg(F.percentile_approx(ppl_col, [1.0 / 3.0, 2.0 / 3.0]).alias("cuts"))
     )
     p = F.col(ppl_col)
     return (
-        scored.join(F.broadcast(cuts), lang_col, "left")
+        scored.withColumn("__lk", key)
+        .join(F.broadcast(cuts), "__lk", "left")
         .withColumn(
             out_col,
             F.when(p.isNull(), F.lit(None).cast("string"))
@@ -205,7 +220,7 @@ def ccnet_buckets(
             .when(p <= F.col("cuts")[1], "middle")
             .otherwise("tail"),
         )
-        .drop("cuts")
+        .drop("cuts", "__lk")
     )
 
 

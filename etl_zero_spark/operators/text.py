@@ -301,7 +301,9 @@ def chunk_documents(
     shorter than ``chunk_tokens`` are kept (standard tail handling),
     except that a stride<chunk tail already fully covered by the
     previous window is skipped (offsets stop once a window reaches the
-    end).
+    end). With stride > chunk_tokens, windows SAMPLE the document with
+    gaps by design, and tail tokens past the last in-document grid
+    start are uncovered — no empty chunk row is ever emitted.
 
     Columns: <id_col>, chunk_id (0-based), chunk_text, n_tokens.
     """
@@ -312,14 +314,21 @@ def chunk_documents(
         raise ValueError("stride must be >= 1")
     toks = tokens_expr(F.col(text_col))
     n = F.size(toks)
-    # last start offset: the smallest s with s + chunk >= n (so the
-    # final window reaches the end); sequence is 1-based for slice
+    # last start offset: the smallest on-grid s with s + chunk - 1 >= n
+    # (so the final window reaches the end), CLAMPED to <= n — with
+    # stride > chunk_tokens that grid point can land past the document
+    # (gapped sampling is inherent to that geometry) and an unclamped
+    # start would posexplode an empty junk chunk (chunk_text='',
+    # n_tokens=0). Sequence is 1-based for slice.
     last = F.greatest(
         F.lit(1),
-        (
-            F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int")
-            * F.lit(stride)
-            + F.lit(1)
+        F.least(
+            n,
+            (
+                F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int")
+                * F.lit(stride)
+                + F.lit(1)
+            ),
         ),
     )
     chunks = F.transform(

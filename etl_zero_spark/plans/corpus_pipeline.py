@@ -22,10 +22,14 @@ membership is final so importance mass is not spent on rows later
 stages would drop anyway, and packing/shuffle are layout stages that
 must run LAST so pack assignments reflect the final selection.
 
-Every stage is lazy; ``collect_stats=True`` materializes per-stage
-row counts (caching each counted frame so the lineage is not
-recomputed stage-over-stage). At 100 TB run with stats off, or let
-the zone writes between stages provide the counts.
+Every stage is lazy, with ONE documented exception: the DSIR stage
+estimates its bucket weights at composition time (two corpus-wide
+count aggregations + a B-row collect inside ``dsir_bucket_logratio``
+— the weight table is materialized precisely so consumers don't
+re-run those corpus scans per action). ``collect_stats=True``
+materializes per-stage row counts (caching each counted frame so the
+lineage is not recomputed stage-over-stage). At 100 TB run with stats
+off, or let the zone writes between stages provide the counts.
 """
 
 from __future__ import annotations

@@ -137,6 +137,11 @@ class RuleBasedGenerator:
         if hv and not having:
             return ""  # stated constraint we cannot parse -> refuse
 
+        # pre-HAVING text, cut at the WORD-BOUNDARY match (hv) — a bare
+        # substring split would truncate mentions like 'behaving_score'
+        # mid-token (q is lower(raw): same length, indices line up)
+        q_main = q[: hv.start()] if hv else q
+
         m = re.search(r"\btop\s+(\d+)\b", q)
         if m and not hv:
             n = int(m.group(1))
@@ -169,10 +174,10 @@ class RuleBasedGenerator:
                 f"ORDER BY {order} ASC LIMIT {n}"
             )
 
-        if re.search(r"\bhow many\b|\bcount\b|number of", q.split("having")[0]):
+        if re.search(r"\bhow many\b|\bcount\b|number of", q_main):
             # R6: grouped counts ('count of orders per orderpriority'),
             # with optional HAVING on the groups
-            group = self._group_column(q.split("having")[0], cols)
+            group = self._group_column(q_main, cols)
             if group:
                 return (
                     f"SELECT {group}, COUNT(*) AS n FROM {table}{where} "
@@ -182,7 +187,6 @@ class RuleBasedGenerator:
                 return ""  # HAVING needs groups; none resolved
             return f"SELECT COUNT(*) AS n FROM {table}{where}"
 
-        q_main = q.split("having")[0]
         for word, fn in self._AGGS.items():
             m = re.search(rf"\b{word}\b(?:\s+of)?\s+(\w+)", q_main)
             if m:
@@ -449,7 +453,8 @@ class RuleBasedGenerator:
     #: than', 'qty is between').
     _EQ_STOP = frozenset(
         {"greater", "less", "more", "smaller", "larger", "bigger",
-         "above", "over", "below", "under", "between", "equal"}
+         "above", "over", "lower", "higher", "below", "under",
+         "between", "equal"}
     )
 
     def _conditions(
@@ -477,7 +482,7 @@ class RuleBasedGenerator:
                      f"{prefix}{col} BETWEEN {m.group(2)} AND {m.group(3)}")
                 )
         for m in re.finditer(
-            r"(\w+)\s+(?:is\s+)?(?:(greater|more|larger|bigger|above|over)"
+            r"(\w+)\s+(?:is\s+)?(?:(greater|more|larger|bigger|higher|above|over)"
             r"|(less|smaller|lower|below|under))\s*(?:than)?\s+(-?\d+(?:\.\d+)?)",
             raw,
             re.IGNORECASE,
@@ -535,7 +540,7 @@ class RuleBasedGenerator:
         m = re.search(
             r"\b(count|average|avg|mean|sum|total|minimum|min|maximum|max)\b"
             r"(?:\s+of)?(?:\s+(\w+))?\s+"
-            r"(?:is\s+)?(?:(greater|more|larger|bigger|above|over)"
+            r"(?:is\s+)?(?:(greater|more|larger|bigger|higher|above|over)"
             r"|(less|smaller|lower|below|under))\s*(?:than)?\s+(-?\d+(?:\.\d+)?)",
             having_raw,
             re.IGNORECASE,

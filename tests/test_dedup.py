@@ -465,3 +465,22 @@ def test_exact_tier_refuses_oversized_corpus(spark):
     # at or under the bound: runs; guard disabled: runs
     assert dedup.ngram_jaccard_pairs(df, max_exact_docs=10).count() >= 0
     assert dedup.ngram_jaccard_pairs(df, max_exact_docs=None).count() >= 0
+
+
+def test_guard_count_skipped_on_cached_stop_shingle_path(spark, monkeypatch):
+    """Code-review r6: the max_exact_docs guard must not re-add a
+    per-call corpus count to the precomputed-stop-shingles path (the
+    cached recurring-pipeline regime r4/r5 optimized)."""
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} here") for i in range(10)], ["doc_id", "text"]
+    )
+    calls = []
+    real = type(df).count
+
+    def counting(self):
+        calls.append(1)
+        return real(self)
+
+    monkeypatch.setattr(type(df), "count", counting)
+    dedup.ngram_jaccard_pairs(df, threshold=0.3, stop_shingles=[]).collect()
+    assert not calls  # zero driver count() jobs on the cached path

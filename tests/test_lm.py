@@ -162,3 +162,40 @@ def test_cached_lm_trains_once_then_loads(spark, tmp_path, monkeypatch):
     # changed corpus identity retrains
     lm.cached_ngram_lm(_ref_df(spark), {"corpus": "fixture", "v": 2})
     assert calls == [1, 1]
+
+
+def test_ccnet_buckets_null_language(spark):
+    """Code-review r6: NULL-language docs must tercile among
+    THEMSELVES (a plain equi-join never matches NULL and silently
+    'tail'ed every unknown-language doc regardless of perplexity)."""
+    model = lm.train_ngram_lm(_ref_df(spark))
+    rows = [(i, _REF[i % len(_REF)], None) for i in range(12)]
+    rows.append((100, "glorp zz blat qq vonk wibble snee", None))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = lm.ccnet_buckets(lm.score_perplexity(df, model)).collect()
+    by_id = {r.doc_id: r.ppl_bucket for r in out}
+    assert by_id[100] == "tail"
+    assert sum(1 for r in out if r.ppl_bucket == "head") > 0
+    assert all(r.lang is None for r in out)  # lang column untouched
+
+
+def test_score_tokenization_matches_training_on_unicode_whitespace(spark):
+    """Code-review r6: score-side tokenization must mirror
+    tokens_expr's Java \\s+ (ASCII-only) — Python str.split() would
+    split a no-break space that training kept inside one token."""
+    text = "foo bar baz"
+    ref = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    model = lm.train_ngram_lm(ref)
+    assert "foo bar" in model.unigrams  # trained as ONE token
+    scored = lm.score_perplexity(
+        spark.createDataFrame([(1, text)], ["i", "text"]), model
+    ).collect()[0].perplexity
+    # in-distribution text must score as seen at train time: both
+    # bigrams known -> perplexity well under the backoff regime
+    import math as _m
+
+    want = _m.exp(
+        -(model.logprob(lm.BOS, "foo bar") + model.logprob("foo bar", "baz"))
+        / 2
+    )
+    assert scored == pytest.approx(want, rel=1e-9)

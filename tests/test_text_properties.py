@@ -359,3 +359,16 @@ def test_chunk_documents_short_null_empty(spark):
         chunk_documents(df, chunk_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, stride=0)
+
+
+def test_chunk_documents_no_empty_chunk_when_stride_exceeds_doc(spark):
+    """Code-review r6: stride > chunk_tokens could compute a grid
+    start past the document and posexplode a junk empty chunk."""
+    from etl_zero_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(9)))], ["doc_id", "text"]
+    )
+    got = chunk_documents(df, chunk_tokens=3, stride=5).orderBy("chunk_id").collect()
+    assert all(r.n_tokens > 0 and r.chunk_text for r in got)
+    assert [r.chunk_text for r in got] == ["w0 w1 w2", "w5 w6 w7"]

@@ -282,3 +282,26 @@ def test_generator_explicit_sort_on_plain_select():
     assert _gen("orders where orderstatus is F ordered by orderkey") == (
         "SELECT * FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey"
     )
+
+
+def test_generator_comparison_words_never_become_values():
+    """Code-review r6: 'is lower/higher than <col>' (non-numeric
+    comparison — unsupported) must not mis-parse as equality with the
+    comparison word as a VALUE; numeric 'higher than N' translates."""
+    sql = _gen("show orders where totalprice is lower than orderkey")
+    assert "= 'lower'" not in sql and "= 'higher'" not in sql
+    assert _gen("orders where totalprice is higher than 100") == (
+        "SELECT * FROM orders WHERE o_totalprice > 100"
+    )
+
+
+def test_generator_having_split_is_word_boundary():
+    """Code-review r6: the having-split must cut at the \\bhaving\\b
+    match, not the first substring — 'behaving' inside a mention must
+    not truncate the question."""
+    schema = "CREATE TABLE metrics (m_id number, behaving_score number)"
+    g = t2s.RuleBasedGenerator()
+    sql = g(t2s.build_prompt(schema, "average behaving_score of metrics"))
+    assert sql == (
+        "SELECT AVG(behaving_score) AS behaving_score_avg FROM metrics"
+    )
