@@ -189,3 +189,44 @@ def test_snapshot_and_matview_empty(spark, tmp_path):
     r = mv.refresh(spark)
     assert r["mode"] == "incremental"
     assert mv.read(spark).count() == 0
+
+
+def test_r6_operators_empty(spark, empty_docs, empty_emb):
+    """R6 tier on 0-row inputs: chunking, LM train/score/buckets, DSIR,
+    semantic dedup — empty in, well-defined (usually empty) out."""
+    import numpy as np
+
+    from etl_zero_spark.operators import corpus as corp
+    from etl_zero_spark.operators import lm, similarity
+    from etl_zero_spark.operators.text import chunk_documents
+
+    assert chunk_documents(empty_docs, 64).count() == 0
+
+    # empty reference corpus: degenerate-but-usable model (UNK-only)
+    model = lm.train_ngram_lm(empty_docs)
+    assert model.unigrams[lm.UNK] >= 1 and model.total >= 1
+    probe = spark.createDataFrame([(1, "some words here")], ["i", "text"])
+    ppl = lm.score_perplexity(probe, model).collect()[0].perplexity
+    assert ppl is not None and ppl > 0
+    assert lm.score_perplexity(empty_docs, model).count() == 0
+    assert lm.ccnet_buckets(
+        lm.score_perplexity(
+            empty_docs.withColumn("lang", F.lit("en")), model
+        )
+    ).count() == 0
+
+    # DSIR with an empty raw and/or target: B-row smoothed table,
+    # empty scores/resample
+    docs = load_table(spark, SF_SMOKE, "documents")
+    lr = corp.dsir_bucket_logratio(empty_docs, docs.limit(5), n_buckets=32)
+    assert lr.count() == 32
+    assert corp.dsir_scores(empty_docs, lr, n_buckets=32).count() == 0
+    assert corp.dsir_resample(
+        corp.dsir_scores(empty_docs, lr, n_buckets=32), 10
+    ).count() == 0
+    lr2 = corp.dsir_bucket_logratio(docs.limit(5), empty_docs, n_buckets=32)
+    assert lr2.count() == 32  # add-1 smoothing: no log(0)
+
+    cents = np.random.RandomState(0).randn(4, 8)
+    assert similarity.semantic_dedup_pairs(empty_emb, cents).count() == 0
+    assert similarity.semantic_dedup(empty_emb, cents).count() == 0

@@ -372,3 +372,39 @@ def test_chunk_documents_no_empty_chunk_when_stride_exceeds_doc(spark):
     got = chunk_documents(df, chunk_tokens=3, stride=5).orderBy("chunk_id").collect()
     assert all(r.n_tokens > 0 and r.chunk_text for r in got)
     assert [r.chunk_text for r in got] == ["w0 w1 w2", "w5 w6 w7"]
+
+
+def test_chunk_documents_geometry_sweep_vs_python_oracle(spark):
+    """Exhaustive small-geometry sweep vs a sequential oracle of the
+    documented spec: for every (chunk, stride) and every doc length
+    0..13, the emitted (chunk_id, tokens) sequence matches exactly."""
+    import math
+
+    from etl_zero_spark.operators.text import chunk_documents
+
+    def oracle(words, chunk, stride):
+        n = len(words)
+        if n == 0:
+            return []
+        last = max(1, min(n, math.ceil((n - chunk) / stride) * stride + 1))
+        return [
+            (i, words[s - 1 : s - 1 + chunk])
+            for i, s in enumerate(range(1, last + 1, stride))
+        ]
+
+    docs = [(L, " ".join(f"w{i}" for i in range(L))) for L in range(14)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for chunk, stride in [(1, 1), (1, 3), (2, 2), (3, 1), (3, 5),
+                          (4, 3), (5, 2), (6, 6), (6, 8)]:
+        got = {}
+        for r in chunk_documents(df, chunk, stride).collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_id, r.chunk_text.split(" ") if r.chunk_text else [])
+            )
+        for L, text in docs:
+            words = text.split() if text else []
+            want = oracle(words, chunk, stride)
+            assert sorted(got.get(L, [])) == want, (
+                f"chunk={chunk} stride={stride} len={L}: "
+                f"{sorted(got.get(L, []))} != {want}"
+            )
