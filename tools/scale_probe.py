@@ -213,6 +213,12 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
     def dd2():
         # t=0.5: prefix filter + stop-shingle cap active — the regime
         # the r3 verdict flagged; this measures the FIXED path at 20x.
+        # VARIANCE NOTE (r6): this slot runs LAST after a ~20-min bench
+        # and is the most co-scheduling-sensitive probe — four runs on
+        # one day measured 24.9s / 29.9s / 36.4s / 39.2s with zero code
+        # change (same spread mechanism as the r5 gopher_100k false
+        # alarm). Compare rounds on the LOW reading, or re-measure in
+        # isolation before calling a movement real.
         return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
 
     def dd3():
