@@ -1126,3 +1126,144 @@ def extend_minhash_index(index: MinHashIndex, delta: DataFrame,
         index.num_hashes,
         index.n_bands,
     )
+
+
+# ---------------------------------------------------------------------------
+# span-level exact substring dedup (Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_gram_positions(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_df_cap: int | None = 10_000,
+) -> DataFrame:
+    """Positions of duplicated token k-grams, keep-first-occurrence
+    semantics — the building block of span-level exact substring dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better": repeated >=50-token passages are removed from all
+    but one occurrence; their exact tool is a suffix array, which has
+    no distributed analogue — the k-gram inverted index finds exactly
+    the duplicated substrings of length >= k, the published operating
+    regime, at one explode + one window).
+
+    Every token position opens one k-gram (xxhash64 over the k-token
+    window); occurrences of each gram rank globally by (doc, position)
+    and every occurrence RANKED >= 2 is a duplicate position — the
+    global first stays. Grams spanning more than ``gram_df_cap``
+    occurrences are dropped from the index (the stop-shingle bound:
+    boilerplate k-grams otherwise explode the window partition), which
+    UNDER-marks — boilerplate survives rather than risking an
+    unbounded partition; lower the cap deliberately for
+    boilerplate-heavy corpora.
+
+    Columns: <id_col>, pos (0-based token index of the gram start).
+    Documents shorter than ``k`` tokens open no grams (a doc cannot
+    contain a >= k-token repeat of itself).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    toks = tokens_expr(F.col(text_col))
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice(toks, i + 1, k), " ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("pos", "gh"),
+    )
+    if gram_df_cap is not None:
+        hot = (
+            grams.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > gram_df_cap)
+            .select("gh")
+        )
+        grams = grams.join(F.broadcast(hot), "gh", "left_anti")
+    w = Window.partitionBy("gh").orderBy(F.col(id_col), F.col("pos"))
+    return (
+        grams.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") >= 2)
+        .select(id_col, "pos")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_df_cap: int | None = 10_000,
+) -> DataFrame:
+    """Merged token spans [span_start, span_end) covering every
+    duplicated k-gram occurrence (keep-first semantics) — a run of
+    overlapping/adjacent duplicated gram starts collapses to one span
+    via gap-and-islands (two windows over per-doc positions; a new
+    island opens when the previous duplicated gram cannot overlap this
+    one, i.e. the position gap exceeds k)."""
+    from pyspark.sql import Window
+
+    dup = duplicate_gram_positions(df, k, text_col, id_col, gram_df_cap)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        dup.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__new",
+            (F.col("__prev").isNull() | (F.col("pos") - F.col("__prev") > k))
+            .cast("int"),
+        )
+        .withColumn("__isl", F.sum("__new").over(w))
+    )
+    return islands.groupBy(id_col, "__isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k)).alias("span_end"),
+    ).select(id_col, "span_start", "span_end")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_df_cap: int | None = 10_000,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exact substring dedup applied: every duplicated >= k-token span
+    (beyond its global first occurrence) is cut from the document's
+    token stream, and the text re-joins with single spaces (the
+    token-stream view, like chunk_documents). Documents losing every
+    token keep an EMPTY string (row survives — dropping rows is
+    doc-level dedup's job). One broadcast-less join of the span table
+    back to the corpus + a codegen filter over indexed tokens; no UDF.
+    """
+    out_col = out_col or text_col
+    spans = duplicate_spans(df, k, text_col, id_col, gram_df_cap)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = tokens_expr(F.col(text_col))
+    indexed = F.transform(
+        toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            F.col("__spans"),
+            lambda s: (x["i"] >= s["span_start"]) & (x["i"] < s["span_end"]),
+        ),
+    )
+    joined = df.join(per_doc, id_col, "left")
+    cleaned = F.when(
+        F.col("__spans").isNull(), F.col(text_col)
+    ).otherwise(F.array_join(F.transform(kept, lambda x: x["t"]), " "))
+    return joined.withColumn(out_col, cleaned).drop("__spans")

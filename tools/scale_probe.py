@@ -529,6 +529,14 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         # deterministic training-order shuffle: one range exchange
         return corpus.shuffle_corpus(docs, seed=1)
 
+    def span_dedup_100k():
+        # R6: exact substring dedup (Lee et al.) at 100k docs — the
+        # positional k-gram index is ~one row per token (explode +
+        # per-gram window + island merge + codegen token filter). The
+        # salad corpus's planted near-dups share long exact runs, so
+        # real spans are found and cut.
+        return dedup.remove_duplicate_spans(docs, k=25)
+
     def lm_ppl_100k():
         # R6: CCNet-style quality signal at 100k docs — train the
         # pruned bigram LM on a 20k-doc reference slice (two groupBy
@@ -647,6 +655,7 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("st1_stream_tumbling_10m", stream_tumbling_10m),
         ("gopher_100k", gopher_100k),
         ("semdedup_100k_t09", semdedup_100k),
+        ("span_dedup_100k_k25", span_dedup_100k),
         ("lm_ppl_100k", lm_ppl_100k),
         ("dsir_100k_top10k", dsir_100k),
         ("drift_1m_distinct_cat", drift_1m_distinct),
