@@ -8,9 +8,9 @@ oracle/property-tested — this module contributes the COMPOSITION, its
 stage accounting, and the single place the stage order is documented:
 
     blocklist -> PII scrub -> Gopher quality gate -> LM perplexity
-    gate -> exact dedup -> MinHash near-dedup -> eval-set
-    decontamination -> DSIR selection -> deterministic shuffle ->
-    sequence packing
+    gate -> exact dedup -> MinHash near-dedup -> exact substring
+    (span) dedup -> eval-set decontamination -> DSIR selection ->
+    deterministic shuffle -> sequence packing
 
 Stage order rationale (each earlier stage shrinks the input of a more
 expensive later one): the blocklist is a broadcast filter (cheapest),
@@ -77,6 +77,7 @@ def prepare_corpus(
     perplexity_model=None,
     max_perplexity: float | None = None,
     near_dedup_threshold: float | None = 0.5,
+    substring_dedup_k: int | None = None,
     test_set: DataFrame | None = None,
     decontam_n: int = 8,
     dsir_target: DataFrame | None = None,
@@ -161,6 +162,19 @@ def prepare_corpus(
             df, threshold=near_dedup_threshold, text_col=text_col, id_col=id_col
         )
         df = record("near_dedup", dedup_keep_min(df, pairs, id_col=id_col))
+    if substring_dedup_k is not None:
+        # Span-level exact substring dedup (Lee et al. 2021) AFTER the
+        # doc-level tiers (whole-doc dups are already gone — cheaper to
+        # drop a row than rewrite it) and BEFORE decontamination, so
+        # the eval-overlap n-grams see the cleaned text.
+        from ..operators.dedup import remove_duplicate_spans
+
+        df = record(
+            "substring_dedup",
+            remove_duplicate_spans(
+                df, k=substring_dedup_k, text_col=text_col, id_col=id_col
+            ),
+        )
     if test_set is not None:
         df = record(
             "decontaminate",

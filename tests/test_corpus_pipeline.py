@@ -214,3 +214,28 @@ def test_prepare_corpus_perplexity_gate_and_dsir(spark):
     # DSIR then favors cat-like docs among the survivors
     assert any(i >= 60 for i in ids)
     res.unpersist()
+
+
+def test_prepare_corpus_substring_dedup_stage(spark):
+    """R6: the span-dedup stage cuts a repeated passage from the later
+    doc while the first occurrence and unrelated docs pass through."""
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"intro one two {passage} outro one", "en", "web"),
+        (2, f"other intro {passage} different outro here", "en", "web"),
+        (3, "completely unrelated document text with words", "en", "web"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    res = prepare_corpus(
+        docs,
+        quality=False,
+        near_dedup_threshold=None,
+        substring_dedup_k=5,
+        shuffle_seed=None,
+        collect_stats=True,
+    )
+    out = {r.doc_id: r.text for r in res.df.select("doc_id", "text").collect()}
+    assert "substring_dedup" in res.stats and res.stats["substring_dedup"] == 3
+    assert "gamma" in out[1] and "gamma" not in out[2]
+    assert out[3] == rows[2][1]
+    res.unpersist()
