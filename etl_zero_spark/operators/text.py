@@ -347,3 +347,40 @@ def chunk_documents(
         F.array_join("__toks", " ").alias("chunk_text"),
         F.size("__toks").alias("n_tokens"),
     )
+
+
+def strip_html_expr(text: Column) -> Column:
+    """Plain text from raw HTML — the first step of any web-crawl
+    pipeline (CommonCrawl WET-style extraction), as a chain of native
+    ``regexp_replace`` stages (codegen, no parser library, no UDF):
+    drop <script>/<style>/<!-- --> blocks wholesale (their CONTENT is
+    never prose), replace block-level closers with newlines so words
+    from adjacent blocks don't fuse, strip the remaining tags, decode
+    the common entities, and collapse runs of whitespace. A rendering
+    parser extracts better main-content; this is the bulk-throughput
+    tier whose failure mode is extra boilerplate TEXT (handled
+    downstream by the quality/perplexity gates and span dedup), never
+    lost prose."""
+    t = F.regexp_replace(text, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t, r"(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article)\b[^>]*>",
+        "\n",
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, rep in [
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+    ]:
+        t = F.regexp_replace(t, ent, rep)
+    t = F.regexp_replace(t, r"[ \t\x0b\f\r]+", " ")
+    t = F.regexp_replace(t, r" ?\n[ \n]*", "\n")
+    return F.trim(t)
+
+
+def strip_html(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Column-level ``strip_html_expr`` applied to a corpus; writes
+    ``out_col`` (default: in place)."""
+    return df.withColumn(out_col or text_col, strip_html_expr(F.col(text_col)))

