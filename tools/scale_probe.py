@@ -534,8 +534,13 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         # positional k-gram index is ~one row per token (explode +
         # per-gram window + island merge + codegen token filter). The
         # salad corpus's planted near-dups share long exact runs, so
-        # real spans are found and cut.
-        return dedup.remove_duplicate_spans(docs, k=25)
+        # real spans are found and cut. The probe aggregates the OUTPUT
+        # TEXT length: a bare count() lets Catalyst eliminate the
+        # unique-keyed span join and the token filter entirely (the
+        # probe then times an empty plan, observed 0.3s vs 2.9s real).
+        return dedup.remove_duplicate_spans(docs, k=25).select(
+            F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("total_chars")
+        )
 
     def lm_ppl_100k():
         # R6: CCNet-style quality signal at 100k docs — train the
