@@ -534,12 +534,15 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         # positional k-gram index is ~one row per token (explode +
         # per-gram window + island merge + codegen token filter). The
         # salad corpus's planted near-dups share long exact runs, so
-        # real spans are found and cut. The probe aggregates the OUTPUT
-        # TEXT length: a bare count() lets Catalyst eliminate the
-        # unique-keyed span join and the token filter entirely (the
-        # probe then times an empty plan, observed 0.3s vs 2.9s real).
-        return dedup.remove_duplicate_spans(docs, k=25).select(
-            F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("total_chars")
+        # real spans are found and cut. The probe FILTERS on the output
+        # text's length: the harness times fn().count(), and both a
+        # bare count (unique-keyed join + unused column eliminated) and
+        # a count over a global aggregate (provably 1 row) let Catalyst
+        # skip the entire operator — observed 0.3-0.4s "empty plan"
+        # timings vs ~2.5s real warm cost. The length predicate forces
+        # the cleaned text to materialize per row.
+        return dedup.remove_duplicate_spans(docs, k=25).where(
+            F.coalesce(F.length("text"), F.lit(0)) >= 0
         )
 
     def lm_ppl_100k():
