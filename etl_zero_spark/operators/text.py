@@ -375,7 +375,9 @@ def strip_html_expr(text: Column) -> Column:
         t = F.regexp_replace(t, ent, rep)
     t = F.regexp_replace(t, r"[ \t\x0b\f\r]+", " ")
     t = F.regexp_replace(t, r" ?\n[ \n]*", "\n")
-    return F.trim(t)
+    # Spark's trim() strips SPACES only — newlines at the edges (from
+    # boundary tags like <body>/<p>) need the regex form
+    return F.regexp_replace(t, r"^[\s]+|[\s]+$", "")
 
 
 def strip_html(

@@ -7,10 +7,10 @@ below, each stage an operator that already exists and is individually
 oracle/property-tested — this module contributes the COMPOSITION, its
 stage accounting, and the single place the stage order is documented:
 
-    blocklist -> PII scrub -> Gopher quality gate -> LM perplexity
-    gate -> exact dedup -> MinHash near-dedup -> exact substring
-    (span) dedup -> eval-set decontamination -> DSIR selection ->
-    deterministic shuffle -> sequence packing
+    HTML strip -> blocklist -> PII scrub -> Gopher quality gate ->
+    LM perplexity gate -> exact dedup -> MinHash near-dedup -> exact
+    substring (span) dedup -> eval-set decontamination -> DSIR
+    selection -> deterministic shuffle -> sequence packing
 
 Stage order rationale (each earlier stage shrinks the input of a more
 expensive later one): the blocklist is a broadcast filter (cheapest),
@@ -70,6 +70,7 @@ def prepare_corpus(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    html: bool = False,
     blocked_sources: list[str] | None = None,
     source_col: str = "source",
     quality: bool = True,
@@ -128,6 +129,12 @@ def prepare_corpus(
         return frame
 
     df = record("input", df)
+    if html:
+        # FIRST: every downstream text signal (PII regexes, quality
+        # ratios, shingles, perplexity) must see prose, not markup
+        from ..operators.text import strip_html
+
+        df = record("html_strip", strip_html(df, text_col=text_col))
     if blocked_sources:
         df = record("blocklist", blocklist_filter(df, source_col, blocked_sources))
     df = record("pii_scrub", scrub_pii(df, text_col=text_col))

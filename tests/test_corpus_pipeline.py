@@ -239,3 +239,29 @@ def test_prepare_corpus_substring_dedup_stage(spark):
     assert "gamma" in out[1] and "gamma" not in out[2]
     assert out[3] == rows[2][1]
     res.unpersist()
+
+
+def test_prepare_corpus_html_strip_stage(spark):
+    """R6: html=True strips markup FIRST, so downstream signals see
+    prose — markup-wrapped duplicates then dedup exactly."""
+    body = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, f"<html><body><p>{body}</p></body></html>", "en", "web"),
+        (2, f"<div>{body}</div><script>var x;</script>", "en", "web"),
+        (3, "<p>another document entirely different</p>", "en", "web"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    res = prepare_corpus(
+        docs,
+        html=True,
+        quality=False,
+        near_dedup_threshold=None,
+        shuffle_seed=None,
+        collect_stats=True,
+    )
+    out = {r.doc_id: r.text for r in res.df.select("doc_id", "text").collect()}
+    assert res.stats["html_strip"] == 3
+    # identical prose behind different markup collapses in exact dedup
+    assert set(out) == {1, 3}
+    assert out[1] == body and "<" not in out[3]
+    res.unpersist()
