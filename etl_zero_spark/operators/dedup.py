@@ -1189,7 +1189,12 @@ def duplicate_gram_positions(
             .where(F.col("__df") > gram_df_cap)
             .select("gh")
         )
-        grams = grams.join(F.broadcast(hot), "gh", "left_anti")
+        # No forced broadcast: on boilerplate-heavy corpora the hot
+        # set itself can be huge (the corpora the cap exists FOR) and
+        # a forced broadcast would OOM the driver — AQE converts to
+        # broadcast at runtime when the set is actually small, exactly
+        # like ngram_jaccard_pairs' distributed stop-shingle path.
+        grams = grams.join(hot, "gh", "left_anti")
     w = Window.partitionBy("gh").orderBy(F.col(id_col), F.col("pos"))
     return (
         grams.withColumn("__rk", F.row_number().over(w))
@@ -1251,7 +1256,13 @@ def remove_duplicate_spans(
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
-    toks = tokens_expr(F.col(text_col))
+    # Reconstruction uses ORIGINAL-CASE tokens: the same \s+ split as
+    # tokens_expr (indices line up with the gram positions) but
+    # WITHOUT the lowercasing grams hash through — rewriting a doc
+    # must not silently destroy its capitalization (review r6).
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
     indexed = F.transform(
         toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))
     )

@@ -368,9 +368,13 @@ def strip_html_expr(text: Column) -> Column:
         "\n",
     )
     t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    # &amp; decodes LAST: decoding it first turns double-encoded
+    # entities ('&amp;lt;' — the author explicitly escaped '&lt;')
+    # into '&lt;' which the next pass wrongly decodes to '<' (the
+    # classic double-decode bug).
     for ent, rep in [
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
     ]:
         t = F.regexp_replace(t, ent, rep)
     t = F.regexp_replace(t, r"[ \t\x0b\f\r]+", " ")

@@ -7,7 +7,7 @@ below, each stage an operator that already exists and is individually
 oracle/property-tested — this module contributes the COMPOSITION, its
 stage accounting, and the single place the stage order is documented:
 
-    HTML strip -> blocklist -> PII scrub -> Gopher quality gate ->
+    blocklist -> HTML strip -> PII scrub -> Gopher quality gate ->
     LM perplexity gate -> exact dedup -> MinHash near-dedup -> exact
     substring (span) dedup -> eval-set decontamination -> DSIR
     selection -> deterministic shuffle -> sequence packing
@@ -129,14 +129,17 @@ def prepare_corpus(
         return frame
 
     df = record("input", df)
+    if blocked_sources:
+        # blocklist first even with html=True: it reads only
+        # source_col, so running the regexp chain over rows it drops
+        # would be pure waste (the module's cheapest-first rule)
+        df = record("blocklist", blocklist_filter(df, source_col, blocked_sources))
     if html:
-        # FIRST: every downstream text signal (PII regexes, quality
-        # ratios, shingles, perplexity) must see prose, not markup
+        # before every TEXT stage: PII regexes, quality ratios,
+        # shingles, and perplexity must see prose, not markup
         from ..operators.text import strip_html
 
         df = record("html_strip", strip_html(df, text_col=text_col))
-    if blocked_sources:
-        df = record("blocklist", blocklist_filter(df, source_col, blocked_sources))
     df = record("pii_scrub", scrub_pii(df, text_col=text_col))
     if quality:
         df = fork(df)

@@ -139,8 +139,11 @@ class RuleBasedGenerator:
 
         # pre-HAVING text, cut at the WORD-BOUNDARY match (hv) — a bare
         # substring split would truncate mentions like 'behaving_score'
-        # mid-token (q is lower(raw): same length, indices line up)
-        q_main = q[: hv.start()] if hv else q
+        # mid-token. Lower the RAW slice rather than slicing q with
+        # raw's index: str.lower() can change string LENGTH for some
+        # Unicode (e.g. 'İ' lowers to 2 chars), so raw indices don't
+        # transfer to q.
+        q_main = raw_where.lower() if hv else q
 
         m = re.search(r"\btop\s+(\d+)\b", q)
         if m and not hv:

@@ -141,3 +141,17 @@ def test_python_oracle_random_corpus(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_rewrite_preserves_original_case(spark):
+    """Review r6: rebuilding a span-bearing doc must keep the ORIGINAL
+    capitalization — gram hashing lowercases, reconstruction must not."""
+    passage = "Alpha Beta Gamma Delta Epsilon Zeta"
+    rows = [
+        (1, f"Keep My Case {passage} Tail Words"),
+        (2, f"Other Intro {passage} More Prose Here"),
+    ]
+    out = {r.doc_id: r.text
+           for r in dedup.remove_duplicate_spans(_df(spark, rows), k=4).collect()}
+    assert out[1] == f"Keep My Case {passage} Tail Words"  # untouched
+    assert out[2] == "Other Intro More Prose Here"  # case intact, span cut

@@ -432,7 +432,8 @@ def test_strip_html_extraction(spark):
     out = {r.doc_id: r.text for r in strip_html(df).collect()}
     got = out[1]
     assert "color" not in got and "evil" not in got and "hidden" not in got
-    assert "<" not in got.replace("<para>", "") or True
+    # the ONLY '<' left is the decoded &lt; entity — no residual tags
+    assert got.count("<") == 1 and "<para>" in got
     assert "Header" in got and "First & second <para>." in got
     assert "Third one" in got
     assert "alpha" in got and "beta" in got and "a link tail" in got
@@ -440,3 +441,15 @@ def test_strip_html_extraction(spark):
     assert "Header\nFirst" in got
     assert out[2] == "plain text stays"
     assert out[3] is None
+
+
+def test_strip_html_double_encoded_entities_single_decode(spark):
+    """Review r6: '&amp;lt;' is an author-escaped literal '&lt;' — one
+    decode pass must yield '&lt;', never double-decode to '<'."""
+    from etl_zero_spark.operators.text import strip_html
+
+    df = spark.createDataFrame(
+        [(1, "<p>use &amp;lt;b&amp;gt; to bold</p>")], "doc_id long, text string"
+    )
+    got = strip_html(df).collect()[0].text
+    assert got == "use &lt;b&gt; to bold"
