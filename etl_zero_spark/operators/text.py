@@ -13,6 +13,7 @@ it exactly (the regex subset used is common to Java regex and RE2).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -390,3 +391,53 @@ def strip_html(
     """Column-level ``strip_html_expr`` applied to a corpus; writes
     ``out_col`` (default: in place)."""
     return df.withColumn(out_col or text_col, strip_html_expr(F.col(text_col)))
+
+
+def normalize_text_expr(text: Column) -> Column:
+    """Codegen-only Unicode hygiene pass - the standard cleaning step
+    BEFORE any hashing/dedup/fingerprint tier, so that visually-equal
+    variants hash equal: zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) and
+    soft hyphens dropped, NBSP/narrow-NBSP/ideographic space to plain
+    space, curly quotes to ASCII quotes, en/em/horizontal dashes to
+    '-', ellipsis to '...', C0/C1 control characters (except tab and
+    newline) dropped, and space runs collapsed. Pure regexp_replace/
+    translate chain - no UDF. Full NFKC folding (ligatures, width
+    variants) needs ``normalize_text(..., nfkc=True)``'s Arrow pass."""
+    t = F.regexp_replace(text, "[\u200b\u200c\u200d\ufeff\u00ad]", "")
+    t = F.translate(
+        t,
+        "\u00a0\u202f\u3000\u2018\u2019\u201a\u201c\u201d\u201e"
+        "\u2013\u2014\u2015",
+        "   '''" + chr(34) * 3 + "---",
+    )
+    t = F.regexp_replace(t, "\u2026", "...")
+    t = F.regexp_replace(t, "[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]", "")
+    t = F.regexp_replace(t, "[ \\t]+", " ")
+    return F.regexp_replace(t, "^[\\s]+|[\\s]+$", "")
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    nfkc: bool = False,
+) -> DataFrame:
+    """Corpus-level text normalization. The default is the codegen
+    chain above; ``nfkc=True`` additionally applies full Unicode NFKC
+    folding (ligatures 'ﬁ'->'fi', fullwidth 'Ａ'->'A', compatibility
+    forms) through one Arrow-vectorized UDF pass — the slow-path knob,
+    paid only when the corpus actually mixes scripts/width variants."""
+    out_col = out_col or text_col
+    col: Column = F.col(text_col)
+    if nfkc:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _nfkc(s: pd.Series) -> pd.Series:
+            import unicodedata
+
+            return s.map(
+                lambda x: unicodedata.normalize("NFKC", x) if x is not None else None
+            )
+
+        col = _nfkc(col)
+    return df.withColumn(out_col, normalize_text_expr(col))

@@ -7,7 +7,8 @@ below, each stage an operator that already exists and is individually
 oracle/property-tested — this module contributes the COMPOSITION, its
 stage accounting, and the single place the stage order is documented:
 
-    blocklist -> HTML strip -> PII scrub -> Gopher quality gate ->
+    blocklist -> HTML strip -> Unicode normalize -> PII scrub ->
+    Gopher quality gate ->
     LM perplexity gate -> exact dedup -> MinHash near-dedup -> exact
     substring (span) dedup -> eval-set decontamination -> DSIR
     selection -> deterministic shuffle -> sequence packing
@@ -71,6 +72,7 @@ def prepare_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     html: bool = False,
+    normalize_unicode: bool = False,
     blocked_sources: list[str] | None = None,
     source_col: str = "source",
     quality: bool = True,
@@ -140,6 +142,13 @@ def prepare_corpus(
         from ..operators.text import strip_html
 
         df = record("html_strip", strip_html(df, text_col=text_col))
+    if normalize_unicode:
+        # Unicode hygiene before any hashing stage: visually-equal
+        # variants (curly quotes, NBSP, zero-widths) must hash equal
+        # or the dedup tiers silently miss them
+        from ..operators.text import normalize_text
+
+        df = record("normalize", normalize_text(df, text_col=text_col))
     df = record("pii_scrub", scrub_pii(df, text_col=text_col))
     if quality:
         df = fork(df)

@@ -265,3 +265,20 @@ def test_prepare_corpus_html_strip_stage(spark):
     assert set(out) == {1, 3}
     assert out[1] == body and "<" not in out[3]
     res.unpersist()
+
+
+def test_prepare_corpus_unicode_normalize_enables_dedup(spark):
+    """R6: curly-quote/NBSP variants of one text hash equal only after
+    normalization — with the stage on, they collapse in exact dedup."""
+    rows = [
+        (1, "she said ‘hello there’ twice", "en", "web"),
+        (2, "she said 'hello there' twice", "en", "web"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    kw = dict(quality=False, near_dedup_threshold=None, shuffle_seed=None,
+              collect_stats=True)
+    off = prepare_corpus(docs, **kw)
+    assert off.df.count() == 2  # variants survive without the stage
+    on = prepare_corpus(docs, normalize_unicode=True, **kw)
+    assert on.df.count() == 1 and on.stats["normalize"] == 2
+    off.unpersist(); on.unpersist()

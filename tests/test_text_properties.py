@@ -453,3 +453,36 @@ def test_strip_html_double_encoded_entities_single_decode(spark):
     )
     got = strip_html(df).collect()[0].text
     assert got == "use &lt;b&gt; to bold"
+
+
+def test_normalize_text_codegen_pass(spark):
+    """R6: Unicode hygiene before hashing — zero-widths dropped, NBSP
+    to space, curly quotes/dashes/ellipsis to ASCII, controls stripped,
+    visually-equal variants hash equal afterward."""
+    from etl_zero_spark.operators.text import normalize_text
+
+    a = "café ‘quoted’ “double” – dash…"
+    b = (
+        "café 'quoted'​ \"double\" -­ dash..."
+        "\x07"  # bell control char
+    )
+    df = spark.createDataFrame([(1, a), (2, b), (3, None)], "doc_id long, text string")
+    out = {r.doc_id: r.text for r in normalize_text(df).collect()}
+    assert out[1] == "café 'quoted' \"double\" - dash..."
+    assert out[1] == out[2]  # variants collapse to one form
+    assert out[3] is None
+
+
+def test_normalize_text_nfkc_pass(spark):
+    from etl_zero_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "ﬁle ＡＢＣ x²")], "doc_id long, text string"
+    )
+    got = normalize_text(df, nfkc=True).collect()[0].text
+    assert got == "file ABC x2"
+    # plan sanity: exactly one Arrow stage, no shuffle
+    from etl_zero_spark.plans.audit import plan_digest
+
+    d = plan_digest(normalize_text(df, nfkc=True))
+    assert d["exchanges"] == 0 and d["arrow_python"] == 1
