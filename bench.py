@@ -68,18 +68,17 @@ def _extras(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     from etl_zero_spark.catalog import load_table
-    from etl_zero_spark.functions.artifacts import cached_artifact
+    from etl_zero_spark.functions.artifacts import cached_artifact, source_identity
     from etl_zero_spark.operators import bpe, quality, validate
     from etl_zero_spark.plans.corpus_pipeline import prepare_corpus
 
     def x_bpe_tokenize() -> int:
         docs = load_table(spark, sf_dir, "documents")
-        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
         merges = cached_artifact(
             "bpe_merges",
-            {"corpus": sf_dir, "src_size": st.st_size,
-             "src_mtime": int(st.st_mtime), "n_merges": 200,
-             "max_words": 100_000},
+            {"corpus": sf_dir,
+             "src_id": source_identity(os.path.join(sf_dir, "documents.parquet")),
+             "n_merges": 200, "max_words": 100_000},
             lambda: [list(m) for m in bpe.train_bpe(docs, n_merges=200)],
         )
         return bpe.bpe_tokenize(docs, [tuple(m) for m in merges]).count()

@@ -108,6 +108,43 @@ def default_artifact_root() -> str:
     return os.path.join(repo_root, ".artifacts")
 
 
+def source_identity(path: str) -> str:
+    """Content identity of a table SOURCE for artifact cache keys.
+
+    A Spark-written parquet "file" is a DIRECTORY, and keying on
+    ``os.stat`` of the directory is unsound (ADVICE r6 #1): directory
+    ``st_size`` is allocation-dependent, and its ``st_mtime`` (whole
+    seconds on many filesystems) only moves when an entry is added or
+    removed — a corpus regenerated in place, or regenerated within the
+    same second, would serve a stale learned artifact (stop-shingles,
+    IVF centroids, BPE merges, n-gram LMs). This hashes the CONTENT
+    listing instead: the sorted (relative name, size, mtime_ns) of
+    every data file under the path (nanosecond mtimes change on any
+    rewrite; a different part layout or size changes the listing even
+    at equal mtime). Plain files hash their own (size, mtime_ns).
+    In production the equivalent key is the snapshot/table version —
+    SnapshotTable callers should key on ``current_version()`` instead.
+    """
+    h = hashlib.sha256()
+    if os.path.isdir(path):
+        entries = []
+        for dirpath, dirnames, filenames in os.walk(path):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.startswith((".", "_")):  # _SUCCESS, .crc sidecars
+                    continue
+                full = os.path.join(dirpath, fn)
+                st = os.stat(full)
+                entries.append(
+                    (os.path.relpath(full, path), st.st_size, st.st_mtime_ns)
+                )
+        h.update(json.dumps(entries).encode())
+    else:
+        st = os.stat(path)
+        h.update(json.dumps([st.st_size, st.st_mtime_ns]).encode())
+    return h.hexdigest()[:24]
+
+
 def cached_artifact(kind: str, params: dict, builder, root: str | None = None):
     """Load-or-train: the amortization path every learned index needs
     (IVF centroids, PQ codebooks, BPE merges are corpus passes that at

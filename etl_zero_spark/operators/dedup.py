@@ -1139,6 +1139,7 @@ def duplicate_gram_positions(
     text_col: str = "text",
     id_col: str = "doc_id",
     gram_df_cap: int | None = 10_000,
+    verify_exact: bool = False,
 ) -> DataFrame:
     """Positions of duplicated token k-grams, keep-first-occurrence
     semantics — the building block of span-level exact substring dedup
@@ -1159,6 +1160,21 @@ def duplicate_gram_positions(
     unbounded partition; lower the cap deliberately for
     boilerplate-heavy corpora.
 
+    COLLISION CONTRACT (ADVICE r6 #2): by default grams are identified
+    by their 64-bit xxhash64 alone, so two DIFFERENT k-grams colliding
+    marks a false duplicate position and the downstream span removal
+    silently cuts unique text. Expected false positions ~ P^2 / 2^65
+    for P total gram positions: negligible below ~10^9 positions
+    (<0.03 expected), but at web scale (P ~ 10^11, the 100 TB corpus
+    this module targets) a few hundred false cuts are EXPECTED — and
+    unlike the cap's under-marking, the failure is silent data
+    mutation. Callers that cannot tolerate any false cut set
+    ``verify_exact=True``: the gram TEXT rides with the hash and the
+    occurrence window keys on (hash, text), making marks exact at the
+    cost of shuffling ~k tokens per position instead of 8 bytes
+    (roughly a (6*k)x shuffle-payload factor — pay it when rewriting
+    documents you cannot regenerate).
+
     Columns: <id_col>, pos (0-based token index of the gram start).
     Documents shorter than ``k`` tokens open no grams (a doc cannot
     contain a >= k-token repeat of itself).
@@ -1168,20 +1184,23 @@ def duplicate_gram_positions(
     if k < 1:
         raise ValueError("k must be >= 1")
     toks = tokens_expr(F.col(text_col))
+
+    def gram_struct(i):
+        s = F.array_join(F.slice(toks, i + 1, k), " ")
+        return F.struct(
+            F.xxhash64(s).alias("gh"),
+            (s if verify_exact else F.lit(None).cast("string")).alias("gt"),
+        )
+
     grams = df.select(
         F.col(id_col),
         F.posexplode(
             F.when(
                 F.size(toks) >= k,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - k),
-                    lambda i: F.xxhash64(
-                        F.array_join(F.slice(toks, i + 1, k), " ")
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<bigint>"))
-        ).alias("pos", "gh"),
-    )
+                F.transform(F.sequence(F.lit(0), F.size(toks) - k), gram_struct),
+            ).otherwise(F.array().cast("array<struct<gh:bigint,gt:string>>"))
+        ).alias("pos", "g"),
+    ).select(id_col, "pos", F.col("g.gh").alias("gh"), F.col("g.gt").alias("gt"))
     if gram_df_cap is not None:
         hot = (
             grams.groupBy("gh")
@@ -1195,7 +1214,13 @@ def duplicate_gram_positions(
         # broadcast at runtime when the set is actually small, exactly
         # like ngram_jaccard_pairs' distributed stop-shingle path.
         grams = grams.join(hot, "gh", "left_anti")
-    w = Window.partitionBy("gh").orderBy(F.col(id_col), F.col("pos"))
+    # verify_exact: occurrences key on (hash, gram text) — a 64-bit
+    # collision then lands in different partitions and never marks.
+    # (The hot-gram cap above still keys on gh alone: a collision can
+    # only make the cap MORE conservative — more under-marking, never
+    # a false cut.)
+    part_keys = ["gh", "gt"] if verify_exact else ["gh"]
+    w = Window.partitionBy(*part_keys).orderBy(F.col(id_col), F.col("pos"))
     return (
         grams.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") >= 2)
@@ -1209,6 +1234,7 @@ def duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     gram_df_cap: int | None = 10_000,
+    verify_exact: bool = False,
 ) -> DataFrame:
     """Merged token spans [span_start, span_end) covering every
     duplicated k-gram occurrence (keep-first semantics) — a run of
@@ -1218,7 +1244,8 @@ def duplicate_spans(
     one, i.e. the position gap exceeds k)."""
     from pyspark.sql import Window
 
-    dup = duplicate_gram_positions(df, k, text_col, id_col, gram_df_cap)
+    dup = duplicate_gram_positions(df, k, text_col, id_col, gram_df_cap,
+                                   verify_exact)
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = (
         dup.withColumn("__prev", F.lag("pos").over(w))
@@ -1242,6 +1269,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     gram_df_cap: int | None = 10_000,
     out_col: str | None = None,
+    verify_exact: bool = False,
 ) -> DataFrame:
     """Exact substring dedup applied: every duplicated >= k-token span
     (beyond its global first occurrence) is cut from the document's
@@ -1252,7 +1280,7 @@ def remove_duplicate_spans(
     back to the corpus + a codegen filter over indexed tokens; no UDF.
     """
     out_col = out_col or text_col
-    spans = duplicate_spans(df, k, text_col, id_col, gram_df_cap)
+    spans = duplicate_spans(df, k, text_col, id_col, gram_df_cap, verify_exact)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )

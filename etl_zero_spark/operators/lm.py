@@ -17,13 +17,17 @@ Scale shape:
   bigram counts over the vocab-mapped stream), both plain groupBy
   count with map-side combine. The MODEL is capped (``max_vocab``
   unigrams, ``max_bigrams`` bigram entries kept by count — standard
-  count-pruning) so it broadcasts: at the caps' defaults the model is
-  a few MB regardless of corpus size, exactly like a pruned KenLM
-  binary. ``cached_ngram_lm`` persists it via functions/artifacts
-  keyed on corpus identity + geometry (the IVF/BPE pattern): train
-  once per reference corpus, digest-verified load everywhere after.
+  count-pruning) so it is bounded regardless of corpus size, like a
+  pruned KenLM binary. Honest sizing (ADVICE r6 #4): a bigram dict
+  entry costs ~100 bytes in a Python dict, so the 250k-bigram / 64k-
+  vocab defaults bound the model near ~30 MB in memory (~10 MB
+  serialized) — broadcast-sized, but not "a few MB"; the previous 1M
+  default reached the >100 MB regime. Raise ``max_bigrams`` only with
+  executor/driver headroom to match.
 * ``score_perplexity`` — one Arrow-vectorized UDF pass; the model
-  rides to executors by closure broadcast. No shuffle.
+  ships via ``sc.broadcast`` (one torrent transfer per executor,
+  reused across tasks), not closure capture (re-serialized per task
+  dispatch). No shuffle.
 * ``ccnet_buckets`` — per-language tercile cuts from ONE
   ``percentile_approx`` aggregation (mergeable sketch, no sort),
   broadcast-joined back; head = lowest-perplexity third, the CCNet
@@ -81,7 +85,7 @@ def train_ngram_lm(
     reference: DataFrame,
     text_col: str = "text",
     max_vocab: int = 65_536,
-    max_bigrams: int = 1_000_000,
+    max_bigrams: int = 250_000,
     alpha: float = 0.4,
 ) -> NGramLM:
     """Train the pruned bigram LM from a reference corpus. Tokens
@@ -157,13 +161,17 @@ def score_perplexity(
     out_col: str = "perplexity",
 ) -> DataFrame:
     """Per-document perplexity exp(-mean log P(w_i | w_{i-1})) under
-    ``lm`` — one vectorized UDF pass, model by closure. Empty documents
-    score NULL (no tokens to judge)."""
+    ``lm`` — one vectorized UDF pass. The model ships as an
+    ``sc.broadcast`` variable: the capped model is tens of MB at the
+    default pruning caps, and a closure-captured copy would
+    re-serialize into every task's dispatch payload, while a broadcast
+    transfers once per executor and is shared by its tasks (ADVICE r6
+    #4). Empty documents score NULL (no tokens to judge)."""
     import re as _re
 
     from pyspark.sql.functions import pandas_udf
 
-    model = lm  # closure capture; ~MBs at the pruning caps
+    bc_model = df.sparkSession.sparkContext.broadcast(lm)
     # EXACTLY tokens_expr's rule: Java-regex \s+ is ASCII whitespace
     # only, while Python str.split() splits all Unicode whitespace — a
     # divergence would tokenize 'foo\xa0bar' as one token at train
@@ -172,6 +180,7 @@ def score_perplexity(
 
     @pandas_udf("double")
     def ppl(texts: pd.Series) -> pd.Series:
+        model = bc_model.value
         out = []
         for t in texts:
             words = [w for w in ws.split((t or "").lower()) if w]
@@ -250,7 +259,7 @@ def cached_ngram_lm(
     corpus_key: dict,
     text_col: str = "text",
     max_vocab: int = 65_536,
-    max_bigrams: int = 1_000_000,
+    max_bigrams: int = 250_000,
     alpha: float = 0.4,
 ) -> NGramLM:
     """Load-or-train through ``functions/artifacts`` — the IVF/PQ/BPE

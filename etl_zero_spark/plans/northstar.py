@@ -71,13 +71,19 @@ def _stop_shingles_cached(spark: SparkSession, sf_dir: str) -> list[str] | None:
     if sf_dir not in _STOP_SHINGLES:
         import os
 
-        from etl_zero_spark.functions.artifacts import cached_artifact
+        from etl_zero_spark.functions.artifacts import (
+            cached_artifact,
+            source_identity,
+        )
 
-        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        # Content identity of the parquet DIRECTORY (part-file listing
+        # hash), not os.stat of the directory itself — ADVICE r6 #1: a
+        # corpus regenerated in place must retrain, and a stale stop
+        # set would also silently disable ngram_jaccard_pairs'
+        # max_exact_docs guard (an explicit stop set skips the probe).
         params = {
             "corpus": sf_dir,
-            "src_size": st.st_size,
-            "src_mtime": int(st.st_mtime),
+            "src_id": source_identity(os.path.join(sf_dir, "documents.parquet")),
             "k": 3,
             "df_cap": _STOP_DF_CAP,
         }
@@ -548,19 +554,17 @@ def sim2_sim3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_centroids_cached(emb: DataFrame, sf_dir: str, nlist: int = 16):
     import os
 
-    from etl_zero_spark.functions.artifacts import cached_artifact
+    from etl_zero_spark.functions.artifacts import cached_artifact, source_identity
 
-    # Corpus identity includes the parquet file's (size, mtime): a
-    # regenerated fixture — even a byte-identical one — retrains rather
-    # than risking a stale index. (Exactness is robust either way: at
-    # nprobe=nlist every cell is probed for ANY centroids; this guards
-    # the nprobe<nlist recall path.)
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
+    # Corpus identity is the part-file content listing (name, size,
+    # mtime_ns — source_identity), not os.stat of the parquet
+    # directory: a regenerated fixture — even a byte-identical one —
+    # retrains rather than risking a stale index. (Exactness is robust
+    # either way: at nprobe=nlist every cell is probed for ANY
+    # centroids; this guards the nprobe<nlist recall path.)
     params = {
         "corpus": sf_dir,
-        "src_size": st.st_size,
-        "src_mtime": int(st.st_mtime),
+        "src_id": source_identity(os.path.join(sf_dir, "embeddings.parquet")),
         "nlist": nlist,
         "seed": ivf.IVF_SEED,
         "max_iter": 8,

@@ -155,3 +155,29 @@ def test_rewrite_preserves_original_case(spark):
            for r in dedup.remove_duplicate_spans(_df(spark, rows), k=4).collect()}
     assert out[1] == f"Keep My Case {passage} Tail Words"  # untouched
     assert out[2] == "Other Intro More Prose Here"  # case intact, span cut
+
+
+def test_verify_exact_matches_hash_path(spark):
+    """verify_exact=True (ADVICE r6 #2: occurrence window keyed on
+    (hash, gram text) so a 64-bit collision cannot mark a false
+    duplicate) is a pure safety upgrade: on a collision-free corpus
+    the marked positions, merged spans, and rewritten text are
+    IDENTICAL to the default hash-only path."""
+    passage = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"{_words('a', 5)} {passage} {_words('b', 5)}"),
+        (2, f"{_words('c', 3)} {passage} {_words('d', 7)}"),
+        (3, f"{passage} {passage}"),
+        (4, _words("e", 12)),
+    ]
+    df = _df(spark, rows)
+    for fn in (dedup.duplicate_gram_positions, dedup.duplicate_spans):
+        plain = sorted(map(tuple, fn(df, k=4).collect()))
+        exact = sorted(map(tuple, fn(df, k=4, verify_exact=True).collect()))
+        assert plain == exact and plain  # same marks, and some exist
+    out_p = {r.doc_id: r.text
+             for r in dedup.remove_duplicate_spans(df, k=4).collect()}
+    out_e = {r.doc_id: r.text
+             for r in dedup.remove_duplicate_spans(
+                 df, k=4, verify_exact=True).collect()}
+    assert out_p == out_e
