@@ -223,11 +223,21 @@ def _extras(spark, sf_dir: str) -> dict:
 
         docs = load_table(spark, sf_dir, "documents")
         if "dsir_lr" not in r6_state:
-            # weight estimation is once-per-(raw, target) corpus work
-            # (persist it in production); warm runs measure the
-            # per-invocation path: score + deterministic draw
-            target = docs.where(F.col("source") == docs.first().source)
-            r6_state["dsir_lr"] = corp.dsir_bucket_logratio(docs, target)
+            # weight estimation is once-per-(raw, target) corpus work,
+            # persisted via functions/artifacts (VERDICT r6 #3 — the
+            # ngram-LM/BPE pattern): the first-ever run pays the two
+            # corpus count aggregations, every later PROCESS loads the
+            # B-row table from disk; the r6_state dict is just the L1.
+            # Warm runs measure the per-invocation path: score + draw.
+            src0 = docs.first().source
+            target = docs.where(F.col("source") == src0)
+            r6_state["dsir_lr"] = corp.cached_dsir_logratio(
+                docs, target,
+                {"corpus": sf_dir,
+                 "src_id": source_identity(
+                     os.path.join(sf_dir, "documents.parquet")),
+                 "target": f"source={src0}"},
+            )
         return corp.dsir_resample(
             corp.dsir_scores(docs, r6_state["dsir_lr"]), 1000, seed=1
         ).count()

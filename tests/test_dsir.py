@@ -113,3 +113,32 @@ def test_null_and_empty_text_score_neutral(spark):
     w = {r.doc_id: r.log_importance for r in
          corpus.dsir_scores(aug, lr, n_buckets=64).collect()}
     assert w[50] == 0.0 and w[51] == 0.0
+
+
+def test_cached_logratio_builds_once_then_loads(spark, tmp_path, monkeypatch):
+    """VERDICT r6 #3: the logratio table persists via
+    functions/artifacts — a second 'process' (fresh call, no in-memory
+    state) loads the persisted B-row table instead of re-paying the
+    two corpus-wide count aggregations. Builder-call counter: one
+    dsir_bucket_logratio call total across both invocations, and the
+    loaded table is row-identical to the built one."""
+    monkeypatch.setenv("ETL_ZERO_ARTIFACTS", str(tmp_path))
+    raw, target = _dfs(spark)
+    calls = []
+    real = corpus.dsir_bucket_logratio
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(corpus, "dsir_bucket_logratio", counting)
+    key = {"corpus": "fixture", "target": "planted"}
+    first = corpus.cached_dsir_logratio(raw, target, key, n_buckets=64)
+    rows1 = sorted(map(tuple, first.collect()))
+    assert calls == [1] and len(rows1) == 64
+    second = corpus.cached_dsir_logratio(raw, target, key, n_buckets=64)
+    assert calls == [1]  # loaded, not rebuilt
+    assert sorted(map(tuple, second.collect())) == rows1
+    # changed geometry is a different artifact -> rebuild
+    corpus.cached_dsir_logratio(raw, target, key, n_buckets=32)
+    assert calls == [1, 1]
