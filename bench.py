@@ -48,14 +48,16 @@ HEADLINE = [
     "sim1_cosine_topk",
     "sim2_sim3_lsh_topk",
     "sim4_ivf_topk",
-    "tx1_tx2_stats_quality",
-    "tx3_tx4_lang_fingerprints",
+    "tx1_tx4_text_profile",
     # table-management tier (R4)
     "scd1_type2_merge",
     "ts1_gap_fill",
     "snap1_time_travel_read",
     # daily-ingest dedup regime (R5)
     "dd9_incremental_neardup",
+    # R6 corpus tier, declared in R7 (VERDICT r6 #1/#2)
+    "dd12_span_dedup",
+    "sdd1_semantic_dedup",
 ]
 
 
@@ -242,6 +244,18 @@ def _extras(spark, sf_dir: str) -> dict:
             corp.dsir_scores(docs, r6_state["dsir_lr"]), 1000, seed=1
         ).count()
 
+    def x_span_dedup() -> int:
+        # production path (VERDICT r6 #7): remove_duplicate_spans on
+        # the RAW corpus at the published k=50 regime — the declared
+        # dd12 row runs a planted-passage corpus at k=8 for oracle
+        # coverage; this row tracks the real operating point's warm
+        # cost round-over-round.
+        from etl_zero_spark.operators.dedup import remove_duplicate_spans
+
+        return remove_duplicate_spans(
+            load_table(spark, sf_dir, "documents"), k=50
+        ).count()
+
     def x_chunk_documents() -> int:
         from etl_zero_spark.operators.text import chunk_documents
 
@@ -263,6 +277,7 @@ def _extras(spark, sf_dir: str) -> dict:
         "x_semdedup_pairs": x_semdedup_pairs,
         "x_lm_perplexity_buckets": x_lm_perplexity_buckets,
         "x_dsir_select": x_dsir_select,
+        "x_span_dedup": x_span_dedup,
         "x_chunk_documents": x_chunk_documents,
     }
 

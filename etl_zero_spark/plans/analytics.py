@@ -155,70 +155,66 @@ def set1_set2_set3_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "g1_g2_rollup_cube",
-    "grouping: ROLLUP + CUBE",
+    "g1_g3_grouping_family",
+    "grouping: ROLLUP + CUBE + GROUPING SETS via free SQL (g1+g2+g3 — "
+    "the R7 fold that freed a declared slot for sdd1_semantic_dedup; "
+    "all three operator ids preserved)",
     """
-    SELECT 'rollup' AS op, o_orderstatus, o_orderpriority,
-           count(*) AS n_orders, round(sum(o_totalprice), 2) AS o_totalprice_sum
+    SELECT 'rollup' AS op, o_orderstatus AS g1, o_orderpriority AS g2,
+           count(*) AS n, round(sum(o_totalprice), 2) AS sum_val
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     UNION ALL
-    SELECT 'cube' AS op, o_orderstatus, o_orderpriority,
-           count(*) AS n_orders, round(sum(o_totalprice), 2) AS o_totalprice_sum
+    SELECT 'cube' AS op, o_orderstatus AS g1, o_orderpriority AS g2,
+           count(*) AS n, round(sum(o_totalprice), 2) AS sum_val
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-    "Hierarchical subtotals (ROLLUP: status, status+priority, grand "
-    "total) and all grouping combinations (CUBE), tagged and unioned "
-    "over one table.",
-)
-def g1_g2_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ROLLUP's grouping sets are a subset of CUBE's, so ONE cube pass
-    # (one scan + one Expand + one shuffle) serves both: the rollup half
-    # is the cube minus the (priority-only) set, identified by
-    # grouping_id — bit 2 = first column (status) aggregated alone.
-    o = load_table(spark, sf_dir, "orders")
-    cube_res = o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("o_totalprice_sum"),
-        F.grouping_id().alias("gid"),
-    )
-    # No union — a post-aggregate gid filter would push into the Expand
-    # and split the cube back into two scans. Each row instead explodes
-    # into its tag list over the ~dozens-row aggregate output: rollup
-    # sets get ['rollup', 'cube'], the cube-only set ['cube'].
-    tags = F.when(
-        F.col("gid") != 2, F.array(F.lit("rollup"), F.lit("cube"))
-    ).otherwise(F.array(F.lit("cube")))
-    return cube_res.select(
-        F.explode(tags).alias("op"),
-        "o_orderstatus",
-        "o_orderpriority",
-        "n_orders",
-        "o_totalprice_sum",
-    )
-
-
-@query(
-    "g3_grouping_sets",
-    "grouping: GROUPING SETS via free SQL (Q1)",
-    """
-    SELECT c_mktsegment, c_nationkey, count(*) AS n_customers
+    UNION ALL
+    SELECT 'gsets' AS op, c_mktsegment AS g1,
+           CAST(c_nationkey AS VARCHAR) AS g2,
+           count(*) AS n, CAST(NULL AS DOUBLE) AS sum_val
     FROM customer
     GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
     """,
-    "Explicit grouping sets, executed through the spark.sql free-SQL "
-    "surface over registered views — the Q1 entry point itself.",
+    "The grouping-analysis family in one tagged union. ROLLUP and CUBE "
+    "share ONE cube pass over orders (one scan + one Expand + one "
+    "shuffle): rollup's grouping sets are a subset of cube's, so each "
+    "aggregate row explodes into its tag list (rollup sets get both "
+    "tags, the priority-only set — grouping_id 2 — only 'cube'); a "
+    "post-aggregate gid FILTER would push into the Expand and split "
+    "the cube back into two scans. The 'gsets' branch runs explicit "
+    "GROUPING SETS through the spark.sql free-SQL surface over "
+    "registered views — the Q1 entry point itself — with the group "
+    "columns harmonized to (g1, g2 as string).",
 )
-def g3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g1_g3_grouping_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cube_res = o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_val"),
+        F.grouping_id().alias("gid"),
+    )
+    tags = F.when(
+        F.col("gid") != 2, F.array(F.lit("rollup"), F.lit("cube"))
+    ).otherwise(F.array(F.lit("cube")))
+    cube_part = cube_res.select(
+        F.explode(tags).alias("op"),
+        F.col("o_orderstatus").alias("g1"),
+        F.col("o_orderpriority").alias("g2"),
+        "n",
+        "sum_val",
+    )
     register_views(spark, sf_dir, ["customer"])
-    return spark.sql(
+    gsets_part = spark.sql(
         """
-        SELECT c_mktsegment, c_nationkey, count(*) AS n_customers
+        SELECT 'gsets' AS op, c_mktsegment AS g1,
+               CAST(c_nationkey AS STRING) AS g2,
+               count(*) AS n, CAST(NULL AS DOUBLE) AS sum_val
         FROM customer
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
         """
     )
+    return cube_part.unionByName(gsets_part)
 
 
 @query(

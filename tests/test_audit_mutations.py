@@ -175,3 +175,43 @@ def test_dd9_recall_flips_on_dead_probe(spark, monkeypatch):
     rows = _run(spark, "dd9_incremental_neardup")
     assert all(not r.lsh_recall_ok for r in rows)
     assert all(r.lsh_precision_ok for r in rows)
+
+
+# --- sdd1: SemDeDup cluster-local semantic dedup -----------------------------
+
+
+def test_sdd1_recall_flips_on_dead_clustering(spark, monkeypatch):
+    """A production multi-cluster pass that finds nothing (e.g. the
+    assignment UDF scoring against the wrong centroid matrix so no two
+    near-dups share a cluster) → cluster_recall_ok FALSE on every
+    declared row; the single-cluster exact twin (centroids with one
+    row) is untouched and precision stays vacuously TRUE."""
+    real = northstar.similarity.semantic_dedup_pairs
+
+    def mutated(emb, centroids, *a, **kw):
+        out = real(emb, centroids, *a, **kw)
+        return out.limit(0) if len(centroids) > 1 else out
+
+    monkeypatch.setattr(northstar.similarity, "semantic_dedup_pairs", mutated)
+    rows = _run(spark, "sdd1_semantic_dedup")
+    assert all(not r.cluster_recall_ok for r in rows)
+    assert all(r.semdedup_precision_ok for r in rows)
+
+
+def test_sdd1_precision_flips_on_phantom_pair(spark, monkeypatch):
+    """A production pass inventing a pair no exact GEMM would emit
+    (broken assignment putting far-apart vectors in one cluster plus a
+    broken rescore) → semdedup_precision_ok FALSE; recall is computed
+    from the surviving REAL pairs and stays TRUE."""
+    real = northstar.similarity.semantic_dedup_pairs
+
+    def mutated(emb, centroids, *a, **kw):
+        out = real(emb, centroids, *a, **kw)
+        if len(centroids) > 1:
+            out = out.unionByName(_phantom(emb.sparkSession, "cosine"))
+        return out
+
+    monkeypatch.setattr(northstar.similarity, "semantic_dedup_pairs", mutated)
+    rows = _run(spark, "sdd1_semantic_dedup")
+    assert all(not r.semdedup_precision_ok for r in rows)
+    assert all(r.cluster_recall_ok for r in rows)
