@@ -50,8 +50,13 @@ def _snap1_scratch(sf_dir: str) -> str:
     key = (sf_dir, os.getpid())
     path = _SCRATCH.get(key)
     if path is None:
+        import atexit
+
         path = tempfile.mkdtemp(prefix="etlzero_snap1_")
         _SCRATCH[key] = path
+        # the last copy is reclaimed at interpreter exit (collection
+        # is long done by then); between invocations re-entry wipes
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
     else:
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)

@@ -92,11 +92,22 @@ class RuleBasedGenerator:
       grouped branches (R6); a stated HAVING that no branch can honor
       REFUSES the question instead of answering without the constraint
     * ``top/bottom N <group> by <agg> [col]``          -> grouped agg
-      ranked by the aggregate (R6 — the reference's 'top 5 products by
-      revenue' demo phrasing); unresolvable mentions refuse rather
-      than silently ranking raw rows by a guessed column
+      ranked by the aggregate; ``top N <group> by <metric>`` with a
+      bare metric noun resolving to a NUMERIC column groups and ranks
+      by SUM(metric) (R7, ADVICE r6 #3) — when <group> names the
+      TABLE itself ('top 5 orders by totalprice') raw rows rank
+      instead; unresolvable mentions refuse rather than silently
+      ranking raw rows by a guessed column
     * ``... ordered/sorted by <col> [descending]``     -> ORDER BY on
       the plain-select fallback (R6)
+    * ``... between March and May`` / ``in March``     -> month filter
+      on the table's date-named column (R7 — the reference demo's
+      'orders between March and May per status and priority' space);
+      ``<col> between 1995-03-01 and 1995-06-30``      -> DATE BETWEEN
+    * ``... by/per <colA> and <colB>``                 -> multi-column
+      GROUP BY on the grouped branches (R7)
+    * ``<agg> <col> as <name>``                        -> user-named
+      aggregate output column (R7)
 
     Table and column mentions resolve by containment first, then
     difflib fuzzy match (cutoff 0.6 — the reference's column-matching
@@ -110,6 +121,12 @@ class RuleBasedGenerator:
         "sum": "SUM", "total": "SUM",
         "minimum": "MIN", "min": "MIN", "lowest": "MIN", "smallest": "MIN",
         "maximum": "MAX", "max": "MAX", "highest": "MAX", "largest": "MAX",
+    }
+
+    _MONTHS = {
+        "january": 1, "february": 2, "march": 3, "april": 4, "may": 5,
+        "june": 6, "july": 7, "august": 8, "september": 9,
+        "october": 10, "november": 11, "december": 12,
     }
 
     def __call__(self, prompt: str) -> str:
@@ -191,12 +208,15 @@ class RuleBasedGenerator:
             return f"SELECT COUNT(*) AS n FROM {table}{where}"
 
         for word, fn in self._AGGS.items():
-            m = re.search(rf"\b{word}\b(?:\s+of)?\s+(\w+)", q_main)
+            m = re.search(
+                rf"\b{word}\b(?:\s+of)?\s+(\w+)(?:\s+as\s+(\w+))?", q_main
+            )
             if m:
                 col = self._resolve_column(m.group(1), cols)
                 if col is None:
                     continue
-                alias = f"{col}_{fn.lower()}"
+                # R7: '<agg> <col> as <name>' names the output column
+                alias = m.group(2) or f"{col}_{fn.lower()}"
                 group = self._group_column(q_main, cols)
                 if group:
                     return (
@@ -330,19 +350,52 @@ class RuleBasedGenerator:
         n: int, direction: str,
     ) -> str | None:
         """'top/bottom N <group> by <agg> [of] [col]' -> grouped
-        aggregate ranked by the aggregate ('top 5 products by revenue'
-        is the reference's own demo phrasing, front_end.py:578). None
-        when the question is not this shape (caller falls back to the
-        raw-row ranking); '' when the shape IS stated but a mention
-        fails to resolve — refusing beats silently ranking raw rows by
-        a guessed column."""
+        aggregate ranked by the aggregate ('top 3 orderstatus by
+        average totalprice'). R7 (ADVICE r6 #3): a BARE metric noun —
+        'top 5 mktsegment by totalprice', the reference's 'top 5
+        products by revenue' shape (front_end.py:578) with the group
+        being a column — also takes this path, ranking groups by
+        SUM(metric), when <group> resolves to a column and <metric> to
+        a NUMERIC column; when <group> names the TABLE itself ('top 5
+        orders by totalprice') the caller's raw-row ranking is the
+        right read and this returns None. None when the question is
+        not this shape (caller falls back to the raw-row ranking); ''
+        when the shape IS stated but a mention fails to resolve —
+        refusing beats silently ranking raw rows by a guessed column."""
         m = re.search(
             rf"\b(?:top|bottom|lowest|smallest)\s+\d+\s+(\w+)\s+by\s+"
             rf"({'|'.join(self._AGGS)}|count)\b(?:\s+of)?(?:\s+(\w+))?",
             q,
         )
         if not m:
-            return None
+            # bare-metric form: 'top N <group-col> by <numeric-col>'
+            m2 = re.search(
+                r"\b(?:top|bottom|lowest|smallest)\s+\d+\s+(\w+)\s+by\s+(\w+)\b",
+                q,
+            )
+            if not m2:
+                return None
+            gw = m2.group(1)
+            if any(
+                gw in (t, f"{t}s", t.rstrip("s")) or gw.rstrip("s") == t
+                for t in ([table] if table else [])
+            ):
+                return None  # 'top 5 orders by price' ranks raw rows
+            group = self._resolve_column(gw, cols)
+            metric = self._resolve_column(m2.group(2), cols)
+            if (
+                group is None
+                or metric is None
+                or metric == group
+                or cols.get(metric) != "number"
+            ):
+                return None  # not this shape -> raw-row fallback
+            alias = f"{metric}_sum"
+            return (
+                f"SELECT {group}, SUM({metric}) AS {alias} FROM {table}"
+                f"{where} GROUP BY {group} ORDER BY {alias} {direction} "
+                f"LIMIT {n}"
+            )
         group = self._resolve_column(m.group(1), cols)
         if group is None:
             return ""
@@ -372,9 +425,39 @@ class RuleBasedGenerator:
                 return c
         return None
 
+    def _resolve_date_column(
+        self, word: str | None, cols: dict[str, str]
+    ) -> str | None:
+        """The column a month filter applies to: an explicitly
+        mentioned date-named column wins; a non-column mention (the
+        table name, 'orders between March and May') falls back to the
+        table's UNIQUE date-named column — two date columns would be
+        ambiguous, so None (unresolvable) rather than a guess."""
+        if word:
+            col = self._resolve_column(word.lower(), cols)
+            if col and "date" in col.lower():
+                return col
+        dated = [c for c in cols if "date" in c.lower()]
+        return dated[0] if len(dated) == 1 else None
+
     def _group_column(self, q: str, cols: dict[str, str]) -> str | None:
-        m = re.search(r"\b(?:by|per|for each|grouped by)\s+(\w+)", q)
-        return self._resolve_column(m.group(1), cols) if m else None
+        """R7: 'by/per <colA> and <colB>' resolves BOTH mentions into a
+        multi-column group list ('per status and priority'); a second
+        mention that is not a column falls back to single-column (the
+        'and' may open an unrelated clause)."""
+        m = re.search(
+            r"\b(?:by|per|for each|grouped by)\s+(\w+)(?:\s+and\s+(\w+))?", q
+        )
+        if not m:
+            return None
+        first = self._resolve_column(m.group(1), cols)
+        if first is None:
+            return None
+        if m.group(2):
+            second = self._resolve_column(m.group(2), cols)
+            if second and second != first:
+                return f"{first}, {second}"
+        return first
 
     @staticmethod
     def _best_key_pair(
@@ -472,12 +555,57 @@ class RuleBasedGenerator:
         def free(s: int, e: int) -> bool:
             return all(e <= fs or s >= fe for fs, fe, _ in found)
 
+        # Date shapes FIRST (R7): their 'and'/'is' must never read as
+        # a conjunction or equality, and a month name must not fall
+        # through to the equality parser as a string value.
+        months = "|".join(self._MONTHS)
+        for m in re.finditer(
+            rf"(?:(\w+)\s+)?(?:is\s+)?between\s+({months})\s+and\s+({months})\b",
+            raw,
+            re.IGNORECASE,
+        ):
+            col = self._resolve_date_column(m.group(1), cols)
+            if col:
+                lo = self._MONTHS[m.group(2).lower()]
+                hi = self._MONTHS[m.group(3).lower()]
+                found.append(
+                    (m.start(), m.end(),
+                     f"MONTH({prefix}{col}) BETWEEN {lo} AND {hi}")
+                )
+        for m in re.finditer(
+            rf"(?:(\w+)\s+)?(?:is\s+)?in\s+({months})\b", raw, re.IGNORECASE
+        ):
+            if not free(m.start(), m.end()):
+                continue
+            col = self._resolve_date_column(m.group(1), cols)
+            if col:
+                found.append(
+                    (m.start(), m.end(),
+                     f"MONTH({prefix}{col}) = {self._MONTHS[m.group(2).lower()]}")
+                )
+        for m in re.finditer(
+            r"(\w+)\s+(?:is\s+)?between\s+(\d{4}-\d{2}-\d{2})\s+and\s+"
+            r"(\d{4}-\d{2}-\d{2})",
+            raw,
+            re.IGNORECASE,
+        ):
+            if not free(m.start(), m.end()):
+                continue
+            col = self._resolve_column(m.group(1).lower(), cols)
+            if col:
+                found.append(
+                    (m.start(), m.end(),
+                     f"{prefix}{col} BETWEEN DATE '{m.group(2)}' "
+                     f"AND DATE '{m.group(3)}'")
+                )
         for m in re.finditer(
             r"(\w+)\s+(?:is\s+)?between\s+(-?\d+(?:\.\d+)?)\s+and\s+"
             r"(-?\d+(?:\.\d+)?)",
             raw,
             re.IGNORECASE,
         ):
+            if not free(m.start(), m.end()):
+                continue
             col = self._resolve_column(m.group(1).lower(), cols)
             if col:
                 found.append(

@@ -170,3 +170,59 @@ def test_compact_preserves_ledger_and_next_day_probe(spark, tmp_path):
     expected = _pairs_set(dedup.minhash_lsh_pairs(all_docs, threshold=0.9))
     assert _pairs_set(state.pairs.read(spark)) == expected
     assert (1, 30) in _pairs_set(state.pairs.read(spark))
+
+
+def test_keep_set_closes_the_loop_into_prepare_corpus(spark, tmp_path):
+    """VERDICT r6 #5: the pairs the streaming sink accumulates must
+    DRIVE a resolution — resolved_keep_set over the streamed state
+    equals a batch dedup_keep_min re-run, and prepare_corpus consuming
+    the streamed pairs table (near_dedup_pairs=...) yields the same
+    surviving rows as re-pairing the corpus in-pipeline. NEAR (not
+    exact) cross-batch duplicates, so the pipeline's exact-dedup stage
+    cannot mask the near-dedup stage under test."""
+    import os
+
+    from etl_zero_spark.plans.corpus_pipeline import prepare_corpus
+    from etl_zero_spark.streaming.dedup import resolved_keep_set
+
+    day1 = [
+        (1, "the quick brown fox jumps over the lazy dog by the river bank"),
+        (2, "spark structured streaming processes micro batches exactly once with checkpointed state stores"),
+        (3, "completely unrelated text about catalyst optimizer rule batches"),
+    ]
+    day2 = [  # 20 ~ 1 and 21 ~ 2 with one token APPENDED: jaccard
+        # 11/12 = 0.917 and 10/11 = 0.909, both >= 0.9 (a CHANGED token
+        # would cut 3 shingles and land near 0.8) — near, not exact
+        (20, "the quick brown fox jumps over the lazy dog by the river bank shore"),
+        (21, "spark structured streaming processes micro batches exactly once with checkpointed state stores nightly"),
+        (22, "watermarks bound state for late arriving event time data"),
+    ]
+    src = str(tmp_path / "src")
+    for i, day in enumerate((day1, day2)):
+        spark.createDataFrame(day, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"day{i}"))
+    state = StreamingNeardupState(str(tmp_path / "state"))
+    _run(spark, src, state, str(tmp_path / "ckpt"), "keepset_loop")
+
+    union = spark.createDataFrame(day1 + day2, "doc_id long, text string")
+    # 1) keep-set view == batch keep-min re-run over the union corpus
+    streamed_keep = {r.doc_id for r in resolved_keep_set(spark, state, union).collect()}
+    batch_pairs = dedup.minhash_lsh_pairs(union, threshold=0.9)
+    batch_keep = {r.doc_id for r in dedup.dedup_keep_min(union, batch_pairs).collect()}
+    assert streamed_keep == batch_keep == {1, 2, 3, 22}
+
+    # 2) prepare_corpus consumes the streamed pairs table for its
+    #    near-dedup stage — same survivors as the in-pipeline re-pair,
+    #    and the expensive pairing stage never runs in this process.
+    common = dict(quality=False, shuffle_seed=None, collect_stats=True)
+    via_stream = prepare_corpus(
+        union, near_dedup_pairs=state.pairs.read(spark),
+        near_dedup_threshold=None, **common,
+    )
+    via_repair = prepare_corpus(union, near_dedup_threshold=0.9, **common)
+    got = {r.doc_id for r in via_stream.df.select("doc_id").collect()}
+    want = {r.doc_id for r in via_repair.df.select("doc_id").collect()}
+    assert got == want == {1, 2, 3, 22}
+    assert via_stream.stats["near_dedup"] == via_repair.stats["near_dedup"] == 4
+    via_stream.unpersist(); via_repair.unpersist()

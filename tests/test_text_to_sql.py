@@ -305,3 +305,129 @@ def test_generator_having_split_is_word_boundary():
     assert sql == (
         "SELECT AVG(behaving_score) AS behaving_score_avg FROM metrics"
     )
+
+
+# ---------------------------------------------------------------------------
+# R7 grammar: date/month filters, multi-column GROUP BY, agg aliases,
+# bare-metric ranked groups (VERDICT r6 #6 + ADVICE r6 #3)
+# ---------------------------------------------------------------------------
+
+_SCHEMA_D = (
+    "CREATE TABLE orders (o_orderkey number, o_custkey number, "
+    "o_totalprice number, o_orderstatus text, o_orderpriority text, "
+    "o_orderdate text)"
+)
+
+_SCHEMA_P = (
+    "CREATE TABLE products (product_id number, product text, "
+    "category text, revenue number, stock number)"
+)
+
+
+def _gen_d(question: str) -> str:
+    return t2s.RuleBasedGenerator()(t2s.build_prompt(_SCHEMA_D, question))
+
+
+def _gen_p(question: str) -> str:
+    return t2s.RuleBasedGenerator()(t2s.build_prompt(_SCHEMA_P, question))
+
+
+def test_generator_month_filters_resolve_date_column():
+    """'orders between March and May' applies a MONTH() range to the
+    table's unique date-named column; 'in July' is a single-month
+    filter; the month names never leak into the equality parser."""
+    sql = _gen_d("show orders between march and may")
+    assert sql == (
+        "SELECT * FROM orders WHERE MONTH(o_orderdate) BETWEEN 3 AND 5"
+    )
+    sql = _gen_d("count orders in july")
+    assert sql == "SELECT COUNT(*) AS n FROM orders WHERE MONTH(o_orderdate) = 7"
+    # the reference-demo composite: month range + two-column grouping
+    sql = _gen_d("count of orders between march and may per orderstatus and orderpriority")
+    assert sql == (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders "
+        "WHERE MONTH(o_orderdate) BETWEEN 3 AND 5 "
+        "GROUP BY o_orderstatus, o_orderpriority"
+    )
+    # no date-named column -> the stated month filter cannot bind; the
+    # condition is dropped from WHERE, never mis-bound to a text col
+    assert _gen("show orders between march and may") == "SELECT * FROM orders"
+
+
+def test_generator_iso_date_between():
+    sql = _gen_d("orders where orderdate between 1995-03-01 and 1995-06-30")
+    assert sql == (
+        "SELECT * FROM orders WHERE o_orderdate BETWEEN "
+        "DATE '1995-03-01' AND DATE '1995-06-30'"
+    )
+
+
+def test_generator_multi_column_group_by():
+    sql = _gen_d("average totalprice of orders per orderstatus and orderpriority")
+    assert sql == (
+        "SELECT o_orderstatus, o_orderpriority, "
+        "AVG(o_totalprice) AS o_totalprice_avg "
+        "FROM orders GROUP BY o_orderstatus, o_orderpriority"
+    )
+    # a non-column second mention falls back to single-column grouping
+    sql = _gen_d("count orders per orderstatus and show them")
+    assert sql == (
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
+    )
+
+
+def test_generator_agg_output_alias():
+    sql = _gen_p("sum of revenue as total_revenue in products")
+    assert sql == "SELECT SUM(revenue) AS total_revenue FROM products"
+    sql = _gen_p("average stock as avg_stock by category in products")
+    assert sql == (
+        "SELECT category, AVG(stock) AS avg_stock FROM products "
+        "GROUP BY category"
+    )
+
+
+def test_generator_bare_metric_ranked_group():
+    """ADVICE r6 #3: 'top N <group-col> by <numeric-col>' groups and
+    ranks by SUM(metric); 'top N <table> by <col>' still ranks raw
+    rows (the group word naming the table means rows, not groups)."""
+    sql = _gen_p("top 5 categories by revenue from products")
+    assert sql == (
+        "SELECT category, SUM(revenue) AS revenue_sum FROM products "
+        "GROUP BY category ORDER BY revenue_sum DESC LIMIT 5"
+    )
+    sql = _gen_p("bottom 2 categories by stock from products")
+    assert sql == (
+        "SELECT category, SUM(stock) AS stock_sum FROM products "
+        "GROUP BY category ORDER BY stock_sum ASC LIMIT 2"
+    )
+    # the reference's literal demo phrasing: products is the TABLE, so
+    # raw rows rank by the revenue column
+    sql = _gen_p("top 5 products by revenue")
+    assert sql == "SELECT * FROM products ORDER BY revenue DESC LIMIT 5"
+    # group resolves but metric is TEXT -> not this shape; raw-row path
+    sql = _gen_p("top 3 categories by product from products")
+    assert "GROUP BY" not in sql
+
+
+def test_month_filter_end_to_end(spark):
+    """The R7 date grammar executes against the real fixture: month
+    range + two-column grouping over the true o_orderdate DATE column
+    through spark.sql (MONTH() on a date type)."""
+    import duckdb
+
+    out = t2s.process_query(
+        spark,
+        SF_SMOKE,
+        "count of orders between march and may per orderstatus and orderpriority",
+        tables=["orders"],
+    )
+    got = {(r.o_orderstatus, r.o_orderpriority): r.n for r in out.collect()}
+    want = dict(
+        ((s, p), n)
+        for s, p, n in duckdb.sql(
+            f"SELECT o_orderstatus, o_orderpriority, count(*) "
+            f"FROM read_parquet('{SF_SMOKE}/orders.parquet') "
+            f"WHERE month(o_orderdate) BETWEEN 3 AND 5 GROUP BY 1, 2"
+        ).fetchall()
+    )
+    assert got == want and got
