@@ -256,6 +256,25 @@ def _extras(spark, sf_dir: str) -> dict:
             load_table(spark, sf_dir, "documents"), k=50
         ).count()
 
+    def x_quality_classifier() -> int:
+        # R7: the GPT-3 CommonCrawl filter. Train amortizes through
+        # the persisted PipelineModel (cold pays L-BFGS, warm loads +
+        # scores — the bpe/lm pattern); the filter's where(keep)
+        # forces the full transform per row.
+        from etl_zero_spark.operators import classifier as qc
+
+        docs = load_table(spark, sf_dir, "documents")
+        if "qc" not in r6_state:
+            r6_state["qc"] = qc.cached_quality_classifier(
+                docs.where(F.col("doc_id") % 5 == 0),
+                docs.where(F.col("doc_id") % 5 == 1),
+                {"corpus": sf_dir,
+                 "src_id": source_identity(
+                     os.path.join(sf_dir, "documents.parquet")),
+                 "pos": "mod5=0", "neg": "mod5=1"},
+            )
+        return qc.classifier_filter(docs, r6_state["qc"]).count()
+
     def x_chunk_documents() -> int:
         from etl_zero_spark.operators.text import chunk_documents
 
@@ -278,6 +297,7 @@ def _extras(spark, sf_dir: str) -> dict:
         "x_lm_perplexity_buckets": x_lm_perplexity_buckets,
         "x_dsir_select": x_dsir_select,
         "x_span_dedup": x_span_dedup,
+        "x_quality_classifier": x_quality_classifier,
         "x_chunk_documents": x_chunk_documents,
     }
 

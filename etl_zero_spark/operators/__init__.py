@@ -8,4 +8,5 @@ write-audit-publish, multimodal plumbing, storage layout,
 materialized views, SCD-adjacent reshaping (pivot/unpivot),
 time series, funnels, cohorts, drift detection, n-gram LM perplexity
 (CCNet buckets), DSIR importance resampling, semantic dedup
-(SemDeDup). See SURVEY.md §2."""
+(SemDeDup), learned quality classifier (GPT-3 CommonCrawl filter).
+See SURVEY.md §2."""

@@ -8,8 +8,9 @@ oracle/property-tested — this module contributes the COMPOSITION, its
 stage accounting, and the single place the stage order is documented:
 
     blocklist -> HTML strip -> Unicode normalize -> PII scrub ->
-    Gopher quality gate ->
-    LM perplexity gate -> exact dedup -> MinHash near-dedup -> exact
+    Gopher quality gate -> learned classifier gate (GPT-3 Pareto
+    rule, R7) -> LM perplexity gate -> exact dedup -> MinHash
+    near-dedup (in-pipeline pairing OR a streamed pair feed) -> exact
     substring (span) dedup -> eval-set decontamination -> DSIR
     selection -> deterministic shuffle -> sequence packing
 
@@ -77,6 +78,9 @@ def prepare_corpus(
     source_col: str = "source",
     quality: bool = True,
     gopher_thresholds: dict[str, float] | None = None,
+    classifier_model=None,
+    classifier_alpha: float = 9.0,
+    classifier_seed: int = 0,
     perplexity_model=None,
     max_perplexity: float | None = None,
     near_dedup_threshold: float | None = 0.5,
@@ -161,6 +165,21 @@ def prepare_corpus(
             .select(id_col)
         )
         df = record("quality_gate", df.join(kept, id_col, "left_semi"))
+    if classifier_model is not None:
+        # Learned quality filter (operators/classifier.py — the GPT-3
+        # CommonCrawl recipe): one JVM transform pass + the published
+        # Pareto keep rule (deterministic per doc_id). After the
+        # heuristic gate (cheaper first), before the LM gate (which
+        # should judge only documents that might survive).
+        from ..operators.classifier import classifier_filter
+
+        df = record(
+            "classifier_gate",
+            classifier_filter(
+                df, classifier_model, text_col=text_col, id_col=id_col,
+                alpha=classifier_alpha, seed=classifier_seed,
+            ).drop("quality_prob"),
+        )
     if perplexity_model is not None and max_perplexity is not None:
         # CCNet-style gate (operators/lm.py): one vectorized UDF pass;
         # the trained model rides by closure. Docs with NULL perplexity

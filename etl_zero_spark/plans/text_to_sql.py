@@ -558,30 +558,56 @@ class RuleBasedGenerator:
         # Date shapes FIRST (R7): their 'and'/'is' must never read as
         # a conjunction or equality, and a month name must not fall
         # through to the equality parser as a string value.
+        # All date shapes match NARROW spans (the keyword + values
+        # only) and read the optional column mention BACK from the
+        # prefix — a greedy leading-word capture would swallow the
+        # tail of an adjacent condition ('status is F in march' must
+        # not claim the F) and block it from parsing.
+        def _pre_word(upto: int) -> str | None:
+            pre = re.search(r"(\w+)\s+(?:is\s+)?$", raw[:upto])
+            return pre.group(1) if pre else None
+
         months = "|".join(self._MONTHS)
         for m in re.finditer(
-            rf"(?:(\w+)\s+)?(?:is\s+)?between\s+({months})\s+and\s+({months})\b",
+            rf"\bbetween\s+({months})\s+and\s+({months})\b",
             raw,
             re.IGNORECASE,
         ):
-            col = self._resolve_date_column(m.group(1), cols)
+            col = self._resolve_date_column(_pre_word(m.start()), cols)
             if col:
-                lo = self._MONTHS[m.group(2).lower()]
-                hi = self._MONTHS[m.group(3).lower()]
+                lo = self._MONTHS[m.group(1).lower()]
+                hi = self._MONTHS[m.group(2).lower()]
                 found.append(
                     (m.start(), m.end(),
                      f"MONTH({prefix}{col}) BETWEEN {lo} AND {hi}")
                 )
         for m in re.finditer(
-            rf"(?:(\w+)\s+)?(?:is\s+)?in\s+({months})\b", raw, re.IGNORECASE
+            rf"\bin\s+({months})\b", raw, re.IGNORECASE
         ):
             if not free(m.start(), m.end()):
                 continue
-            col = self._resolve_date_column(m.group(1), cols)
+            col = self._resolve_date_column(_pre_word(m.start()), cols)
             if col:
                 found.append(
                     (m.start(), m.end(),
-                     f"MONTH({prefix}{col}) = {self._MONTHS[m.group(2).lower()]}")
+                     f"MONTH({prefix}{col}) = {self._MONTHS[m.group(1).lower()]}")
+                )
+        for m in re.finditer(r"\bin\s+(\d{4})\b", raw, re.IGNORECASE):
+            # 'orders in 1995' -> YEAR(o_orderdate) = 1995. The match
+            # is just 'in <year>' so it composes with an adjacent
+            # month condition ('in march in 1995'); the preceding word
+            # is read back only for the numeric-column guard
+            # ('totalprice in 1000' stays out of the date grammar).
+            if not free(m.start(), m.end()):
+                continue
+            w = _pre_word(m.start())
+            if w and cols.get(self._resolve_column(w.lower(), cols)) == "number":
+                continue
+            col = self._resolve_date_column(w, cols)
+            if col:
+                found.append(
+                    (m.start(), m.end(),
+                     f"YEAR({prefix}{col}) = {m.group(1)}")
                 )
         for m in re.finditer(
             r"(\w+)\s+(?:is\s+)?between\s+(\d{4}-\d{2}-\d{2})\s+and\s+"

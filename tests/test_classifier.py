@@ -1,0 +1,182 @@
+"""Learned quality classifier (operators/classifier.py — the GPT-3
+CommonCrawl filter, Brown et al. 2020 appendix A): separability on
+planted corpora, the published Pareto keep rule's determinism and
+monotonicity, the numpy-replayed sigmoid oracle, model persistence,
+and the prepare_corpus composition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_zero_spark.operators import classifier
+from etl_zero_spark.plans.corpus_pipeline import prepare_corpus
+
+# Two clearly separable registers: "quality" prose words vs spam-ish
+# tokens. 40 train docs per side, deterministic composition.
+_GOOD_WORDS = ("the quick analysis of spark query plans shows careful "
+               "reasoning about distributed joins and memory").split()
+_SPAM_WORDS = ("buy cheap pills casino winner click subscribe free "
+               "offer deal jackpot bonus prize").split()
+
+
+def _mk(words, doc_id, n=12):
+    return " ".join(words[(doc_id + i) % len(words)] for i in range(n))
+
+
+@pytest.fixture(scope="module")
+def model(spark):
+    pos = spark.createDataFrame(
+        [(i, _mk(_GOOD_WORDS, i)) for i in range(40)], "doc_id long, text string"
+    )
+    neg = spark.createDataFrame(
+        [(i, _mk(_SPAM_WORDS, i)) for i in range(40)], "doc_id long, text string"
+    )
+    return classifier.train_quality_classifier(pos, neg, n_features=1 << 14)
+
+
+def _eval_df(spark):
+    rows = [(100 + i, _mk(_GOOD_WORDS, i + 3)) for i in range(20)]
+    rows += [(200 + i, _mk(_SPAM_WORDS, i + 3)) for i in range(20)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_scores_separate_held_out_registers(spark, model):
+    scored = classifier.score_quality(_eval_df(spark), model)
+    probs = {r.doc_id: r.quality_prob for r in scored.collect()}
+    good = [p for d, p in probs.items() if d < 200]
+    spam = [p for d, p in probs.items() if d >= 200]
+    assert min(good) > 0.8 and max(spam) < 0.2  # held-out separation
+    assert set(scored.columns) == {"doc_id", "text", "quality_prob"}
+
+
+def test_scores_match_numpy_sigmoid_oracle(spark, model):
+    """The transform pass must equal sigmoid(w . tf + b) recomputed
+    with numpy from the model's own coefficients and the SAME hashed
+    term frequencies (HashingTF re-applied; only LR is replayed)."""
+    import math
+
+    import numpy as np
+
+    tf_model, lr_model = model.stages
+    w = np.array(lr_model.coefficients.toArray())
+    b = float(lr_model.intercept)
+    df = _eval_df(spark).limit(7)
+    feats = tf_model.transform(
+        df.withColumn("grams", classifier._token_features(F.col("text")))
+    ).select("doc_id", "features").collect()
+    want = {
+        r.doc_id: 1.0 / (1.0 + math.exp(-(float(np.dot(
+            w[r.features.indices], r.features.values)) + b)))
+        for r in feats
+    }
+    got = {
+        r.doc_id: r.quality_prob
+        for r in classifier.score_quality(df, model).collect()
+    }
+    assert got.keys() == want.keys()
+    for d in got:
+        assert abs(got[d] - want[d]) < 1e-9
+
+
+def test_pareto_keep_rule_deterministic_and_monotone(spark):
+    """The keep decision is a pure function of (id, seed, score):
+    identical across repartitionings; score >= 1 always keeps; keep
+    RATE rises with score (the published alpha=9 curve keeps ~every
+    high scorer and a thin tail of low scorers)."""
+    n = 4000
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 100 / 100.0).alias("score"),
+    )
+    keep = classifier.pareto_keep_expr(F.col("score"), F.col("doc_id"), seed=7)
+    a = {r.doc_id for r in base.where(keep).collect()}
+    b = {r.doc_id for r in base.repartition(13).where(keep).collect()}
+    assert a == b
+    ones = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit(1.0).alias("score")
+    )
+    assert ones.where(keep).count() == 50
+    # Analytic Lomax(9) check: P(keep | s) = (2 - s)^-9 — about 0.42
+    # averaged over the 0.8-0.99 band, about 0.003 over 0.0-0.19. The
+    # draw is hash-deterministic, so these observed rates are exact
+    # reproducible values, asserted with slack only for future id/seed
+    # tweaks.
+    rate_lo = len([d for d in a if d % 100 < 20]) / (n / 5)
+    rate_hi = len([d for d in a if d % 100 >= 80]) / (n / 5)
+    assert 0.3 < rate_hi < 0.55  # near the analytic 0.42
+    assert 0.0 < rate_lo < 0.02  # the diversity tail: thin but alive
+
+
+def test_classifier_filter_audit_mode(spark, model):
+    out = classifier.classifier_filter(
+        _eval_df(spark), model, keep_col="keep"
+    )
+    rows = out.collect()
+    assert len(rows) == 40  # audit mode drops nothing
+    kept_good = sum(1 for r in rows if r.keep and r.doc_id < 200)
+    kept_spam = sum(1 for r in rows if r.keep and r.doc_id >= 200)
+    assert kept_good >= 18  # high scorers virtually always keep
+    assert kept_spam <= 5
+
+
+def test_cached_model_trains_once(spark, tmp_path, monkeypatch):
+    """Second call with identical params loads the persisted model
+    instead of retraining (builder-call counter, the artifacts
+    pattern); changed geometry retrains."""
+    calls = []
+    real = classifier.train_quality_classifier
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(classifier, "train_quality_classifier", counting)
+    pos = spark.createDataFrame(
+        [(i, _mk(_GOOD_WORDS, i)) for i in range(10)], "doc_id long, text string"
+    )
+    neg = spark.createDataFrame(
+        [(i, _mk(_SPAM_WORDS, i)) for i in range(10)], "doc_id long, text string"
+    )
+    key = {"corpus": "fixture"}
+    m1 = classifier.cached_quality_classifier(
+        pos, neg, key, n_features=1 << 12, root=str(tmp_path)
+    )
+    assert calls == [1]
+    m2 = classifier.cached_quality_classifier(
+        pos, neg, key, n_features=1 << 12, root=str(tmp_path)
+    )
+    assert calls == [1]  # loaded
+    s1 = classifier.score_quality(pos, m1).collect()
+    s2 = classifier.score_quality(pos, m2).collect()
+    assert {(r.doc_id, round(r.quality_prob, 9)) for r in s1} == {
+        (r.doc_id, round(r.quality_prob, 9)) for r in s2
+    }
+    classifier.cached_quality_classifier(
+        pos, neg, key, n_features=1 << 11, root=str(tmp_path)
+    )
+    assert calls == [1, 1]  # geometry change retrains
+
+
+def test_prepare_corpus_classifier_stage(spark, model):
+    """The pipeline stage drops spam-register docs, keeps the good
+    register (minus the Pareto tail's randomness on mid scores — here
+    scores are extreme so the outcome is near-deterministic), and
+    records survivor accounting."""
+    res = prepare_corpus(
+        _eval_df(spark),
+        quality=False,
+        classifier_model=model,
+        near_dedup_threshold=None,
+        shuffle_seed=None,
+        collect_stats=True,
+    )
+    ids = {r.doc_id for r in res.df.select("doc_id").collect()}
+    assert "quality_prob" not in res.df.columns
+    # stage accounting: the gate runs BEFORE exact dedup (the cyclic
+    # fixture texts repeat, so dedup shrinks the survivors further)
+    assert res.stats["classifier_gate"] >= 18
+    assert res.stats["exact_dedup"] == len(ids)
+    good, spam = [d for d in ids if d < 200], [d for d in ids if d >= 200]
+    assert len(good) >= 10 and len(spam) <= 3
+    res.unpersist()

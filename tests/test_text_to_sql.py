@@ -431,3 +431,34 @@ def test_month_filter_end_to_end(spark):
         ).fetchall()
     )
     assert got == want and got
+
+
+def test_generator_year_filter():
+    """'orders in 1995' -> YEAR() on the date column; a 4-digit value
+    against a NUMERIC column mention stays out of the date grammar."""
+    sql = _gen_d("count orders in 1995")
+    assert sql == "SELECT COUNT(*) AS n FROM orders WHERE YEAR(o_orderdate) = 1995"
+    sql = _gen_d("orders where totalprice between 1000 and 2000")
+    assert sql == "SELECT * FROM orders WHERE o_totalprice BETWEEN 1000 AND 2000"
+    # month + year compose as two conditions
+    sql = _gen_d("count orders in march in 1995")
+    assert sql == (
+        "SELECT COUNT(*) AS n FROM orders "
+        "WHERE MONTH(o_orderdate) = 3 AND YEAR(o_orderdate) = 1995"
+    )
+
+
+def test_generator_date_filter_composes_with_equality():
+    """Narrow-span date matching: 'status is F in march' keeps BOTH
+    conditions — a greedy month pattern would swallow the F and block
+    the equality from parsing."""
+    sql = _gen_d("orders where orderstatus is F in march")
+    assert sql == (
+        "SELECT * FROM orders WHERE o_orderstatus = 'F' "
+        "AND MONTH(o_orderdate) = 3"
+    )
+    sql = _gen_d("orders where orderstatus is F between march and may")
+    assert sql == (
+        "SELECT * FROM orders WHERE o_orderstatus = 'F' "
+        "AND MONTH(o_orderdate) BETWEEN 3 AND 5"
+    )

@@ -615,6 +615,22 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         )
         return sim.semantic_dedup_pairs(emb, cents, threshold=0.9)
 
+    def classifier_100k():
+        # R7: GPT-3-style quality LR at 100k docs — train on a 40k
+        # split (HashingTF + L-BFGS over treeAggregate passes, capped
+        # iters), score + Pareto-filter the full corpus. Single-run
+        # (the model persists via the params-keyed store: a rep would
+        # measure load+score, a different path).
+        from etl_zero_spark.operators import classifier as qc
+
+        model = qc.cached_quality_classifier(
+            docs.where(F.col("doc_id") % 5 == 0),
+            docs.where(F.col("doc_id") % 5 == 1),
+            {"corpus": probe_dir, "pos": "mod5=0", "neg": "mod5=1"},
+            max_iter=10,
+        )
+        return qc.classifier_filter(docs, model)
+
     def drift_1m_distinct():
         # R6 (VERDICT r5 #8): drift_report on a ~1M-distinct
         # categorical. The categorical path is top-N + '(other)'
@@ -696,6 +712,7 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("span_dedup_100k_k25", span_dedup_100k),
         ("lm_ppl_100k", lm_ppl_100k),
         ("dsir_100k_top10k", dsir_100k),
+        ("classifier_100k", classifier_100k),
         ("drift_1m_distinct_cat", drift_1m_distinct),
         ("shuffle_100k", shuffle_100k),
         ("zorder_6m", zorder_6m),
