@@ -145,6 +145,21 @@ def source_identity(path: str) -> str:
     return h.hexdigest()[:24]
 
 
+def artifact_path(kind: str, params: dict, root: str | None = None) -> str:
+    """The params-keyed directory for an artifact of ``kind`` — ONE
+    key-derivation rule shared by ``cached_artifact`` and by artifacts
+    whose on-disk format is owned elsewhere (Spark ML PipelineModels):
+    sha256 of the canonical params JSON under ``<root>/<kind>/``.
+    Callers bypassing ``cached_artifact`` must store and verify their
+    own params echo (a 64-bit-truncated key can collide; serving a
+    model trained under different params is a silent wrong-answer)."""
+    base = root or default_artifact_root()
+    key = hashlib.sha256(
+        json.dumps(params, sort_keys=True).encode()
+    ).hexdigest()[:16]
+    return os.path.join(base, kind, key)
+
+
 def cached_artifact(kind: str, params: dict, builder, root: str | None = None):
     """Load-or-train: the amortization path every learned index needs
     (IVF centroids, PQ codebooks, BPE merges are corpus passes that at
@@ -159,11 +174,7 @@ def cached_artifact(kind: str, params: dict, builder, root: str | None = None):
     absent, corrupt, params drift on a key collision — rebuilds via
     ``builder()`` and persists atomically for the next caller.
     """
-    base = root or default_artifact_root()
-    key = hashlib.sha256(
-        json.dumps(params, sort_keys=True).encode()
-    ).hexdigest()[:16]
-    path = os.path.join(base, kind, key)
+    path = artifact_path(kind, params, root)
     try:
         obj, m = load_artifact(path, expect_kind=kind)
         if m.get("params") == json.loads(json.dumps(params)):
@@ -171,6 +182,6 @@ def cached_artifact(kind: str, params: dict, builder, root: str | None = None):
     except (OSError, ValueError, KeyError):
         pass  # absent / corrupt / mismatched -> rebuild below
     obj = builder()
-    os.makedirs(os.path.join(base, kind), exist_ok=True)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     save_artifact(path, obj, kind, params=params)
     return obj

@@ -65,7 +65,12 @@ def _token_features(text: Column) -> Column:
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
     )
-    return F.concat(toks, bigrams)
+    # NULL text -> empty feature array, not NULL: HashingTF throws on a
+    # null terms column (review r7), and every adjacent corpus stage
+    # (LM gate, DSIR, chunking) tolerates null text — so must this.
+    return F.coalesce(
+        F.concat(toks, bigrams), F.array().cast("array<string>")
+    )
 
 
 def train_quality_classifier(
@@ -173,19 +178,21 @@ def cached_quality_classifier(
     max_iter: int = 30,
     root: str | None = None,
 ):
-    """Load-or-train with the functions/artifacts keying discipline:
-    the params dict (caller's corpus identity + every geometry knob)
-    hashes to the model directory; a loadable model there is reused,
-    anything else retrains and overwrites. Spark ML owns the on-disk
-    format (its own metadata + parquet coefficients), so this wraps
-    path selection and atomic replace, not payload digesting."""
-    import hashlib
+    """Load-or-train with the functions/artifacts keying discipline
+    (shared ``artifact_path`` rule): the params dict (caller's corpus
+    identity + every geometry knob) hashes to the model directory; a
+    loadable model there whose stored params echo matches is reused,
+    anything else — absent, corrupt, params drift on a key collision
+    — retrains and overwrites. Spark ML owns the model's on-disk
+    format (its own metadata + parquet coefficients); the params echo
+    is a sidecar JSON, replacing the digest check cached_artifact
+    does for payloads it owns."""
     import json
     import os
 
     from pyspark.ml import PipelineModel
 
-    from etl_zero_spark.functions.artifacts import default_artifact_root
+    from etl_zero_spark.functions.artifacts import artifact_path
 
     params = {
         **corpus_key,
@@ -194,17 +201,21 @@ def cached_quality_classifier(
         "max_iter": max_iter,
         "text_col": text_col,
     }
-    base = root or default_artifact_root()
-    key = hashlib.sha256(
-        json.dumps(params, sort_keys=True).encode()
-    ).hexdigest()[:16]
-    path = os.path.join(base, "quality_classifier", key)
+    path = artifact_path("quality_classifier", params, root)
+    echo = path + ".params.json"
     try:
-        return PipelineModel.load(path)
-    except Exception:  # noqa: BLE001 — absent/corrupt -> retrain
+        with open(echo) as fh:
+            stored = json.load(fh)
+        if stored == json.loads(json.dumps(params)):
+            return PipelineModel.load(path)
+    except Exception:  # noqa: BLE001 — absent/corrupt/mismatch -> retrain
         pass
     model = train_quality_classifier(
         positive, negative, text_col, n_features, reg_param, max_iter
     )
     model.write().overwrite().save(path)
+    tmp = echo + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(params, fh)
+    os.replace(tmp, echo)
     return model

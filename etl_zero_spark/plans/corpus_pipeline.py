@@ -39,6 +39,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators.corpus import (
     blocklist_filter,
@@ -201,13 +202,23 @@ def prepare_corpus(
         # pairs O(delta) per micro-batch — a daily pipeline consumes
         # THAT table here instead of re-pairing the whole corpus
         # (which is what near_dedup_threshold below does). Same
-        # keep-min resolution, one anti-join, zero similarity work in
-        # this process. The pairs must share the corpus id space;
-        # pairs naming already-dropped ids are harmless (anti-join
-        # no-ops). Takes precedence over near_dedup_threshold.
-        df = record(
-            "near_dedup", dedup_keep_min(df, near_dedup_pairs, id_col=id_col)
+        # keep-min resolution, zero similarity work in this process.
+        # The pairs must share the corpus id space. Takes precedence
+        # over near_dedup_threshold.
+        #
+        # The feed was computed on the RAW ingest, but this stage runs
+        # after the gates — so keep only pairs whose KEEPER (a_id, the
+        # min side) survived upstream (one semi-join): a pair whose
+        # keeper was gated away must not still condemn its b_id, or a
+        # document the in-pipeline path keeps silently vanishes (its
+        # sole near-twin being spam is no reason to drop it — review
+        # r7). This reproduces the in-pipeline semantics, where pairs
+        # only ever form among gate survivors.
+        df = fork(df)
+        alive = near_dedup_pairs.join(
+            df.select(F.col(id_col).alias("a_id")), "a_id", "left_semi"
         )
+        df = record("near_dedup", dedup_keep_min(df, alive, id_col=id_col))
     elif near_dedup_threshold is not None:
         df = fork(df)
         pairs = minhash_lsh_pairs(

@@ -180,3 +180,18 @@ def test_prepare_corpus_classifier_stage(spark, model):
     good, spam = [d for d in ids if d < 200], [d for d in ids if d >= 200]
     assert len(good) >= 10 and len(spam) <= 3
     res.unpersist()
+
+
+def test_null_text_scores_intercept_not_crash(spark, model):
+    """NULL text must flow through as zero features (the intercept's
+    probability), not a HashingTF NullPointerException (review r7) —
+    every adjacent corpus stage tolerates null text."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "the quick analysis of spark query plans")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.quality_prob for r in
+            classifier.score_quality(df, model).collect()}
+    assert len(rows) == 2 and 0.0 <= rows[1] <= 1.0
+    # and the filter path runs end-to-end
+    classifier.classifier_filter(df, model, keep_col="keep").collect()

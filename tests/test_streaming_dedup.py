@@ -226,3 +226,53 @@ def test_keep_set_closes_the_loop_into_prepare_corpus(spark, tmp_path):
     assert got == want == {1, 2, 3, 22}
     assert via_stream.stats["near_dedup"] == via_repair.stats["near_dedup"] == 4
     via_stream.unpersist(); via_repair.unpersist()
+
+
+def test_keep_set_respects_upstream_gates(spark, tmp_path):
+    """Review r7: a streamed pair whose KEEPER (min id) is removed by
+    an upstream gate must not still condemn the surviving member —
+    the in-pipeline path only ever pairs gate survivors, and the
+    external-feed path must reproduce that. Here the blocklist drops
+    doc 1 (the keeper of planted pair (1, 20)); doc 20 must SURVIVE
+    on both paths."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_zero_spark.plans.corpus_pipeline import prepare_corpus
+
+    day1 = [
+        (1, "the quick brown fox jumps over the lazy dog by the river bank", "spamco"),
+        (2, "spark structured streaming processes micro batches exactly once with checkpointed state stores", "good"),
+        (3, "completely unrelated text about catalyst optimizer rule batches", "good"),
+    ]
+    day2 = [
+        (20, "the quick brown fox jumps over the lazy dog by the river bank shore", "good"),
+        (21, "spark structured streaming processes micro batches exactly once with checkpointed state stores nightly", "good"),
+        (22, "watermarks bound state for late arriving event time data", "good"),
+    ]
+    schema = "doc_id long, text string, source string"
+    src = str(tmp_path / "src")
+    for i, day in enumerate((day1, day2)):
+        spark.createDataFrame(day, schema).select("doc_id", "text").coalesce(
+            1
+        ).write.parquet(os.path.join(src, f"day{i}"))
+    state = StreamingNeardupState(str(tmp_path / "state"))
+    _run(spark, src, state, str(tmp_path / "ckpt"), "keepset_gate")
+
+    union = spark.createDataFrame(day1 + day2, schema)
+    common = dict(
+        blocked_sources=["spamco"], quality=False, shuffle_seed=None,
+        collect_stats=True,
+    )
+    via_stream = prepare_corpus(
+        union, near_dedup_pairs=state.pairs.read(spark),
+        near_dedup_threshold=None, **common,
+    )
+    via_repair = prepare_corpus(union, near_dedup_threshold=0.9, **common)
+    got = {r.doc_id for r in via_stream.df.select("doc_id").collect()}
+    want = {r.doc_id for r in via_repair.df.select("doc_id").collect()}
+    # doc 1 blocked; 20 survives (its only near-twin was gated away);
+    # 21 still drops (its keeper 2 survived)
+    assert got == want == {2, 3, 20, 22}
+    via_stream.unpersist(); via_repair.unpersist()
