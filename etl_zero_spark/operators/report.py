@@ -1,0 +1,130 @@
+"""Corpus datasheet: the one-pass statistical summary a training-data
+release ships with (the "Datasheets for Datasets" habit, Gebru et al.
+2018; every serious open corpus — C4, The Pile, Dolma — publishes this
+table). The reference repo's analog is its chart-prep summaries over
+business tables; this is the corpus-shaped counterpart a 100 TB
+pipeline runs after ``prepare_corpus``.
+
+Scale shape: ONE full-corpus aggregation computes every scalar (row
+counts, null/empty tallies, char/word/token mass, length percentiles
+via one ``percentile_approx`` sketch, exact-dup rate via a distinct
+count over the normalized-content MD5 — all map-side-combined into a
+single reduce), plus one bounded ``groupBy ... LIMIT top_n`` per
+requested dimension column (source, language). No collects beyond the
+aggregate rows themselves; nothing driver-side scales with corpus
+size. ``datasheet_markdown`` renders the dict deterministically for a
+release artifact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_zero_spark.operators.text import (
+    bpe_token_count_expr,
+    char_count_expr,
+    fingerprint_exprs,
+    quality_score_expr,
+    word_count_expr,
+)
+
+_PCTS = [0.5, 0.9, 0.99]
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str | None = None,
+    lang_col: str | None = None,
+    top_n: int = 20,
+) -> dict:
+    """Summarize a corpus into a plain dict (JSON-ready). Dimension
+    breakdowns run only for the columns the caller names; each is a
+    top-``top_n`` by document count with an ``(other)`` rollup row so
+    the table is bounded at any cardinality (the drift-report rule)."""
+    t = F.col(text_col)
+    words = word_count_expr(t)
+    content_key = fingerprint_exprs(t)["content_md5"]
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(t.isNull(), 1)).alias("n_null_text"),
+        F.count(F.when(F.length(t) == 0, 1)).alias("n_empty_text"),
+        F.coalesce(F.sum(char_count_expr(t)), F.lit(0)).alias("total_chars"),
+        F.coalesce(F.sum(words), F.lit(0)).alias("total_words"),
+        F.coalesce(F.sum(bpe_token_count_expr(t)), F.lit(0)).alias(
+            "total_bpe_tokens"
+        ),
+        F.percentile_approx(words, _PCTS).alias("word_pcts"),
+        F.countDistinct(content_key).alias("n_distinct_content"),
+        F.round(F.avg(quality_score_expr(t)), 6).alias("mean_quality"),
+    ).collect()[0]
+    n = agg.n_docs
+    report: dict = {
+        "n_docs": n,
+        "n_null_text": agg.n_null_text,
+        "n_empty_text": agg.n_empty_text,
+        "total_chars": agg.total_chars,
+        "total_words": agg.total_words,
+        "total_bpe_tokens": agg.total_bpe_tokens,
+        "words_per_doc_p50_p90_p99": list(agg.word_pcts or []),
+        "n_distinct_content": agg.n_distinct_content,
+        # docs whose normalized content duplicates an earlier doc
+        # (null-text docs carry no content and are not dups of anything)
+        "exact_dup_fraction": (
+            round((n - agg.n_null_text - agg.n_distinct_content) / n, 6)
+            if n else 0.0
+        ),
+        "mean_quality": agg.mean_quality,
+    }
+    for dim, col in (("by_source", source_col), ("by_lang", lang_col)):
+        if col is None:
+            continue
+        top = (
+            docs.groupBy(F.coalesce(F.col(col), F.lit("(null)")).alias("k"))
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.coalesce(F.sum(words), F.lit(0)).alias("words"),
+            )
+            .orderBy(F.col("docs").desc(), F.col("k"))
+            .limit(top_n)
+            .collect()
+        )
+        shown_docs = sum(r.docs for r in top)
+        rows = [
+            {"key": r.k, "docs": r.docs, "words": r.words} for r in top
+        ]
+        if n - shown_docs > 0:
+            rows.append(
+                {"key": "(other)", "docs": n - shown_docs, "words": None}
+            )
+        report[dim] = rows
+    return report
+
+
+def datasheet_markdown(report: dict, title: str = "Corpus datasheet") -> str:
+    """Deterministic markdown rendering of ``corpus_report`` output —
+    the artifact a corpus release checks in next to the data."""
+    lines = [f"# {title}", ""]
+    lines.append("| metric | value |")
+    lines.append("|---|---|")
+    for k in (
+        "n_docs", "n_null_text", "n_empty_text", "total_chars",
+        "total_words", "total_bpe_tokens", "n_distinct_content",
+        "exact_dup_fraction", "mean_quality",
+    ):
+        lines.append(f"| {k} | {report.get(k)} |")
+    pcts = report.get("words_per_doc_p50_p90_p99") or []
+    if pcts:
+        joined = " / ".join(str(int(p)) for p in pcts)
+        lines.append(f"| words per doc (p50/p90/p99) | {joined} |")
+    for dim, label in (("by_source", "source"), ("by_lang", "language")):
+        if dim not in report:
+            continue
+        lines += ["", f"## Documents by {label}", "",
+                  f"| {label} | docs | words |", "|---|---|---|"]
+        for row in report[dim]:
+            w = row["words"] if row["words"] is not None else ""
+            lines.append(f"| {row['key']} | {row['docs']} | {w} |")
+    return "\n".join(lines) + "\n"

@@ -195,6 +195,22 @@ class RuleBasedGenerator:
             )
 
         if re.search(r"\bhow many\b|\bcount\b|number of", q_main):
+            # R7: count-distinct ('how many distinct mktsegments',
+            # 'number of unique clerks [per status]')
+            md = re.search(r"\b(?:distinct|unique)\s+(\w+)", q_main)
+            if md:
+                col = self._resolve_column(md.group(1), cols)
+                if col is None:
+                    return ""  # stated distinct target must resolve
+                group = self._group_column(q_main, cols)
+                if group:
+                    return (
+                        f"SELECT {group}, COUNT(DISTINCT {col}) AS n "
+                        f"FROM {table}{where} GROUP BY {group}{having}"
+                    )
+                if hv:
+                    return ""
+                return f"SELECT COUNT(DISTINCT {col}) AS n FROM {table}{where}"
             # R6: grouped counts ('count of orders per orderpriority'),
             # with optional HAVING on the groups
             group = self._group_column(q_main, cols)
@@ -330,6 +346,27 @@ class RuleBasedGenerator:
             hit = self._fuzzy(w, list(schema))
             if hit:
                 return hit
+        # R7: no table mentioned, but a word names a column of exactly
+        # ONE table ('how many distinct mktsegments are there') — that
+        # table is the unambiguous target. Exact/suffix/containment
+        # matches only (no difflib): a fuzzy hit here would resolve
+        # near-gibberish to a table and break the refusal contract.
+        for w in words:
+            owners = []
+            for t, cols in schema.items():
+                for cand in (w, w.rstrip("s")):
+                    if cand in cols or (
+                        len(cand) >= 4
+                        and sum(
+                            1 for c in cols
+                            if c.lower().endswith(cand.lower())
+                            or cand.lower() in c.lower()
+                        ) == 1
+                    ):
+                        owners.append(t)
+                        break
+            if len(owners) == 1:
+                return owners[0]
         return None
 
     def _resolve_column(self, word: str, cols: dict[str, str]) -> str | None:

@@ -230,3 +230,38 @@ def test_r6_operators_empty(spark, empty_docs, empty_emb):
     cents = np.random.RandomState(0).randn(4, 8)
     assert similarity.semantic_dedup_pairs(empty_emb, cents).count() == 0
     assert similarity.semantic_dedup(empty_emb, cents).count() == 0
+
+
+def test_r7_operators_empty(spark, empty_docs):
+    """R7 tier on 0-row inputs: span dedup (both hash and verify_exact
+    paths), classifier scoring, streaming keep-set before any commit."""
+    from etl_zero_spark.operators import classifier, dedup
+    from etl_zero_spark.streaming.dedup import (
+        StreamingNeardupState,
+        resolved_keep_set,
+    )
+
+    assert dedup.duplicate_spans(empty_docs, k=4).count() == 0
+    assert dedup.remove_duplicate_spans(empty_docs, k=4).count() == 0
+    assert dedup.remove_duplicate_spans(
+        empty_docs, k=4, verify_exact=True
+    ).count() == 0
+
+    # a model trained on tiny corpora still scores an empty frame
+    tiny = spark.createDataFrame(
+        [(1, "good solid prose here"), (2, "more useful words")],
+        "doc_id long, text string",
+    )
+    junk = spark.createDataFrame(
+        [(3, "spam spam spam"), (4, "junk junk junk")],
+        "doc_id long, text string",
+    )
+    model = classifier.train_quality_classifier(tiny, junk, n_features=1 << 10)
+    assert classifier.score_quality(empty_docs, model).count() == 0
+    assert classifier.classifier_filter(empty_docs, model).count() == 0
+
+    # keep-set before the first pairs commit: identity
+    import tempfile
+
+    state = StreamingNeardupState(tempfile.mkdtemp(prefix="etlzero_ks_"))
+    assert resolved_keep_set(spark, state, tiny).count() == 2

@@ -163,3 +163,18 @@ def test_scd2_null_keys_pass_through(spark):
     assert out.count() == 3
     nulls = out.where(F.col("k").isNull()).collect()
     assert len(nulls) == 1 and nulls[0].is_current
+
+
+def test_span_dedup_null_and_empty_text(spark, docs_with_nulls):
+    """Span dedup over null/empty text rows: they open no grams, are
+    never marked, and pass through unchanged (null stays null, empty
+    stays empty) on both the hash and verify_exact paths."""
+    from etl_zero_spark.operators import dedup
+
+    for ve in (False, True):
+        out = {r.doc_id: r.text for r in dedup.remove_duplicate_spans(
+            docs_with_nulls, k=4, verify_exact=ve).collect()}
+        assert out[2] is None and out[4] == ""
+        assert out[1] == out[3] or out[3] == ""  # dup doc 3 fully cut
+        # doc 1 (global first) keeps its text verbatim
+        assert out[1].startswith("the quick brown fox")

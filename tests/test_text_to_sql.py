@@ -462,3 +462,20 @@ def test_generator_date_filter_composes_with_equality():
         "SELECT * FROM orders WHERE o_orderstatus = 'F' "
         "AND MONTH(o_orderdate) BETWEEN 3 AND 5"
     )
+
+
+def test_generator_count_distinct():
+    """R7: 'how many distinct X' -> COUNT(DISTINCT), plain and
+    grouped; an unresolvable distinct target refuses."""
+    sql = _gen("how many distinct mktsegments are there")
+    assert sql == "SELECT COUNT(DISTINCT c_mktsegment) AS n FROM customer"
+    sql = _gen_d("number of unique custkeys per orderstatus")
+    assert sql == (
+        "SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+    assert _gen("how many distinct flurbs in customer") == ""
+    # the plain SELECT DISTINCT shape is untouched
+    assert _gen("distinct mktsegment from customer") == (
+        "SELECT DISTINCT c_mktsegment FROM customer"
+    )
