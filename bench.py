@@ -281,6 +281,17 @@ def _extras(spark, sf_dir: str) -> dict:
             )
         return qc.classifier_filter(docs, r6_state["qc"]).count()
 
+    def x_corpus_report() -> int:
+        # R7: the one-pass datasheet — a dict, not a DataFrame, so the
+        # scalar agg + two bounded dimension groupBys are the work.
+        from etl_zero_spark.operators.report import corpus_report
+
+        rep = corpus_report(
+            load_table(spark, sf_dir, "documents"),
+            source_col="source", lang_col="lang",
+        )
+        return rep["n_docs"]
+
     def x_chunk_documents() -> int:
         from etl_zero_spark.operators.text import chunk_documents
 
@@ -304,6 +315,7 @@ def _extras(spark, sf_dir: str) -> dict:
         "x_dsir_select": x_dsir_select,
         "x_span_dedup": x_span_dedup,
         "x_quality_classifier": x_quality_classifier,
+        "x_corpus_report": x_corpus_report,
         "x_chunk_documents": x_chunk_documents,
     }
 

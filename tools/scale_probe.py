@@ -60,6 +60,7 @@ _PURE_PROBES = frozenset({
     "e3_sessionize_10m", "aj1_asof_10m", "rj1_range_10m",
     "gopher_100k", "semdedup_100k_t09", "span_dedup_100k_k25",
     "lm_ppl_100k", "dsir_100k_top10k", "drift_1m_distinct_cat",
+    "report_100k",
     "shuffle_100k", "scd2_merge_1m",
     "funnel_10m", "funnel_hotuser_1m_capped", "cohorts_10m",
     "dd2_t05",
@@ -621,15 +622,33 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         # iters), score + Pareto-filter the full corpus. Single-run
         # (the model persists via the params-keyed store: a rep would
         # measure load+score, a different path).
+        from etl_zero_spark.functions.artifacts import source_identity
         from etl_zero_spark.operators import classifier as qc
 
         model = qc.cached_quality_classifier(
             docs.where(F.col("doc_id") % 5 == 0),
             docs.where(F.col("doc_id") % 5 == 1),
-            {"corpus": probe_dir, "pos": "mod5=0", "neg": "mod5=1"},
+            {"corpus": probe_dir,
+             "src_id": source_identity(
+                 os.path.join(probe_dir, "documents.parquet")),
+             "pos": "mod5=0", "neg": "mod5=1"},
             max_iter=10,
         )
         return qc.classifier_filter(docs, model)
+
+    def report_100k():
+        # R7: datasheet at 100k — one scalar agg pass + two bounded
+        # dimension groupBys; returns a 2-row frame so the harness
+        # counts something real.
+        from etl_zero_spark.operators.report import corpus_report
+
+        rep = corpus_report(docs, source_col="source", lang_col="lang")
+        assert rep["n_docs"] == N_DOCS
+        return spark.createDataFrame(
+            [("n_docs", float(rep["n_docs"])),
+             ("total_words", float(rep["total_words"]))],
+            "metric string, value double",
+        )
 
     def drift_1m_distinct():
         # R6 (VERDICT r5 #8): drift_report on a ~1M-distinct
@@ -713,6 +732,7 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("lm_ppl_100k", lm_ppl_100k),
         ("dsir_100k_top10k", dsir_100k),
         ("classifier_100k", classifier_100k),
+        ("report_100k", report_100k),
         ("drift_1m_distinct_cat", drift_1m_distinct),
         ("shuffle_100k", shuffle_100k),
         ("zorder_6m", zorder_6m),
