@@ -5,14 +5,18 @@ table). The reference repo's analog is its chart-prep summaries over
 business tables; this is the corpus-shaped counterpart a 100 TB
 pipeline runs after ``prepare_corpus``.
 
-Scale shape: ONE full-corpus aggregation computes every scalar (row
-counts, null/empty tallies, char/word/token mass, length percentiles
-via one ``percentile_approx`` sketch, exact-dup rate via a distinct
-count over the normalized-content MD5 — all map-side-combined into a
-single reduce), plus one bounded ``groupBy ... LIMIT top_n`` per
-requested dimension column (source, language). No collects beyond the
-aggregate rows themselves; nothing driver-side scales with corpus
-size. ``datasheet_markdown`` renders the dict deterministically for a
+Scale shape: ONE pass over the text computes a slim per-doc frame
+(word/char/token counts, quality score, content MD5, dimension keys —
+~100 bytes/row, no text), evaluated in a single Project so codegen's
+common-subexpression elimination tokenizes each document exactly once.
+That slim frame persists MEMORY_AND_DISK (at 10B docs it's ~1 TB —
+disk-backed executor storage on a real cluster, nothing driver-side),
+and the scalar aggregation (percentile sketch, distinct-content count)
+plus one bounded ``groupBy ... LIMIT top_n`` per requested dimension
+column (source, language) all read it instead of re-scanning and
+re-tokenizing the corpus. No collects beyond the aggregate rows
+themselves; nothing driver-side scales with corpus size.
+``datasheet_markdown`` renders the dict deterministically for a
 release artifact.
 """
 
@@ -45,21 +49,44 @@ def corpus_report(
     top-``top_n`` by document count with an ``(other)`` rollup row so
     the table is bounded at any cardinality (the drift-report rule)."""
     t = F.col(text_col)
-    words = word_count_expr(t)
-    content_key = fingerprint_exprs(t)["content_md5"]
-    agg = docs.agg(
+    # One heavy pass: every text-derived value lands in a single
+    # Project (codegen CSE tokenizes each doc once), then the slim
+    # ~100 B/row result persists so the scalar agg and each dimension
+    # groupBy below read it instead of re-scanning the corpus.
+    slim_cols = [
+        t.isNull().alias("is_null"),
+        (F.length(t) == 0).alias("is_empty"),
+        char_count_expr(t).alias("chars"),
+        word_count_expr(t).alias("words"),
+        bpe_token_count_expr(t).alias("bpe_tokens"),
+        quality_score_expr(t).alias("quality"),
+        fingerprint_exprs(t)["content_md5"].alias("content_key"),
+    ]
+    for col in (source_col, lang_col):
+        if col is not None:
+            slim_cols.append(F.col(col))
+    slim = docs.select(*slim_cols)
+    from pyspark import StorageLevel
+
+    slim = slim.persist(StorageLevel.MEMORY_AND_DISK)
+    agg = slim.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.count(F.when(t.isNull(), 1)).alias("n_null_text"),
-        F.count(F.when(F.length(t) == 0, 1)).alias("n_empty_text"),
-        F.coalesce(F.sum(char_count_expr(t)), F.lit(0)).alias("total_chars"),
-        F.coalesce(F.sum(words), F.lit(0)).alias("total_words"),
-        F.coalesce(F.sum(bpe_token_count_expr(t)), F.lit(0)).alias(
-            "total_bpe_tokens"
-        ),
-        F.percentile_approx(words, _PCTS).alias("word_pcts"),
-        F.countDistinct(content_key).alias("n_distinct_content"),
-        F.round(F.avg(quality_score_expr(t)), 6).alias("mean_quality"),
+        F.count(F.when(F.col("is_null"), 1)).alias("n_null_text"),
+        F.count(F.when(F.col("is_empty"), 1)).alias("n_empty_text"),
+        F.coalesce(F.sum("chars"), F.lit(0)).alias("total_chars"),
+        F.coalesce(F.sum("words"), F.lit(0)).alias("total_words"),
+        F.coalesce(F.sum("bpe_tokens"), F.lit(0)).alias("total_bpe_tokens"),
+        F.percentile_approx("words", _PCTS).alias("word_pcts"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
     ).collect()[0]
+    # The exact distinct-content count runs as its own aggregation:
+    # mixing a distinct aggregate with the typed-imperative percentile
+    # sketch above forces Catalyst off the hash-aggregate path (an
+    # Expand + sort-based plan measured ~10x slower than the two
+    # aggregations run separately against the persisted slim frame).
+    n_distinct_content = slim.agg(
+        F.countDistinct("content_key").alias("n")
+    ).collect()[0].n
     n = agg.n_docs
     report: dict = {
         "n_docs": n,
@@ -69,11 +96,11 @@ def corpus_report(
         "total_words": agg.total_words,
         "total_bpe_tokens": agg.total_bpe_tokens,
         "words_per_doc_p50_p90_p99": list(agg.word_pcts or []),
-        "n_distinct_content": agg.n_distinct_content,
+        "n_distinct_content": n_distinct_content,
         # docs whose normalized content duplicates an earlier doc
         # (null-text docs carry no content and are not dups of anything)
         "exact_dup_fraction": (
-            round((n - agg.n_null_text - agg.n_distinct_content) / n, 6)
+            round((n - agg.n_null_text - n_distinct_content) / n, 6)
             if n else 0.0
         ),
         "mean_quality": agg.mean_quality,
@@ -82,10 +109,10 @@ def corpus_report(
         if col is None:
             continue
         top = (
-            docs.groupBy(F.coalesce(F.col(col), F.lit("(null)")).alias("k"))
+            slim.groupBy(F.coalesce(F.col(col), F.lit("(null)")).alias("k"))
             .agg(
                 F.count(F.lit(1)).alias("docs"),
-                F.coalesce(F.sum(words), F.lit(0)).alias("words"),
+                F.coalesce(F.sum("words"), F.lit(0)).alias("words"),
             )
             .orderBy(F.col("docs").desc(), F.col("k"))
             .limit(top_n)
@@ -100,6 +127,7 @@ def corpus_report(
                 {"key": "(other)", "docs": n - shown_docs, "words": None}
             )
         report[dim] = rows
+    slim.unpersist()
     return report
 
 
