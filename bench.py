@@ -281,6 +281,27 @@ def _extras(spark, sf_dir: str) -> dict:
             )
         return qc.classifier_filter(docs, r6_state["qc"]).count()
 
+    def x_line_dedup() -> int:
+        # R7: boilerplate line removal (the C4 rule). The corpus texts
+        # are single-line, so restructure every 5 words into a line
+        # first — with the small synthetic vocabulary those 5-word
+        # lines repeat across documents heavily, a boilerplate-dense
+        # worst case for the dup table. Length predicate forces the
+        # rebuilt text to materialize (the x_span_dedup trap).
+        from etl_zero_spark.operators.dedup import remove_duplicate_lines
+
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "text",
+            F.regexp_replace(
+                F.col("text"), r"((?:\w+ ){4}\w+) ", "$1\n"
+            ),
+        )
+        return (
+            remove_duplicate_lines(docs, min_docs=2)
+            .where(F.coalesce(F.length("text"), F.lit(0)) >= 0)
+            .count()
+        )
+
     def x_corpus_report() -> int:
         # R7: the one-pass datasheet — a dict, not a DataFrame, so the
         # scalar agg + two bounded dimension groupBys are the work.
@@ -315,6 +336,7 @@ def _extras(spark, sf_dir: str) -> dict:
         "x_dsir_select": x_dsir_select,
         "x_span_dedup": x_span_dedup,
         "x_quality_classifier": x_quality_classifier,
+        "x_line_dedup": x_line_dedup,
         "x_corpus_report": x_corpus_report,
         "x_chunk_documents": x_chunk_documents,
     }

@@ -17,6 +17,8 @@ bounding strategy proven in dedup.ngram_jaccard_pairs.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -508,3 +510,159 @@ def dsir_resample(
         .limit(k)
         .drop("__key")
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture allocation (domain reweighting)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MixResult:
+    """``mix_corpus`` output: the sampled corpus plus the per-source
+    allocation ledger — {source: {"weight", "available", "target",
+    "allocated"}} in the budget unit (docs or tokens). ``allocated``
+    is the waterfilled quota actually applied; compare to ``target``
+    (the pure-weight share) to see which sources ran dry."""
+
+    df: DataFrame
+    allocation: dict
+    unit: str
+
+
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    total_docs: int | None = None,
+    total_tokens: int | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    exact: bool = False,
+) -> MixResult:
+    """Compose a training mixture: sample the corpus so its
+    composition across ``weights``' sources matches the given relative
+    weights under a total budget of documents (``total_docs``) or
+    whitespace tokens (``total_tokens``) — the Pile/Dolma-style
+    mixture spec ("webtext 0.6, code 0.3, papers 0.1, 100B tokens").
+    Sources absent from ``weights`` contribute nothing (an explicit
+    mixture spec, like ``stratified_sample``).
+
+    Allocation is waterfilled: each source's target is its weight
+    share of the budget; a source with less data than its target is
+    capped at availability and the shortfall redistributes across the
+    remaining sources in weight proportion (iterated to fixpoint —
+    at most one pass per source). No upsampling: repeating documents
+    to fill a quota is an epoch/packing decision, not a sampling one;
+    the ledger shows the shortfall instead.
+
+    Selection within a source is ``xxhash64(id, seed)``-based and
+    therefore deterministic across runs, partitionings, and retries,
+    and NESTED across budgets (a bigger budget's sample is a superset
+    of a smaller one's — hash order is fixed):
+
+    * ``exact=False`` (default, the 100 TB path): keep rows whose hash
+      falls under ``allocated/available`` of the hash space — ZERO
+      shuffles, one filter; realized counts are binomial around the
+      quota (±~sqrt(n)).
+    * ``exact=True``: exactly the quota, chosen as the source's lowest
+      hash values — one window per source partition (``row_number``
+      for docs, a running token sum for tokens, cutting at the last
+      document that still fits). A giant source funnels through its
+      partition's sort; use it when budgets are small or exactness is
+      contractual.
+
+    One bounded ``groupBy(source)`` computes availability (rows
+    collected = number of sources); nothing else reaches the driver.
+    """
+    if (total_docs is None) == (total_tokens is None):
+        raise ValueError("mix_corpus: pass exactly one of total_docs / total_tokens")
+    if not weights:
+        raise ValueError("mix_corpus: empty weights")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("mix_corpus: weights must be >=0 with a positive sum")
+    unit = "docs" if total_docs is not None else "tokens"
+    budget = float(total_docs if total_docs is not None else total_tokens)
+
+    in_mix = df.where(F.col(source_col).isin(list(weights)))
+    size = (
+        F.count(F.lit(1))
+        if unit == "docs"
+        else F.coalesce(F.sum(F.size(_tokens(F.col(text_col)))), F.lit(0))
+    )
+    avail = {
+        r["k"]: float(r["n"])
+        for r in in_mix.groupBy(F.col(source_col).alias("k"))
+        .agg(size.alias("n"))
+        .collect()
+    }
+    for s in weights:
+        avail.setdefault(s, 0.0)
+
+    # waterfill: cap saturated sources, redistribute in weight
+    # proportion among the rest; terminates in <= len(weights) passes
+    alloc = {s: 0.0 for s in weights}
+    active = {s for s in weights if weights[s] > 0}
+    remaining = budget
+    targets = {
+        s: budget * weights[s] / sum(weights.values()) for s in weights
+    }
+    while remaining > 1e-9 and active:
+        wsum = sum(weights[s] for s in active)
+        share = {s: remaining * weights[s] / wsum for s in active}
+        saturated = {
+            s for s in active if alloc[s] + share[s] >= avail[s] - 1e-9
+        }
+        if not saturated:
+            for s in active:
+                alloc[s] += share[s]
+            break
+        for s in saturated:
+            remaining -= avail[s] - alloc[s]
+            alloc[s] = avail[s]
+            active.discard(s)
+    quotas = {s: int(round(a)) for s, a in alloc.items()}
+
+    if exact:
+        if unit == "docs":
+            sampled = stratified_take(in_mix, source_col, quotas, id_col, seed)
+        else:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(source_col).orderBy(
+                F.xxhash64(F.col(id_col), F.lit(seed)), id_col
+            )
+            quota_col = F.coalesce(
+                *[
+                    F.when(F.col(source_col) == s, F.lit(q))
+                    for s, q in quotas.items()
+                ],
+                F.lit(0),
+            )
+            sampled = (
+                in_mix.withColumn(
+                    "__cum",
+                    F.sum(F.size(_tokens(F.col(text_col)))).over(w),
+                )
+                .where(F.col("__cum") <= quota_col)
+                .drop("__cum")
+            )
+    else:
+        fractions = {
+            s: (quotas[s] / avail[s] if avail[s] > 0 else 0.0)
+            for s in quotas
+        }
+        sampled = stratified_sample(in_mix, source_col, fractions, id_col, seed)
+
+    ledger = {
+        s: {
+            "weight": weights[s],
+            "available": int(avail[s]),
+            "target": int(round(targets[s])),
+            "allocated": quotas[s],
+        }
+        for s in weights
+    }
+    return MixResult(df=sampled, allocation=ledger, unit=unit)

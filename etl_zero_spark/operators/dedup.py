@@ -1306,3 +1306,144 @@ def remove_duplicate_spans(
         F.col("__spans").isNull(), F.col(text_col)
     ).otherwise(F.array_join(F.transform(kept, lambda x: x["t"]), " "))
     return joined.withColumn(out_col, cleaned).drop("__spans")
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate dedup (C4 / FineWeb-style)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    min_chars: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide boilerplate lines: every line whose NORMALIZED form
+    (trimmed, lowercased, whitespace-collapsed) appears in at least
+    ``min_docs`` DISTINCT documents. This is the web-corpus cleaning
+    rule C4 applied at three-sentence granularity and the common-crawl
+    pipelines apply per line (nav bars, cookie banners, footers repeat
+    VERBATIM across a site's pages — near-dup machinery is overkill
+    for them and doc-level dedup never fires because the prose around
+    them differs).
+
+    Distinct-DOC counting on purpose: a line repeated 50x inside one
+    document is within-doc repetition (span dedup's job,
+    ``remove_duplicate_spans``); boilerplate is defined by spread
+    across documents. Lines shorter than ``min_chars`` normalized
+    characters are never counted — "1.", "-", and bare punctuation
+    rows would otherwise dominate the dup table while carrying no
+    boilerplate signal.
+
+    Returns one row per boilerplate line: ``(line_key, n_docs)`` where
+    ``line_key`` is the normalized line text (kept as the join key —
+    grams-as-strings, so an oracle can replay the rule without
+    replicating any hash function).
+
+    Scale shape: one ``posexplode`` over split lines, one groupBy on
+    the normalized line with a distinct-doc count (two shuffle passes
+    on the line key — the standard distinct-agg expansion), and the
+    ``>= min_docs`` filter. Output cardinality is bounded by the
+    number of distinct repeated lines, not corpus size; nothing is
+    collected.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\n")).alias("__line"),
+    )
+    key = F.regexp_replace(F.trim(F.lower(F.col("__line"))), r"\s+", " ")
+    return (
+        lines.select(F.col(id_col), key.alias("line_key"))
+        .where(F.length("line_key") >= min_chars)
+        .groupBy("line_key")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    min_chars: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str | None = None,
+    keep_first: bool = False,
+) -> DataFrame:
+    """Line-level boilerplate removal applied: every occurrence of a
+    ``duplicate_lines`` line is dropped from every document (C4's
+    rule — boilerplate carries no training signal anywhere, so unlike
+    span dedup there is no first occurrence worth preserving; pass
+    ``keep_first=True`` to keep the occurrence in the lowest
+    ``(doc_id, position)`` instead, the archival variant). Remaining
+    lines re-join with ``\\n`` in their original order and original
+    text (matching is on the normalized form; surviving lines keep
+    their exact bytes, trailing spaces and all). Null text passes
+    through; a document losing every line keeps an EMPTY string (row
+    survival is doc-level dedup's decision, not line dedup's).
+
+    Scale shape: re-explode with position, equi-join the bounded
+    boilerplate table on the normalized line key (no broadcast forced
+    — AQE decides; the dup table is usually small but a pathological
+    corpus can make it wide), filter, then groupBy doc +
+    ``array_sort(collect_list(struct(pos, line)))`` to reassemble.
+    The reassembly groupBy shuffles each document's surviving lines
+    to one task — the same per-doc locality every rewrite op here has.
+    """
+    out_col = out_col or text_col
+    dups = duplicate_lines(df, min_docs, min_chars, text_col, id_col)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("__pos", "__line"),
+    )
+    key = F.regexp_replace(F.trim(F.lower(F.col("__line"))), r"\s+", " ")
+    tagged = lines.join(
+        dups.withColumn("__dup", F.lit(True)),
+        key == dups.line_key,
+        "left",
+    )
+    if keep_first:
+        # archival variant: the globally-first occurrence (min
+        # (doc_id, pos) struct per line key) survives. Computed as an
+        # aggregation, not a window — partial aggregation combines
+        # map-side, so a boilerplate line present in millions of
+        # documents never funnels through one sorted partition.
+        firsts = (
+            tagged.where(F.col("__dup").isNotNull())
+            .groupBy("line_key")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col(id_col).alias("i"), F.col("__pos").alias("p")
+                    )
+                ).alias("__first")
+            )
+        )
+        tagged = tagged.join(firsts, "line_key", "left").withColumn(
+            "__drop",
+            F.col("__dup").isNotNull()
+            & ~(
+                (F.col("__first.i") == F.col(id_col))
+                & (F.col("__first.p") == F.col("__pos"))
+            ),
+        )
+    else:
+        tagged = tagged.withColumn("__drop", F.col("__dup").isNotNull())
+    survivors = tagged.where(~F.col("__drop")).groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__line"))
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("__rebuilt")
+    )
+    rebuilt = df.join(survivors, id_col, "left")
+    cleaned = F.when(
+        F.col(text_col).isNull(), F.col(text_col)
+    ).otherwise(F.coalesce(F.col("__rebuilt"), F.lit("")))
+    return rebuilt.withColumn(out_col, cleaned).drop("__rebuilt")

@@ -75,6 +75,7 @@ def prepare_corpus(
     text_col: str = "text",
     html: bool = False,
     normalize_unicode: bool = False,
+    line_dedup_min_docs: int | None = None,
     blocked_sources: list[str] | None = None,
     source_col: str = "source",
     quality: bool = True,
@@ -156,6 +157,23 @@ def prepare_corpus(
 
         df = record("normalize", normalize_text(df, text_col=text_col))
     df = record("pii_scrub", scrub_pii(df, text_col=text_col))
+    if line_dedup_min_docs is not None:
+        # Boilerplate line removal (the C4 rule, operators/dedup.py)
+        # BEFORE the quality gates and the shingle tiers: nav bars and
+        # footers repeated across a site both skew the quality ratios
+        # (stopword/length stats judge the boilerplate, not the prose)
+        # and inflate shingle overlap into false near-dup pairs.
+        from ..operators.dedup import remove_duplicate_lines
+
+        df = record(
+            "line_dedup",
+            remove_duplicate_lines(
+                df,
+                min_docs=line_dedup_min_docs,
+                text_col=text_col,
+                id_col=id_col,
+            ),
+        )
     if quality:
         df = fork(df)
         kept = (

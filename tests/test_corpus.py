@@ -249,3 +249,106 @@ def test_stratified_take_exact_counts_and_nesting(spark, docs):
 
     with _pytest.raises(ValueError, match="negative"):
         corpus.stratified_take(docs, "lang", -1, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# mixture allocation (mix_corpus)
+# ---------------------------------------------------------------------------
+
+
+def _mix_docs(spark, n_web=600, n_code=300, n_papers=40):
+    rows = []
+    for i in range(n_web):
+        rows.append((i, "web words " + " ".join(f"w{j}" for j in range(8)), "web"))
+    for i in range(n_code):
+        rows.append((10_000 + i, "def f(): pass " + f"c{i}", "code"))
+    for i in range(n_papers):
+        rows.append((20_000 + i, "abstract " + f"p{i} " + "x " * 5, "papers"))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_mix_corpus_waterfill_redistributes_shortfall(spark):
+    """papers can't fill its 25% share of 400 docs (only 40 exist):
+    it caps at availability and the shortfall redistributes to web and
+    code in weight proportion."""
+    docs = _mix_docs(spark)
+    res = corpus.mix_corpus(
+        docs, {"web": 0.5, "code": 0.25, "papers": 0.25},
+        total_docs=400, exact=True,
+    )
+    a = res.allocation
+    assert a["papers"]["allocated"] == 40  # capped at availability
+    assert a["papers"]["target"] == 100
+    # shortfall (60) redistributes 2:1 between web and code
+    assert a["web"]["allocated"] == 240 and a["code"]["allocated"] == 120
+    got = {
+        r.source: r.cnt
+        for r in res.df.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == {"web": 240, "code": 120, "papers": 40}
+
+
+def test_mix_corpus_exact_is_deterministic_and_nested(spark):
+    """Same budget twice (different partitioning) -> identical ids;
+    bigger budget -> superset (hash order is fixed)."""
+    docs = _mix_docs(spark)
+    w = {"web": 0.7, "code": 0.3}
+    ids = lambda res: {r.doc_id for r in res.df.select("doc_id").collect()}  # noqa: E731
+    small = ids(corpus.mix_corpus(docs, w, total_docs=100, exact=True))
+    again = ids(corpus.mix_corpus(docs.repartition(13), w, total_docs=100, exact=True))
+    big = ids(corpus.mix_corpus(docs, w, total_docs=300, exact=True))
+    assert small == again
+    assert small < big
+    # excluded source never leaks in
+    assert all(i < 10_000 or i >= 10_000 for i in small)
+    src = {
+        r.source
+        for r in corpus.mix_corpus(docs, w, total_docs=100, exact=True)
+        .df.select("source").distinct().collect()
+    }
+    assert "papers" not in src
+
+
+def test_mix_corpus_approximate_within_binomial_bound(spark):
+    docs = _mix_docs(spark, n_web=2000, n_code=1000, n_papers=0)
+    res = corpus.mix_corpus(docs, {"web": 0.5, "code": 0.5}, total_docs=1200)
+    got = {
+        r.source: r.cnt
+        for r in res.df.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    # quota 600 each; binomial sd ~= sqrt(600*(1-0.6)) < 16 -> 5 sd
+    assert abs(got["web"] - 600) < 80 and abs(got["code"] - 600) < 80
+
+
+def test_mix_corpus_token_budget_exact_cuts_at_last_fit(spark):
+    docs = _mix_docs(spark, n_web=50, n_code=0, n_papers=0)
+    # every web doc is 10 whitespace tokens -> 95-token budget fits 9 docs
+    res = corpus.mix_corpus(
+        docs, {"web": 1.0}, total_tokens=95, exact=True,
+    )
+    rows = res.df.select("text").collect()
+    assert len(rows) == 9
+    assert res.unit == "tokens"
+    assert res.allocation["web"]["allocated"] == 95
+
+
+def test_mix_corpus_rejects_bad_specs(spark):
+    docs = _mix_docs(spark, n_web=5, n_code=0, n_papers=0)
+    with pytest.raises(ValueError):
+        corpus.mix_corpus(docs, {"web": 1.0})  # no budget
+    with pytest.raises(ValueError):
+        corpus.mix_corpus(docs, {"web": 1.0}, total_docs=5, total_tokens=5)
+    with pytest.raises(ValueError):
+        corpus.mix_corpus(docs, {}, total_docs=5)
+    with pytest.raises(ValueError):
+        corpus.mix_corpus(docs, {"web": -1.0}, total_docs=5)
+
+
+def test_mix_corpus_budget_exceeding_corpus_takes_everything(spark):
+    docs = _mix_docs(spark, n_web=30, n_code=20, n_papers=0)
+    res = corpus.mix_corpus(
+        docs, {"web": 0.5, "code": 0.5}, total_docs=10_000, exact=True
+    )
+    assert res.df.count() == 50
+    assert res.allocation["web"]["allocated"] == 30
+    assert res.allocation["code"]["allocated"] == 20

@@ -282,3 +282,30 @@ def test_prepare_corpus_unicode_normalize_enables_dedup(spark):
     on = prepare_corpus(docs, normalize_unicode=True, **kw)
     assert on.df.count() == 1 and on.stats["normalize"] == 2
     off.unpersist(); on.unpersist()
+
+
+def test_prepare_corpus_line_dedup_stage(spark):
+    """R7: the boilerplate-line stage strips a footer shared across
+    docs (all occurrences — the C4 rule) before the dedup tiers, so
+    the two docs' remaining prose no longer near-dup-matches."""
+    footer = "subscribe to our newsletter for weekly updates"
+    rows = [
+        (1, f"first document real prose here\n{footer}", "en", "web"),
+        (2, f"second document other prose text\n{footer}", "en", "web"),
+        (3, "unrelated document with its own words", "en", "web"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    res = prepare_corpus(
+        docs,
+        quality=False,
+        line_dedup_min_docs=2,
+        near_dedup_threshold=0.5,
+        shuffle_seed=None,
+        collect_stats=True,
+    )
+    out = {r.doc_id: r.text for r in res.df.select("doc_id", "text").collect()}
+    assert res.stats["line_dedup"] == 3  # rewrite, never row-drop
+    assert len(out) == 3  # boilerplate gone -> docs no longer near-dups
+    for t in out.values():
+        assert "newsletter" not in t
+    res.unpersist()

@@ -59,6 +59,7 @@ _PURE_PROBES = frozenset({
     "dd3_t05", "dd8_t09", "sim3_k10",
     "e3_sessionize_10m", "aj1_asof_10m", "rj1_range_10m",
     "gopher_100k", "semdedup_100k_t09", "span_dedup_100k_k25",
+    "line_dedup_100k",
     "lm_ppl_100k", "dsir_100k_top10k", "drift_1m_distinct_cat",
     "report_100k",
     "shuffle_100k", "scd2_merge_1m",
@@ -576,6 +577,21 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             F.coalesce(F.length("text"), F.lit(0)) >= 0
         )
 
+    def line_dedup_100k():
+        # R7: boilerplate line removal at 100k docs. Single-line probe
+        # texts restructure into 5-word lines first; the small salad
+        # vocabulary makes those lines repeat across documents heavily
+        # — a boilerplate-dense worst case (most lines end up in the
+        # dup table, so the join back is as wide as it gets). Length
+        # filter forces the rebuilt text (the span_dedup_100k trap).
+        lined = docs.withColumn(
+            "text",
+            F.regexp_replace(F.col("text"), r"((?:\w+ ){4}\w+) ", "$1\n"),
+        )
+        return dedup.remove_duplicate_lines(lined, min_docs=2).where(
+            F.coalesce(F.length("text"), F.lit(0)) >= 0
+        )
+
     def lm_ppl_100k():
         # R6: CCNet-style quality signal at 100k docs — train the
         # pruned bigram LM on a 20k-doc reference slice (two groupBy
@@ -729,6 +745,7 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("gopher_100k", gopher_100k),
         ("semdedup_100k_t09", semdedup_100k),
         ("span_dedup_100k_k25", span_dedup_100k),
+        ("line_dedup_100k", line_dedup_100k),
         ("lm_ppl_100k", lm_ppl_100k),
         ("dsir_100k_top10k", dsir_100k),
         ("classifier_100k", classifier_100k),
