@@ -108,6 +108,13 @@ class RuleBasedGenerator:
       GROUP BY on the grouped branches (R7)
     * ``<agg> <col> as <name>``                        -> user-named
       aggregate output column (R7)
+    * ``which <tA> has the highest/lowest <col>``      -> the ROW
+      (ORDER BY col LIMIT 1), not the scalar the agg branch returns —
+      the has/have/with-THE framing is the distinguisher (R7)
+    * ``<tA> without / with no / that have no <tB>``   -> NOT EXISTS
+      anti-join on the J3-inferred key pair; ``<tA> that have <tB>``
+      -> the EXISTS semi-join mirror (R7); a stated exclusion whose
+      mention resolves to no table REFUSES
 
     Table and column mentions resolve by containment first, then
     difflib fuzzy match (cutoff 0.6 — the reference's column-matching
@@ -223,6 +230,29 @@ class RuleBasedGenerator:
                 return ""  # HAVING needs groups; none resolved
             return f"SELECT COUNT(*) AS n FROM {table}{where}"
 
+        # R7: superlative ROW ('which customer has the highest
+        # acctbal', 'the order with the largest totalprice') — the
+        # row itself, not the MAX scalar the agg branch below would
+        # return. The has/have/with-THE framing is the distinguisher:
+        # 'what is the max totalprice' stays a scalar aggregate.
+        m = re.search(
+            r"\b(?:has|have|had|with)\s+the\s+"
+            r"(highest|largest|biggest|greatest|maximum|most|"
+            r"lowest|smallest|least|minimum|fewest)\s+(\w+)",
+            q_main,
+        )
+        if m and not hv:
+            col = self._resolve_column(m.group(2), cols)
+            if col is None:
+                return ""  # stated superlative target must resolve
+            d = (
+                "ASC"
+                if m.group(1) in
+                ("lowest", "smallest", "least", "minimum", "fewest")
+                else "DESC"
+            )
+            return f"SELECT * FROM {table}{where} ORDER BY {col} {d} LIMIT 1"
+
         for word, fn in self._AGGS.items():
             m = re.search(
                 rf"\b{word}\b(?:\s+of)?\s+(\w+)(?:\s+as\s+(\w+))?", q_main
@@ -266,6 +296,43 @@ class RuleBasedGenerator:
             col = self._resolve_column(m.group(1), cols)
             if col:
                 return f"SELECT DISTINCT {col} FROM {table}{where}"
+
+        # R7: existence questions against another table — anti-join
+        # ('customers without orders', 'customers with no orders',
+        # 'customers that have no orders') and its semi-join mirror
+        # ('customers that have orders'). The mention must name a
+        # TABLE; the key pair is the same J3 name-similarity
+        # inference the join branches use. NOT EXISTS / EXISTS rather
+        # than LEFT ANTI syntax so the SQL runs on any ANSI engine.
+        m = re.search(
+            r"\bwithout\s+(?:any\s+)?(\w+)"
+            r"|\bwith\s+no\s+(\w+)"
+            r"|\b(?:that|who|which)\s+(?:have|has)\s+no\s+(\w+)",
+            q,
+        )
+        anti = bool(m)
+        if not m:
+            m = re.search(
+                r"\b(?:that|who|which)\s+(?:have|has)\s+"
+                r"(?:at\s+least\s+one\s+|some\s+)?(\w+)", q
+            )
+        if m:
+            word = next(g for g in m.groups() if g)
+            other = self._table_mention(word, table, schema)
+            keys = (
+                self._best_key_pair(cols, schema[other]) if other else None
+            )
+            if other and keys:
+                jwhere = self._where_clause(raw, cols, prefix="t1.")
+                neg = "NOT " if anti else ""
+                lead = f"{jwhere} AND" if jwhere else " WHERE"
+                return (
+                    f"SELECT * FROM {table} t1{lead} {neg}EXISTS "
+                    f"(SELECT 1 FROM {other} t2 "
+                    f"WHERE t2.{keys[1]} = t1.{keys[0]})"
+                )
+            if anti:
+                return ""  # stated exclusion we cannot resolve -> refuse
 
         # plain two-table join (R5, matching the reference demo space's
         # join questions): 'show customers with their orders', 'orders
@@ -534,6 +601,18 @@ class RuleBasedGenerator:
             return None
         return (other, gcol, keys[0], keys[1])
 
+    def _table_mention(
+        self, word: str, table: str, schema: dict
+    ) -> str | None:
+        """``word`` as a mention of another TABLE (naive plural
+        tolerated, then the difflib fallback), or None."""
+        for t in schema:
+            if t == table:
+                continue
+            if word in (t, f"{t}s", t.rstrip("s")) or word.rstrip("s") == t:
+                return t
+        return self._fuzzy(word, [t for t in schema if t != table])
+
     def _resolve_join(
         self, word: str, table: str, schema: dict
     ) -> tuple[str, str, str, str] | None:
@@ -543,15 +622,7 @@ class RuleBasedGenerator:
         in exactly ONE other table -> just that column rides along.
         None when nothing resolves or no key pair clears the 0.6 bar —
         the caller falls through and unresolvable stays unresolvable."""
-        other = None
-        for t in schema:
-            if t == table:
-                continue
-            if word in (t, f"{t}s", t.rstrip("s")) or word.rstrip("s") == t:
-                other = t
-                break
-        if other is None:
-            other = self._fuzzy(word, [t for t in schema if t != table])
+        other = self._table_mention(word, table, schema)
         if other is not None:
             sel = "t1.*, t2.*"
         else:

@@ -479,3 +479,59 @@ def test_generator_count_distinct():
     assert _gen("distinct mktsegment from customer") == (
         "SELECT DISTINCT c_mktsegment FROM customer"
     )
+
+
+def test_generator_superlative_row():
+    """R7: 'which X has the highest Y' returns the ROW; 'what is the
+    max Y' stays the scalar aggregate."""
+    assert (
+        _gen("which order has the highest totalprice")
+        == "SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 1"
+    )
+    assert (
+        _gen("the order with the lowest totalprice")
+        == "SELECT * FROM orders ORDER BY o_totalprice ASC LIMIT 1"
+    )
+    # framing without has/with-THE keeps the scalar-aggregate reading
+    assert (
+        _gen("what is the max totalprice in orders")
+        == "SELECT MAX(o_totalprice) AS o_totalprice_max FROM orders"
+    )
+    # condition composes: the WHERE precedes the ORDER BY
+    assert (
+        _gen("which order with the largest totalprice where orderstatus is F")
+        == "SELECT * FROM orders WHERE o_orderstatus = 'F' "
+        "ORDER BY o_totalprice DESC LIMIT 1"
+    )
+    # a stated superlative target that resolves to nothing refuses
+    assert _gen("which order has the highest frobnication") == ""
+
+
+def test_generator_anti_and_semi_join():
+    """R7: existence questions — NOT EXISTS / EXISTS on the inferred
+    key pair."""
+    expect_anti = (
+        "SELECT * FROM customer t1 WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders t2 WHERE t2.o_custkey = t1.c_custkey)"
+    )
+    assert _gen("customers without orders") == expect_anti
+    assert _gen("show customers with no orders") == expect_anti
+    assert _gen("list customers that have no orders") == expect_anti
+    assert _gen("customers that have orders") == (
+        "SELECT * FROM customer t1 WHERE EXISTS "
+        "(SELECT 1 FROM orders t2 WHERE t2.o_custkey = t1.c_custkey)"
+    )
+    # row conditions ride along on t1
+    assert _gen("customers where mktsegment is BUILDING without orders") == (
+        "SELECT * FROM customer t1 WHERE t1.c_mktsegment = 'BUILDING' "
+        "AND NOT EXISTS "
+        "(SELECT 1 FROM orders t2 WHERE t2.o_custkey = t1.c_custkey)"
+    )
+    # a stated exclusion that names no table refuses...
+    assert _gen("customers without frobnication") == ""
+    # ...but 'have <column>' (not a table) falls through to the
+    # plain-filter reading rather than fabricating a join
+    assert (
+        _gen("orders which have totalprice greater than 10")
+        == "SELECT * FROM orders WHERE o_totalprice > 10"
+    )
