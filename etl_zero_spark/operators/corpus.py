@@ -579,6 +579,8 @@ def mix_corpus(
     """
     if (total_docs is None) == (total_tokens is None):
         raise ValueError("mix_corpus: pass exactly one of total_docs / total_tokens")
+    if (total_docs if total_docs is not None else total_tokens) <= 0:
+        raise ValueError("mix_corpus: budget must be positive")
     if not weights:
         raise ValueError("mix_corpus: empty weights")
     if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
@@ -587,10 +589,16 @@ def mix_corpus(
     budget = float(total_docs if total_docs is not None else total_tokens)
 
     in_mix = df.where(F.col(source_col).isin(list(weights)))
+    # null-text docs count 0 tokens (size(null) is NULL under ANSI,
+    # -1 under legacy — either poisons the running-sum cut and the
+    # availability total; same guard as pack_sequences)
+    doc_tokens = F.greatest(
+        F.coalesce(F.size(_tokens(F.col(text_col))), F.lit(0)), F.lit(0)
+    )
     size = (
         F.count(F.lit(1))
         if unit == "docs"
-        else F.coalesce(F.sum(F.size(_tokens(F.col(text_col)))), F.lit(0))
+        else F.coalesce(F.sum(doc_tokens), F.lit(0))
     )
     avail = {
         r["k"]: float(r["n"])
@@ -642,10 +650,7 @@ def mix_corpus(
                 F.lit(0),
             )
             sampled = (
-                in_mix.withColumn(
-                    "__cum",
-                    F.sum(F.size(_tokens(F.col(text_col)))).over(w),
-                )
+                in_mix.withColumn("__cum", F.sum(doc_tokens).over(w))
                 .where(F.col("__cum") <= quota_col)
                 .drop("__cum")
             )

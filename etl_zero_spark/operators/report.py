@@ -69,6 +69,16 @@ def corpus_report(
     from pyspark import StorageLevel
 
     slim = slim.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _report_body(slim, source_col, lang_col, top_n)
+    finally:
+        # always release the persisted slim frame — an AnalysisException
+        # or executor failure mid-collect must not pin it (at the
+        # docstring's 10B-doc scale it is ~1 TB of executor storage)
+        slim.unpersist()
+
+
+def _report_body(slim, source_col, lang_col, top_n) -> dict:
     agg = slim.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count(F.when(F.col("is_null"), 1)).alias("n_null_text"),
@@ -127,7 +137,6 @@ def corpus_report(
                 {"key": "(other)", "docs": n - shown_docs, "words": None}
             )
         report[dim] = rows
-    slim.unpersist()
     return report
 
 

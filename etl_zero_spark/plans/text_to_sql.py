@@ -241,7 +241,12 @@ class RuleBasedGenerator:
             r"lowest|smallest|least|minimum|fewest)\s+(\w+)",
             q_main,
         )
-        if m and not hv:
+        # ...but never when the question ALSO states a grouping — 'the
+        # largest totalprice by orderstatus' is the grouped MAX the agg
+        # branch below produces, and answering with one global row
+        # would silently drop the stated group (review r7).
+        grouped = re.search(r"\b(?:by|per|for each|grouped by)\b", q_main)
+        if m and not hv and not grouped:
             col = self._resolve_column(m.group(2), cols)
             if col is None:
                 return ""  # stated superlative target must resolve
@@ -307,7 +312,8 @@ class RuleBasedGenerator:
         m = re.search(
             r"\bwithout\s+(?:any\s+)?(\w+)"
             r"|\bwith\s+no\s+(\w+)"
-            r"|\b(?:that|who|which)\s+(?:have|has)\s+no\s+(\w+)",
+            r"|\b(?:have|has)\s+no\s+(\w+)"
+            r"|\bdo(?:es)?\s*n[o']t\s+have\s+(?:any\s+)?(\w+)",
             q,
         )
         anti = bool(m)

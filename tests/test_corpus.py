@@ -299,8 +299,8 @@ def test_mix_corpus_exact_is_deterministic_and_nested(spark):
     big = ids(corpus.mix_corpus(docs, w, total_docs=300, exact=True))
     assert small == again
     assert small < big
-    # excluded source never leaks in
-    assert all(i < 10_000 or i >= 10_000 for i in small)
+    # excluded source (papers ids live at >= 20_000) never leaks in
+    assert all(i < 20_000 for i in small)
     src = {
         r.source
         for r in corpus.mix_corpus(docs, w, total_docs=100, exact=True)
@@ -352,3 +352,34 @@ def test_mix_corpus_budget_exceeding_corpus_takes_everything(spark):
     assert res.df.count() == 50
     assert res.allocation["web"]["allocated"] == 30
     assert res.allocation["code"]["allocated"] == 20
+
+
+def test_mix_corpus_token_mode_null_text_counts_zero(spark):
+    """Review r7: null-text docs count 0 tokens — the running-sum cut
+    stays monotonic and the sample stays a clean hash prefix."""
+    rows = [(i, "tok " * 5, "web") for i in range(10)]
+    rows += [(100 + i, None, "web") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    res = corpus.mix_corpus(docs, {"web": 1.0}, total_tokens=1000, exact=True)
+    # budget exceeds the 50 available tokens -> everything, nulls too
+    assert res.df.count() == 18
+    assert res.allocation["web"]["available"] == 50
+    # determinism across partitionings with nulls present
+    a = {r.doc_id for r in res.df.select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in corpus.mix_corpus(
+            docs.repartition(5), {"web": 1.0}, total_tokens=1000, exact=True
+        ).df.select("doc_id").collect()
+    }
+    assert a == b
+
+
+def test_mix_corpus_rejects_nonpositive_budget(spark):
+    docs = spark.createDataFrame(
+        [(1, "t", "web")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError):
+        corpus.mix_corpus(docs, {"web": 1.0}, total_docs=-100)
+    with pytest.raises(ValueError):
+        corpus.mix_corpus(docs, {"web": 1.0}, total_tokens=0)

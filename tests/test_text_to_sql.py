@@ -535,3 +535,23 @@ def test_generator_anti_and_semi_join():
         _gen("orders which have totalprice greater than 10")
         == "SELECT * FROM orders WHERE o_totalprice > 10"
     )
+
+
+def test_generator_review_regressions_r7():
+    """Review r7: phrasings that previously inverted or dropped
+    constraints."""
+    expect_anti = (
+        "SELECT * FROM customer t1 WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders t2 WHERE t2.o_custkey = t1.c_custkey)"
+    )
+    # noun between 'which' and 'have', and the do-not-have spellings
+    assert _gen("which customers have no orders") == expect_anti
+    assert _gen("customers that do not have orders") == expect_anti
+    assert _gen("customers that don't have orders") == expect_anti
+    # a stated grouping keeps the grouped-aggregate reading; the
+    # superlative-row branch must not swallow it into one global row
+    assert (
+        _gen("orders with the largest totalprice by orderstatus")
+        == "SELECT o_orderstatus, MAX(o_totalprice) AS o_totalprice_max "
+        "FROM orders GROUP BY o_orderstatus"
+    )
