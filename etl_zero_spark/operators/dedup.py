@@ -80,14 +80,27 @@ def jaccard_expr(a: Column, b: Column) -> Column:
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup keeping the smallest id per text group.
+    """Exact dedup keeping the smallest-id ROW per text group — every
+    column of the kept row survives (``source``/``lang``/metadata ride
+    through a pipeline; silently narrowing to (id, text) broke the
+    mixer handoff, review r7). Column order is preserved.
 
     Scale shape: groupBy on the text (Spark hashes it for the shuffle) —
     equivalent to hash-groupBy on md5(text) but without risking hash
     collisions silently merging distinct docs. One shuffle, map-side
-    partial min.
+    partial min / min_by, no join back. If ids are not unique, ties on
+    the minimum id resolve arbitrarily per non-key column — give rows
+    distinct ids if that matters.
     """
-    return df.groupBy(text_col).agg(F.min(id_col).alias(id_col)).select(id_col, text_col)
+    others = [c for c in df.columns if c not in (text_col, id_col)]
+    return (
+        df.groupBy(text_col)
+        .agg(
+            F.min(id_col).alias(id_col),
+            *[F.min_by(c, F.col(id_col)).alias(c) for c in others],
+        )
+        .select(*df.columns)
+    )
 
 
 # ---------------------------------------------------------------------------

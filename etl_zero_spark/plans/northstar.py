@@ -122,7 +122,9 @@ def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.exact_dedup(docs)
+    # exact_dedup keeps the full smallest-id row (R7); the declared
+    # oracle pins the (doc_id, text) projection
+    return dedup.exact_dedup(docs).select("doc_id", "text")
 
 
 @query(

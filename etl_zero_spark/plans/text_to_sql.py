@@ -226,6 +226,22 @@ class RuleBasedGenerator:
                     f"SELECT {group}, COUNT(*) AS n FROM {table}{where} "
                     f"GROUP BY {group}{having}"
                 )
+            # R7: the group column living in ANOTHER table joins, like
+            # the aggregate branch ('count of orders per mktsegment');
+            # a stated grouping that resolves nowhere REFUSES — the
+            # ungrouped COUNT(*) would silently drop the constraint.
+            g = re.search(r"\b(?:by|per|for each|grouped by)\s+(\w+)", q_main)
+            if g and not hv:
+                hit = self._resolve_foreign_group(g.group(1), table, schema)
+                if hit:
+                    other, gcol, lk, rk = hit
+                    jwhere = self._where_clause(raw_where, cols, prefix="t1.")
+                    return (
+                        f"SELECT t2.{gcol}, COUNT(*) AS n "
+                        f"FROM {table} t1 JOIN {other} t2 "
+                        f"ON t1.{lk} = t2.{rk}{jwhere} GROUP BY t2.{gcol}"
+                    )
+                return ""
             if hv:
                 return ""  # HAVING needs groups; none resolved
             return f"SELECT COUNT(*) AS n FROM {table}{where}"

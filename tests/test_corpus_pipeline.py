@@ -309,3 +309,47 @@ def test_prepare_corpus_line_dedup_stage(spark):
     for t in out.values():
         assert "newsletter" not in t
     res.unpersist()
+
+
+def test_release_pipeline_prepare_mix_datasheet(spark):
+    """R7 integration: the corpus-release flow end-to-end —
+    prepare_corpus cleans, mix_corpus composes the mixture to a doc
+    budget, corpus_report + datasheet_markdown produce the release
+    artifact. Every stage is the real operator; the assertions pin the
+    handoffs (cleaned rows reach the mixer, the ledger and datasheet
+    agree on composition)."""
+    from etl_zero_spark.operators.corpus import mix_corpus
+    from etl_zero_spark.operators.report import corpus_report, datasheet_markdown
+
+    footer = "subscribe to our newsletter for weekly updates"
+    rows = [
+        (i, f"web prose document number {i} with words\n{footer}", "en", "web")
+        for i in range(40)
+    ] + [
+        (100 + i, f"code listing item {i} def main pass", "en", "code")
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    res = prepare_corpus(
+        docs,
+        quality=False,
+        line_dedup_min_docs=2,
+        near_dedup_threshold=None,
+        shuffle_seed=None,
+        collect_stats=True,
+    )
+    assert res.stats["line_dedup"] == 60
+    mix = mix_corpus(
+        res.df, {"web": 0.5, "code": 0.5}, total_docs=30, exact=True
+    )
+    assert mix.allocation["web"]["allocated"] == 15
+    assert mix.allocation["code"]["allocated"] == 15
+    rep = corpus_report(mix.df, source_col="source", lang_col="lang")
+    assert rep["n_docs"] == 30
+    by_src = {r["key"]: r["docs"] for r in rep["by_source"]}
+    assert by_src == {"web": 15, "code": 15}
+    md = datasheet_markdown(rep)
+    assert "| n_docs | 30 |" in md and "| web | 15 |" in md
+    # the boilerplate never reaches the release
+    assert mix.df.where(F.col("text").contains("newsletter")).count() == 0
+    res.unpersist()

@@ -151,6 +151,19 @@ def test_exact_dedup_keeps_min_id(spark):
     assert out == {(2, "same"), (9, "other")}
 
 
+def test_exact_dedup_keeps_full_winning_row(spark):
+    """R7: every column of the smallest-id row survives (metadata must
+    ride through a pipeline), in the original column order."""
+    df = spark.createDataFrame(
+        [(5, "same", "web"), (2, "same", "code"), (9, "other", "web")],
+        ["doc_id", "text", "source"],
+    )
+    out = dedup.exact_dedup(df)
+    assert out.columns == ["doc_id", "text", "source"]
+    rows = {(r.doc_id, r.text, r.source) for r in out.collect()}
+    assert rows == {(2, "same", "code"), (9, "other", "web")}
+
+
 def _labels(df):
     return {r.id: r.label for r in df.collect()}
 

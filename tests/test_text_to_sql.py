@@ -555,3 +555,26 @@ def test_generator_review_regressions_r7():
         == "SELECT o_orderstatus, MAX(o_totalprice) AS o_totalprice_max "
         "FROM orders GROUP BY o_orderstatus"
     )
+
+
+def test_generator_grouped_count_foreign_table():
+    """R7: a count grouping that lives in another table joins (like
+    the aggregate branch); an unresolvable stated grouping refuses
+    rather than silently returning the ungrouped count."""
+    assert _gen("count of orders per mktsegment") == (
+        "SELECT t2.c_mktsegment, COUNT(*) AS n FROM orders t1 "
+        "JOIN customer t2 ON t1.o_custkey = t2.c_custkey "
+        "GROUP BY t2.c_mktsegment"
+    )
+    assert _gen("how many orders per frobnication") == ""
+    # no grouping stated -> plain count unchanged
+    assert _gen("how many customers are there") == "SELECT COUNT(*) AS n FROM customer"
+
+
+def test_generator_grouped_count_foreign_end_to_end(spark):
+    out = t2s.process_query(
+        spark, SF_SMOKE, "count of orders per mktsegment",
+        tables=["orders", "customer"],
+    )
+    rows = {r.c_mktsegment: r.n for r in out.collect()}
+    assert len(rows) == 5 and sum(rows.values()) > 0
