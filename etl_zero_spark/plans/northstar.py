@@ -437,6 +437,88 @@ def dd9_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.crossJoin(F.broadcast(prec.crossJoin(rec)))
 
 
+#: dd13's planted boilerplate line, appended to every 7th document
+#: identically on both sides (on top of the fixture's natural
+#: exact-dup documents, whose every line is cross-doc duplicated by
+#: construction). Normalized form == itself: lowercase, single spaces,
+#: >= 5 chars, so it is always dup-eligible.
+_LINE_BOILER = "zz subscribe to the zz newsletter"
+
+
+@query(
+    "dd13_line_dedup",
+    "dedup: line-level boilerplate removal (the C4 rule)",
+    f"""
+    WITH lined AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN regexp_replace(text, '((?:\\w+ ){{4}}\\w+) ',
+                                      '\\1' || chr(10), 'g')
+                       || chr(10) || '{_LINE_BOILER}'
+                  ELSE regexp_replace(text, '((?:\\w+ ){{4}}\\w+) ',
+                                      '\\1' || chr(10), 'g')
+             END AS text
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+             unnest(string_split(text, chr(10))) AS line
+      FROM lined
+    ),
+    k AS (
+      SELECT doc_id, pos, line,
+             regexp_replace(trim(lower(line)), '\\s+', ' ', 'g') AS key
+      FROM l
+    ),
+    dup AS (
+      SELECT key FROM k WHERE length(key) >= 5
+      GROUP BY key HAVING count(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM k
+      WHERE key NOT IN (SELECT key FROM dup)
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(r.text, '') END AS text
+    FROM lined d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+    "Line-level boilerplate dedup, declared CHECKED: the single-line "
+    "fixture texts restructure into 5-word lines (identically on both "
+    "sides), a boilerplate line is planted onto every 7th document, "
+    "and ``remove_duplicate_lines`` runs the FULL production pipeline "
+    "(posexplode -> normalized line key -> distinct-doc count -> "
+    "equi-join back -> ordered reassembly). The oracle replays the "
+    "rule over line STRINGS in DuckDB. Every rewritten byte is "
+    "hash-checked: the planted line vanishes from every host (the C4 "
+    "all-occurrences rule, first doc included), the natural exact-dup "
+    "documents collapse to empty strings (each of their lines appears "
+    "in >= 2 docs), and untouched documents pass through verbatim.",
+)
+def dd13_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    restructured = F.regexp_replace(
+        F.col("text"), r"((?:\w+ ){4}\w+) ", "$1\n"
+    )
+    lined = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(restructured, F.lit("\n" + _LINE_BOILER)),
+        )
+        .otherwise(restructured)
+        .alias("text"),
+    )
+    return dedup.remove_duplicate_lines(lined, min_docs=2).select(
+        "doc_id", "text"
+    )
+
+
 #: dd12's planted passage: 10 tokens none of which appear in the
 #: fixture vocabulary, appended to every 10th document identically on
 #: both sides so cross-document duplicated spans exist by construction

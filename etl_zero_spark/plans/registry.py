@@ -218,26 +218,16 @@ def p2_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "p5_trim_strings",
-    "P5",
-    "SELECT c_custkey, trim(c_name) AS c_name, trim(c_mktsegment) AS c_mktsegment FROM customer",
-    "Whitespace trim on every string column (transformations_code.py:92-95).",
-)
-def p5_trim_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.trim(F.col("c_name")).alias("c_name"),
-        F.trim(F.col("c_mktsegment")).alias("c_mktsegment"),
-    )
-
-
-@query(
-    "p6_standardize_dates",
-    "P6 (incl. fuzzy tier)",
+    "p5_p6_cleaning",
+    "P5 + P6 (incl. fuzzy tier; the R7 fold that freed a declared slot "
+    "for dd13_line_dedup — both operator ids preserved)",
     """
-    SELECT o_orderkey,
-           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_std,
+    SELECT 'p5' AS op, c_custkey AS key, trim(c_name) AS a,
+           trim(c_mktsegment) AS b, CAST(NULL AS VARCHAR) AS c
+    FROM customer
+    UNION ALL
+    SELECT 'p6' AS op, o_orderkey AS key,
+           strftime(o_orderdate, '%Y-%m-%d') AS a,
            CASE o_orderkey % 6
              WHEN 0 THEN strftime(o_orderdate, '%d/%m/%Y')
              WHEN 1 THEN strftime(o_orderdate, '%d.%m.%Y')
@@ -245,9 +235,9 @@ def p5_trim_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN 3 THEN 'not a date'
              WHEN 4 THEN strftime(o_orderdate, '%Y/%m/%d')
              ELSE 'seen ' || strftime(o_orderdate, '%d/%m/%Y') || ' ok'
-           END AS o_orderdate_dirty,
+           END AS b,
            CASE WHEN o_orderkey % 6 = 3 THEN NULL
-                ELSE strftime(o_orderdate, '%Y-%m-%d') END AS o_orderdate_dirty_std
+                ELSE strftime(o_orderdate, '%Y-%m-%d') END AS c
     FROM orders
     """,
     "Date standardization to yyyy-MM-dd STRING output "
@@ -263,14 +253,27 @@ def p5_trim_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1994/05/04 as Apr 5 ONLY by luck of day>12 rows; our engine reads "
     "year-leading as ISO always — the oracle asserts ISO). The noise "
     "case ('seen 04/05/1994 ok') is parseable ONLY by the fuzzy UDF "
-    "tier, so the row goes red if the fallback breaks.",
+    "tier, so the row goes red if the fallback breaks. Folded with the "
+    "P5 whitespace-trim projection (transformations_code.py:92-95) as "
+    "a tagged union on the harmonized (op, key, a, b, c) schema: "
+    "'p5' rows carry (custkey, trimmed name, trimmed segment, NULL); "
+    "'p6' rows carry (orderkey, std date, dirty date, re-standardized "
+    "dirty date).",
 )
-def p6_standardize_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p5_p6_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_zero_spark.functions.dates import (
         fuzzy_parse_date_udf,
         standardize_date_expr,
     )
 
+    c = load_table(spark, sf_dir, "customer")
+    p5_part = c.select(
+        F.lit("p5").alias("op"),
+        F.col("c_custkey").alias("key"),
+        F.trim(F.col("c_name")).alias("a"),
+        F.trim(F.col("c_mktsegment")).alias("b"),
+        F.lit(None).cast("string").alias("c"),
+    )
     o = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
     key_mod = F.col("o_orderkey") % 6
@@ -284,14 +287,16 @@ def p6_standardize_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("seen "), F.date_format(d, "dd/MM/yyyy"), F.lit(" ok"))
         )
     )
-    return o.select(
-        "o_orderkey",
-        F.date_format(d, "yyyy-MM-dd").alias("o_orderdate_std"),
-        dirty.alias("o_orderdate_dirty"),
+    p6_part = o.select(
+        F.lit("p6").alias("op"),
+        F.col("o_orderkey").alias("key"),
+        F.date_format(d, "yyyy-MM-dd").alias("a"),
+        dirty.alias("b"),
         F.coalesce(
             standardize_date_expr(dirty), fuzzy_parse_date_udf()(dirty)
-        ).alias("o_orderdate_dirty_std"),
+        ).alias("c"),
     )
+    return p5_part.unionByName(p6_part)
 
 
 @query(
