@@ -109,3 +109,103 @@ def test_stratified_take_quota_and_nesting(spark, n, quota):
             for r in corpus.stratified_take(df, "s", quota - 1, "id").collect()
         }
         assert smaller <= {r.id for r in take.collect()}
+
+
+# ---------------------------------------------------------------------------
+# line dedup + mixture allocation invariants (R7)
+# ---------------------------------------------------------------------------
+
+_LINE_POOL = [f"pool line number {i} shared" for i in range(6)]
+_DOC_LINES = st.lists(
+    st.lists(
+        st.one_of(
+            st.sampled_from(_LINE_POOL),
+            st.integers(min_value=0, max_value=10**6).map(
+                lambda n: f"unique content {n} here"
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(doc_lines=_DOC_LINES, min_docs=st.integers(min_value=2, max_value=4))
+def test_line_dedup_invariants(spark, doc_lines, min_docs):
+    from etl_zero_spark.operators import dedup
+
+    rows = [(i, "\n".join(ls)) for i, ls in enumerate(doc_lines)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in dedup.remove_duplicate_lines(df, min_docs=min_docs).collect()
+    }
+    # 1. total coverage: one output row per input row
+    assert sorted(out) == list(range(len(rows)))
+    for i, ls in enumerate(doc_lines):
+        kept = out[i].split("\n") if out[i] else []
+        # 2. output lines are a SUBSEQUENCE of input lines (order and
+        # bytes preserved, nothing invented)
+        it = iter(ls)
+        assert all(any(k == x for x in it) for k in kept)
+    # 3. idempotence: survivors appear in < min_docs docs by
+    # construction, so a second pass removes nothing
+    again = {
+        r.doc_id: r.text
+        for r in dedup.remove_duplicate_lines(
+            spark.createDataFrame(
+                [(k, v) for k, v in out.items()], "doc_id long, text string"
+            ),
+            min_docs=min_docs,
+        ).collect()
+    }
+    assert again == out
+
+
+_WEIGHTS = st.dictionaries(
+    st.sampled_from(["web", "code", "papers", "forums"]),
+    st.floats(min_value=0.0, max_value=10.0, allow_nan=False),
+    min_size=1,
+    max_size=4,
+).filter(lambda w: sum(w.values()) > 0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=200), min_size=4, max_size=4),
+    weights=_WEIGHTS,
+    budget=st.integers(min_value=1, max_value=500),
+)
+def test_mix_corpus_allocation_invariants(spark, counts, weights, budget):
+    srcs = ["web", "code", "papers", "forums"]
+    rows = []
+    for s, n in zip(srcs, counts):
+        rows += [(len(rows) + j, f"doc {j}", s) for j in range(n)]
+    if not rows:
+        rows = [(0, "doc", "web")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    res = corpus.mix_corpus(df, weights, total_docs=budget, exact=True)
+    alloc = res.allocation
+    avail = {s: a["available"] for s, a in alloc.items()}
+    total_alloc = sum(a["allocated"] for a in alloc.values())
+    # 1. never allocate beyond availability
+    assert all(a["allocated"] <= a["available"] for a in alloc.values())
+    # 2. budget respected; met exactly whenever enough data exists
+    # (+len slack for integer rounding)
+    assert total_alloc <= budget + len(alloc)
+    if sum(min(avail[s], 10**9) for s in avail if weights.get(s, 0) > 0) >= budget:
+        assert abs(total_alloc - budget) <= len(alloc)
+    # 3. realized counts equal the ledger exactly (exact mode)
+    got = {
+        r.source: r.n
+        for r in res.df.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for s, a in alloc.items():
+        assert got.get(s, 0) == a["allocated"]
+    # 4. zero-weight sources get nothing
+    for s, w in weights.items():
+        if w == 0:
+            assert alloc[s]["allocated"] == 0
