@@ -28,6 +28,15 @@ def _tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), r"\s+"), lambda x: x != "")
 
 
+def _token_count(col: Column) -> Column:
+    """Whitespace-token count with null text counting 0 — size(null)
+    is NULL under ANSI and -1 under legacy semantics, and either
+    poisons budget arithmetic. Shared by every token-budget op here."""
+    return F.greatest(
+        F.coalesce(F.size(_tokens(col)).cast("long"), F.lit(0)), F.lit(0)
+    )
+
+
 def _ngram_hashes(col: Column, n: int) -> Column:
     """Distinct xxhash64 values of word n-grams (whole-text fallback
     for docs shorter than n tokens, mirroring the shingle fallback in
@@ -164,14 +173,13 @@ def pack_sequences(
         raise ValueError("pack_sequences: budget must be positive")
     from pyspark.sql import Window
 
-    raw_tok = (
-        F.col(token_count_col)
+    # null text or null count packs as 0 tokens: the doc still gets a
+    # pack assignment, it just takes no budget (_token_count's guard)
+    n_tok = (
+        F.greatest(F.coalesce(F.col(token_count_col).cast("long"), F.lit(0)), F.lit(0))
         if token_count_col
-        else F.size(_tokens(F.col(text_col)))
-    ).cast("long")
-    # null text (size -> -1 legacy) or null count packs as 0 tokens:
-    # the doc still gets a pack assignment, it just takes no budget
-    n_tok = F.greatest(F.coalesce(raw_tok, F.lit(0)), F.lit(0))
+        else _token_count(F.col(text_col))
+    )
     d = docs.withColumn("n_tokens", n_tok).withColumn(
         "stream", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_streams)).cast("int")
     )
@@ -589,12 +597,7 @@ def mix_corpus(
     budget = float(total_docs if total_docs is not None else total_tokens)
 
     in_mix = df.where(F.col(source_col).isin(list(weights)))
-    # null-text docs count 0 tokens (size(null) is NULL under ANSI,
-    # -1 under legacy — either poisons the running-sum cut and the
-    # availability total; same guard as pack_sequences)
-    doc_tokens = F.greatest(
-        F.coalesce(F.size(_tokens(F.col(text_col))), F.lit(0)), F.lit(0)
-    )
+    doc_tokens = _token_count(F.col(text_col))
     size = (
         F.count(F.lit(1))
         if unit == "docs"
@@ -649,9 +652,13 @@ def mix_corpus(
                 ],
                 F.lit(0),
             )
+            # quota_col > 0 is load-bearing: a zero-token document's
+            # running sum never exceeds a 0 quota, so without it a
+            # zero-weight (or token-empty) source leaks its null/empty
+            # docs into the sample while the ledger says 0 (review r7)
             sampled = (
                 in_mix.withColumn("__cum", F.sum(doc_tokens).over(w))
-                .where(F.col("__cum") <= quota_col)
+                .where((quota_col > 0) & (F.col("__cum") <= quota_col))
                 .drop("__cum")
             )
     else:

@@ -127,7 +127,9 @@ class RuleBasedGenerator:
         "average": "AVG", "avg": "AVG", "mean": "AVG",
         "sum": "SUM", "total": "SUM",
         "minimum": "MIN", "min": "MIN", "lowest": "MIN", "smallest": "MIN",
+        "least": "MIN", "fewest": "MIN",
         "maximum": "MAX", "max": "MAX", "highest": "MAX", "largest": "MAX",
+        "biggest": "MAX", "greatest": "MAX", "most": "MAX",
     }
 
     _MONTHS = {
@@ -229,17 +231,31 @@ class RuleBasedGenerator:
             # R7: the group column living in ANOTHER table joins, like
             # the aggregate branch ('count of orders per mktsegment');
             # a stated grouping that resolves nowhere REFUSES — the
-            # ungrouped COUNT(*) would silently drop the constraint.
-            g = re.search(r"\b(?:by|per|for each|grouped by)\s+(\w+)", q_main)
+            # ungrouped COUNT(*) would silently drop the constraint. A
+            # second stated group ('per mktsegment and orderstatus')
+            # must resolve in the BASE table or the question refuses
+            # too (second review pass — it was silently dropped).
+            g = re.search(
+                r"\b(?:by|per|for each|grouped by)\s+(\w+)"
+                r"(?:\s+and\s+(\w+))?",
+                q_main,
+            )
             if g and not hv:
                 hit = self._resolve_foreign_group(g.group(1), table, schema)
                 if hit:
                     other, gcol, lk, rk = hit
+                    second = ""
+                    if g.group(2):
+                        loc = self._resolve_column(g.group(2), cols)
+                        if loc is None:
+                            return ""
+                        second = f", t1.{loc}"
                     jwhere = self._where_clause(raw_where, cols, prefix="t1.")
                     return (
-                        f"SELECT t2.{gcol}, COUNT(*) AS n "
+                        f"SELECT t2.{gcol}{second}, COUNT(*) AS n "
                         f"FROM {table} t1 JOIN {other} t2 "
-                        f"ON t1.{lk} = t2.{rk}{jwhere} GROUP BY t2.{gcol}"
+                        f"ON t1.{lk} = t2.{rk}{jwhere} "
+                        f"GROUP BY t2.{gcol}{second}"
                     )
                 return ""
             if hv:
@@ -260,7 +276,10 @@ class RuleBasedGenerator:
         # ...but never when the question ALSO states a grouping — 'the
         # largest totalprice by orderstatus' is the grouped MAX the agg
         # branch below produces, and answering with one global row
-        # would silently drop the stated group (review r7).
+        # would silently drop the stated group (review r7). Every word
+        # the superlative regex accepts is an _AGGS key, so the fall-
+        # through always lands in the aggregate branch, never the
+        # plain-select fallback (second review pass).
         grouped = re.search(r"\b(?:by|per|for each|grouped by)\b", q_main)
         if m and not hv and not grouped:
             col = self._resolve_column(m.group(2), cols)
@@ -295,15 +314,29 @@ class RuleBasedGenerator:
                 # to the rendered schema): 'average totalprice per
                 # mktsegment' joins orders to customer on the most
                 # name-similar column pair.
-                g = re.search(r"\b(?:by|per|for each|grouped by)\s+(\w+)", q_main)
+                g = re.search(
+                    r"\b(?:by|per|for each|grouped by)\s+(\w+)"
+                    r"(?:\s+and\s+(\w+))?",
+                    q_main,
+                )
                 if g and not hv:  # HAVING cols would be ambiguous across the join
                     hit = self._resolve_foreign_group(g.group(1), table, schema)
                     if hit:
                         other, gcol, lk, rk = hit
+                        # a second stated group must resolve in the
+                        # base table or the question refuses (it was
+                        # silently dropped — second review pass)
+                        second = ""
+                        if g.group(2):
+                            loc = self._resolve_column(g.group(2), cols)
+                            if loc is None:
+                                return ""
+                            second = f", t1.{loc}"
                         return (
-                            f"SELECT t2.{gcol}, {fn}(t1.{col}) AS {alias} "
+                            f"SELECT t2.{gcol}{second}, {fn}(t1.{col}) AS {alias} "
                             f"FROM {table} t1 JOIN {other} t2 "
-                            f"ON t1.{lk} = t2.{rk}{where} GROUP BY t2.{gcol}"
+                            f"ON t1.{lk} = t2.{rk}{where} "
+                            f"GROUP BY t2.{gcol}{second}"
                         )
                 if hv:
                     return ""  # HAVING needs groups; none resolved

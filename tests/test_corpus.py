@@ -383,3 +383,18 @@ def test_mix_corpus_rejects_nonpositive_budget(spark):
         corpus.mix_corpus(docs, {"web": 1.0}, total_docs=-100)
     with pytest.raises(ValueError):
         corpus.mix_corpus(docs, {"web": 1.0}, total_tokens=0)
+
+
+def test_mix_corpus_zero_quota_source_never_leaks(spark):
+    """Review r7 (2nd pass): a zero-weight source's null/empty docs
+    must not ride a 0-token running sum into an exact-token sample."""
+    rows = [(i, "tok tok tok", "web") for i in range(5)]
+    rows += [(10, None, "code"), (11, "   ", "code")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    res = corpus.mix_corpus(
+        docs, {"web": 1.0, "code": 0.0}, total_tokens=9, exact=True
+    )
+    got = {r.source for r in res.df.select("source").distinct().collect()}
+    assert got == {"web"}
+    assert res.allocation["code"]["allocated"] == 0
+    assert res.df.count() == 3  # 9-token budget fits three 3-token docs

@@ -578,3 +578,35 @@ def test_generator_grouped_count_foreign_end_to_end(spark):
     )
     rows = {r.c_mktsegment: r.n for r in out.collect()}
     assert len(rows) == 5 and sum(rows.values()) > 0
+
+
+def test_generator_superlative_synonyms_and_second_group():
+    """Review r7 (2nd pass): every superlative synonym lands in the
+    aggregate branch when grouped (never the plain-select fallback),
+    and a second stated grouping on the foreign-join paths is honored
+    or refused, never dropped."""
+    assert (
+        _gen("orders with the biggest totalprice by orderstatus")
+        == "SELECT o_orderstatus, MAX(o_totalprice) AS o_totalprice_max "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+    assert (
+        _gen("which order has the most totalprice per orderstatus")
+        == "SELECT o_orderstatus, MAX(o_totalprice) AS o_totalprice_max "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+    assert (
+        _gen("count of orders per mktsegment and orderstatus")
+        == "SELECT t2.c_mktsegment, t1.o_orderstatus, COUNT(*) AS n "
+        "FROM orders t1 JOIN customer t2 ON t1.o_custkey = t2.c_custkey "
+        "GROUP BY t2.c_mktsegment, t1.o_orderstatus"
+    )
+    assert (
+        _gen("average totalprice of orders per mktsegment and orderstatus")
+        == "SELECT t2.c_mktsegment, t1.o_orderstatus, "
+        "AVG(t1.o_totalprice) AS o_totalprice_avg "
+        "FROM orders t1 JOIN customer t2 ON t1.o_custkey = t2.c_custkey "
+        "GROUP BY t2.c_mktsegment, t1.o_orderstatus"
+    )
+    # a second group that resolves nowhere refuses
+    assert _gen("count of orders per mktsegment and frobnication") == ""
