@@ -106,6 +106,10 @@ class RuleBasedGenerator:
       ``<col> between 1995-03-01 and 1995-06-30``      -> DATE BETWEEN
     * ``... by/per <colA> and <colB>``                 -> multi-column
       GROUP BY on the grouped branches (R7)
+    * ``... per month / by year [and <col>]``          -> temporal
+      bucket of the table's UNIQUE date-named column
+      (``month(o_orderdate) AS month``); a table without one (or with
+      two) refuses the temporal mention (late-R7)
     * ``<agg> <col> as <name>``                        -> user-named
       aggregate output column (R7)
     * ``which <tA> has the highest/lowest <col>``      -> the ROW
@@ -211,22 +215,25 @@ class RuleBasedGenerator:
                 col = self._resolve_column(md.group(1), cols)
                 if col is None:
                     return ""  # stated distinct target must resolve
-                group = self._group_column(q_main, cols)
-                if group:
+                gp = self._group_parts(q_main, cols)
+                if gp:
+                    gsel, gby = gp
                     return (
-                        f"SELECT {group}, COUNT(DISTINCT {col}) AS n "
-                        f"FROM {table}{where} GROUP BY {group}{having}"
+                        f"SELECT {gsel}, COUNT(DISTINCT {col}) AS n "
+                        f"FROM {table}{where} GROUP BY {gby}{having}"
                     )
                 if hv:
                     return ""
                 return f"SELECT COUNT(DISTINCT {col}) AS n FROM {table}{where}"
             # R6: grouped counts ('count of orders per orderpriority'),
-            # with optional HAVING on the groups
-            group = self._group_column(q_main, cols)
-            if group:
+            # with optional HAVING on the groups; late-R7: 'per month' /
+            # 'by year' bucket the table's unique date column
+            gp = self._group_parts(q_main, cols)
+            if gp:
+                gsel, gby = gp
                 return (
-                    f"SELECT {group}, COUNT(*) AS n FROM {table}{where} "
-                    f"GROUP BY {group}{having}"
+                    f"SELECT {gsel}, COUNT(*) AS n FROM {table}{where} "
+                    f"GROUP BY {gby}{having}"
                 )
             # R7: the group column living in ANOTHER table joins, like
             # the aggregate branch ('count of orders per mktsegment');
@@ -303,11 +310,12 @@ class RuleBasedGenerator:
                     continue
                 # R7: '<agg> <col> as <name>' names the output column
                 alias = m.group(2) or f"{col}_{fn.lower()}"
-                group = self._group_column(q_main, cols)
-                if group:
+                gp = self._group_parts(q_main, cols)
+                if gp:
+                    gsel, gby = gp
                     return (
-                        f"SELECT {group}, {fn}({col}) AS {alias} "
-                        f"FROM {table}{where} GROUP BY {group}{having}"
+                        f"SELECT {gsel}, {fn}({col}) AS {alias} "
+                        f"FROM {table}{where} GROUP BY {gby}{having}"
                     )
                 # group column living in ANOTHER table -> FK join (the
                 # mapper's name-similarity key inference, J3, applied
@@ -599,23 +607,50 @@ class RuleBasedGenerator:
         dated = [c for c in cols if "date" in c.lower()]
         return dated[0] if len(dated) == 1 else None
 
-    def _group_column(self, q: str, cols: dict[str, str]) -> str | None:
-        """R7: 'by/per <colA> and <colB>' resolves BOTH mentions into a
-        multi-column group list ('per status and priority'); a second
-        mention that is not a column falls back to single-column (the
-        'and' may open an unrelated clause)."""
+    #: temporal grouping words -> the Spark/ANSI extraction function
+    #: applied to the table's unique date-named column
+    _TIME_GROUPS = {
+        "year": "year", "month": "month", "week": "weekofyear",
+        "day": "day", "quarter": "quarter",
+    }
+
+    def _group_parts(
+        self, q: str, cols: dict[str, str]
+    ) -> tuple[str, str] | None:
+        """(select_list, group_by_list) for the stated grouping —
+        usually identical, but a temporal mention ('per month', 'by
+        year and orderstatus') selects ``month(o_orderdate) AS month``
+        while grouping by the bare expression (R7). A temporal word is
+        only a time bucket when it does NOT resolve as a column and the
+        table has a UNIQUE date-named column; two date columns stay
+        ambiguous and the mention resolves to nothing."""
         m = re.search(
             r"\b(?:by|per|for each|grouped by)\s+(\w+)(?:\s+and\s+(\w+))?", q
         )
         if not m:
             return None
-        first = self._resolve_column(m.group(1), cols)
+
+        def part(word: str) -> tuple[str, str] | None:
+            col = self._resolve_column(word, cols)
+            if col:
+                return (col, col)
+            fn = self._TIME_GROUPS.get(word)
+            if fn:
+                dcol = self._resolve_date_column(None, cols)
+                if dcol:
+                    return (f"{fn}({dcol}) AS {word}", f"{fn}({dcol})")
+            return None
+
+        first = part(m.group(1).lower())
         if first is None:
             return None
         if m.group(2):
-            second = self._resolve_column(m.group(2), cols)
+            second = part(m.group(2).lower())
             if second and second != first:
-                return f"{first}, {second}"
+                return (
+                    f"{first[0]}, {second[0]}",
+                    f"{first[1]}, {second[1]}",
+                )
         return first
 
     @staticmethod

@@ -610,3 +610,85 @@ def test_generator_superlative_synonyms_and_second_group():
     )
     # a second group that resolves nowhere refuses
     assert _gen("count of orders per mktsegment and frobnication") == ""
+
+
+def test_generator_never_raises_on_arbitrary_text():
+    """Fuzz: the generator is the surface raw user text hits — it must
+    refuse (return '') or emit a SELECT, never raise, for any input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        q=st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            max_size=120,
+        )
+    )
+    def check(q):
+        out = t2s.RuleBasedGenerator()(t2s.build_prompt(_SCHEMA, q))
+        assert out == "" or out.upper().startswith("SELECT")
+
+    check()
+
+
+def test_generator_never_raises_on_questionlike_text():
+    """Fuzz with question-shaped token soup (the grammar's own
+    vocabulary recombined adversarially)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.sampled_from(
+        "top bottom 5 average sum count distinct how many which with "
+        "their no without have has the highest largest between and or "
+        "by per orders customers totalprice orderstatus mktsegment is "
+        "greater less than in march 1995 having over ordered sorted "
+        "as name custkey".split()
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(qs=st.lists(words, min_size=1, max_size=12))
+    def check(qs):
+        out = t2s.RuleBasedGenerator()(t2s.build_prompt(_SCHEMA, " ".join(qs)))
+        assert out == "" or out.upper().startswith("SELECT")
+
+    check()
+
+
+_SCHEMA_DATED = (
+    _SCHEMA.replace(
+        "o_orderstatus text)", "o_orderstatus text, o_orderdate text)"
+    )
+)
+
+
+def _gen_dated(question: str) -> str:
+    return t2s.RuleBasedGenerator()(t2s.build_prompt(_SCHEMA_DATED, question))
+
+
+def test_generator_temporal_grouping():
+    """Late-R7: 'per month' / 'by year' bucket the table's unique
+    date-named column; tables without one refuse the temporal mention."""
+    assert _gen_dated("how many orders per month") == (
+        "SELECT month(o_orderdate) AS month, COUNT(*) AS n "
+        "FROM orders GROUP BY month(o_orderdate)"
+    )
+    assert _gen_dated("average totalprice of orders by year") == (
+        "SELECT year(o_orderdate) AS year, AVG(o_totalprice) "
+        "AS o_totalprice_avg FROM orders GROUP BY year(o_orderdate)"
+    )
+    assert _gen_dated("count of orders per month and orderstatus") == (
+        "SELECT month(o_orderdate) AS month, o_orderstatus, COUNT(*) AS n "
+        "FROM orders GROUP BY month(o_orderdate), o_orderstatus"
+    )
+    # customer has no date-named column -> the stated grouping refuses
+    assert _gen_dated("count of customers per month") == ""
+
+
+def test_generator_temporal_grouping_end_to_end(spark):
+    out = t2s.process_query(
+        spark, SF_SMOKE, "how many orders per year", tables=["orders"]
+    )
+    rows = {r.year: r.n for r in out.collect()}
+    assert len(rows) >= 2 and all(1995 <= y <= 2001 for y in rows)
+    assert sum(rows.values()) == 1500  # every order in exactly one bucket
