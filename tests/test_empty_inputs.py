@@ -265,3 +265,18 @@ def test_r7_operators_empty(spark, empty_docs):
 
     state = StreamingNeardupState(tempfile.mkdtemp(prefix="etlzero_ks_"))
     assert resolved_keep_set(spark, state, tiny).count() == 2
+
+
+def test_line_dedup_and_mix_empty(spark, empty_docs):
+    from etl_zero_spark.operators import corpus, dedup
+
+    assert dedup.duplicate_lines(empty_docs).count() == 0
+    assert dedup.remove_duplicate_lines(empty_docs).count() == 0
+    res = corpus.mix_corpus(empty_docs, {"webtext": 1.0}, total_docs=10)
+    assert res.df.count() == 0
+    assert res.allocation["webtext"]["available"] == 0
+    assert res.allocation["webtext"]["allocated"] == 0
+    res = corpus.mix_corpus(
+        empty_docs, {"webtext": 1.0}, total_tokens=10, exact=True
+    )
+    assert res.df.count() == 0
