@@ -548,28 +548,30 @@ class RuleBasedGenerator:
                 for t in ([table] if table else [])
             ):
                 return None  # 'top 5 orders by price' ranks raw rows
-            group = self._resolve_column(gw, cols)
+            gp = self._group_part(gw.lower(), cols)
             metric = self._resolve_column(m2.group(2), cols)
             if (
-                group is None
+                gp is None
                 or metric is None
-                or metric == group
+                or metric == gp[1]
                 or cols.get(metric) != "number"
             ):
                 return None  # not this shape -> raw-row fallback
+            gsel, gby = gp
             alias = f"{metric}_sum"
             return (
-                f"SELECT {group}, SUM({metric}) AS {alias} FROM {table}"
-                f"{where} GROUP BY {group} ORDER BY {alias} {direction} "
+                f"SELECT {gsel}, SUM({metric}) AS {alias} FROM {table}"
+                f"{where} GROUP BY {gby} ORDER BY {alias} {direction} "
                 f"LIMIT {n}"
             )
-        group = self._resolve_column(m.group(1), cols)
-        if group is None:
+        gp = self._group_part(m.group(1).lower(), cols)
+        if gp is None:
             return ""
+        gsel, gby = gp
         if m.group(2) == "count":
             return (
-                f"SELECT {group}, COUNT(*) AS n FROM {table}{where} "
-                f"GROUP BY {group} ORDER BY n {direction} LIMIT {n}"
+                f"SELECT {gsel}, COUNT(*) AS n FROM {table}{where} "
+                f"GROUP BY {gby} ORDER BY n {direction} LIMIT {n}"
             )
         fn = self._AGGS[m.group(2)]
         col = self._resolve_column(m.group(3), cols) if m.group(3) else None
@@ -577,8 +579,8 @@ class RuleBasedGenerator:
             return ""
         alias = f"{col}_{fn.lower()}"
         return (
-            f"SELECT {group}, {fn}({col}) AS {alias} FROM {table}{where} "
-            f"GROUP BY {group} ORDER BY {alias} {direction} LIMIT {n}"
+            f"SELECT {gsel}, {fn}({col}) AS {alias} FROM {table}{where} "
+            f"GROUP BY {gby} ORDER BY {alias} {direction} LIMIT {n}"
         )
 
     def _order_column(self, q: str, cols: dict[str, str]) -> str | None:
@@ -629,29 +631,36 @@ class RuleBasedGenerator:
         )
         if not m:
             return None
-
-        def part(word: str) -> tuple[str, str] | None:
-            col = self._resolve_column(word, cols)
-            if col:
-                return (col, col)
-            fn = self._TIME_GROUPS.get(word)
-            if fn:
-                dcol = self._resolve_date_column(None, cols)
-                if dcol:
-                    return (f"{fn}({dcol}) AS {word}", f"{fn}({dcol})")
-            return None
-
-        first = part(m.group(1).lower())
+        first = self._group_part(m.group(1).lower(), cols)
         if first is None:
             return None
         if m.group(2):
-            second = part(m.group(2).lower())
+            second = self._group_part(m.group(2).lower(), cols)
             if second and second != first:
                 return (
                     f"{first[0]}, {second[0]}",
                     f"{first[1]}, {second[1]}",
                 )
         return first
+
+    def _group_part(
+        self, word: str, cols: dict[str, str]
+    ) -> tuple[str, str] | None:
+        """One grouping mention -> (select_expr, group_by_expr): a
+        resolvable column groups as itself; a temporal word (naive
+        plural tolerated — 'top 3 months') buckets the unique
+        date-named column. A column match always wins over the
+        temporal reading."""
+        col = self._resolve_column(word, cols)
+        if col:
+            return (col, col)
+        base = word if word in self._TIME_GROUPS else word.rstrip("s")
+        fn = self._TIME_GROUPS.get(base)
+        if fn:
+            dcol = self._resolve_date_column(None, cols)
+            if dcol:
+                return (f"{fn}({dcol}) AS {base}", f"{fn}({dcol})")
+        return None
 
     @staticmethod
     def _best_key_pair(

@@ -692,3 +692,23 @@ def test_generator_temporal_grouping_end_to_end(spark):
     rows = {r.year: r.n for r in out.collect()}
     assert len(rows) >= 2 and all(1995 <= y <= 2001 for y in rows)
     assert sum(rows.values()) == 1500  # every order in exactly one bucket
+
+
+def test_generator_ranked_temporal_groups():
+    """Late-R7: 'top N months by <agg/metric>' ranks temporal buckets
+    of the unique date column, plural tolerated."""
+    assert _gen_dated("top 3 months by sum totalprice in orders") == (
+        "SELECT month(o_orderdate) AS month, SUM(o_totalprice) "
+        "AS o_totalprice_sum FROM orders "
+        "GROUP BY month(o_orderdate) ORDER BY o_totalprice_sum DESC LIMIT 3"
+    )
+    # bare-metric form rides the same path
+    assert _gen_dated("top 3 months by totalprice in orders") == (
+        "SELECT month(o_orderdate) AS month, SUM(o_totalprice) "
+        "AS o_totalprice_sum FROM orders "
+        "GROUP BY month(o_orderdate) ORDER BY o_totalprice_sum DESC LIMIT 3"
+    )
+    assert _gen_dated("bottom 2 years by count in orders") == (
+        "SELECT year(o_orderdate) AS year, COUNT(*) AS n FROM orders "
+        "GROUP BY year(o_orderdate) ORDER BY n ASC LIMIT 2"
+    )
