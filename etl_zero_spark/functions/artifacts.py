@@ -118,10 +118,16 @@ def source_identity(path: str) -> str:
     removed — a corpus regenerated in place, or regenerated within the
     same second, would serve a stale learned artifact (stop-shingles,
     IVF centroids, BPE merges, n-gram LMs). This hashes the CONTENT
-    listing instead: the sorted (relative name, size, mtime_ns) of
-    every data file under the path (nanosecond mtimes change on any
-    rewrite; a different part layout or size changes the listing even
-    at equal mtime). Plain files hash their own (size, mtime_ns).
+    listing instead: the sorted (relative name, size, mtime_ns,
+    edge-sample hash) of every data file under the path. The edge
+    sample hashes the first and last 64 KiB of each part file — on
+    filesystems with coarse mtime granularity an in-place regeneration
+    inside the same timestamp quantum that preserves names and sizes
+    would otherwise yield the SAME identity (ADVICE r7 #4), and
+    parquet's footer (schema, row-group stats, offsets) lives in that
+    last block, so any real content change moves the sample. Cost is
+    O(128 KiB × part files) regardless of part size. Plain files hash
+    their own (size, mtime_ns, edge sample).
     In production the equivalent key is the snapshot/table version —
     SnapshotTable callers should key on ``current_version()`` instead.
     """
@@ -136,13 +142,40 @@ def source_identity(path: str) -> str:
                 full = os.path.join(dirpath, fn)
                 st = os.stat(full)
                 entries.append(
-                    (os.path.relpath(full, path), st.st_size, st.st_mtime_ns)
+                    (
+                        os.path.relpath(full, path),
+                        st.st_size,
+                        st.st_mtime_ns,
+                        _edge_sample(full, st.st_size),
+                    )
                 )
         h.update(json.dumps(entries).encode())
     else:
         st = os.stat(path)
-        h.update(json.dumps([st.st_size, st.st_mtime_ns]).encode())
+        h.update(
+            json.dumps(
+                [st.st_size, st.st_mtime_ns, _edge_sample(path, st.st_size)]
+            ).encode()
+        )
     return h.hexdigest()[:24]
+
+
+_EDGE = 64 * 1024
+
+
+def _edge_sample(path: str, size: int) -> str:
+    """Hash of the first and last 64 KiB of ``path`` — the cheap
+    content witness ``source_identity`` folds into each file entry."""
+    h = hashlib.sha256()
+    with open(path, "rb") as fh:
+        h.update(fh.read(_EDGE))
+        if size > 2 * _EDGE:
+            fh.seek(size - _EDGE)
+            h.update(fh.read(_EDGE))
+        elif size > _EDGE:
+            fh.seek(_EDGE)
+            h.update(fh.read())
+    return h.hexdigest()[:16]
 
 
 def artifact_path(kind: str, params: dict, root: str | None = None) -> str:

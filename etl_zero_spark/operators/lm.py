@@ -166,12 +166,26 @@ def score_perplexity(
     default pruning caps, and a closure-captured copy would
     re-serialize into every task's dispatch payload, while a broadcast
     transfers once per executor and is shared by its tasks (ADVICE r6
-    #4). Empty documents score NULL (no tokens to judge)."""
+    #4). The broadcast is cached ON the model object per SparkContext
+    (ADVICE r7 #3): a long-lived process scoring many batches reuses
+    one broadcast instead of accumulating ~10 MB blocks per call on
+    the driver and executors; a restarted context re-broadcasts.
+    Empty documents score NULL (no tokens to judge)."""
     import re as _re
 
     from pyspark.sql.functions import pandas_udf
 
-    bc_model = df.sparkSession.sparkContext.broadcast(lm)
+    sc = df.sparkSession.sparkContext
+    cached = getattr(lm, "_bc_cache", None)
+    if cached is not None and cached[0] is sc:
+        bc_model = cached[1]
+    else:
+        # strip any stale cache entry BEFORE pickling: a Broadcast /
+        # SparkContext inside the payload would fail serialization
+        if cached is not None:
+            object.__delattr__(lm, "_bc_cache")
+        bc_model = sc.broadcast(lm)
+        object.__setattr__(lm, "_bc_cache", (sc, bc_model))
     # EXACTLY tokens_expr's rule: Java-regex \s+ is ASCII whitespace
     # only, while Python str.split() splits all Unicode whitespace — a
     # divergence would tokenize 'foo\xa0bar' as one token at train

@@ -159,3 +159,107 @@ def test_stop_shingles_persist_across_processes(spark, sf_dir, tmp_path, monkeyp
     monkeypatch.setattr(northstar, "_STOP_SHINGLES", {})
     assert northstar._stop_shingles_cached(spark, sf_dir) == first
     assert calls == [1]
+
+
+def test_source_identity_content_witness(tmp_path):
+    """ADVICE r7 #4: an in-place regeneration that preserves file
+    names, sizes, AND mtime (coarse-granularity filesystems) must
+    still change the source identity — the edge-sample hash is the
+    content witness. Covered for a plain file, a small part file
+    (< 64 KiB), and a large one where only the tail block differs."""
+    import os
+
+    from etl_zero_spark.functions.artifacts import source_identity
+
+    # plain file
+    f = tmp_path / "model.json"
+    f.write_bytes(b"a" * 100)
+    st = os.stat(f)
+    id1 = source_identity(str(f))
+    f.write_bytes(b"b" * 100)  # same size
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns))  # same mtime_ns
+    assert source_identity(str(f)) != id1
+
+    # directory of part files: small part rewritten in place
+    d = tmp_path / "table.parquet"
+    d.mkdir()
+    part = d / "part-00000.parquet"
+    part.write_bytes(b"x" * 1000)
+    (d / "_SUCCESS").write_bytes(b"")  # sidecar: ignored
+    st = os.stat(part)
+    id1 = source_identity(str(d))
+    part.write_bytes(b"y" * 1000)
+    os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns))
+    id2 = source_identity(str(d))
+    assert id2 != id1
+
+    # large part file (> 2*64KiB): change only the FOOTER region —
+    # parquet's schema/stats live there, so the tail sample sees any
+    # real rewrite
+    big = b"z" * (200 * 1024)
+    part.write_bytes(big)
+    st = os.stat(part)
+    id3 = source_identity(str(d))
+    part.write_bytes(big[:-1] + b"w")
+    os.utime(part, ns=(st.st_atime_ns, st.st_mtime_ns))
+    assert source_identity(str(d)) != id3
+
+
+def test_regenerated_corpus_invalidates_cache(spark, tmp_path, monkeypatch):
+    """VERDICT r7 #7 done-criterion: a corpus regenerated IN PLACE
+    (same file names/sizes/mtimes, different bytes) invalidates every
+    source_identity-keyed learned-artifact cache — exercised through
+    the real stop-shingles path, the same keying the IVF-centroid
+    cache uses."""
+    import os
+
+    from etl_zero_spark.plans import northstar
+
+    monkeypatch.setenv("ETL_ZERO_ARTIFACTS", str(tmp_path / "arts"))
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+
+    def write_docs(texts):
+        import pandas as pd
+
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": range(len(texts)),
+                    "text": texts,
+                    "lang": ["en"] * len(texts),
+                    "source": ["t"] * len(texts),
+                }
+            )
+        ).coalesce(1).write.mode("overwrite").parquet(
+            str(corpus / "documents.parquet")
+        )
+
+    calls = []
+    from etl_zero_spark.operators import dedup
+
+    real = dedup.compute_stop_shingles
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(dedup, "compute_stop_shingles", counting)
+    monkeypatch.setattr(northstar, "_STOP_SHINGLES", {})
+    write_docs(["alpha beta gamma delta"] * 4)
+    northstar._stop_shingles_cached(spark, str(corpus))
+    assert calls == [1]
+    # regenerate in place with DIFFERENT same-length content and
+    # clamp every part file back to its prior mtime_ns
+    before = {
+        p: os.stat(os.path.join(str(corpus / "documents.parquet"), p))
+        for p in os.listdir(corpus / "documents.parquet")
+    }
+    write_docs(["omega psi chi phiii"] * 4)
+    for p, st in before.items():
+        full = os.path.join(str(corpus / "documents.parquet"), p)
+        if os.path.exists(full):
+            os.utime(full, ns=(st.st_atime_ns, st.st_mtime_ns))
+    monkeypatch.setattr(northstar, "_STOP_SHINGLES", {})
+    northstar._stop_shingles_cached(spark, str(corpus))
+    assert calls == [1, 1], "regenerated corpus must retrain, not serve stale"
