@@ -118,7 +118,15 @@ class RuleBasedGenerator:
     * ``<tA> without / with no / that have no <tB>``   -> NOT EXISTS
       anti-join on the J3-inferred key pair; ``<tA> that have <tB>``
       -> the EXISTS semi-join mirror (R7); a stated exclusion whose
-      mention resolves to no table REFUSES
+      mention resolves to no table REFUSES — in EVERY branch: 'how
+      many customers without orders' counts over NOT EXISTS rather
+      than silently dropping the exclusion, and branches whose SQL
+      shape cannot host the subquery refuse (R8, ADVICE r7 #1)
+    * ``<agg> <col> per <table> <col>``                -> grouped
+      aggregate THROUGH the J3-inferred FK join ('total revenue per
+      customer name' -> SUM(o_totalprice) GROUP BY c_name); 'revenue'
+      resolves via a suffix/containment-only synonym list, and a
+      key pair with two top-score ties is ambiguous -> REFUSE (R8)
 
     Table and column mentions resolve by containment first, then
     difflib fuzzy match (cutoff 0.6 — the reference's column-matching
@@ -175,6 +183,24 @@ class RuleBasedGenerator:
         # transfer to q.
         q_main = raw_where.lower() if hv else q
 
+        # R8 (ADVICE r7 #1): a stated existence constraint ('without
+        # orders', 'that have orders') is detected BEFORE the count/agg
+        # branches — they previously answered 'how many customers
+        # without orders' with an unfiltered COUNT(*), silently
+        # dropping the exclusion. An anti mention that names no table
+        # refuses HERE, whatever branch would have answered; a resolved
+        # one composes into the branches below as a correlated
+        # [NOT] EXISTS predicate on the J3-inferred key pair (branches
+        # whose SQL shape cannot host the subquery — foreign-group
+        # joins, whose t2 alias it would capture — refuse instead).
+        ex = self._existence(q, table, schema)
+        if ex == "refuse":
+            return ""
+        if ex:
+            ex_pred = self._exists_pred(ex)
+            jw = self._where_clause(raw_where, cols, prefix="t1.")
+            ex_lead = f"{jw} AND" if jw else " WHERE"
+
         m = re.search(r"\btop\s+(\d+)\b", q)
         if m and not hv:
             n = int(m.group(1))
@@ -184,10 +210,15 @@ class RuleBasedGenerator:
             # silently rank raw rows by a guessed numeric column.
             ranked = self._ranked_group_sql(q, cols, table, where, n, "DESC")
             if ranked is not None:
-                return ranked
+                return "" if ex else ranked
             order = self._order_column(q, cols)
             if order is None:
                 return ""
+            if ex:
+                return (
+                    f"SELECT * FROM {table} t1{ex_lead} {ex_pred} "
+                    f"ORDER BY {order} DESC LIMIT {n}"
+                )
             return (
                 f"SELECT * FROM {table}{where} "
                 f"ORDER BY {order} DESC LIMIT {n}"
@@ -198,10 +229,15 @@ class RuleBasedGenerator:
             n = int(m.group(1))
             ranked = self._ranked_group_sql(q, cols, table, where, n, "ASC")
             if ranked is not None:
-                return ranked
+                return "" if ex else ranked
             order = self._order_column(q, cols)
             if order is None:
                 return ""
+            if ex:
+                return (
+                    f"SELECT * FROM {table} t1{ex_lead} {ex_pred} "
+                    f"ORDER BY {order} ASC LIMIT {n}"
+                )
             return (
                 f"SELECT * FROM {table}{where} "
                 f"ORDER BY {order} ASC LIMIT {n}"
@@ -218,12 +254,23 @@ class RuleBasedGenerator:
                 gp = self._group_parts(q_main, cols)
                 if gp:
                     gsel, gby = gp
+                    if ex:
+                        return (
+                            f"SELECT {gsel}, COUNT(DISTINCT {col}) AS n "
+                            f"FROM {table} t1{ex_lead} {ex_pred} "
+                            f"GROUP BY {gby}{having}"
+                        )
                     return (
                         f"SELECT {gsel}, COUNT(DISTINCT {col}) AS n "
                         f"FROM {table}{where} GROUP BY {gby}{having}"
                     )
                 if hv:
                     return ""
+                if ex:
+                    return (
+                        f"SELECT COUNT(DISTINCT {col}) AS n "
+                        f"FROM {table} t1{ex_lead} {ex_pred}"
+                    )
                 return f"SELECT COUNT(DISTINCT {col}) AS n FROM {table}{where}"
             # R6: grouped counts ('count of orders per orderpriority'),
             # with optional HAVING on the groups; late-R7: 'per month' /
@@ -231,6 +278,12 @@ class RuleBasedGenerator:
             gp = self._group_parts(q_main, cols)
             if gp:
                 gsel, gby = gp
+                if ex:
+                    return (
+                        f"SELECT {gsel}, COUNT(*) AS n "
+                        f"FROM {table} t1{ex_lead} {ex_pred} "
+                        f"GROUP BY {gby}{having}"
+                    )
                 return (
                     f"SELECT {gsel}, COUNT(*) AS n FROM {table}{where} "
                     f"GROUP BY {gby}{having}"
@@ -244,16 +297,27 @@ class RuleBasedGenerator:
             # too (second review pass — it was silently dropped).
             g = re.search(
                 r"\b(?:by|per|for each|grouped by)\s+(\w+)"
+                r"(?:\s+(?!and\b)(\w+))?"
                 r"(?:\s+and\s+(\w+))?",
                 q_main,
             )
             if g and not hv:
-                hit = self._resolve_foreign_group(g.group(1), table, schema)
+                if ex:
+                    return ""  # existence subquery would capture t2
+                hit = None
+                # R8: two-word foreign mention first — '<table> <col>'
+                # ('count of orders per customer name' -> customer.c_name)
+                if g.group(2):
+                    hit = self._resolve_foreign_group(
+                        g.group(1), table, schema, second=g.group(2)
+                    )
+                if hit is None:
+                    hit = self._resolve_foreign_group(g.group(1), table, schema)
                 if hit:
                     other, gcol, lk, rk = hit
                     second = ""
-                    if g.group(2):
-                        loc = self._resolve_column(g.group(2), cols)
+                    if g.group(3):
+                        loc = self._resolve_column(g.group(3), cols)
                         if loc is None:
                             return ""
                         second = f", t1.{loc}"
@@ -267,6 +331,8 @@ class RuleBasedGenerator:
                 return ""
             if hv:
                 return ""  # HAVING needs groups; none resolved
+            if ex:
+                return f"SELECT COUNT(*) AS n FROM {table} t1{ex_lead} {ex_pred}"
             return f"SELECT COUNT(*) AS n FROM {table}{where}"
 
         # R7: superlative ROW ('which customer has the highest
@@ -298,6 +364,11 @@ class RuleBasedGenerator:
                 ("lowest", "smallest", "least", "minimum", "fewest")
                 else "DESC"
             )
+            if ex:
+                return (
+                    f"SELECT * FROM {table} t1{ex_lead} {ex_pred} "
+                    f"ORDER BY {col} {d} LIMIT 1"
+                )
             return f"SELECT * FROM {table}{where} ORDER BY {col} {d} LIMIT 1"
 
         for word, fn in self._AGGS.items():
@@ -307,12 +378,23 @@ class RuleBasedGenerator:
             if m:
                 col = self._resolve_column(m.group(1), cols)
                 if col is None:
+                    rebased = self._rebased_agg(
+                        q_main, raw_where, m, fn, table, schema, hv, ex
+                    )
+                    if rebased is not None:
+                        return rebased
                     continue
                 # R7: '<agg> <col> as <name>' names the output column
                 alias = m.group(2) or f"{col}_{fn.lower()}"
                 gp = self._group_parts(q_main, cols)
                 if gp:
                     gsel, gby = gp
+                    if ex:
+                        return (
+                            f"SELECT {gsel}, {fn}({col}) AS {alias} "
+                            f"FROM {table} t1{ex_lead} {ex_pred} "
+                            f"GROUP BY {gby}{having}"
+                        )
                     return (
                         f"SELECT {gsel}, {fn}({col}) AS {alias} "
                         f"FROM {table}{where} GROUP BY {gby}{having}"
@@ -321,33 +403,64 @@ class RuleBasedGenerator:
                 # mapper's name-similarity key inference, J3, applied
                 # to the rendered schema): 'average totalprice per
                 # mktsegment' joins orders to customer on the most
-                # name-similar column pair.
+                # name-similar column pair. R8: the two-word form
+                # '<table> <col>' resolves first ('total revenue per
+                # customer name' -> GROUP BY customer.c_name through
+                # the inferred o_custkey = c_custkey).
                 g = re.search(
                     r"\b(?:by|per|for each|grouped by)\s+(\w+)"
+                    r"(?:\s+(?!and\b)(\w+))?"
                     r"(?:\s+and\s+(\w+))?",
                     q_main,
                 )
                 if g and not hv:  # HAVING cols would be ambiguous across the join
-                    hit = self._resolve_foreign_group(g.group(1), table, schema)
+                    if ex:
+                        return ""  # existence subquery would capture t2
+                    hit = None
+                    if g.group(2):
+                        hit = self._resolve_foreign_group(
+                            g.group(1), table, schema, second=g.group(2)
+                        )
+                    if hit is None:
+                        hit = self._resolve_foreign_group(
+                            g.group(1), table, schema
+                        )
                     if hit:
                         other, gcol, lk, rk = hit
                         # a second stated group must resolve in the
                         # base table or the question refuses (it was
                         # silently dropped — second review pass)
                         second = ""
-                        if g.group(2):
-                            loc = self._resolve_column(g.group(2), cols)
+                        if g.group(3):
+                            loc = self._resolve_column(g.group(3), cols)
                             if loc is None:
                                 return ""
                             second = f", t1.{loc}"
+                        # ADVICE r7 #2: re-render the WHERE with the
+                        # t1. prefix (like the count branch) — a filter
+                        # column name shared by both joined tables
+                        # would otherwise be ambiguous at execution
+                        jwhere = self._where_clause(
+                            raw_where, cols, prefix="t1."
+                        )
                         return (
                             f"SELECT t2.{gcol}{second}, {fn}(t1.{col}) AS {alias} "
                             f"FROM {table} t1 JOIN {other} t2 "
-                            f"ON t1.{lk} = t2.{rk}{where} "
+                            f"ON t1.{lk} = t2.{rk}{jwhere} "
                             f"GROUP BY t2.{gcol}{second}"
                         )
+                    # a stated grouping that resolves NOWHERE (incl. an
+                    # ambiguous key pair) refuses, mirroring the count
+                    # branch — the ungrouped aggregate would silently
+                    # drop the constraint (R8)
+                    return ""
                 if hv:
                     return ""  # HAVING needs groups; none resolved
+                if ex:
+                    return (
+                        f"SELECT {fn}({col}) AS {alias} "
+                        f"FROM {table} t1{ex_lead} {ex_pred}"
+                    )
                 return f"SELECT {fn}({col}) AS {alias} FROM {table}{where}"
 
         if hv:
@@ -357,45 +470,22 @@ class RuleBasedGenerator:
         if m:
             col = self._resolve_column(m.group(1), cols)
             if col:
+                if ex:
+                    return (
+                        f"SELECT DISTINCT {col} FROM {table} t1"
+                        f"{ex_lead} {ex_pred}"
+                    )
                 return f"SELECT DISTINCT {col} FROM {table}{where}"
 
         # R7: existence questions against another table — anti-join
         # ('customers without orders', 'customers with no orders',
         # 'customers that have no orders') and its semi-join mirror
-        # ('customers that have orders'). The mention must name a
-        # TABLE; the key pair is the same J3 name-similarity
-        # inference the join branches use. NOT EXISTS / EXISTS rather
-        # than LEFT ANTI syntax so the SQL runs on any ANSI engine.
-        m = re.search(
-            r"\bwithout\s+(?:any\s+)?(\w+)"
-            r"|\bwith\s+no\s+(\w+)"
-            r"|\b(?:have|has)\s+no\s+(\w+)"
-            r"|\bdo(?:es)?\s*n[o']t\s+have\s+(?:any\s+)?(\w+)",
-            q,
-        )
-        anti = bool(m)
-        if not m:
-            m = re.search(
-                r"\b(?:that|who|which)\s+(?:have|has)\s+"
-                r"(?:at\s+least\s+one\s+|some\s+)?(\w+)", q
-            )
-        if m:
-            word = next(g for g in m.groups() if g)
-            other = self._table_mention(word, table, schema)
-            keys = (
-                self._best_key_pair(cols, schema[other]) if other else None
-            )
-            if other and keys:
-                jwhere = self._where_clause(raw, cols, prefix="t1.")
-                neg = "NOT " if anti else ""
-                lead = f"{jwhere} AND" if jwhere else " WHERE"
-                return (
-                    f"SELECT * FROM {table} t1{lead} {neg}EXISTS "
-                    f"(SELECT 1 FROM {other} t2 "
-                    f"WHERE t2.{keys[1]} = t1.{keys[0]})"
-                )
-            if anti:
-                return ""  # stated exclusion we cannot resolve -> refuse
+        # ('customers that have orders'). Detection/resolution lives in
+        # _existence (computed above, shared with the count/agg
+        # branches); NOT EXISTS / EXISTS rather than LEFT ANTI syntax
+        # so the SQL runs on any ANSI engine.
+        if ex:
+            return f"SELECT * FROM {table} t1{ex_lead} {ex_pred}"
 
         # plain two-table join (R5, matching the reference demo space's
         # join questions): 'show customers with their orders', 'orders
@@ -499,6 +589,14 @@ class RuleBasedGenerator:
                 return owners[0]
         return None
 
+    #: demo-domain metric nouns -> candidate column words, tried in
+    #: order when the noun itself resolves to nothing ('total revenue'
+    #: over TPC-H orders -> SUM(o_totalprice), the reference demo's
+    #: 'top products by revenue' vocabulary, front_end.py:578).
+    #: Synonyms use suffix/containment matching ONLY — never difflib —
+    #: so they cannot resolve near-gibberish (R8).
+    _SYNONYMS = {"revenue": ("totalprice", "price", "amount", "sales")}
+
     def _resolve_column(self, word: str, cols: dict[str, str]) -> str | None:
         if word in cols:
             return word
@@ -510,6 +608,12 @@ class RuleBasedGenerator:
         contains = [c for c in cols if word.lower() in c.lower()]
         if len(contains) == 1:
             return contains[0]
+        for syn in self._SYNONYMS.get(word.lower(), ()):
+            hits = [c for c in cols if c.lower().endswith(syn)]
+            if len(hits) != 1:
+                hits = [c for c in cols if syn in c.lower()]
+            if len(hits) == 1:
+                return hits[0]
         return self._fuzzy(word, list(cols))
 
     def _ranked_group_sql(
@@ -668,23 +772,143 @@ class RuleBasedGenerator:
     ) -> tuple[str, str] | None:
         """The (left, right) column pair with the highest difflib name
         similarity >= 0.6 — the same heuristic the mapper applies to
-        real schemas (J3)."""
+        real schemas (J3). Two DISTINCT pairs tying exactly at the top
+        score are ambiguous — None (refusing beats guessing which FK
+        the question meant, R8)."""
         import difflib
 
-        best, best_score = None, 0.0
+        best, best_score, tied = None, 0.0, False
         for lk in a_cols:
             for rk in b_cols:
                 score = difflib.SequenceMatcher(None, lk, rk).ratio()
                 if score > best_score:
-                    best, best_score = (lk, rk), score
-        return best if best is not None and best_score >= 0.6 else None
+                    best, best_score, tied = (lk, rk), score, False
+                elif best is not None and score == best_score and (lk, rk) != best:
+                    tied = True
+        if best is None or best_score < 0.6 or tied:
+            return None
+        return best
+
+    def _existence(
+        self, q: str, table: str, schema: dict
+    ) -> tuple[str, str, str, bool] | str | None:
+        """A stated existence constraint against another table:
+        ``(other, left_key, right_key, anti)`` when the mention
+        resolves ('customers without orders' / 'that have orders');
+        the sentinel ``'refuse'`` for a stated EXCLUSION whose mention
+        names no table (any branch answering without it would silently
+        drop the constraint — ADVICE r7 #1); None when no existence
+        shape is stated, or a semi mention is just a column (the
+        plain-filter reading: 'orders which have totalprice > 10')."""
+        m = re.search(
+            r"\bwithout\s+(?:any\s+)?(\w+)"
+            r"|\bwith\s+no\s+(\w+)"
+            r"|\b(?:have|has)\s+no\s+(\w+)"
+            r"|\bdo(?:es)?\s*n[o']t\s+have\s+(?:any\s+)?(\w+)",
+            q,
+        )
+        anti = bool(m)
+        if not m:
+            m = re.search(
+                r"\b(?:that|who|which)\s+(?:have|has)\s+"
+                r"(?:at\s+least\s+one\s+|some\s+)?(\w+)", q
+            )
+        if not m:
+            return None
+        word = next(g for g in m.groups() if g)
+        other = self._table_mention(word, table, schema)
+        keys = (
+            self._best_key_pair(schema[table], schema[other])
+            if other else None
+        )
+        if other and keys:
+            return (other, keys[0], keys[1], anti)
+        return "refuse" if anti else None
+
+    @staticmethod
+    def _exists_pred(ex: tuple[str, str, str, bool]) -> str:
+        """The correlated [NOT] EXISTS predicate for a resolved
+        existence constraint; the outer table is always aliased t1."""
+        other, lk, rk, anti = ex
+        neg = "NOT " if anti else ""
+        return (
+            f"{neg}EXISTS (SELECT 1 FROM {other} t2 "
+            f"WHERE t2.{rk} = t1.{lk})"
+        )
+
+    def _rebased_agg(
+        self, q_main: str, raw_where: str, m, fn: str, table: str,
+        schema: dict, hv, ex,
+    ) -> str | None:
+        """'total revenue per customer name' resolves its TABLE
+        mention to customer, but the metric column lives in orders —
+        rebase: the metric's UNIQUE owner table becomes the FROM side
+        and the mentioned table supplies the foreign GROUP BY column
+        through the J3-inferred key pair (R8, VERDICT r7 #5). None
+        unless the metric owner is unambiguous AND the stated group
+        resolves in the mentioned table — the caller keeps scanning
+        (and ultimately refuses or falls back) rather than guessing."""
+        if hv or ex:
+            return None  # HAVING/existence scope is ambiguous across the join
+        owners = []
+        for t, ocols in schema.items():
+            if t == table:
+                continue
+            c = self._resolve_column(m.group(1), ocols)
+            if c:
+                owners.append((t, c))
+        if len(owners) != 1:
+            return None
+        base, col = owners[0]
+        g = re.search(
+            r"\b(?:by|per|for each|grouped by)\s+(\w+)"
+            r"(?:\s+(?!and\b)(\w+))?",
+            q_main,
+        )
+        if not g:
+            return None
+        # the group must live in the MENTIONED table (the foreign side
+        # after the rebase): '<table> <col>' two-word form, or a bare
+        # column of that table
+        if g.group(2) and self._table_mention(g.group(1), base, schema) == table:
+            gcol = self._resolve_column(g.group(2), schema[table])
+        else:
+            gcol = self._resolve_column(g.group(1), schema[table])
+        if gcol is None:
+            return None
+        keys = self._best_key_pair(schema[base], schema[table])
+        if keys is None:
+            return None
+        alias = m.group(2) or f"{col}_{fn.lower()}"
+        jwhere = self._where_clause(raw_where, schema[base], prefix="t1.")
+        return (
+            f"SELECT t2.{gcol}, {fn}(t1.{col}) AS {alias} "
+            f"FROM {base} t1 JOIN {table} t2 "
+            f"ON t1.{keys[0]} = t2.{keys[1]}{jwhere} "
+            f"GROUP BY t2.{gcol}"
+        )
 
     def _resolve_foreign_group(
-        self, word: str, table: str, schema: dict
+        self, word: str, table: str, schema: dict, second: str | None = None
     ) -> tuple[str, str, str, str] | None:
         """(other_table, group_col, left_key, right_key) when ``word``
         resolves in exactly one OTHER table and a join-key pair
-        exists."""
+        exists. With ``second``, the two-word form ``<table> <col>``
+        ('per customer name' -> customer.c_name through the inferred
+        key pair) — the reference demo's richest shape, 'total revenue
+        per customer name' (R8); None when either mention fails, so
+        the caller falls back to the single-word reading."""
+        if second is not None:
+            other = self._table_mention(word, table, schema)
+            if other is None:
+                return None
+            gcol = self._resolve_column(second, schema[other])
+            if gcol is None:
+                return None
+            keys = self._best_key_pair(schema[table], schema[other])
+            if keys is None:
+                return None
+            return (other, gcol, keys[0], keys[1])
         candidates = []
         for other, ocols in schema.items():
             if other == table:

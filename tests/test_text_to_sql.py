@@ -712,3 +712,110 @@ def test_generator_ranked_temporal_groups():
         "SELECT year(o_orderdate) AS year, COUNT(*) AS n FROM orders "
         "GROUP BY year(o_orderdate) ORDER BY n ASC LIMIT 2"
     )
+
+
+def test_generator_existence_composes_into_count_and_agg():
+    """R8 (ADVICE r7 #1): a stated existence constraint is honored in
+    EVERY branch — count/agg/distinct/superlative compose a correlated
+    [NOT] EXISTS instead of silently dropping the exclusion."""
+    sub = "(SELECT 1 FROM orders t2 WHERE t2.o_custkey = t1.c_custkey)"
+    assert _gen("how many customers without orders") == (
+        f"SELECT COUNT(*) AS n FROM customer t1 WHERE NOT EXISTS {sub}"
+    )
+    assert _gen("how many customers that have orders") == (
+        f"SELECT COUNT(*) AS n FROM customer t1 WHERE EXISTS {sub}"
+    )
+    # row conditions ride along on t1
+    assert _gen(
+        "how many customers where mktsegment is BUILDING without orders"
+    ) == (
+        "SELECT COUNT(*) AS n FROM customer t1 "
+        f"WHERE t1.c_mktsegment = 'BUILDING' AND NOT EXISTS {sub}"
+    )
+    # grouped count keeps the group AND the exclusion
+    assert _gen("count of customers without orders per mktsegment") == (
+        "SELECT c_mktsegment, COUNT(*) AS n FROM customer t1 "
+        f"WHERE NOT EXISTS {sub} GROUP BY c_mktsegment"
+    )
+    # aggregates and distinct compose the same way
+    assert _gen("distinct mktsegment of customers without orders") == (
+        f"SELECT DISTINCT c_mktsegment FROM customer t1 WHERE NOT EXISTS {sub}"
+    )
+    # a stated exclusion that names no table refuses in the count
+    # branch too (previously: unfiltered COUNT(*))
+    assert _gen("how many customers without frobnication") == ""
+
+
+def test_generator_agg_join_where_is_prefixed():
+    """R8 (ADVICE r7 #2): the agg foreign-group join re-renders the
+    WHERE with the t1. prefix like the count branch — a shared column
+    name across the joined tables must not produce ambiguous SQL."""
+    assert _gen(
+        "average totalprice of orders per mktsegment "
+        "where totalprice greater than 100"
+    ) == (
+        "SELECT t2.c_mktsegment, AVG(t1.o_totalprice) AS o_totalprice_avg "
+        "FROM orders t1 JOIN customer t2 ON t1.o_custkey = t2.c_custkey "
+        "WHERE t1.o_totalprice > 100 GROUP BY t2.c_mktsegment"
+    )
+
+
+def test_generator_join_plus_aggregate_rebase():
+    """R8 (VERDICT r7 #5): the reference's richest demo shape —
+    aggregate a column of one table grouped by a column of ANOTHER
+    through the J3-inferred key, with the metric noun resolving via
+    the suffix/containment synonym list ('revenue' -> o_totalprice)."""
+    expected = (
+        "SELECT t2.c_name, SUM(t1.o_totalprice) AS o_totalprice_sum "
+        "FROM orders t1 JOIN customer t2 ON t1.o_custkey = t2.c_custkey "
+        "GROUP BY t2.c_name"
+    )
+    assert _gen("total revenue per customer name") == expected
+    assert _gen("sum of revenue per customer name") == expected
+    # the two-word foreign mention also works base-table-first
+    assert _gen("average totalprice of orders per customer name") == (
+        "SELECT t2.c_name, AVG(t1.o_totalprice) AS o_totalprice_avg "
+        "FROM orders t1 JOIN customer t2 ON t1.o_custkey = t2.c_custkey "
+        "GROUP BY t2.c_name"
+    )
+    # rebase + filter rides on the base (t1) side
+    assert _gen(
+        "total revenue per customer name where totalprice over 100"
+    ) == (
+        "SELECT t2.c_name, SUM(t1.o_totalprice) AS o_totalprice_sum "
+        "FROM orders t1 JOIN customer t2 ON t1.o_custkey = t2.c_custkey "
+        "WHERE t1.o_totalprice > 100 GROUP BY t2.c_name"
+    )
+
+
+def test_generator_ambiguous_key_pair_refuses():
+    """R8: two join-key pairs tying at the top similarity score are
+    ambiguous — the question refuses rather than guessing which FK
+    was meant."""
+    schema = (
+        "CREATE TABLE fact (alpha_key number, beta_key number, v number)\n"
+        "CREATE TABLE dim (alpha_key number, beta_key number, name text)"
+    )
+    gen = t2s.RuleBasedGenerator()
+    # (alpha_key, alpha_key) and (beta_key, beta_key) both score 1.0
+    assert gen(t2s.build_prompt(schema, "facts without dims")) == ""
+    assert gen(t2s.build_prompt(schema, "sum of v per name")) == ""
+    # an unambiguous schema still joins
+    schema_ok = (
+        "CREATE TABLE fact (dim_id number, v number)\n"
+        "CREATE TABLE dim (dim_id number, name text)"
+    )
+    assert gen(t2s.build_prompt(schema_ok, "sum of v per name")) == (
+        "SELECT t2.name, SUM(t1.v) AS v_sum FROM fact t1 "
+        "JOIN dim t2 ON t1.dim_id = t2.dim_id GROUP BY t2.name"
+    )
+
+
+def test_generator_join_aggregate_end_to_end(spark):
+    out = t2s.process_query(
+        spark, SF_SMOKE, "total revenue per customer name",
+        tables=["orders", "customer"],
+    )
+    rows = out.collect()
+    assert len(rows) > 10
+    assert all(r.o_totalprice_sum > 0 for r in rows)
