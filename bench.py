@@ -70,20 +70,18 @@ def _extras(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
 
     from etl_zero_spark.catalog import load_table
-    from etl_zero_spark.functions.artifacts import cached_artifact, source_identity
+    from etl_zero_spark.functions.artifacts import corpus_key
     from etl_zero_spark.operators import bpe, quality, validate
     from etl_zero_spark.plans.corpus_pipeline import prepare_corpus
 
     def x_bpe_tokenize() -> int:
         docs = load_table(spark, sf_dir, "documents")
-        merges = cached_artifact(
-            "bpe_merges",
-            {"corpus": sf_dir,
-             "src_id": source_identity(os.path.join(sf_dir, "documents.parquet")),
-             "n_merges": 200, "max_words": 100_000},
-            lambda: [list(m) for m in bpe.train_bpe(docs, n_merges=200)],
+        merges = bpe.cached_bpe_merges(
+            docs,
+            corpus_key(os.path.join(sf_dir, "documents.parquet")),
+            n_merges=200,
         )
-        return bpe.bpe_tokenize(docs, [tuple(m) for m in merges]).count()
+        return bpe.bpe_tokenize(docs, merges).count()
 
     def x_gopher_gate() -> int:
         return quality.gopher_filter(load_table(spark, sf_dir, "documents")).count()
@@ -235,10 +233,8 @@ def _extras(spark, sf_dir: str) -> dict:
             target = docs.where(F.col("source") == src0)
             r6_state["dsir_lr"] = corp.cached_dsir_logratio(
                 docs, target,
-                {"corpus": sf_dir,
-                 "src_id": source_identity(
-                     os.path.join(sf_dir, "documents.parquet")),
-                 "target": f"source={src0}"},
+                corpus_key(os.path.join(sf_dir, "documents.parquet"),
+                           target=f"source={src0}"),
             )
         return corp.dsir_resample(
             corp.dsir_scores(docs, r6_state["dsir_lr"]), 1000, seed=1
@@ -274,10 +270,8 @@ def _extras(spark, sf_dir: str) -> dict:
             r6_state["qc"] = qc.cached_quality_classifier(
                 docs.where(F.col("doc_id") % 5 == 0),
                 docs.where(F.col("doc_id") % 5 == 1),
-                {"corpus": sf_dir,
-                 "src_id": source_identity(
-                     os.path.join(sf_dir, "documents.parquet")),
-                 "pos": "mod5=0", "neg": "mod5=1"},
+                corpus_key(os.path.join(sf_dir, "documents.parquet"),
+                           pos="mod5=0", neg="mod5=1"),
             )
         return qc.classifier_filter(docs, r6_state["qc"]).count()
 

@@ -160,6 +160,20 @@ def source_identity(path: str) -> str:
     return h.hexdigest()[:24]
 
 
+def corpus_key(path: str, **extra) -> dict:
+    """THE corpus-identity dict every learned-artifact cache keys on
+    (VERDICT r7 #7 — one keying rule, not per-call-site re-invention):
+    ``{"corpus": path, "src_id": source_identity(path)}`` plus caller
+    extras (a target-derivation descriptor, a register split, ...).
+    Used by the stop-shingle, IVF-centroid, PQ-codebook, BPE-merge,
+    ngram-LM, DSIR and quality-classifier caches — a corpus
+    regenerated in place (even names/sizes/mtimes preserved)
+    invalidates ALL of them through source_identity's edge-sample
+    content witness. SnapshotTable callers should key on
+    ``current_version()`` instead of a path."""
+    return {"corpus": path, "src_id": source_identity(path), **extra}
+
+
 _EDGE = 64 * 1024
 
 

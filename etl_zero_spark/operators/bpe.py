@@ -107,6 +107,34 @@ def train_bpe(
     return merges
 
 
+def cached_bpe_merges(
+    df: DataFrame,
+    corpus_key: dict,
+    n_merges: int = 200,
+    text_col: str = "text",
+    max_words: int = 100_000,
+) -> list[tuple[str, str]]:
+    """Load-or-train through ``functions/artifacts`` — the
+    IVF/PQ/ngram-LM amortization pattern (VERDICT r7 #7): the
+    distributed word-frequency pass and merge loop are paid once per
+    corpus identity. ``corpus_key`` should be
+    ``functions.artifacts.corpus_key(path)`` (content-witness keyed)
+    or a snapshot version — token ids from regenerated merges are a
+    different vocabulary."""
+    from etl_zero_spark.functions.artifacts import cached_artifact
+
+    params = {
+        **corpus_key,
+        "n_merges": n_merges, "text_col": text_col, "max_words": max_words,
+    }
+    payload = cached_artifact(
+        "bpe_merges",
+        params,
+        lambda: [list(p) for p in train_bpe(df, n_merges, text_col, max_words)],
+    )
+    return [(a, b) for a, b in payload]
+
+
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Greedy lowest-rank merging of one word (chars + EOW), the
     standard BPE apply. Pure function — shared verbatim by the

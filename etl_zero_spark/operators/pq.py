@@ -111,6 +111,38 @@ def train_pq(
     return books
 
 
+def cached_pq_codebooks(
+    corpus: DataFrame,
+    corpus_key: dict,
+    m: int = 8,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    sample_rows: int = 65_536,
+    max_iter: int = 15,
+    seed: int = PQ_SEED,
+) -> np.ndarray:
+    """Load-or-train through ``functions/artifacts`` — the
+    IVF/BPE/ngram-LM amortization pattern (VERDICT r7 #7): the
+    codebook training pass is paid once per corpus identity, every
+    later process digest-verifies and loads. ``corpus_key`` should be
+    ``functions.artifacts.corpus_key(path)`` (content-witness keyed)
+    or a snapshot version — a PQ code is meaningless against
+    regenerated codebooks, so a stale key here is wrong neighbors."""
+    from etl_zero_spark.functions.artifacts import cached_artifact
+
+    params = {
+        **corpus_key,
+        "m": m, "nbits": nbits, "vec_col": vec_col,
+        "sample_rows": sample_rows, "max_iter": max_iter, "seed": seed,
+    }
+    books = cached_artifact(
+        "pq_codebooks",
+        params,
+        lambda: train_pq(corpus, m, nbits, vec_col, sample_rows, max_iter, seed),
+    )
+    return np.asarray(books, dtype=np.float64)
+
+
 def pq_encode_udf(spark, codebooks: np.ndarray):
     """Vectorized pandas UDF: embedding -> array<int> of m codes."""
     from pyspark.sql.functions import pandas_udf

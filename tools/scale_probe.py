@@ -638,16 +638,14 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         # iters), score + Pareto-filter the full corpus. Single-run
         # (the model persists via the params-keyed store: a rep would
         # measure load+score, a different path).
-        from etl_zero_spark.functions.artifacts import source_identity
+        from etl_zero_spark.functions.artifacts import corpus_key
         from etl_zero_spark.operators import classifier as qc
 
         model = qc.cached_quality_classifier(
             docs.where(F.col("doc_id") % 5 == 0),
             docs.where(F.col("doc_id") % 5 == 1),
-            {"corpus": probe_dir,
-             "src_id": source_identity(
-                 os.path.join(probe_dir, "documents.parquet")),
-             "pos": "mod5=0", "neg": "mod5=1"},
+            corpus_key(os.path.join(probe_dir, "documents.parquet"),
+                       pos="mod5=0", neg="mod5=1"),
             max_iter=10,
         )
         return qc.classifier_filter(docs, model)
