@@ -34,7 +34,7 @@ HEADLINE = [
     "o3_top_k",
     "cd_acd_count_distinct",
     "w2_running_sum",
-    "e1_tumbling_window",
+    "e1_e2_windows",
     "e3_sessionize_batch",
     "aj1_asof_join",
     "rj1_range_join",

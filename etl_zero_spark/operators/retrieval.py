@@ -1,0 +1,158 @@
+"""Lexical full-text retrieval: BM25 top-k over the documents table
+(Robertson & Spärck Jones probabilistic relevance; the Lucene /
+Elasticsearch practical scoring function).
+
+The reference engine exposes no text-search surface; this is part of
+the §2.11 extension tier (SURVEY) — the lexical complement to the
+embedding similarity tier (sim1-sim5): hybrid retrieval at corpus
+scale is "BM25 candidates ∪ ANN candidates", and training-data
+curation uses the same machinery for query-driven corpus audits
+("which documents match this probe query?").
+
+Scale shape (the 100 TB story):
+
+* The posting build is ONE explode + ONE groupBy over the corpus —
+  the same shape as the shingle index dedup already pays. No
+  vocabulary ever reaches the driver.
+* Query terms are a SMALL relation by construction (human queries);
+  every join against the corpus-sized posting table broadcasts the
+  query side, so scoring is a map-side pipeline: semi-join filter →
+  per-term df aggregation (bounded by |query vocabulary|) →
+  broadcast-join scoring → per-(query, doc) partial-aggregated sum.
+* Corpus statistics (N, avgdl) are a 1-row aggregate cross-joined
+  back in (the repo's 1-row audit-boolean pattern) — never a driver
+  round-trip inside the plan.
+* Top-k is a per-query window over the scored candidates; candidates
+  are bounded by matched postings (documents sharing at least one
+  query term), the classic inverted-index pruning.
+
+Tokenization is the repo-standard ``tokens_expr`` (lowercased ASCII
+whitespace split, empties dropped) so BM25, dedup shingles, token
+counts and the DuckDB oracles all agree on what a term is.
+
+Scoring (Robertson idf, the Lucene variant — always positive):
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+
+with the conventional k1=1.2, b=0.75 defaults.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_zero_spark.operators.dedup import tokens_expr
+
+
+def bm25_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The inverted index as rows: ``(term, doc_id, tf, dl)`` — term
+    frequency and document length per posting. One explode + one
+    groupBy (map-side partials); dl rides the grouping as ``max``
+    (constant per document). Null/empty texts contribute no postings.
+    At corpus scale callers build this once and persist it as a table
+    bucketed by term; every search below is then index-only."""
+    toks = tokens_expr(F.col(text_col))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+
+
+def corpus_stats(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """1-row frame ``(n_docs, avgdl)`` — document count and mean token
+    length over the corpus (null text counts as length 0, matching the
+    posting build where it simply contributes no terms)."""
+    toks = tokens_expr(F.col(text_col))
+    # size(NULL) is NULL under ANSI but -1 under legacy semantics —
+    # greatest(coalesce(..), 0) pins a null-text document to length 0
+    # in BOTH session modes (the conftest runs ANSI off, the driver on)
+    dl = F.greatest(F.coalesce(F.size(toks), F.lit(0)), F.lit(0))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(dl).alias("avgdl"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``top_k`` documents per query by BM25, as
+    ``(query_id, doc_id, rank, score)`` with ``score`` rounded to 6
+    decimals and ties broken by ``doc_id`` (deterministic across
+    partitionings and engines — the LIMIT-total-order rule).
+
+    ``queries`` is a small relation of ``(query_id, query_text)``;
+    its terms are deduplicated per query (BM25 is a set-of-terms
+    model; repeating a query word must not double-count the term).
+    Pass a prebuilt ``postings`` (from :func:`bm25_postings`,
+    persisted/bucketed) to skip the corpus pass per call."""
+    post = (
+        postings
+        if postings is not None
+        else bm25_postings(docs, text_col, id_col)
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(tokens_expr(F.col(query_text_col)))
+        ).alias("term"),
+    )
+    # document frequency ONLY for terms some query mentions: the
+    # aggregation is bounded by the query vocabulary, never the
+    # corpus vocabulary
+    dfreq = (
+        post.join(
+            F.broadcast(qterms.select("term").distinct()), "term", "semi"
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    stats = corpus_stats(docs, text_col)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (
+        F.col("tf")
+        * (k1 + 1)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        post.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "rank", "score")
+    )

@@ -39,22 +39,38 @@ def json1_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "e1_tumbling_window",
-    "event-time: tumbling window aggregation",
+    "e1_e2_windows",
+    "event-time: tumbling + sliding window aggregations (tagged union; "
+    "R8 fold freeing the slot that declares mix1 — operator ids E1+E2 "
+    "both preserved, every tumbling and sliding row hash-checked)",
     """
-    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+    SELECT 'e1' AS op,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
            count(*) AS n_events,
            round(sum(value), 2) AS value_sum
     FROM events
-    GROUP BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'e2', ws, CAST(NULL AS VARCHAR), n_events, value_sum FROM (
+      WITH offsets AS (SELECT * FROM (VALUES (0), (1)) AS t(off))
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - off * INTERVAL 1 HOUR AS ws,
+             count(*) AS n_events,
+             round(sum(value), 2) AS value_sum
+      FROM events, offsets
+      GROUP BY 1
+    )
     """,
     "1-hour tumbling windows by event type (batch formulation of "
-    "F.window(ts, '1 hour'); streaming twin in streaming/events.py).",
+    "F.window(ts, '1 hour')) unioned with 2-hour windows sliding by "
+    "1 hour — each event in exactly two windows, expressed as an "
+    "explode over window offsets (the same expansion Spark's "
+    "F.window(ts, '2 hours', '1 hour') performs); event_type is NULL "
+    "on the sliding rows. Streaming twins in streaming/events.py.",
 )
-def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e1_e2_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return (
+    tumbling = (
         ev.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("window_start"),
             F.col("event_type"),
@@ -63,28 +79,16 @@ def e1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("value_sum"),
         )
+        .select(
+            F.lit("e1").alias("op"),
+            "window_start",
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
     )
-
-
-@query(
-    "e2_sliding_window",
-    "event-time: sliding window aggregation",
-    """
-    WITH offsets AS (SELECT * FROM (VALUES (0), (1)) AS t(off))
-    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - off * INTERVAL 1 HOUR AS window_start,
-           count(*) AS n_events,
-           round(sum(value), 2) AS value_sum
-    FROM events, offsets
-    GROUP BY 1
-    """,
-    "2-hour windows sliding by 1 hour: each event lands in exactly two "
-    "windows — expressed as an explode over window offsets (the same "
-    "expansion Spark's F.window(ts, '2 hours', '1 hour') performs).",
-)
-def e2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
     off = F.explode(F.sequence(F.lit(0), F.lit(1))).alias("off")
-    return (
+    sliding = (
         ev.select("ts", "value", off)
         .groupBy(
             (
@@ -96,7 +100,15 @@ def e2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("value_sum"),
         )
+        .select(
+            F.lit("e2").alias("op"),
+            "window_start",
+            F.lit(None).cast("string").alias("event_type"),
+            "n_events",
+            "value_sum",
+        )
     )
+    return tumbling.unionByName(sliding)
 
 
 @query(

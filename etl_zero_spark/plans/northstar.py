@@ -1037,61 +1037,233 @@ def tx1_tx4_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "mm1_multimodal_join",
-    "multimodal: text+embedding+metadata rows",
-    """
-    SELECT d.doc_id, d.lang, d.source, d.n_chars,
-           e.label AS cluster_label, len(e.embedding) AS embedding_dim
-    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-    """,
-    "The multimodal row: documents ⋈ embeddings on co-key (1-1 join).",
-)
-def mm1_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-    return multimodal.multimodal_rows(docs, emb)
-
-
-@query(
-    "mm2_mm3_decode_frames",
-    "multimodal: binary decode + frame sampling (mapInPandas)",
+    "mm1_mm3_multimodal",
+    "multimodal: join + binary decode + frame sampling (tagged union; "
+    "R8 fold freeing the slot that declares ret1 — operator ids "
+    "MM1+MM2+MM3 all preserved, every row of all three hash-checked)",
     """
     WITH t AS (
       SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS L
       FROM documents
     ),
     f AS (SELECT doc_id, L, greatest(L // 4, 1) AS step FROM t)
-    SELECT doc_id AS media_id, 'image' AS kind,
-           CAST(NULL AS INT) AS frame_idx, L AS n_bytes
+    SELECT d.doc_id AS media_id, 'row' AS kind,
+           CAST(len(e.embedding) AS INT) AS frame_idx,
+           CAST(d.n_chars AS BIGINT) AS n_bytes,
+           d.lang || '/' || d.source || '/' || e.label AS tag
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    UNION ALL
+    SELECT doc_id, 'image', CAST(NULL AS INT), L, CAST(NULL AS VARCHAR)
     FROM t
     UNION ALL
     SELECT f.doc_id, 'frame', v.i,
-           CAST(greatest(least(32, L - i * step), 0) AS BIGINT)
+           CAST(greatest(least(32, L - i * step), 0) AS BIGINT),
+           CAST(NULL AS VARCHAR)
     FROM f, (VALUES (0), (1), (2), (3)) AS v(i)
     """,
-    "Binary media plumbing in one tagged result (50-row window fold): "
-    "the decode pass (payload fabricated from text — no binary fixture "
-    "ships — streamed through iterator mapInPandas, frame_idx null) "
-    "unioned with 4 evenly spaced frame slices per media row "
-    "(row-expanding mapInPandas, explode inside the Arrow stream). "
-    "Both byte counts replay exactly in SQL (slice arithmetic over the "
-    "utf-8 payload length), so the whole fold is oracle-checked — "
-    "dimensions from recognizable media are covered by "
-    "tests/test_multimodal.py's real PNG/JPEG/GIF fixtures.",
+    "Multimodal tier in one tagged result (50-row window fold): the "
+    "documents ⋈ embeddings co-key join (mm1 — lang/source/cluster "
+    "packed into the tag column, embedding_dim riding frame_idx, "
+    "n_chars riding n_bytes), the decode pass (payload fabricated "
+    "from text — no binary fixture ships — streamed through iterator "
+    "mapInPandas, frame_idx null), and 4 evenly spaced frame slices "
+    "per media row (row-expanding mapInPandas, explode inside the "
+    "Arrow stream). Byte counts replay exactly in SQL (slice "
+    "arithmetic over the utf-8 payload length), so the whole fold is "
+    "oracle-checked — dimensions from recognizable media are covered "
+    "by tests/test_multimodal.py's real PNG/JPEG/GIF fixtures.",
 )
-def mm2_mm3_decode_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm1_mm3_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    joined = multimodal.multimodal_rows(docs, emb).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("row").alias("kind"),
+        F.col("embedding_dim").cast("int").alias("frame_idx"),
+        F.col("n_chars").cast("long").alias("n_bytes"),
+        F.concat_ws("/", "lang", "source", "cluster_label").alias("tag"),
+    )
     media = multimodal.attach_payload_from_text(docs)
     meta = multimodal.decode_metadata(media).select(
         "media_id",
         "kind",
         F.lit(None).cast("int").alias("frame_idx"),
         "n_bytes",
+        F.lit(None).cast("string").alias("tag"),
     )
     frames = multimodal.sample_frames(media, n_frames=4).select(
         "media_id",
         F.lit("frame").alias("kind"),
         "frame_idx",
         F.length("frame_payload").cast("long").alias("n_bytes"),
+        F.lit(None).cast("string").alias("tag"),
     )
-    return meta.unionByName(frames)
+    return joined.unionByName(meta).unionByName(frames)
+
+
+# ---------------------------------------------------------------------------
+# corpus mixing (c9) + lexical retrieval — declared R8
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mix1_corpus_mix",
+    "corpus mixing: waterfilled domain weights, exact quotas "
+    "(§2.11-c9; declared R8 per VERDICT r7 #1 — slot freed by the "
+    "e1+e2 fold)",
+    """
+    WITH w(source, weight) AS (
+      VALUES ('src0', 0.6), ('src1', 0.3), ('src2', 0.1)
+    ),
+    avail AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS available
+      FROM documents WHERE source IN ('src0', 'src1', 'src2')
+      GROUP BY source
+    ),
+    j AS (
+      SELECT w.source, w.weight, COALESCE(a.available, 0) AS available,
+             50.0 * w.weight / (SELECT sum(weight) FROM w) AS share
+      FROM w LEFT JOIN avail a USING (source)
+    ),
+    sat AS (SELECT *, (available <= share + 1e-9) AS is_sat FROM j),
+    fill AS (
+      SELECT *,
+        CASE WHEN is_sat THEN CAST(available AS DOUBLE)
+             ELSE (50.0 - (SELECT COALESCE(sum(available), 0)
+                           FROM sat WHERE is_sat))
+                  * weight
+                  / (SELECT sum(weight) FROM sat WHERE NOT is_sat)
+        END AS alloc
+      FROM sat
+    )
+    SELECT source, weight, available,
+           CAST(round(alloc) AS BIGINT) AS allocated,
+           CAST(round(alloc) AS BIGINT) AS realized,
+           TRUE AS realized_matches,
+           TRUE AS nested_ok
+    FROM fill
+    """,
+    "The Pile/Dolma mixture spec replayed arithmetically: weights "
+    "0.6/0.3/0.1 over three sources at a 50-doc budget saturate src0 "
+    "(25 available < 30 target) and waterfill the shortfall across "
+    "src1/src2 in weight proportion — DuckDB recomputes availability "
+    "from the data and the one-round closed form of the same "
+    "allocation algorithm (one saturation round is guaranteed at "
+    "every fixture SF: sources are equal-sized, so round 2 never "
+    "saturates). The xxhash64 row selection itself is not ANSI-"
+    "replayable, so the row SET is pinned cd_acd-style with COMPUTED "
+    "booleans the oracle asserts TRUE: realized per-source counts "
+    "equal the ledger quota, and the 24-doc-budget sample is a "
+    "subset of the 50-doc one (hash-order nesting). Mutation test: "
+    "tests/test_audit_mutations.py flips both under sabotage.",
+)
+def mix1_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_zero_spark.operators import corpus as corp
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"src0": 0.6, "src1": 0.3, "src2": 0.1}
+    mix = corp.mix_corpus(docs, weights, total_docs=50, exact=True)
+    half = corp.mix_corpus(docs, weights, total_docs=24, exact=True)
+    ledger = spark.createDataFrame(
+        [
+            (s, float(v["weight"]), int(v["available"]), int(v["allocated"]))
+            for s, v in sorted(mix.allocation.items())
+        ],
+        "source string, weight double, available bigint, allocated bigint",
+    )
+    realized = mix.df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("realized")
+    )
+    nested = half.df.select("doc_id").join(
+        mix.df.select("doc_id"), "doc_id", "left_anti"
+    ).agg((F.count(F.lit(1)) == 0).alias("nested_ok"))
+    return (
+        ledger.join(F.broadcast(realized), "source", "left")
+        .withColumn("realized", F.coalesce("realized", F.lit(0)))
+        .withColumn(
+            "realized_matches", F.col("realized") == F.col("allocated")
+        )
+        .crossJoin(F.broadcast(nested))
+        .select(
+            "source", "weight", "available", "allocated",
+            "realized", "realized_matches", "nested_ok",
+        )
+    )
+
+
+@query(
+    "ret1_bm25_topk",
+    "lexical retrieval: BM25 inverted-index top-k "
+    "(operators/retrieval.py; declared R8 — slot freed by the "
+    "mm1+mm2_mm3 fold)",
+    r"""
+    WITH q(query_id, query_text) AS (
+      VALUES (CAST(0 AS BIGINT), 'hash join strategy'),
+             (CAST(1 AS BIGINT), 'window agg stream'),
+             (CAST(2 AS BIGINT), 'slow scan filter')
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x != '') AS w
+      FROM documents
+    ),
+    flat AS (SELECT doc_id, unnest(w) AS term, len(w) AS dl FROM toks),
+    post AS (
+      SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+      FROM flat GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(coalesce(len(w), 0)) AS avgdl
+      FROM toks
+    ),
+    qt AS (
+      SELECT query_id,
+             unnest(list_distinct(
+               list_filter(string_split_regex(lower(query_text), '\s+'),
+                           x -> x != ''))) AS term
+      FROM q
+    ),
+    dfreq AS (
+      SELECT term, count(*) AS df FROM post
+      WHERE term IN (SELECT term FROM qt) GROUP BY 1
+    ),
+    scored AS (
+      SELECT qt.query_id, post.doc_id,
+             round(sum(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * (1.2 + 1)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+             ), 6) AS score
+      FROM post
+      JOIN qt USING (term)
+      JOIN dfreq USING (term), stats
+      GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    "BM25 (Robertson idf, k1=1.2, b=0.75) top-10 per query over the "
+    "documents table for three literal probe queries — postings, "
+    "document frequencies, corpus stats and the scoring formula all "
+    "replayed in DuckDB over the repo-standard tokenization; scores "
+    "rounded to 6dp on both sides and ties broken by doc_id so the "
+    "top-k prefix is engine-independent (the LIMIT-total-order rule).",
+)
+def ret1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_zero_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries_df = spark.createDataFrame(
+        [
+            (0, "hash join strategy"),
+            (1, "window agg stream"),
+            (2, "slow scan filter"),
+        ],
+        "query_id bigint, query_text string",
+    )
+    return retrieval.bm25_topk(docs, queries_df, top_k=10)

@@ -215,3 +215,52 @@ def test_sdd1_precision_flips_on_phantom_pair(spark, monkeypatch):
     rows = _run(spark, "sdd1_semantic_dedup")
     assert all(not r.semdedup_precision_ok for r in rows)
     assert all(r.cluster_recall_ok for r in rows)
+
+
+# --- mix1: exact-quota corpus mixing (R8) -----------------------------------
+
+
+def test_mix1_realized_flips_on_sabotaged_quota(spark, monkeypatch):
+    """A selection that under-fills every quota by one row (e.g. an
+    off-by-one in the take window) → realized != allocated → the
+    realized_matches boolean must read FALSE on every source row,
+    flipping the driver's value hash; the arithmetic ledger columns
+    (available/allocated) stay what the oracle recomputes."""
+    from etl_zero_spark.operators import corpus as corp
+
+    real = corp.stratified_take
+
+    def short(df, source_col, quotas, id_col, seed):
+        return real(
+            df, source_col, {s: max(q - 1, 0) for s, q in quotas.items()},
+            id_col, seed,
+        )
+
+    monkeypatch.setattr(corp, "stratified_take", short)
+    rows = _run(spark, "mix1_corpus_mix")
+    assert all(not r.realized_matches for r in rows)
+    assert all(r.realized == r.allocated - 1 for r in rows)
+    assert {r.source: r.allocated for r in rows} == {
+        "src0": 25, "src1": 19, "src2": 6,
+    }
+
+
+def test_mix1_nested_flips_on_unstable_selection(spark, monkeypatch):
+    """A selection whose hash order drifts between budgets (e.g. a
+    seed that leaks run state) breaks the nesting guarantee — the
+    24-doc sample is no longer a subset of the 50-doc one → nested_ok
+    must read FALSE while the per-source counts still match their
+    quotas (realized_matches stays TRUE)."""
+    from etl_zero_spark.operators import corpus as corp
+
+    real = corp.stratified_take
+    calls = []
+
+    def drifting(df, source_col, quotas, id_col, seed):
+        calls.append(1)
+        return real(df, source_col, quotas, id_col, seed + len(calls))
+
+    monkeypatch.setattr(corp, "stratified_take", drifting)
+    rows = _run(spark, "mix1_corpus_mix")
+    assert all(not r.nested_ok for r in rows)
+    assert all(r.realized_matches for r in rows)

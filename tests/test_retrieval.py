@@ -1,0 +1,148 @@
+"""BM25 lexical retrieval (operators/retrieval.py): exact parity with
+a pure-Python oracle, determinism across partitionings, the prebuilt-
+postings path, and edge cases (null/empty text, repeated and unknown
+query terms)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_zero_spark.operators import retrieval
+
+_DOCS = [
+    (0, "hash join beats sort merge join on small tables"),
+    (1, "window functions stream over sorted partitions"),
+    (2, "a slow scan beats a fast scan with a bad filter"),
+    (3, "join join join"),
+    (4, None),
+    (5, ""),
+    (6, "the filter pushes past the scan into the join"),
+]
+
+_QUERIES = [(0, "join scan"), (1, "slow filter"), (2, "zebra")]
+
+
+def _tokens(text):
+    return [t for t in (text or "").lower().split() if t]
+
+
+def _oracle(docs, queries, k1=1.2, b=0.75, top_k=10):
+    """Pure-Python BM25 replay of the module docstring's formula."""
+    toks = {i: _tokens(t) for i, t in docs}
+    n = len(docs)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    out = {}
+    for qid, qtext in queries:
+        scores = {}
+        for term in dict.fromkeys(_tokens(qtext)):
+            df = sum(1 for w in toks.values() if term in w)
+            if df == 0:
+                continue
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            for i, w in toks.items():
+                tf = w.count(term)
+                if tf == 0:
+                    continue
+                dl = len(w)
+                scores[i] = scores.get(i, 0.0) + idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * dl / avgdl)
+                )
+        ranked = sorted(
+            ((round(s, 6), i) for i, s in scores.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:top_k]
+        out[qid] = [
+            (i, rank + 1, s) for rank, (s, i) in enumerate(ranked)
+        ]
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(_DOCS, "doc_id bigint, text string")
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return spark.createDataFrame(_QUERIES, "query_id bigint, query_text string")
+
+
+def _result_map(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, []).append((r.doc_id, r.rank, r.score))
+    for v in out.values():
+        v.sort(key=lambda t: t[1])
+    return out
+
+
+def test_matches_python_oracle_exactly(spark, docs, queries):
+    got = _result_map(retrieval.bm25_topk(docs, queries))
+    want = _oracle(_DOCS, _QUERIES)
+    # the no-hit query ('zebra') yields no rows on both sides
+    assert got == {k: v for k, v in want.items() if v}
+
+
+def test_deterministic_across_partitionings(spark, docs, queries):
+    a = _result_map(retrieval.bm25_topk(docs, queries))
+    b = _result_map(retrieval.bm25_topk(docs.repartition(7), queries))
+    c = _result_map(retrieval.bm25_topk(docs.coalesce(1), queries))
+    assert a == b == c
+
+
+def test_prebuilt_postings_path_identical(spark, docs, queries):
+    post = retrieval.bm25_postings(docs)
+    assert _result_map(
+        retrieval.bm25_topk(docs, queries, postings=post)
+    ) == _result_map(retrieval.bm25_topk(docs, queries))
+
+
+def test_null_and_empty_docs_count_in_stats_not_postings(spark, docs):
+    post = retrieval.bm25_postings(docs)
+    assert post.where(F.col("doc_id").isin(4, 5)).count() == 0
+    stats = retrieval.corpus_stats(docs).collect()[0]
+    assert stats.n_docs == len(_DOCS)  # null/empty still corpus members
+    want_avg = sum(len(_tokens(t)) for _, t in _DOCS) / len(_DOCS)
+    assert abs(stats.avgdl - want_avg) < 1e-9
+
+
+def test_repeated_query_terms_do_not_double_count(spark, docs):
+    once = _result_map(
+        retrieval.bm25_topk(
+            docs,
+            docs.sparkSession.createDataFrame(
+                [(0, "join")], "query_id bigint, query_text string"
+            ),
+        )
+    )
+    thrice = _result_map(
+        retrieval.bm25_topk(
+            docs,
+            docs.sparkSession.createDataFrame(
+                [(0, "join join JOIN")], "query_id bigint, query_text string"
+            ),
+        )
+    )
+    assert once == thrice
+
+
+def test_tf_saturation_and_tie_break(spark, docs, queries):
+    """doc 3 ('join join join') saturates tf but has tiny dl; the
+    ranking must still be the oracle's, and equal rounded scores break
+    ties by doc_id ascending."""
+    res = retrieval.bm25_topk(docs, queries).where("query_id = 0")
+    rows = sorted(res.collect(), key=lambda r: r.rank)
+    for a, b in zip(rows, rows[1:]):
+        assert (a.score, -a.doc_id) >= (b.score, -b.doc_id)
+        if a.score == b.score:
+            assert a.doc_id < b.doc_id
+
+
+def test_top_k_bounds_results(spark, docs):
+    q = spark.createDataFrame(
+        [(0, "join scan filter")], "query_id bigint, query_text string"
+    )
+    assert retrieval.bm25_topk(docs, q, top_k=2).count() == 2

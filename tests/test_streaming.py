@@ -29,14 +29,14 @@ def test_stream_reads_events(spark, stream):
 
 def test_tumbling_batch_equivalence(spark, stream):
     got = sev.run_available_now(sev.tumbling_agg(stream), "t_tumble")
-    want = QUERIES["e1_tumbling_window"].fn(spark, SF_SMOKE)
+    want = QUERIES["e1_e2_windows"].fn(spark, SF_SMOKE).where("op = 'e1'")
     cols = ["window_start", "event_type", "n_events", "value_sum"]
     assert _rowset(got, cols) == _rowset(want, cols)
 
 
 def test_sliding_batch_equivalence(spark, stream):
     got = sev.run_available_now(sev.sliding_agg(stream), "t_slide")
-    want = QUERIES["e2_sliding_window"].fn(spark, SF_SMOKE)
+    want = QUERIES["e1_e2_windows"].fn(spark, SF_SMOKE).where("op = 'e2'")
     cols = ["window_start", "n_events", "value_sum"]
     assert _rowset(got, cols) == _rowset(want, cols)
 
