@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -58,6 +59,9 @@ HEADLINE = [
     # R6 corpus tier, declared in R7 (VERDICT r6 #1/#2)
     "dd12_span_dedup",
     "sdd1_semantic_dedup",
+    # R8: corpus mixing + BM25 retrieval (VERDICT r7 #1 + payload)
+    "mix1_corpus_mix",
+    "ret1_bm25_topk",
 ]
 
 
@@ -314,7 +318,38 @@ def _extras(spark, sf_dir: str) -> dict:
             load_table(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
         ).count()
 
+    def x_bm25_topk() -> int:
+        # R8: lexical retrieval production path — 3 probe queries
+        # against the corpus-built posting table per invocation.
+        from etl_zero_spark.operators import retrieval
+
+        docs = load_table(spark, sf_dir, "documents")
+        q = spark.createDataFrame(
+            [(0, "hash join strategy"), (1, "window agg stream"),
+             (2, "slow scan filter")],
+            "query_id bigint, query_text string",
+        )
+        return retrieval.bm25_topk(docs, q, top_k=10).count()
+
+    def calib_fixed_hash_agg() -> int:
+        # Host-drift calibration (VERDICT r7 ask #2): a FIXED,
+        # code-stable workload touching no repo operator — 100M-row
+        # range -> xxhash64 -> one global agg, pure whole-stage
+        # codegen, no IO. Its round-over-round warm ratio estimates
+        # the host's speed drift (the documented ~15% multiplier), so
+        # real per-query ratios can be read drift-normalized. first()
+        # (not count()) forces the aggregation: a count over a global
+        # agg is provably 1 row and Catalyst elides the sum.
+        row = (
+            spark.range(100_000_000)
+            .select(F.xxhash64("id").alias("h"))
+            .agg(F.sum("h").alias("s"))
+            .first()
+        )
+        return int(row.s is not None)
+
     return {
+        "calib_fixed_hash_agg": calib_fixed_hash_agg,
         "x_bpe_tokenize": x_bpe_tokenize,
         "x_gopher_gate": x_gopher_gate,
         "x_validate_single_scan": x_validate_single_scan,
@@ -333,6 +368,7 @@ def _extras(spark, sf_dir: str) -> dict:
         "x_line_dedup": x_line_dedup,
         "x_corpus_report": x_corpus_report,
         "x_chunk_documents": x_chunk_documents,
+        "x_bm25_topk": x_bm25_topk,
     }
 
 
@@ -408,16 +444,22 @@ def main() -> None:
 
     # Round-over-round: warm per-query ratio vs the last committed
     # bench document (VERDICT r3 #2 asked for the delta). Newest
-    # PARSED BENCH_r*.json wins (round identity is explicit); when the
-    # newest round's tail didn't parse (r6's stdout line outgrew the
-    # driver's 2000-char tail — fixed below by keeping the line slim)
-    # fall back to the committed BENCH_LOCAL.json, which at this point
-    # on disk is still the PREVIOUS completed bench (this run
-    # overwrites it only after the scan). Caveat, documented: two
-    # bench runs in one round through that fallback compare run 2
-    # against run 1.
-    prev_name, prev_warm = None, {}
+    # PARSED BENCH_r*.json wins, and its round number is stamped as
+    # baseline_round (VERDICT r7 ask #2 — r7's final artifact silently
+    # anchored to an earlier same-round run). When the newest round's
+    # tail didn't parse (r6's stdout line outgrew the driver's
+    # 2000-char tail — fixed below by keeping the line slim), prefer
+    # the GIT-COMMITTED BENCH_LOCAL.json (HEAD's copy is the previous
+    # round's final bench even after a same-round run overwrote the
+    # working tree — ADVICE r7 #5) and only then the working-tree
+    # copy, with the baseline identity spelled out in the label.
+    prev_name, prev_warm, prev_round = None, {}, None
     here = os.path.dirname(os.path.abspath(__file__))
+
+    def _queries_of(doc):
+        inner = doc.get("parsed") if isinstance(doc.get("parsed"), dict) else doc
+        q = inner.get("queries") if isinstance(inner, dict) else None
+        return q if isinstance(q, dict) and q else None
 
     def _warm_of(path: str):
         try:
@@ -425,9 +467,21 @@ def main() -> None:
                 doc = json.load(fh)
         except Exception:  # noqa: BLE001 — absent/corrupt artifacts skip
             return None
-        inner = doc.get("parsed") if isinstance(doc.get("parsed"), dict) else doc
-        q = inner.get("queries") if isinstance(inner, dict) else None
-        return q if isinstance(q, dict) and q else None
+        return _queries_of(doc)
+
+    def _warm_of_git_head():
+        import subprocess
+
+        try:
+            out = subprocess.run(
+                ["git", "-C", here, "show", "HEAD:BENCH_LOCAL.json"],
+                capture_output=True, text=True, timeout=30,
+            )
+            if out.returncode != 0:
+                return None
+            return _queries_of(json.loads(out.stdout))
+        except Exception:  # noqa: BLE001 — no git/corrupt -> next fallback
+            return None
 
     rounds = sorted(
         (c for c in os.listdir(here)
@@ -438,11 +492,21 @@ def main() -> None:
         q = _warm_of(os.path.join(here, cand))
         if q:
             prev_name, prev_warm = cand, q
+            m = re.search(r"BENCH_r0*(\d+)", cand)
+            prev_round = int(m.group(1)) if m else None
             break
         if i == 0:
+            q = _warm_of_git_head()
+            if q:
+                prev_name = f"git HEAD:BENCH_LOCAL.json ({cand} tail unparsed)"
+                prev_warm = q
+                break
             q = _warm_of(os.path.join(here, "BENCH_LOCAL.json"))
             if q:
-                prev_name = f"BENCH_LOCAL.json ({cand} tail unparsed)"
+                prev_name = (
+                    f"working-tree BENCH_LOCAL.json ({cand} tail unparsed, "
+                    "git HEAD unreadable)"
+                )
                 prev_warm = q
                 break
     delta = {
@@ -475,7 +539,15 @@ def main() -> None:
         "n_err": len(errors),
         "sf": sf,
         "sf_scale_probe": scale_probe,
-        "warm_ratio_vs_prev": {"baseline": prev_name, "ratios": delta},
+        "warm_ratio_vs_prev": {
+            "baseline": prev_name,
+            "baseline_round": prev_round,
+            # the calibration query touches no repo operator, so its
+            # ratio is a pure host-speed estimate: divide any other
+            # query's ratio by it to read the drift-normalized delta
+            "host_drift_estimate": delta.get("calib_fixed_hash_agg"),
+            "ratios": delta,
+        },
     }
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
         json.dump(doc, fh, indent=1)

@@ -678,3 +678,44 @@ def mix_corpus(
         for s in weights
     }
     return MixResult(df=sampled, allocation=ledger, unit=unit)
+
+
+def temperature_weights(
+    df: DataFrame,
+    alpha: float = 0.3,
+    source_col: str = "source",
+    size_expr=None,
+) -> dict[str, float]:
+    """Temperature-based mixture weights — the multilingual
+    rebalancing rule (XLM-R / mT5: sample language l with probability
+    ∝ p_l^alpha): per-source mass p_s from the data, raised to
+    ``alpha`` and renormalized. ``alpha=1`` reproduces the natural
+    distribution, ``alpha=0`` is uniform, the published 0.3 (XLM-R)
+    / 0.7 (mBERT) settings sit between — boosting tail sources
+    without letting the head dominate.
+
+    One bounded ``groupBy(source)`` (rows collected = number of
+    sources, the mix_corpus shape); ``size_expr`` overrides the mass
+    measure (default row count — pass a token-count Column for
+    token-mass temperatures). Feed the result straight into
+    :func:`mix_corpus` as its ``weights``; null sources carry no
+    weight (mix_corpus excludes them from an explicit spec anyway)."""
+    if alpha < 0:
+        raise ValueError("temperature_weights: alpha must be >= 0")
+    size = (
+        F.count(F.lit(1)) if size_expr is None
+        else F.coalesce(F.sum(size_expr), F.lit(0))
+    )
+    rows = (
+        df.where(F.col(source_col).isNotNull())
+        .groupBy(F.col(source_col).alias("k"))
+        .agg(size.alias("n"))
+        .collect()
+    )
+    mass = {r["k"]: float(r["n"]) for r in rows if r["n"] and r["n"] > 0}
+    if not mass:
+        return {}
+    total = sum(mass.values())
+    raised = {s: (m / total) ** alpha for s, m in mass.items()}
+    z = sum(raised.values())
+    return {s: v / z for s, v in sorted(raised.items())}

@@ -507,6 +507,73 @@ def dedup_keep_min(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
     return df.join(drop, id_col, "left_anti")
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    transitive: bool = False,
+) -> DataFrame:
+    """Quality-aware pair resolution — the Dolma/RefinedWeb keep rule:
+    a duplicate group keeps its highest-``score_col`` member (ties ->
+    smallest id) instead of blindly the smallest id. Dedup should
+    discard the boilerplate-laden or truncated copy, not whichever
+    crawl happened to be ingested first; feed it a quality-classifier
+    probability, a Gopher score, or ``-perplexity``.
+
+    ``transitive=False`` (default, one shuffle + one anti-join — the
+    keep-min cost shape): the LOSER of every pair is dropped, i.e. a
+    document survives iff it wins (or ties into) every comparison it
+    appears in. On a chain A~B~C with B best, both A and C drop —
+    same policy class as ``dedup_keep_min``, score-aware.
+    ``transitive=True``: pairs collapse to connected components first
+    (min-label fixpoint) and each COMPONENT keeps exactly one
+    survivor — use when chains must not over-drop (A~B~C with A,C
+    both beating B keeps A only under pairwise, but A per component).
+
+    Scale: everything is joins/aggregations on the pair table (bounded
+    by the dedup tier's output, far smaller than the corpus); the
+    corpus-sized side is touched only by the final anti-join."""
+    scores = df.select(
+        F.col(id_col).alias("__kid"), F.col(score_col).alias("__ksc")
+    )
+    if transitive:
+        comp = connected_components(pairs)
+        labeled = comp.join(
+            scores, comp["id"] == scores["__kid"], "left"
+        ).select("id", "label", "__ksc")
+        # min_by over (-score, id): highest score wins, ties -> min id
+        keep = labeled.groupBy("label").agg(
+            F.expr(
+                "min_by(id, struct(-coalesce(__ksc, double('-inf')), id))"
+            ).alias("keep_id")
+        )
+        drop = labeled.join(
+            keep, labeled["id"] == keep["keep_id"], "left_anti"
+        ).select(F.col("id").alias(id_col)).dropDuplicates()
+        return df.join(drop, id_col, "left_anti")
+    a = pairs.join(
+        scores.withColumnRenamed("__kid", "a_id")
+        .withColumnRenamed("__ksc", "a_sc"),
+        "a_id",
+        "left",
+    ).join(
+        scores.withColumnRenamed("__kid", "b_id")
+        .withColumnRenamed("__ksc", "b_sc"),
+        "b_id",
+        "left",
+    )
+    # null scores lose to any non-null (coalesce to -inf); equal
+    # scores -> the greater id loses (the keep-min tie rule)
+    a_sc = F.coalesce(F.col("a_sc"), F.lit(float("-inf")))
+    b_sc = F.coalesce(F.col("b_sc"), F.lit(float("-inf")))
+    loser = F.when(a_sc < b_sc, F.col("a_id")).when(
+        a_sc > b_sc, F.col("b_id")
+    ).otherwise(F.greatest("a_id", "b_id"))
+    drop = a.select(loser.alias(id_col)).dropDuplicates()
+    return df.join(drop, id_col, "left_anti")
+
+
 def _cc_checkpointer(spark, use_reliable_checkpoint: bool, checkpoint_dir: str | None):
     """Per-round lineage truncation: executor-local by default, routed
     through the reliable checkpoint store for cluster fault tolerance."""
@@ -1185,8 +1252,11 @@ def duplicate_gram_positions(
     ``verify_exact=True``: the gram TEXT rides with the hash and the
     occurrence window keys on (hash, text), making marks exact at the
     cost of shuffling ~k tokens per position instead of 8 bytes
-    (roughly a (6*k)x shuffle-payload factor — pay it when rewriting
-    documents you cannot regenerate).
+    (roughly a (6*k)x shuffle-payload factor). Measured end-to-end
+    (R8 scale probe, 100k salad docs, k=25, local[32], median-of-3):
+    5.6s vs 3.5s hash-only — ~1.6x wall time, far below the payload
+    factor because the explode/window CPU dominates the wider
+    shuffle. Pay it when rewriting documents you cannot regenerate.
 
     Columns: <id_col>, pos (0-based token index of the gram start).
     Documents shorter than ``k`` tokens open no grams (a doc cannot

@@ -156,3 +156,50 @@ def bm25_topk(
         .where(F.col("rank") <= top_k)
         .select("query_id", "doc_id", "rank", "score")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    k: int = 60,
+    top_k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) —
+    the standard hybrid-retrieval combiner: fused score per (query,
+    doc) is ``Σ_r 1/(k + rank_r)`` over every input ranking that
+    returned the doc. Rank-based, so BM25 scores and cosine
+    similarities fuse WITHOUT calibration — exactly why hybrid
+    (lexical ∪ ANN) search ships RRF rather than score interpolation;
+    k=60 is the paper's constant.
+
+    Inputs are ``(query_col, id_col, rank_col)`` frames — e.g.
+    :func:`bm25_topk` output and an embedding top-k from the
+    similarity tier. Each is one candidate list, already bounded by
+    its own top-k, so the fusion is a union + one aggregation over
+    per-query candidate sets — nothing corpus-sized. Output mirrors
+    bm25_topk: ``(query_id, doc_id, rank, score)`` with score rounded
+    to 6dp, ties by doc_id."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    contrib = None
+    for r in rankings:
+        c = r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))).alias("c"),
+        )
+        contrib = c if contrib is None else contrib.unionByName(c)
+    fused = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("c"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "rank", "score")
+    )

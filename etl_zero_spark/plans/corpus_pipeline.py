@@ -47,7 +47,12 @@ from ..operators.corpus import (
     pack_sequences,
     shuffle_corpus,
 )
-from ..operators.dedup import dedup_keep_min, exact_dedup, minhash_lsh_pairs
+from ..operators.dedup import (
+    dedup_keep_best,
+    dedup_keep_min,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
 from ..operators.quality import gopher_filter
 from ..operators.text import scrub_pii
 
@@ -87,6 +92,7 @@ def prepare_corpus(
     max_perplexity: float | None = None,
     near_dedup_threshold: float | None = 0.5,
     near_dedup_pairs: DataFrame | None = None,
+    near_dedup_score_col: str | None = None,
     substring_dedup_k: int | None = None,
     test_set: DataFrame | None = None,
     decontam_n: int = 8,
@@ -242,7 +248,19 @@ def prepare_corpus(
         pairs = minhash_lsh_pairs(
             df, threshold=near_dedup_threshold, text_col=text_col, id_col=id_col
         )
-        df = record("near_dedup", dedup_keep_min(df, pairs, id_col=id_col))
+        # R8: quality-aware resolution (the Dolma/RefinedWeb keep
+        # rule) — with a score column stated, each pair keeps its
+        # higher-scoring member instead of the smaller id, so dedup
+        # discards the boilerplate-laden copy, not the earliest crawl
+        if near_dedup_score_col is not None:
+            df = record(
+                "near_dedup",
+                dedup_keep_best(
+                    df, pairs, near_dedup_score_col, id_col=id_col
+                ),
+            )
+        else:
+            df = record("near_dedup", dedup_keep_min(df, pairs, id_col=id_col))
     if substring_dedup_k is not None:
         # Span-level exact substring dedup (Lee et al. 2021) AFTER the
         # doc-level tiers (whole-doc dups are already gone — cheaper to

@@ -398,3 +398,77 @@ def test_mix_corpus_zero_quota_source_never_leaks(spark):
     assert got == {"web"}
     assert res.allocation["code"]["allocated"] == 0
     assert res.df.count() == 3  # 9-token budget fits three 3-token docs
+
+
+# --- temperature-based mixture weights (R8, XLM-R/mT5 alpha sampling) -------
+
+
+def _tw_corpus(spark):
+    rows = (
+        [(i, "w " * 5, "web") for i in range(80)]
+        + [(100 + i, "c " * 5, "code") for i in range(16)]
+        + [(200 + i, "p " * 5, "papers") for i in range(4)]
+        + [(300, "x", None)]  # null source: excluded from the spec
+    )
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_temperature_alpha_one_is_natural_distribution(spark):
+    w = corpus.temperature_weights(_tw_corpus(spark), alpha=1.0)
+    assert w == pytest.approx({"web": 0.8, "code": 0.16, "papers": 0.04})
+
+
+def test_temperature_alpha_zero_is_uniform(spark):
+    w = corpus.temperature_weights(_tw_corpus(spark), alpha=0.0)
+    assert w == pytest.approx({"web": 1 / 3, "code": 1 / 3, "papers": 1 / 3})
+
+
+def test_temperature_boosts_tail_monotonically(spark):
+    """Published settings sit between natural and uniform: lowering
+    alpha monotonically raises every tail source's share and lowers
+    the head's, while weights stay normalized."""
+    df = _tw_corpus(spark)
+    prev = corpus.temperature_weights(df, alpha=1.0)
+    for alpha in (0.7, 0.3, 0.0):
+        w = corpus.temperature_weights(df, alpha=alpha)
+        assert sum(w.values()) == pytest.approx(1.0)
+        assert w["papers"] > prev["papers"] or alpha == 0.0 and prev["papers"] == w["papers"]
+        assert w["web"] < prev["web"] or alpha == 0.0 and prev["web"] == w["web"]
+        prev = w
+
+
+def test_temperature_token_mass_expr(spark):
+    """size_expr switches the mass measure: doubling one source's doc
+    LENGTH doubles its mass under token counting but not row counting."""
+    rows = [(0, "a b", "s1"), (1, "a b c d", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from etl_zero_spark.operators.corpus import _token_count
+
+    by_rows = corpus.temperature_weights(df, alpha=1.0)
+    by_tokens = corpus.temperature_weights(
+        df, alpha=1.0, size_expr=_token_count(F.col("text"))
+    )
+    assert by_rows == pytest.approx({"s1": 0.5, "s2": 0.5})
+    assert by_tokens == pytest.approx({"s1": 1 / 3, "s2": 2 / 3})
+
+
+def test_temperature_composes_with_mix_corpus(spark):
+    """The intended pipeline: alpha-tempered weights feed mix_corpus;
+    the tail source gets MORE than its natural share of the budget."""
+    df = _tw_corpus(spark)
+    w = corpus.temperature_weights(df, alpha=0.3)
+    mix = corpus.mix_corpus(df, w, total_docs=20, exact=True)
+    nat = corpus.mix_corpus(
+        df, corpus.temperature_weights(df, alpha=1.0), total_docs=20, exact=True
+    )
+    tempered = mix.allocation["papers"]["allocated"]
+    natural = nat.allocation["papers"]["allocated"]
+    assert tempered > natural
+    assert sum(v["allocated"] for v in mix.allocation.values()) == 20
+
+
+def test_temperature_validation_and_empty(spark):
+    df = _tw_corpus(spark)
+    with pytest.raises(ValueError):
+        corpus.temperature_weights(df, alpha=-0.1)
+    assert corpus.temperature_weights(df.where("source = 'nope'")) == {}

@@ -422,3 +422,32 @@ def test_release_gate_classifier_dedup_datasheet(spark):
     md = datasheet_markdown(after)
     assert f"| n_docs | {after['n_docs']} |" in md
     res.unpersist()
+
+
+def test_prepare_corpus_quality_aware_near_dedup(spark):
+    """R8: near_dedup_score_col switches the resolution to keep-best —
+    the higher-quality member of a near-dup pair survives even when it
+    has the LARGER id (keep-min would drop it)."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base + " extra boilerplate footer", "en", "web", 0.2),
+        (2, base, "en", "web", 0.9),  # near-dup of 1, higher quality
+        (3, "completely different text about query planning", "en", "web", 0.5),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, q double"
+    )
+    res_min = prepare_corpus(
+        docs, quality=False, near_dedup_threshold=0.5,
+        shuffle_seed=None, collect_stats=True,
+    )
+    res_best = prepare_corpus(
+        docs, quality=False, near_dedup_threshold=0.5,
+        near_dedup_score_col="q", shuffle_seed=None, collect_stats=True,
+    )
+    ids_min = {r.doc_id for r in res_min.df.collect()}
+    ids_best = {r.doc_id for r in res_best.df.collect()}
+    assert ids_min == {1, 3}   # keep-min keeps the smaller id
+    assert ids_best == {2, 3}  # keep-best keeps the higher score
+    res_min.unpersist()
+    res_best.unpersist()

@@ -497,3 +497,70 @@ def test_guard_count_skipped_on_cached_stop_shingle_path(spark, monkeypatch):
     monkeypatch.setattr(type(df), "count", counting)
     dedup.ngram_jaccard_pairs(df, threshold=0.3, stop_shingles=[]).collect()
     assert not calls  # zero driver count() jobs on the cached path
+
+
+# --- keep-best resolution (R8, the Dolma/RefinedWeb keep rule) --------------
+
+
+def _kb_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 0.2),
+            (2, "a", 0.9),   # best of {1,2,3}
+            (3, "a", 0.9),   # ties 2 -> greater id loses
+            (4, "b", 0.5),
+            (5, "b", None),  # null score loses to any score
+            (6, "c", 0.1),   # unpaired: always survives
+        ],
+        "doc_id long, text string, quality double",
+    )
+
+
+def _kb_pairs(spark, rows):
+    return spark.createDataFrame(rows, "a_id long, b_id long")
+
+
+def test_keep_best_pairwise(spark):
+    df = _kb_corpus(spark)
+    pairs = _kb_pairs(spark, [(1, 2), (2, 3), (4, 5)])
+    kept = {
+        r.doc_id
+        for r in dedup.dedup_keep_best(df, pairs, "quality").collect()
+    }
+    # 1 loses to 2 (score), 3 loses to 2 (tie -> greater id),
+    # 5 loses to 4 (null), 6 untouched
+    assert kept == {2, 4, 6}
+
+
+def test_keep_best_transitive_chain(spark):
+    """A~B~C with the ENDS beating the middle: pairwise drops only the
+    losers of stated pairs (B), transitive keeps exactly one survivor
+    per component (the best overall)."""
+    df = spark.createDataFrame(
+        [(1, 0.8), (2, 0.1), (3, 0.9)], "doc_id long, quality double"
+    )
+    pairs = _kb_pairs(spark, [(1, 2), (2, 3)])
+    pairwise = {
+        r.doc_id
+        for r in dedup.dedup_keep_best(df, pairs, "quality").collect()
+    }
+    assert pairwise == {1, 3}  # B lost both its pairs
+    trans = {
+        r.doc_id
+        for r in dedup.dedup_keep_best(
+            df, pairs, "quality", transitive=True
+        ).collect()
+    }
+    assert trans == {3}  # one survivor per component, highest score
+
+
+def test_keep_best_reduces_to_keep_min_on_negated_id(spark):
+    """score = -doc_id makes 'best' = smallest id: keep_best must then
+    agree exactly with dedup_keep_min on both policies."""
+    df = _kb_corpus(spark).withColumn("negid", -F.col("doc_id"))
+    pairs = _kb_pairs(spark, [(1, 2), (2, 3), (4, 5)])
+    want = {r.doc_id for r in dedup.dedup_keep_min(df, pairs).collect()}
+    got = {
+        r.doc_id for r in dedup.dedup_keep_best(df, pairs, "negid").collect()
+    }
+    assert got == want

@@ -146,3 +146,60 @@ def test_top_k_bounds_results(spark, docs):
         [(0, "join scan filter")], "query_id bigint, query_text string"
     )
     assert retrieval.bm25_topk(docs, q, top_k=2).count() == 2
+
+
+# --- RRF hybrid fusion -------------------------------------------------------
+
+
+def _rank_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id bigint, doc_id bigint, rank int"
+    )
+
+
+def test_rrf_matches_formula(spark):
+    a = _rank_df(spark, [(0, 10, 1), (0, 11, 2), (0, 12, 3)])
+    b = _rank_df(spark, [(0, 11, 1), (0, 13, 2)])
+    got = {
+        (r.doc_id): (r.rank, r.score)
+        for r in retrieval.rrf_fuse([a, b], k=60).collect()
+    }
+    want_scores = {
+        10: 1 / 61,
+        11: 1 / 62 + 1 / 61,
+        12: 1 / 63,
+        13: 1 / 62,
+    }
+    ranked = sorted(want_scores, key=lambda d: (-want_scores[d], d))
+    for rank, d in enumerate(ranked, 1):
+        assert got[d] == (rank, round(want_scores[d], 6))
+
+
+def test_rrf_single_ranking_preserves_order(spark):
+    a = _rank_df(spark, [(0, 5, 1), (0, 9, 2), (0, 2, 3)])
+    got = sorted(
+        ((r.rank, r.doc_id) for r in retrieval.rrf_fuse([a]).collect())
+    )
+    assert got == [(1, 5), (2, 9), (3, 2)]
+
+
+def test_rrf_hybrid_with_bm25(spark, docs, queries):
+    """The intended composition: BM25 candidates fused with a second
+    (here synthetic 'ANN') candidate list — a doc ranked by both must
+    outrank a doc of the same single-list rank ranked by one."""
+    bm = retrieval.bm25_topk(docs, queries).where("query_id = 0")
+    top_bm = min(bm.collect(), key=lambda r: r.rank)
+    ann = _rank_df(spark, [(0, top_bm.doc_id, 1), (0, 999, 2)])
+    fused = {
+        r.doc_id: r.rank
+        for r in retrieval.rrf_fuse([bm, ann]).where("query_id = 0").collect()
+    }
+    assert fused[top_bm.doc_id] == 1  # ranked #1 by both lists
+    assert 999 in fused  # single-list candidates still surface
+
+
+def test_rrf_empty_and_topk(spark):
+    a = _rank_df(spark, [(0, i, i) for i in range(1, 8)])
+    assert retrieval.rrf_fuse([a], top_k=3).count() == 3
+    with pytest.raises(ValueError):
+        retrieval.rrf_fuse([])
