@@ -539,8 +539,14 @@ def dedup_keep_best(
     )
     if transitive:
         comp = connected_components(pairs)
+        # INNER join (R8 review): the keeper is elected among members
+        # PRESENT in df only — a pair feed computed upstream of a gate
+        # may reference ids the gate already removed, and electing an
+        # absent keeper would drop every real member of the component
+        # (pairwise below is naturally immune: an absent side scores
+        # -inf and loses, a no-op drop).
         labeled = comp.join(
-            scores, comp["id"] == scores["__kid"], "left"
+            scores, comp["id"] == scores["__kid"], "inner"
         ).select("id", "label", "__ksc")
         # min_by over (-score, id): highest score wins, ties -> min id
         keep = labeled.groupBy("label").agg(

@@ -45,6 +45,12 @@ from pyspark.sql import functions as F
 
 from etl_zero_spark.operators.dedup import tokens_expr
 
+#: score_perplexity's per-(model, SparkContext) broadcast cache:
+#: id(model) -> (weakref(model), sc, Broadcast). Module-level on
+#: purpose (R8 review) — stashing the Broadcast on the model object
+#: made the model unpicklable after its first scoring call.
+_BC_CACHE: dict = {}
+
 #: Out-of-vocabulary token. Every token outside the capped vocabulary
 #: maps here in BOTH training and scoring, so the probability mass is
 #: consistent (an OOV at score time is not a zero, it is the trained
@@ -166,26 +172,34 @@ def score_perplexity(
     default pruning caps, and a closure-captured copy would
     re-serialize into every task's dispatch payload, while a broadcast
     transfers once per executor and is shared by its tasks (ADVICE r6
-    #4). The broadcast is cached ON the model object per SparkContext
-    (ADVICE r7 #3): a long-lived process scoring many batches reuses
-    one broadcast instead of accumulating ~10 MB blocks per call on
-    the driver and executors; a restarted context re-broadcasts.
+    #4). The broadcast is cached in a module-level WeakKeyDictionary
+    per (model, SparkContext) — ADVICE r7 #3: a long-lived process
+    scoring many batches reuses one broadcast instead of accumulating
+    ~10 MB blocks per call on the driver and executors; a restarted
+    context re-broadcasts, and the weak keying means the cache never
+    pins the model alive NOR mutates it (R8 review: stashing the
+    Broadcast on the model object made it unpicklable afterwards).
     Empty documents score NULL (no tokens to judge)."""
     import re as _re
 
     from pyspark.sql.functions import pandas_udf
 
+    import weakref
+
     sc = df.sparkSession.sparkContext
-    cached = getattr(lm, "_bc_cache", None)
-    if cached is not None and cached[0] is sc:
-        bc_model = cached[1]
+    # keyed by id() (dataclasses with eq are unhashable); the weakref
+    # both guards against id reuse after GC and evicts the entry when
+    # the model is collected
+    cached = _BC_CACHE.get(id(lm))
+    if cached is not None and cached[0]() is lm and cached[1] is sc:
+        bc_model = cached[2]
     else:
-        # strip any stale cache entry BEFORE pickling: a Broadcast /
-        # SparkContext inside the payload would fail serialization
-        if cached is not None:
-            object.__delattr__(lm, "_bc_cache")
         bc_model = sc.broadcast(lm)
-        object.__setattr__(lm, "_bc_cache", (sc, bc_model))
+        _BC_CACHE[id(lm)] = (
+            weakref.ref(lm, lambda _r, k=id(lm): _BC_CACHE.pop(k, None)),
+            sc,
+            bc_model,
+        )
     # EXACTLY tokens_expr's rule: Java-regex \s+ is ASCII whitespace
     # only, while Python str.split() splits all Unicode whitespace — a
     # divergence would tokenize 'foo\xa0bar' as one token at train

@@ -96,6 +96,7 @@ def bm25_topk(
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
     postings: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``top_k`` documents per query by BM25, as
     ``(query_id, doc_id, rank, score)`` with ``score`` rounded to 6
@@ -106,7 +107,10 @@ def bm25_topk(
     its terms are deduplicated per query (BM25 is a set-of-terms
     model; repeating a query word must not double-count the term).
     Pass a prebuilt ``postings`` (from :func:`bm25_postings`,
-    persisted/bucketed) to skip the corpus pass per call."""
+    persisted/bucketed) AND ``stats`` (from :func:`corpus_stats`,
+    1 row — persist them together) to make a call fully index-only;
+    with only ``postings`` prebuilt, the (n_docs, avgdl) aggregate
+    still scans the corpus once per call (R8 review)."""
     post = (
         postings
         if postings is not None
@@ -128,7 +132,8 @@ def bm25_topk(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    stats = corpus_stats(docs, text_col)
+    if stats is None:
+        stats = corpus_stats(docs, text_col)
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -148,6 +153,13 @@ def bm25_topk(
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
     )
+    return _window_topk(scored, top_k)
+
+
+def _window_topk(scored: DataFrame, top_k: int) -> DataFrame:
+    """THE deterministic top-k contract, shared by bm25_topk and
+    rrf_fuse: score desc, doc_id asc tie-break, rank <= top_k —
+    one place, so rounding/tie rules cannot drift apart."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -195,11 +207,4 @@ def rrf_fuse(
     fused = contrib.groupBy("query_id", "doc_id").agg(
         F.round(F.sum("c"), 6).alias("score")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        fused.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
-        .select("query_id", "doc_id", "rank", "score")
-    )
+    return _window_topk(fused, top_k)

@@ -297,7 +297,7 @@ class RuleBasedGenerator:
             # too (second review pass — it was silently dropped).
             g = re.search(
                 r"\b(?:by|per|for each|grouped by)\s+(\w+)"
-                r"(?:\s+(?!and\b)(\w+))?"
+                r"(?:\s+(?!and\b|where\b|in\b|with\b|without\b|having\b|between\b|sorted\b|ordered\b)(\w+))?"
                 r"(?:\s+and\s+(\w+))?",
                 q_main,
             )
@@ -321,7 +321,9 @@ class RuleBasedGenerator:
                         if loc is None:
                             return ""
                         second = f", t1.{loc}"
-                    jwhere = self._where_clause(raw_where, cols, prefix="t1.")
+                    jwhere = self._where_clause(
+                        raw_where, cols, prefix="t1.", cols2=schema[other]
+                    )
                     return (
                         f"SELECT t2.{gcol}{second}, COUNT(*) AS n "
                         f"FROM {table} t1 JOIN {other} t2 "
@@ -371,6 +373,7 @@ class RuleBasedGenerator:
                 )
             return f"SELECT * FROM {table}{where} ORDER BY {col} {d} LIMIT 1"
 
+        agg_stated = False
         for word, fn in self._AGGS.items():
             m = re.search(
                 rf"\b{word}\b(?:\s+of)?\s+(\w+)(?:\s+as\s+(\w+))?", q_main
@@ -383,6 +386,7 @@ class RuleBasedGenerator:
                     )
                     if rebased is not None:
                         return rebased
+                    agg_stated = True
                     continue
                 # R7: '<agg> <col> as <name>' names the output column
                 alias = m.group(2) or f"{col}_{fn.lower()}"
@@ -409,7 +413,7 @@ class RuleBasedGenerator:
                 # the inferred o_custkey = c_custkey).
                 g = re.search(
                     r"\b(?:by|per|for each|grouped by)\s+(\w+)"
-                    r"(?:\s+(?!and\b)(\w+))?"
+                    r"(?:\s+(?!and\b|where\b|in\b|with\b|without\b|having\b|between\b|sorted\b|ordered\b)(\w+))?"
                     r"(?:\s+and\s+(\w+))?",
                     q_main,
                 )
@@ -441,7 +445,8 @@ class RuleBasedGenerator:
                         # column name shared by both joined tables
                         # would otherwise be ambiguous at execution
                         jwhere = self._where_clause(
-                            raw_where, cols, prefix="t1."
+                            raw_where, cols, prefix="t1.",
+                            cols2=schema[other],
                         )
                         return (
                             f"SELECT t2.{gcol}{second}, {fn}(t1.{col}) AS {alias} "
@@ -462,6 +467,13 @@ class RuleBasedGenerator:
                         f"FROM {table} t1{ex_lead} {ex_pred}"
                     )
                 return f"SELECT {fn}({col}) AS {alias} FROM {table}{where}"
+        if agg_stated:
+            # a stated aggregate whose metric resolves NOWHERE — not in
+            # the table, not via synonyms, not by rebasing onto another
+            # table — refuses rather than falling through to a plain
+            # row dump presented as the answer (R8 review: 'total
+            # revenue per customer' must not emit SELECT *)
+            return ""
 
         if hv:
             return ""  # no remaining shape can honor a HAVING constraint
@@ -501,7 +513,9 @@ class RuleBasedGenerator:
             hit = self._resolve_join(m.group(1), table, schema)
             if hit:
                 other, sel, lk, rk = hit
-                jwhere = self._where_clause(raw, cols, prefix="t1.")
+                jwhere = self._where_clause(
+                    raw, cols, prefix="t1.", cols2=schema[other]
+                )
                 return (
                     f"SELECT {sel} FROM {table} t1 "
                     f"JOIN {other} t2 ON t1.{lk} = t2.{rk}{jwhere}"
@@ -862,7 +876,7 @@ class RuleBasedGenerator:
         base, col = owners[0]
         g = re.search(
             r"\b(?:by|per|for each|grouped by)\s+(\w+)"
-            r"(?:\s+(?!and\b)(\w+))?",
+            r"(?:\s+(?!and\b|where\b|in\b|with\b|without\b|having\b|between\b|sorted\b|ordered\b)(\w+))?",
             q_main,
         )
         if not g:
@@ -880,7 +894,9 @@ class RuleBasedGenerator:
         if keys is None:
             return None
         alias = m.group(2) or f"{col}_{fn.lower()}"
-        jwhere = self._where_clause(raw_where, schema[base], prefix="t1.")
+        jwhere = self._where_clause(
+            raw_where, schema[base], prefix="t1.", cols2=schema[table]
+        )
         return (
             f"SELECT t2.{gcol}, {fn}(t1.{col}) AS {alias} "
             f"FROM {base} t1 JOIN {table} t2 "
@@ -975,16 +991,58 @@ class RuleBasedGenerator:
     )
 
     def _conditions(
-        self, raw: str, cols: dict[str, str], prefix: str
+        self,
+        raw: str,
+        cols: dict[str, str],
+        prefix: str,
+        cols2: dict[str, str] | None = None,
+        prefix2: str = "t2.",
     ) -> list[tuple[int, int, str]]:
         """Every resolvable condition in the question as (start, end,
         sql), non-overlapping, question order. BETWEEN claims its span
         first (its 'and' must not read as a conjunction, and its 'is'
-        must not read as an equality); comparisons next; equality last."""
+        must not read as an equality); comparisons next; equality last.
+        With ``cols2`` (join paths, R8 review): a mention that does not
+        resolve in the base table resolves against the JOINED table and
+        renders ``prefix2``-qualified — 'total revenue per customer
+        name where mktsegment is BUILDING' filters on t2.c_mktsegment
+        instead of silently dropping the stated condition."""
         found: list[tuple[int, int, str]] = []
 
         def free(s: int, e: int) -> bool:
             return all(e <= fs or s >= fe for fs, fe, _ in found)
+
+        def q_col(word: str) -> str | None:
+            """Qualified column name for a mention — base table first,
+            then the joined table when one is in scope."""
+            c = self._resolve_column(word, cols)
+            if c is not None:
+                return f"{prefix}{c}"
+            if cols2 is not None:
+                c = self._resolve_column(word, cols2)
+                if c is not None:
+                    return f"{prefix2}{c}"
+            return None
+
+        def q_type(word: str) -> str | None:
+            c = self._resolve_column(word, cols)
+            if c is not None:
+                return cols.get(c)
+            if cols2 is not None:
+                c = self._resolve_column(word, cols2)
+                if c is not None:
+                    return cols2.get(c)
+            return None
+
+        def q_date(word: str | None) -> str | None:
+            c = self._resolve_date_column(word, cols)
+            if c is not None:
+                return f"{prefix}{c}"
+            if cols2 is not None:
+                c = self._resolve_date_column(word, cols2)
+                if c is not None:
+                    return f"{prefix2}{c}"
+            return None
 
         # Date shapes FIRST (R7): their 'and'/'is' must never read as
         # a conjunction or equality, and a month name must not fall
@@ -1004,24 +1062,24 @@ class RuleBasedGenerator:
             raw,
             re.IGNORECASE,
         ):
-            col = self._resolve_date_column(_pre_word(m.start()), cols)
+            col = q_date(_pre_word(m.start()))
             if col:
                 lo = self._MONTHS[m.group(1).lower()]
                 hi = self._MONTHS[m.group(2).lower()]
                 found.append(
                     (m.start(), m.end(),
-                     f"MONTH({prefix}{col}) BETWEEN {lo} AND {hi}")
+                     f"MONTH({col}) BETWEEN {lo} AND {hi}")
                 )
         for m in re.finditer(
             rf"\bin\s+({months})\b", raw, re.IGNORECASE
         ):
             if not free(m.start(), m.end()):
                 continue
-            col = self._resolve_date_column(_pre_word(m.start()), cols)
+            col = q_date(_pre_word(m.start()))
             if col:
                 found.append(
                     (m.start(), m.end(),
-                     f"MONTH({prefix}{col}) = {self._MONTHS[m.group(1).lower()]}")
+                     f"MONTH({col}) = {self._MONTHS[m.group(1).lower()]}")
                 )
         for m in re.finditer(r"\bin\s+(\d{4})\b", raw, re.IGNORECASE):
             # 'orders in 1995' -> YEAR(o_orderdate) = 1995. The match
@@ -1032,13 +1090,13 @@ class RuleBasedGenerator:
             if not free(m.start(), m.end()):
                 continue
             w = _pre_word(m.start())
-            if w and cols.get(self._resolve_column(w.lower(), cols)) == "number":
+            if w and q_type(w.lower()) == "number":
                 continue
-            col = self._resolve_date_column(w, cols)
+            col = q_date(w)
             if col:
                 found.append(
                     (m.start(), m.end(),
-                     f"YEAR({prefix}{col}) = {m.group(1)}")
+                     f"YEAR({col}) = {m.group(1)}")
                 )
         for m in re.finditer(
             r"(\w+)\s+(?:is\s+)?between\s+(\d{4}-\d{2}-\d{2})\s+and\s+"
@@ -1048,11 +1106,11 @@ class RuleBasedGenerator:
         ):
             if not free(m.start(), m.end()):
                 continue
-            col = self._resolve_column(m.group(1).lower(), cols)
+            col = q_col(m.group(1).lower())
             if col:
                 found.append(
                     (m.start(), m.end(),
-                     f"{prefix}{col} BETWEEN DATE '{m.group(2)}' "
+                     f"{col} BETWEEN DATE '{m.group(2)}' "
                      f"AND DATE '{m.group(3)}'")
                 )
         for m in re.finditer(
@@ -1063,11 +1121,11 @@ class RuleBasedGenerator:
         ):
             if not free(m.start(), m.end()):
                 continue
-            col = self._resolve_column(m.group(1).lower(), cols)
+            col = q_col(m.group(1).lower())
             if col:
                 found.append(
                     (m.start(), m.end(),
-                     f"{prefix}{col} BETWEEN {m.group(2)} AND {m.group(3)}")
+                     f"{col} BETWEEN {m.group(2)} AND {m.group(3)}")
                 )
         for m in re.finditer(
             r"(\w+)\s+(?:is\s+)?(?:(greater|more|larger|bigger|higher|above|over)"
@@ -1077,29 +1135,39 @@ class RuleBasedGenerator:
         ):
             if not free(m.start(), m.end()):
                 continue
-            col = self._resolve_column(m.group(1).lower(), cols)
+            col = q_col(m.group(1).lower())
             if col:
                 op = ">" if m.group(2) else "<"
                 found.append(
-                    (m.start(), m.end(), f"{prefix}{col} {op} {m.group(4)}")
+                    (m.start(), m.end(), f"{col} {op} {m.group(4)}")
                 )
         for m in re.finditer(
             r"(\w+)\s+(?:is|equals|=)\s+'?([\w-]+)'?(?:\s|$)", raw, re.IGNORECASE
         ):
             if not free(m.start(), m.end()) or m.group(2).lower() in self._EQ_STOP:
                 continue
-            col = self._resolve_column(m.group(1).lower(), cols)
+            col = q_col(m.group(1).lower())
             if col:
                 val = m.group(2)
                 lit = val if re.fullmatch(r"-?\d+(\.\d+)?", val) else f"'{val}'"
-                found.append((m.start(), m.end(), f"{prefix}{col} = {lit}"))
+                found.append((m.start(), m.end(), f"{col} = {lit}"))
         return sorted(found)
 
-    def _where_clause(self, raw: str, cols: dict[str, str], prefix: str = "") -> str:
+    def _where_clause(
+        self,
+        raw: str,
+        cols: dict[str, str],
+        prefix: str = "",
+        cols2: dict[str, str] | None = None,
+        prefix2: str = "t2.",
+    ) -> str:
         """Parses the ORIGINAL-case question (literals like 'F' must
         survive); keywords match case-insensitively. ``prefix``
         qualifies the column (``t1.``) on join paths where a bare name
-        could be ambiguous across the joined tables.
+        could be ambiguous across the joined tables; ``cols2`` lets a
+        mention resolve against the JOINED table (``prefix2``) when
+        the base table has no such column (R8 review — a stated filter
+        on the foreign side must render, not silently vanish).
 
         R6: multi-condition — every resolvable condition is kept, and
         consecutive conditions combine with the connective the question
@@ -1107,7 +1175,7 @@ class RuleBasedGenerator:
         'or' in the gap -> OR; no connective word defaults to AND,
         matching the reference demo's 'products with price over X and
         stock under Y' space, text_to_sql.py:110-144)."""
-        conds = self._conditions(raw, cols, prefix)
+        conds = self._conditions(raw, cols, prefix, cols2, prefix2)
         if not conds:
             return ""
         sql = conds[0][2]

@@ -564,3 +564,21 @@ def test_keep_best_reduces_to_keep_min_on_negated_id(spark):
         r.doc_id for r in dedup.dedup_keep_best(df, pairs, "negid").collect()
     }
     assert got == want
+
+
+def test_keep_best_transitive_ignores_absent_members(spark):
+    """R8 review: a pair feed computed upstream of a gate can reference
+    ids already removed from df — the component keeper must be elected
+    among PRESENT members only, and a component with absent members
+    still keeps exactly one present copy."""
+    df = spark.createDataFrame(
+        [(2, 0.4), (3, 0.7)], "doc_id long, quality double"
+    )  # doc 1 was gated away upstream
+    pairs = _kb_pairs(spark, [(1, 2), (2, 3)])
+    kept = {
+        r.doc_id
+        for r in dedup.dedup_keep_best(
+            df, pairs, "quality", transitive=True
+        ).collect()
+    }
+    assert kept == {3}  # best PRESENT member survives, never zero

@@ -199,3 +199,25 @@ def test_score_tokenization_matches_training_on_unicode_whitespace(spark):
         / 2
     )
     assert scored == pytest.approx(want, rel=1e-9)
+
+
+def test_scored_model_stays_picklable_and_cache_reused(spark):
+    """R8 review: the broadcast cache must not mutate the model —
+    pickling a model AFTER scoring has to work, and repeated scoring
+    on one context reuses a single broadcast."""
+    import pickle
+
+    from etl_zero_spark.operators import lm as lmod
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a a a b")], "doc_id long, text string"
+    )
+    model = lmod.train_ngram_lm(docs)
+    lmod.score_perplexity(docs, model).collect()
+    blob = pickle.dumps(model)  # raised before the module-level cache
+    assert pickle.loads(blob).alpha == model.alpha
+    key = id(model)
+    assert key in lmod._BC_CACHE
+    bc1 = lmod._BC_CACHE[key][2]
+    lmod.score_perplexity(docs, model).collect()
+    assert lmod._BC_CACHE[key][2] is bc1  # one broadcast, reused

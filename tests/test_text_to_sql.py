@@ -819,3 +819,43 @@ def test_generator_join_aggregate_end_to_end(spark):
     rows = out.collect()
     assert len(rows) > 10
     assert all(r.o_totalprice_sum > 0 for r in rows)
+
+
+def test_generator_join_where_resolves_against_both_tables():
+    """R8 review: a stated filter on the JOINED table's column must
+    render t2-qualified, never silently vanish."""
+    assert _gen(
+        "total revenue per customer name where mktsegment is BUILDING"
+    ) == (
+        "SELECT t2.c_name, SUM(t1.o_totalprice) AS o_totalprice_sum "
+        "FROM orders t1 JOIN customer t2 ON t1.o_custkey = t2.c_custkey "
+        "WHERE t2.c_mktsegment = 'BUILDING' GROUP BY t2.c_name"
+    )
+    assert _gen(
+        "count of orders per mktsegment where mktsegment is BUILDING"
+    ) == (
+        "SELECT t2.c_mktsegment, COUNT(*) AS n "
+        "FROM orders t1 JOIN customer t2 ON t1.o_custkey = t2.c_custkey "
+        "WHERE t2.c_mktsegment = 'BUILDING' GROUP BY t2.c_mktsegment"
+    )
+    # base-table filters still render t1-qualified alongside
+    assert _gen(
+        "total revenue per customer name where totalprice over 100 "
+        "and mktsegment is BUILDING"
+    ) == (
+        "SELECT t2.c_name, SUM(t1.o_totalprice) AS o_totalprice_sum "
+        "FROM orders t1 JOIN customer t2 ON t1.o_custkey = t2.c_custkey "
+        "WHERE t1.o_totalprice > 100 AND t2.c_mktsegment = 'BUILDING' "
+        "GROUP BY t2.c_name"
+    )
+
+
+def test_generator_stated_aggregate_never_row_dumps():
+    """R8 review: an aggregate question whose metric resolves nowhere
+    refuses — it must not fall through to SELECT * presented as the
+    answer to a stated SUM."""
+    assert _gen("total revenue per customer") == ""
+    assert _gen("total revenue of customers") == ""
+    assert _gen("sum of frobnication from orders") == ""
+    # the resolvable shapes still answer
+    assert _gen("total revenue per customer name") != ""

@@ -272,9 +272,6 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
     completeness (the r3 lesson: a bench that dies emits nothing)."""
     if budget_s is None:
         budget_s = float(os.environ.get("SPARK_GRAFT_PROBE_BUDGET", "900"))
-    # the 1M composition corpus generates OUTSIDE the probe budget
-    # clock (one-time per machine, marker-cached like the 100k corpus)
-    generate_1m(spark)
     t_start = time.perf_counter()
     from pyspark.sql import functions as F
 
@@ -884,6 +881,12 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             out[name] = {"skipped": f"probe budget {budget_s}s spent"}
             print(f"# probe {name}: {out[name]}", file=sys.stderr)
             continue
+        if name == "corpus_pipeline_1m":
+            # the 1M corpus generates lazily HERE — only once this probe
+            # is actually going to run (a small-budget smoke run must not
+            # pay the generation and then skip the probe, R8 review) —
+            # and outside the timed window (one-time, marker-cached)
+            generate_1m(spark)
         t0 = time.perf_counter()
         try:
             rows = fn().count()
