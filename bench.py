@@ -333,15 +333,18 @@ def _extras(spark, sf_dir: str) -> dict:
 
     def calib_fixed_hash_agg() -> int:
         # Host-drift calibration (VERDICT r7 ask #2): a FIXED,
-        # code-stable workload touching no repo operator — 100M-row
+        # code-stable workload touching no repo operator — 6B-row
         # range -> xxhash64 -> one global agg, pure whole-stage
-        # codegen, no IO. Its round-over-round warm ratio estimates
-        # the host's speed drift (the documented ~15% multiplier), so
-        # real per-query ratios can be read drift-normalized. first()
-        # (not count()) forces the aggregation: a count over a global
-        # agg is provably 1 row and Catalyst elides the sum.
+        # codegen, no IO; sized to ~1s warm so the reading is CPU
+        # signal, not scheduling noise (100M finished in 0.07s and
+        # jittered; 1.5B in 0.28s). Its round-over-round warm ratio
+        # estimates the host's speed drift (the documented ~15%
+        # multiplier), so real per-query ratios can be read
+        # drift-normalized. first() (not count()) forces the
+        # aggregation: a count over a global agg is provably 1 row
+        # and Catalyst elides the sum.
         row = (
-            spark.range(100_000_000)
+            spark.range(6_000_000_000)
             .select(F.xxhash64("id").alias("h"))
             .agg(F.sum("h").alias("s"))
             .first()

@@ -122,18 +122,17 @@ def bm25_topk(
             F.array_distinct(tokens_expr(F.col(query_text_col)))
         ).alias("term"),
     )
-    # document frequency ONLY for terms some query mentions: the
-    # aggregation is bounded by the query vocabulary, never the
-    # corpus vocabulary
-    dfreq = (
-        post.join(
-            F.broadcast(qterms.select("term").distinct()), "term", "semi"
-        )
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
     if stats is None:
         stats = corpus_stats(docs, text_col)
+    # document frequency falls out of the matched postings themselves:
+    # the broadcast join restricts post to query terms, and for one
+    # (query, term) the matched rows ARE that term's full posting list
+    # — a count window over (query_id, term) is df(term) with no
+    # second posting scan and no separate aggregation+join (R8: the
+    # dfreq-as-its-own-subtree formulation re-tokenized the corpus)
+    matched = post.join(F.broadcast(qterms), "term")
+    wdf = Window.partitionBy("query_id", "term")
+    df_col = F.count(F.lit(1)).over(wdf)
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -147,8 +146,7 @@ def bm25_topk(
         )
     )
     scored = (
-        post.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
+        matched.withColumn("df", df_col)
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
@@ -208,3 +206,56 @@ def rrf_fuse(
         F.round(F.sum("c"), 6).alias("score")
     )
     return _window_topk(fused, top_k)
+
+
+def extend_postings(
+    postings: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Absorb a document delta into a persisted posting table — the
+    daily-ingest shape the incremental MinHash index (dd9) set: cost is
+    O(delta), never a corpus re-tokenization. The delta's ids must be
+    NEW (same contract as the snapshot append path); re-ingesting an
+    id would double its postings — call :func:`remove_postings` first
+    for replacements. Union only — at the table layer this is an
+    APPEND to the postings table, preserving its term bucketing."""
+    return postings.unionByName(bm25_postings(new_docs, text_col, id_col))
+
+
+def remove_postings(
+    postings: DataFrame, ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every posting of the given ids (one anti-join) — the
+    delete/replace half of incremental index maintenance."""
+    return postings.join(
+        ids.select(F.col(id_col).alias("doc_id")).dropDuplicates(),
+        "doc_id",
+        "left_anti",
+    )
+
+
+def merge_stats(stats_a: DataFrame, stats_b: DataFrame) -> DataFrame:
+    """Exactly merge two ``corpus_stats`` frames: counts add, avgdl
+    recombines n-weighted — so incremental ingest updates (n_docs,
+    avgdl) without any corpus scan. Commutative and associative (the
+    mergeable-sketch contract quantile aggregation already follows)."""
+    a = stats_a.select(
+        F.col("n_docs").alias("na"), F.col("avgdl").alias("aa")
+    )
+    b = stats_b.select(
+        F.col("n_docs").alias("nb"), F.col("avgdl").alias("ab")
+    )
+    return (
+        a.crossJoin(b)
+        .select(
+            (F.col("na") + F.col("nb")).alias("n_docs"),
+            F.when(F.col("na") + F.col("nb") == 0, F.lit(0.0))
+            .otherwise(
+                (F.col("na") * F.col("aa") + F.col("nb") * F.col("ab"))
+                / (F.col("na") + F.col("nb"))
+            )
+            .alias("avgdl"),
+        )
+    )

@@ -203,3 +203,54 @@ def test_rrf_empty_and_topk(spark):
     assert retrieval.rrf_fuse([a], top_k=3).count() == 3
     with pytest.raises(ValueError):
         retrieval.rrf_fuse([])
+
+
+# --- incremental posting maintenance (R8, the dd9 daily-ingest shape) -------
+
+
+def test_incremental_postings_equal_full_rebuild(spark, docs, queries):
+    """extend_postings(base, delta) + merge_stats must reproduce the
+    full-corpus search EXACTLY — the dd9 equivalence contract applied
+    to the lexical index."""
+    base_docs = docs.where("doc_id < 3")
+    delta_docs = docs.where("doc_id >= 3")
+    post = retrieval.extend_postings(
+        retrieval.bm25_postings(base_docs), delta_docs
+    )
+    stats = retrieval.merge_stats(
+        retrieval.corpus_stats(base_docs), retrieval.corpus_stats(delta_docs)
+    )
+    got = _result_map(
+        retrieval.bm25_topk(docs, queries, postings=post, stats=stats)
+    )
+    want = _result_map(retrieval.bm25_topk(docs, queries))
+    assert got == want
+    # the merged stats equal the full-corpus aggregate exactly
+    s = stats.collect()[0]
+    full = retrieval.corpus_stats(docs).collect()[0]
+    assert s.n_docs == full.n_docs
+    assert abs(s.avgdl - full.avgdl) < 1e-12
+
+
+def test_remove_then_extend_replaces_document(spark, docs, queries):
+    """The replace flow: remove an id's postings, re-ingest its new
+    text — search over the maintained index equals a fresh build over
+    the updated corpus."""
+    updated_row = docs.sparkSession.createDataFrame(
+        [(0, "filter filter filter")], "doc_id bigint, text string"
+    )
+    updated_corpus = docs.where("doc_id != 0").unionByName(updated_row)
+    post = retrieval.extend_postings(
+        retrieval.remove_postings(
+            retrieval.bm25_postings(docs),
+            docs.where("doc_id = 0").select("doc_id"),
+        ),
+        updated_row,
+    )
+    got = _result_map(
+        retrieval.bm25_topk(
+            updated_corpus, queries, postings=post
+        )
+    )
+    want = _result_map(retrieval.bm25_topk(updated_corpus, queries))
+    assert got == want
