@@ -127,6 +127,13 @@ class RuleBasedGenerator:
       customer name' -> SUM(o_totalprice) GROUP BY c_name); 'revenue'
       resolves via a suffix/containment-only synonym list, and a
       key pair with two top-score ties is ambiguous -> REFUSE (R8)
+    * ``how much <metric> ...``                        -> SUM; ``in
+      each <col>`` / ``for every <col>`` read as groupings; a table
+      noun between the agg word and its metric ('average order
+      totalprice') qualifies, never resolves AS the metric; ``...
+      sorted by <agg-ref> [descending]`` on a grouped aggregate
+      orders by the output alias, refusing when the stated sort
+      resolves to nothing (R8 phrasing sweep)
 
     Table and column mentions resolve by containment first, then
     difflib fuzzy match (cutoff 0.6 — the reference's column-matching
@@ -137,7 +144,7 @@ class RuleBasedGenerator:
 
     _AGGS = {
         "average": "AVG", "avg": "AVG", "mean": "AVG",
-        "sum": "SUM", "total": "SUM",
+        "sum": "SUM", "total": "SUM", "how much": "SUM",
         "minimum": "MIN", "min": "MIN", "lowest": "MIN", "smallest": "MIN",
         "least": "MIN", "fewest": "MIN",
         "maximum": "MAX", "max": "MAX", "highest": "MAX", "largest": "MAX",
@@ -296,7 +303,7 @@ class RuleBasedGenerator:
             # must resolve in the BASE table or the question refuses
             # too (second review pass — it was silently dropped).
             g = re.search(
-                r"\b(?:by|per|for each|grouped by)\s+(\w+)"
+                r"\b(?:by|per|for each|for every|in each|grouped by)\s+(\w+)"
                 r"(?:\s+(?!and\b|where\b|in\b|with\b|without\b|having\b|between\b|sorted\b|ordered\b)(\w+))?"
                 r"(?:\s+and\s+(\w+))?",
                 q_main,
@@ -355,7 +362,7 @@ class RuleBasedGenerator:
         # the superlative regex accepts is an _AGGS key, so the fall-
         # through always lands in the aggregate branch, never the
         # plain-select fallback (second review pass).
-        grouped = re.search(r"\b(?:by|per|for each|grouped by)\b", q_main)
+        grouped = re.search(r"\b(?:by|per|for each|for every|in each|grouped by)\b", q_main)
         if m and not hv and not grouped:
             col = self._resolve_column(m.group(2), cols)
             if col is None:
@@ -376,32 +383,59 @@ class RuleBasedGenerator:
         agg_stated = False
         for word, fn in self._AGGS.items():
             m = re.search(
-                rf"\b{word}\b(?:\s+of)?\s+(\w+)(?:\s+as\s+(\w+))?", q_main
+                rf"\b{word}\b(?:\s+of)?(?:\s+the)?\s+(\w+)"
+                rf"(?:\s+(?!of\b|as\b|by\b|per\b|for\b|in\b|and\b|is\b"
+                rf"|grouped\b|where\b|with\b|without\b|having\b"
+                rf"|sorted\b|ordered\b)(\w+))?"
+                rf"(?:\s+as\s+(\w+))?",
+                q_main,
             )
             if m:
-                col = self._resolve_column(m.group(1), cols)
+                # 'average ORDER totalprice by ...': a table noun right
+                # after the agg word qualifies the metric, it is not
+                # the metric — prefer the following word when it
+                # resolves (R8: 'order' fuzzy-hit o_orderkey and the
+                # question averaged the wrong column)
+                target = m.group(1)
+                if (
+                    m.group(2)
+                    and self._is_table_word(m.group(1), schema)
+                    and self._resolve_column(m.group(2), cols) is not None
+                ):
+                    target = m.group(2)
+                col = self._resolve_column(target, cols)
                 if col is None:
                     rebased = self._rebased_agg(
-                        q_main, raw_where, m, fn, table, schema, hv, ex
+                        q_main, raw_where, target, m.group(3), fn,
+                        table, schema, hv, ex,
                     )
                     if rebased is not None:
                         return rebased
                     agg_stated = True
                     continue
                 # R7: '<agg> <col> as <name>' names the output column
-                alias = m.group(2) or f"{col}_{fn.lower()}"
+                alias = m.group(3) or f"{col}_{fn.lower()}"
                 gp = self._group_parts(q_main, cols)
                 if gp:
                     gsel, gby = gp
+                    # R8: honor a stated sort on the grouped result
+                    # ('... sorted by sum descending' -> ORDER BY the
+                    # aggregate alias); an unresolvable stated sort
+                    # refuses rather than dropping
+                    osql = self._grouped_order(
+                        q_main, word, fn, col, alias, cols
+                    )
+                    if osql is None:
+                        return ""
                     if ex:
                         return (
                             f"SELECT {gsel}, {fn}({col}) AS {alias} "
                             f"FROM {table} t1{ex_lead} {ex_pred} "
-                            f"GROUP BY {gby}{having}"
+                            f"GROUP BY {gby}{having}{osql}"
                         )
                     return (
                         f"SELECT {gsel}, {fn}({col}) AS {alias} "
-                        f"FROM {table}{where} GROUP BY {gby}{having}"
+                        f"FROM {table}{where} GROUP BY {gby}{having}{osql}"
                     )
                 # group column living in ANOTHER table -> FK join (the
                 # mapper's name-similarity key inference, J3, applied
@@ -412,7 +446,7 @@ class RuleBasedGenerator:
                 # customer name' -> GROUP BY customer.c_name through
                 # the inferred o_custkey = c_custkey).
                 g = re.search(
-                    r"\b(?:by|per|for each|grouped by)\s+(\w+)"
+                    r"\b(?:by|per|for each|for every|in each|grouped by)\s+(\w+)"
                     r"(?:\s+(?!and\b|where\b|in\b|with\b|without\b|having\b|between\b|sorted\b|ordered\b)(\w+))?"
                     r"(?:\s+and\s+(\w+))?",
                     q_main,
@@ -745,7 +779,7 @@ class RuleBasedGenerator:
         table has a UNIQUE date-named column; two date columns stay
         ambiguous and the mention resolves to nothing."""
         m = re.search(
-            r"\b(?:by|per|for each|grouped by)\s+(\w+)(?:\s+and\s+(\w+))?", q
+            r"\b(?:by|per|for each|for every|in each|grouped by)\s+(\w+)(?:\s+and\s+(\w+))?", q
         )
         if not m:
             return None
@@ -851,7 +885,8 @@ class RuleBasedGenerator:
         )
 
     def _rebased_agg(
-        self, q_main: str, raw_where: str, m, fn: str, table: str,
+        self, q_main: str, raw_where: str, metric_word: str,
+        alias_word: str | None, fn: str, table: str,
         schema: dict, hv, ex,
     ) -> str | None:
         """'total revenue per customer name' resolves its TABLE
@@ -868,14 +903,14 @@ class RuleBasedGenerator:
         for t, ocols in schema.items():
             if t == table:
                 continue
-            c = self._resolve_column(m.group(1), ocols)
+            c = self._resolve_column(metric_word, ocols)
             if c:
                 owners.append((t, c))
         if len(owners) != 1:
             return None
         base, col = owners[0]
         g = re.search(
-            r"\b(?:by|per|for each|grouped by)\s+(\w+)"
+            r"\b(?:by|per|for each|for every|in each|grouped by)\s+(\w+)"
             r"(?:\s+(?!and\b|where\b|in\b|with\b|without\b|having\b|between\b|sorted\b|ordered\b)(\w+))?",
             q_main,
         )
@@ -893,7 +928,7 @@ class RuleBasedGenerator:
         keys = self._best_key_pair(schema[base], schema[table])
         if keys is None:
             return None
-        alias = m.group(2) or f"{col}_{fn.lower()}"
+        alias = alias_word or f"{col}_{fn.lower()}"
         jwhere = self._where_clause(
             raw_where, schema[base], prefix="t1.", cols2=schema[table]
         )
@@ -939,6 +974,47 @@ class RuleBasedGenerator:
         if keys is None:
             return None
         return (other, gcol, keys[0], keys[1])
+
+    def _grouped_order(
+        self, q: str, agg_word: str, fn: str, col: str, alias: str,
+        cols: dict[str, str],
+    ) -> str | None:
+        """ORDER BY for a grouped aggregate when the question states a
+        sort: the sort mention naming the aggregate (its word, any
+        synonym of its function, or its column) orders by the output
+        alias; a group column orders by itself. '' = no sort stated;
+        None = a sort was stated but resolves to nothing (refuse —
+        the grouped result in a different order than asked is a
+        dropped constraint, R8)."""
+        m = re.search(
+            r"\b(?:sorted|ordered)\s+by\s+(\w+)"
+            r"(?:\s+(desc|descending|asc|ascending))?",
+            q,
+        )
+        if not m:
+            return ""
+        w = m.group(1)
+        d = " DESC" if m.group(2) in ("desc", "descending") else ""
+        if (
+            w == agg_word
+            or self._AGGS.get(w) == fn
+            or self._resolve_column(w, cols) == col
+        ):
+            return f" ORDER BY {alias}{d}"
+        gcol = self._resolve_column(w, cols)
+        if gcol:
+            return f" ORDER BY {gcol}{d}"
+        return None
+
+    @staticmethod
+    def _is_table_word(word: str, schema: dict) -> bool:
+        """``word`` names ANY table in the schema (naive plural
+        tolerated) — used to skip a qualifying table noun between an
+        aggregate word and its metric ('average order totalprice')."""
+        return any(
+            word in (t, f"{t}s", t.rstrip("s")) or word.rstrip("s") == t
+            for t in schema
+        )
 
     def _table_mention(
         self, word: str, table: str, schema: dict

@@ -859,3 +859,36 @@ def test_generator_stated_aggregate_never_row_dumps():
     assert _gen("sum of frobnication from orders") == ""
     # the resolvable shapes still answer
     assert _gen("total revenue per customer name") != ""
+
+
+def test_generator_phrasing_robustness_r8():
+    """R8 phrasing sweep: shapes real users type that previously
+    dropped a stated aggregate, group, or sort — or averaged the
+    WRONG column when a table noun sat between the agg word and its
+    metric."""
+    # 'how much <metric>' is a SUM
+    assert _gen_dated("how much totalprice did we make per orderstatus") == (
+        "SELECT o_orderstatus, SUM(o_totalprice) AS o_totalprice_sum "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+    # 'in each <col>' is a grouping phrase
+    assert _gen("number of customers in each mktsegment") == (
+        "SELECT c_mktsegment, COUNT(*) AS n FROM customer "
+        "GROUP BY c_mktsegment"
+    )
+    # a table noun between agg word and metric must not BE the metric
+    # ('order' used to fuzzy-resolve to o_orderkey)
+    assert _gen("average order totalprice by customer mktsegment") == (
+        "SELECT t2.c_mktsegment, AVG(t1.o_totalprice) AS o_totalprice_avg "
+        "FROM orders t1 JOIN customer t2 ON t1.o_custkey = t2.c_custkey "
+        "GROUP BY t2.c_mktsegment"
+    )
+    # stated sort on a grouped aggregate orders by the output alias;
+    # an unresolvable stated sort refuses
+    assert _gen(
+        "sum totalprice grouped by orderstatus sorted by sum descending"
+    ) == (
+        "SELECT o_orderstatus, SUM(o_totalprice) AS o_totalprice_sum "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_totalprice_sum DESC"
+    )
+    assert _gen("sum totalprice by orderstatus sorted by frobnicate") == ""
