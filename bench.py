@@ -333,6 +333,13 @@ def _extras(spark, sf_dir: str) -> dict:
 
     def calib_fixed_hash_agg() -> int:
         # Host-drift calibration (VERDICT r7 ask #2): a FIXED,
+        # code-stable workload. The SIZE is part of the query NAME
+        # (calib_hash_agg_6b) — resizing the workload must rename
+        # the query, or cross-round ratios would silently mix two
+        # different workloads and read as phantom drift (2nd R8
+        # review: the 100M->6B resize inside r8 was only safe
+        # because no committed round artifact carried the 100M
+        # number).
         # code-stable workload touching no repo operator — 6B-row
         # range -> xxhash64 -> one global agg, pure whole-stage
         # codegen, no IO; sized to ~1s warm so the reading is CPU
@@ -352,7 +359,7 @@ def _extras(spark, sf_dir: str) -> dict:
         return int(row.s is not None)
 
     return {
-        "calib_fixed_hash_agg": calib_fixed_hash_agg,
+        "calib_hash_agg_6b": calib_fixed_hash_agg,
         "x_bpe_tokenize": x_bpe_tokenize,
         "x_gopher_gate": x_gopher_gate,
         "x_validate_single_scan": x_validate_single_scan,
@@ -548,7 +555,7 @@ def main() -> None:
             # the calibration query touches no repo operator, so its
             # ratio is a pure host-speed estimate: divide any other
             # query's ratio by it to read the drift-normalized delta
-            "host_drift_estimate": delta.get("calib_fixed_hash_agg"),
+            "host_drift_estimate": delta.get("calib_hash_agg_6b"),
             "ratios": delta,
         },
     }

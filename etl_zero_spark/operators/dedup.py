@@ -535,7 +535,9 @@ def dedup_keep_best(
     by the dedup tier's output, far smaller than the corpus); the
     corpus-sized side is touched only by the final anti-join."""
     scores = df.select(
-        F.col(id_col).alias("__kid"), F.col(score_col).alias("__ksc")
+        F.col(id_col).alias("__kid"),
+        F.col(score_col).alias("__ksc"),
+        F.lit(True).alias("__kp"),
     )
     if transitive:
         comp = connected_components(pairs)
@@ -543,11 +545,11 @@ def dedup_keep_best(
         # PRESENT in df only — a pair feed computed upstream of a gate
         # may reference ids the gate already removed, and electing an
         # absent keeper would drop every real member of the component
-        # (pairwise below is naturally immune: an absent side scores
-        # -inf and loses, a no-op drop).
+        # (the pairwise path below handles the same case with explicit
+        # presence flags).
         labeled = comp.join(
             scores, comp["id"] == scores["__kid"], "inner"
-        ).select("id", "label", "__ksc")
+        ).select("id", "label", "__ksc")  # __kp redundant after inner
         # min_by over (-score, id): highest score wins, ties -> min id
         keep = labeled.groupBy("label").agg(
             F.expr(
@@ -560,22 +562,34 @@ def dedup_keep_best(
         return df.join(drop, id_col, "left_anti")
     a = pairs.join(
         scores.withColumnRenamed("__kid", "a_id")
-        .withColumnRenamed("__ksc", "a_sc"),
+        .withColumnRenamed("__ksc", "a_sc")
+        .withColumnRenamed("__kp", "a_p"),
         "a_id",
         "left",
     ).join(
         scores.withColumnRenamed("__kid", "b_id")
-        .withColumnRenamed("__ksc", "b_sc"),
+        .withColumnRenamed("__ksc", "b_sc")
+        .withColumnRenamed("__kp", "b_p"),
         "b_id",
         "left",
     )
-    # null scores lose to any non-null (coalesce to -inf); equal
-    # scores -> the greater id loses (the keep-min tie rule)
+    # PRESENCE first (2nd R8 review): an id absent from df (gated
+    # upstream) must never condemn its present partner — a present
+    # null-score doc previously tied a ghost at -inf and the tie rule
+    # dropped it. An absent side is declared the loser (a no-op drop);
+    # then null scores lose to any non-null (coalesce to -inf); equal
+    # scores -> the greater id loses (the keep-min tie rule).
+    a_p = F.coalesce(F.col("a_p"), F.lit(False))
+    b_p = F.coalesce(F.col("b_p"), F.lit(False))
     a_sc = F.coalesce(F.col("a_sc"), F.lit(float("-inf")))
     b_sc = F.coalesce(F.col("b_sc"), F.lit(float("-inf")))
-    loser = F.when(a_sc < b_sc, F.col("a_id")).when(
-        a_sc > b_sc, F.col("b_id")
-    ).otherwise(F.greatest("a_id", "b_id"))
+    loser = (
+        F.when(~a_p, F.col("a_id"))
+        .when(~b_p, F.col("b_id"))
+        .when(a_sc < b_sc, F.col("a_id"))
+        .when(a_sc > b_sc, F.col("b_id"))
+        .otherwise(F.greatest("a_id", "b_id"))
+    )
     drop = a.select(loser.alias(id_col)).dropDuplicates()
     return df.join(drop, id_col, "left_anti")
 

@@ -124,15 +124,22 @@ def bm25_topk(
     )
     if stats is None:
         stats = corpus_stats(docs, text_col)
-    # document frequency falls out of the matched postings themselves:
-    # the broadcast join restricts post to query terms, and for one
-    # (query, term) the matched rows ARE that term's full posting list
-    # — a count window over (query_id, term) is df(term) with no
-    # second posting scan and no separate aggregation+join (R8: the
-    # dfreq-as-its-own-subtree formulation re-tokenized the corpus)
-    matched = post.join(F.broadcast(qterms), "term")
-    wdf = Window.partitionBy("query_id", "term")
-    df_col = F.count(F.lit(1)).over(wdf)
+    # document frequency: a query-vocabulary-bounded aggregation over
+    # the term-filtered postings, broadcast back. NOT a window over
+    # the matched rows (2nd R8 review): a window by (query, term)
+    # would exchange+sort every raw matched posting row — common
+    # terms mean huge posting lists — where this shape's only wide
+    # exchange carries map-side-combined (query, doc) partials. In
+    # the postings=None convenience path the dfreq subtree does
+    # re-tokenize the corpus once more; at scale callers pass the
+    # persisted postings table and no corpus scan happens at all.
+    dfreq = (
+        post.join(
+            F.broadcast(qterms.select("term").distinct()), "term", "semi"
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -146,7 +153,8 @@ def bm25_topk(
         )
     )
     scored = (
-        matched.withColumn("df", df_col)
+        post.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))

@@ -285,15 +285,22 @@ class RuleBasedGenerator:
             gp = self._group_parts(q_main, cols)
             if gp:
                 gsel, gby = gp
+                # R8 review: a stated sort on the grouped count orders
+                # by n or a grouped expression, else refuses
+                osql = self._grouped_order(
+                    q_main, "count", "COUNT", None, "n", cols, gsel, gby
+                )
+                if osql is None:
+                    return ""
                 if ex:
                     return (
                         f"SELECT {gsel}, COUNT(*) AS n "
                         f"FROM {table} t1{ex_lead} {ex_pred} "
-                        f"GROUP BY {gby}{having}"
+                        f"GROUP BY {gby}{having}{osql}"
                     )
                 return (
                     f"SELECT {gsel}, COUNT(*) AS n FROM {table}{where} "
-                    f"GROUP BY {gby}{having}"
+                    f"GROUP BY {gby}{having}{osql}"
                 )
             # R7: the group column living in ANOTHER table joins, like
             # the aggregate branch ('count of orders per mktsegment');
@@ -322,7 +329,7 @@ class RuleBasedGenerator:
                     hit = self._resolve_foreign_group(g.group(1), table, schema)
                 if hit:
                     other, gcol, lk, rk = hit
-                    second = ""
+                    second, loc = "", None
                     if g.group(3):
                         loc = self._resolve_column(g.group(3), cols)
                         if loc is None:
@@ -331,11 +338,17 @@ class RuleBasedGenerator:
                     jwhere = self._where_clause(
                         raw_where, cols, prefix="t1.", cols2=schema[other]
                     )
+                    osql = self._join_group_order(
+                        q_main, ("count", "n"), "n", gcol, schema[other],
+                        loc, cols,
+                    )
+                    if osql is None:
+                        return ""
                     return (
                         f"SELECT t2.{gcol}{second}, COUNT(*) AS n "
                         f"FROM {table} t1 JOIN {other} t2 "
                         f"ON t1.{lk} = t2.{rk}{jwhere} "
-                        f"GROUP BY t2.{gcol}{second}"
+                        f"GROUP BY t2.{gcol}{second}{osql}"
                     )
                 return ""
             if hv:
@@ -423,7 +436,7 @@ class RuleBasedGenerator:
                     # aggregate alias); an unresolvable stated sort
                     # refuses rather than dropping
                     osql = self._grouped_order(
-                        q_main, word, fn, col, alias, cols
+                        q_main, word, fn, col, alias, cols, gsel, gby
                     )
                     if osql is None:
                         return ""
@@ -468,7 +481,7 @@ class RuleBasedGenerator:
                         # a second stated group must resolve in the
                         # base table or the question refuses (it was
                         # silently dropped — second review pass)
-                        second = ""
+                        second, loc = "", None
                         if g.group(3):
                             loc = self._resolve_column(g.group(3), cols)
                             if loc is None:
@@ -482,11 +495,17 @@ class RuleBasedGenerator:
                             raw_where, cols, prefix="t1.",
                             cols2=schema[other],
                         )
+                        osql = self._join_group_order(
+                            q_main, (word,), alias, gcol, schema[other],
+                            loc, cols,
+                        )
+                        if osql is None:
+                            return ""
                         return (
                             f"SELECT t2.{gcol}{second}, {fn}(t1.{col}) AS {alias} "
                             f"FROM {table} t1 JOIN {other} t2 "
                             f"ON t1.{lk} = t2.{rk}{jwhere} "
-                            f"GROUP BY t2.{gcol}{second}"
+                            f"GROUP BY t2.{gcol}{second}{osql}"
                         )
                     # a stated grouping that resolves NOWHERE (incl. an
                     # ambiguous key pair) refuses, mirroring the count
@@ -932,11 +951,17 @@ class RuleBasedGenerator:
         jwhere = self._where_clause(
             raw_where, schema[base], prefix="t1.", cols2=schema[table]
         )
+        osql = self._join_group_order(
+            q_main, (metric_word,), alias, gcol, schema[table], None,
+            schema[base],
+        )
+        if osql is None:
+            return ""
         return (
             f"SELECT t2.{gcol}, {fn}(t1.{col}) AS {alias} "
             f"FROM {base} t1 JOIN {table} t2 "
             f"ON t1.{keys[0]} = t2.{keys[1]}{jwhere} "
-            f"GROUP BY t2.{gcol}"
+            f"GROUP BY t2.{gcol}{osql}"
         )
 
     def _resolve_foreign_group(
@@ -975,35 +1000,101 @@ class RuleBasedGenerator:
             return None
         return (other, gcol, keys[0], keys[1])
 
-    def _grouped_order(
-        self, q: str, agg_word: str, fn: str, col: str, alias: str,
-        cols: dict[str, str],
-    ) -> str | None:
-        """ORDER BY for a grouped aggregate when the question states a
-        sort: the sort mention naming the aggregate (its word, any
-        synonym of its function, or its column) orders by the output
-        alias; a group column orders by itself. '' = no sort stated;
-        None = a sort was stated but resolves to nothing (refuse —
-        the grouped result in a different order than asked is a
-        dropped constraint, R8)."""
+    def _sort_mention(self, q: str) -> tuple[str, str] | None:
+        """The stated sort, if any: (word, ' DESC'/' ASC'/'')."""
         m = re.search(
             r"\b(?:sorted|ordered)\s+by\s+(\w+)"
             r"(?:\s+(desc|descending|asc|ascending))?",
             q,
         )
         if not m:
+            return None
+        d = ""
+        if m.group(2) in ("desc", "descending"):
+            d = " DESC"
+        elif m.group(2) in ("asc", "ascending"):
+            d = " ASC"
+        return (m.group(1), d)
+
+    def _grouped_order(
+        self, q: str, agg_word: str, fn: str, col: str | None, alias: str,
+        cols: dict[str, str], gsel: str, gby: str,
+    ) -> str | None:
+        """ORDER BY for a grouped aggregate when the question states a
+        sort: the sort mention naming the aggregate (its word, any
+        synonym of its function, its column, or 'count'/'n' on the
+        count branch) orders by the output alias; a GROUP column (or
+        a temporal group's output alias — 'per month sorted by
+        month') orders by itself. '' = no sort stated; None = a sort
+        was stated but names neither the aggregate nor a grouped
+        expression (refuse — ordering by an ungrouped column is
+        invalid SQL, and answering in a different order than asked is
+        a dropped constraint; both R8 review)."""
+        srt = self._sort_mention(q)
+        if srt is None:
             return ""
-        w = m.group(1)
-        d = " DESC" if m.group(2) in ("desc", "descending") else ""
+        w, d = srt
         if (
             w == agg_word
             or self._AGGS.get(w) == fn
-            or self._resolve_column(w, cols) == col
+            or (col is not None and self._resolve_column(w, cols) == col)
+            or (fn == "COUNT" and w in ("count", "n"))
         ):
             return f" ORDER BY {alias}{d}"
-        gcol = self._resolve_column(w, cols)
-        if gcol:
-            return f" ORDER BY {gcol}{d}"
+        tgt = self._group_order_target(w, gsel, gby, cols)
+        if tgt is not None:
+            return f" ORDER BY {tgt}{d}"
+        return None
+
+    def _join_group_order(
+        self,
+        q: str,
+        agg_words: tuple,
+        alias: str,
+        gcol: str,
+        other_cols: dict[str, str],
+        loc: str | None,
+        cols: dict[str, str],
+    ) -> str | None:
+        """ORDER BY for the FOREIGN-group join branches (R8 review —
+        they silently dropped a stated sort): the aggregate reference
+        (any word in ``agg_words``, an _AGGS synonym, or a base-table
+        column mention) orders by ``alias``; the foreign group column
+        by ``t2.<gcol>``; the second, local group by ``t1.<loc>``.
+        '' = no sort stated; None = stated but unresolvable ->
+        refuse."""
+        srt = self._sort_mention(q)
+        if srt is None:
+            return ""
+        w, d = srt
+        if w in agg_words or self._AGGS.get(w) is not None:
+            return f" ORDER BY {alias}{d}"
+        if self._resolve_column(w, other_cols) == gcol:
+            return f" ORDER BY t2.{gcol}{d}"
+        if loc is not None and self._resolve_column(w, cols) == loc:
+            return f" ORDER BY t1.{loc}{d}"
+        if self._resolve_column(w, cols) is not None:
+            # a base-table metric mention ('sorted by revenue' on the
+            # summed column) refers to the aggregate output
+            return f" ORDER BY {alias}{d}"
+        return None
+
+    def _group_order_target(
+        self, w: str, gsel: str, gby: str, cols: dict[str, str]
+    ) -> str | None:
+        """The rendered ORDER BY target when the sort word names one
+        of the GROUPED expressions: a temporal group's select alias
+        ('month(o_orderdate) AS month' -> 'month'), or a group column
+        that actually appears in the GROUP BY list (ordering by any
+        other column would be invalid SQL over the aggregate)."""
+        for seg in gsel.split(", "):
+            if " AS " in seg:
+                al = seg.split(" AS ")[-1].strip()
+                if w == al or w.rstrip("s") == al:
+                    return al
+        c = self._resolve_column(w, cols)
+        if c is not None and c in {s.strip() for s in gby.split(",")}:
+            return c
         return None
 
     @staticmethod

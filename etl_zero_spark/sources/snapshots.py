@@ -1087,6 +1087,19 @@ class SnapshotTable:
         return out
 
 
+def committed_stream_epochs(table: "SnapshotTable") -> set[str]:
+    """The ``stream@{batch_id}`` epoch tags already durable in a
+    table's history — THE epoch-ledger parse (operation format
+    ``{tag}:{mode}``), shared by snapshot_sink and both streaming
+    state classes (near-dedup, search) so a tag-format change has one
+    home (2nd R8 review)."""
+    return {
+        m["operation"].split(":", 1)[0]
+        for m in table.history()
+        if m["operation"].startswith("stream@")
+    }
+
+
 def snapshot_sink(
     stream_df,
     table: SnapshotTable,
@@ -1130,11 +1143,7 @@ def snapshot_sink(
     # O(versions²) JSON reads over a long-running stream. Restarts
     # rebuild the set from history (single writer per sink query — the
     # Structured Streaming execution model).
-    seen_epochs = {
-        m["operation"].split(":", 1)[0]
-        for m in table.history()
-        if m["operation"].startswith("stream@")
-    }
+    seen_epochs = committed_stream_epochs(table)
 
     def _commit_batch(batch_df, batch_id: int) -> None:
         tag = f"stream@{batch_id}"

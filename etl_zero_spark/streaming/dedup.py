@@ -75,11 +75,9 @@ class StreamingNeardupState:
         )
 
     def committed_epochs(self, table: SnapshotTable) -> set[str]:
-        return {
-            m["operation"].split(":", 1)[0]
-            for m in table.history()
-            if m["operation"].startswith("stream@")
-        }
+        from etl_zero_spark.sources.snapshots import committed_stream_epochs
+
+        return committed_stream_epochs(table)
 
     def compact(self, spark, target_file_mb: int = 128) -> dict[str, int]:
         """Maintenance pass: bin-pack each state table's

@@ -58,11 +58,9 @@ class StreamingSearchState:
         self.stats = SnapshotTable(os.path.join(root, "stats"))
 
     def committed_epochs(self, table: SnapshotTable) -> set[str]:
-        return {
-            m["operation"].split(":", 1)[0]
-            for m in table.history()
-            if m["operation"].startswith("stream@")
-        }
+        from etl_zero_spark.sources.snapshots import committed_stream_epochs
+
+        return committed_stream_epochs(table)
 
     def current_stats(self, spark) -> DataFrame:
         """The whole ingested corpus's (n_docs, avgdl) — the per-epoch
@@ -148,11 +146,26 @@ def search(
     """BM25 top-k over the STREAMED index — fully index-only: the
     persisted postings and the reduced stats partials; no document
     ever rescanned at query time. Before the first epoch the index is
-    empty and every query returns no rows."""
+    empty and every query returns no rows — the empty frame takes its
+    query_id type from ``queries`` (2nd R8 review: a hardcoded type
+    would diverge from the populated-index schema and break
+    unionByName/append consumers across the first-epoch boundary);
+    doc_id is typed bigint, the repo-wide id convention, since no
+    posting row exists yet to derive it from."""
     if state.postings.current_version() is None:
-        return queries.sparkSession.createDataFrame(
-            [], "query_id bigint, doc_id bigint, rank int, score double"
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField(
+                    "query_id", queries.schema["query_id"].dataType
+                ),
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("score", T.DoubleType()),
+            ]
         )
+        return queries.sparkSession.createDataFrame([], schema)
     return bm25_topk(
         None,  # docs unused: postings + stats both supplied
         queries,

@@ -582,3 +582,19 @@ def test_keep_best_transitive_ignores_absent_members(spark):
         ).collect()
     }
     assert kept == {3}  # best PRESENT member survives, never zero
+
+
+def test_keep_best_pairwise_ghost_never_condemns_present(spark):
+    """Second R8 review pass: a pair whose other side was gated away
+    upstream (absent from df) must never drop its PRESENT partner —
+    even when the present doc's score is NULL (it used to tie the
+    ghost at -inf and lose on the id tie-break)."""
+    df = spark.createDataFrame(
+        [(5, None), (7, 0.3)], "doc_id long, quality double"
+    )
+    pairs = _kb_pairs(spark, [(3, 5), (9, 7)])  # 3 and 9 absent
+    kept = {
+        r.doc_id
+        for r in dedup.dedup_keep_best(df, pairs, "quality").collect()
+    }
+    assert kept == {5, 7}

@@ -892,3 +892,35 @@ def test_generator_phrasing_robustness_r8():
         "FROM orders GROUP BY o_orderstatus ORDER BY o_totalprice_sum DESC"
     )
     assert _gen("sum totalprice by orderstatus sorted by frobnicate") == ""
+
+
+def test_generator_grouped_sort_wiring_r8_review():
+    """Second R8 review pass: stated sorts must be honored (or refused)
+    on EVERY grouped branch — count, foreign-join, rebased — and an
+    ORDER BY over an ungrouped column (invalid SQL) must refuse."""
+    # ungrouped column -> refuse, never invalid SQL
+    assert _gen("sum totalprice by orderstatus sorted by custkey") == ""
+    # temporal group's alias is orderable
+    assert _gen_dated("sum totalprice per month sorted by month descending") == (
+        "SELECT month(o_orderdate) AS month, SUM(o_totalprice) "
+        "AS o_totalprice_sum FROM orders "
+        "GROUP BY month(o_orderdate) ORDER BY month DESC"
+    )
+    # grouped count honors 'sorted by count'
+    assert _gen("count of orders by orderstatus sorted by count descending") == (
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+        "GROUP BY o_orderstatus ORDER BY n DESC"
+    )
+    # foreign-join branches: sort by the group column or the aggregate
+    assert _gen("count of orders per mktsegment sorted by mktsegment") == (
+        "SELECT t2.c_mktsegment, COUNT(*) AS n "
+        "FROM orders t1 JOIN customer t2 ON t1.o_custkey = t2.c_custkey "
+        "GROUP BY t2.c_mktsegment ORDER BY t2.c_mktsegment"
+    )
+    assert _gen(
+        "total revenue per customer name sorted by revenue descending"
+    ) == (
+        "SELECT t2.c_name, SUM(t1.o_totalprice) AS o_totalprice_sum "
+        "FROM orders t1 JOIN customer t2 ON t1.o_custkey = t2.c_custkey "
+        "GROUP BY t2.c_name ORDER BY o_totalprice_sum DESC"
+    )
