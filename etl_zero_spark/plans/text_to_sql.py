@@ -134,6 +134,28 @@ class RuleBasedGenerator:
       sorted by <agg-ref> [descending]`` on a grouped aggregate
       orders by the output alias, refusing when the stated sort
       resolves to nothing (R8 phrasing sweep)
+    * ``at least/at most N`` -> >=/<=; ``exceeds N`` -> >;
+      ``<col> contains/starts with/ends with v`` -> LIKE (wildcards
+      escaped); ``<col> is not v`` -> <>; ``[not] from/in <col> <num
+      or quoted>`` -> (in)equality ('customers not from nation 5');
+      values must be numeric or quoted so prose never claims a
+      column (late R8)
+    * ``largest/smallest <table> by <col>``            -> the top ROW
+      (ORDER BY LIMIT 1), never the nonsense grouped aggregate the
+      agg words would otherwise build (late R8)
+    * ``which <tA> has/placed the most/fewest <tB>``   -> base rows
+      ranked by COUNT of joined rows through the J3 key pair, the
+      row kept via GROUP BY every base column (late R8)
+    * ``<agg1> and <agg2> <col> [per <group>]``        -> both
+      aggregates render ('total and average totalprice per
+      orderstatus'); ``earliest/latest <col>`` -> MIN/MAX; a stated
+      ``limit N`` / ``first N`` renders on the fallback paths
+      (late R8)
+    * the REFUSAL GUARD: after any branch answers, a stated numeric
+      comparison with fewer comparison operators in the SQL than
+      cues in the question, a contains/starts/ends with no LIKE, a
+      row cap with no LIMIT, or a negation with no <>/NOT refuses
+      the whole question — mistranslation never ships (late R8)
 
     Table and column mentions resolve by containment first, then
     difflib fuzzy match (cutoff 0.6 — the reference's column-matching
@@ -149,6 +171,7 @@ class RuleBasedGenerator:
         "least": "MIN", "fewest": "MIN",
         "maximum": "MAX", "max": "MAX", "highest": "MAX", "largest": "MAX",
         "biggest": "MAX", "greatest": "MAX", "most": "MAX",
+        "earliest": "MIN", "latest": "MAX",
     }
 
     _MONTHS = {
@@ -158,6 +181,68 @@ class RuleBasedGenerator:
     }
 
     def __call__(self, prompt: str) -> str:
+        """Generate, then enforce the refusal contract globally: if the
+        question states a cue no branch honored — a numeric comparison
+        with no WHERE/HAVING in the emitted SQL, a substring filter with
+        no LIKE, a row cap with no LIMIT, a negation with no <>/NOT —
+        the answer is a mistranslation and the generator refuses
+        (returns ''), exactly as it does for mentions that never
+        resolve. Branch-level refusals cover the shapes each branch
+        parses; this guard covers the shapes NONE of them parsed (R8
+        late — 'orders whose totalprice exceeds 1000' silently returned
+        an unfiltered SELECT * before it)."""
+        sql = self._generate(prompt)
+        if not sql:
+            return ""
+        _, question = self._split_prompt(prompt)
+        if question and self._drops_stated_constraint(
+            question.strip().rstrip("?.!"), sql
+        ):
+            return ""
+        return sql
+
+    @staticmethod
+    def _drops_stated_constraint(raw: str, sql: str) -> bool:
+        """True when the question states a constraint the SQL does not
+        carry. Cues are deliberately NARROW (keyword + a number or a
+        quoted value) so paraphrase text cannot trip them; refusing a
+        parseable question is the acceptable failure mode here,
+        answering a stated filter with an unfiltered query is not."""
+        q = raw.lower()
+        s = f" {sql.upper()} "
+        # COUNT numeric comparison cues against comparison operators in
+        # the SQL — 'totalprice over 100 and shippriority under 1' with
+        # only one parsed condition is as much a silent drop as zero
+        cue_n = len(re.findall(
+            r"\b(?:greater|less|more|fewer|larger|smaller|higher|lower|"
+            r"above|below|over|under|exceed\w*|at\s+least|at\s+most)"
+            r"\b(?:\s+than)?\s+-?\d",
+            q,
+        ))
+        cue_n += len(re.findall(r"\bbetween\s+-?\d[\w.-]*\s+and\s+-?\d", q))
+        if cue_n:
+            op_n = len(re.findall(
+                r"(?:<=|>=|<>|!=|<|>)\s*-?\d|\bBETWEEN\s", s
+            ))
+            if op_n < cue_n:
+                return True
+        if " LIKE " not in s and re.search(
+            r"\b(?:contains?|starts?\s+with|ends?\s+with)\s+(?:'|\w)", q
+        ):
+            return True
+        if " LIMIT " not in s and re.search(r"\b(?:limit|first)\s+\d+\b", q):
+            return True
+        if (
+            "<>" not in s
+            and " NOT " not in s
+            and re.search(
+                r"\bis\s+not\s+\S|\bnot\s+(?:from|in)\s+\w+\s+(?:-?\d|')", q
+            )
+        ):
+            return True
+        return False
+
+    def _generate(self, prompt: str) -> str:
         schema, question = self._split_prompt(prompt)
         if not schema or not question:
             return ""
@@ -363,7 +448,7 @@ class RuleBasedGenerator:
         # return. The has/have/with-THE framing is the distinguisher:
         # 'what is the max totalprice' stays a scalar aggregate.
         m = re.search(
-            r"\b(?:has|have|had|with)\s+the\s+"
+            r"\b(?:has|have|had|with|placed|made)\s+the\s+"
             r"(highest|largest|biggest|greatest|maximum|most|"
             r"lowest|smallest|least|minimum|fewest)\s+(\w+)",
             q_main,
@@ -378,12 +463,68 @@ class RuleBasedGenerator:
         grouped = re.search(r"\b(?:by|per|for each|for every|in each|grouped by)\b", q_main)
         if m and not hv and not grouped:
             col = self._resolve_column(m.group(2), cols)
-            if col is None:
-                return ""  # stated superlative target must resolve
             d = (
                 "ASC"
                 if m.group(1) in
                 ("lowest", "smallest", "least", "minimum", "fewest")
+                else "DESC"
+            )
+            if col is None:
+                # R8 late: the superlative target is another TABLE —
+                # 'which nation has the most customers' ranks base rows
+                # by the COUNT of joined rows through the J3-inferred
+                # key pair (GROUP BY every base column keeps the row
+                # itself in the answer). An unresolvable target, an
+                # ambiguous key pair, or an existence constraint (t2 is
+                # taken) still refuses.
+                other = self._table_mention(m.group(2), table, schema)
+                keys = (
+                    self._best_key_pair(schema[table], schema[other])
+                    if other else None
+                )
+                if other and keys and not ex:
+                    gcols = ", ".join(f"t1.{c}" for c in cols)
+                    jwhere = self._where_clause(
+                        raw_where, cols, prefix="t1.", cols2=schema[other]
+                    )
+                    # LEFT JOIN + COUNT(key): 'fewest' must be able to
+                    # return a base row with ZERO joined rows — an
+                    # inner join would exclude the right answer (review)
+                    return (
+                        f"SELECT {gcols}, COUNT(t2.{keys[1]}) AS n "
+                        f"FROM {table} t1 "
+                        f"LEFT JOIN {other} t2 ON t1.{keys[0]} = t2.{keys[1]}"
+                        f"{jwhere} GROUP BY {gcols} "
+                        f"ORDER BY n {d} LIMIT 1"
+                    )
+                return ""  # stated superlative target must resolve
+            if ex:
+                return (
+                    f"SELECT * FROM {table} t1{ex_lead} {ex_pred} "
+                    f"ORDER BY {col} {d} LIMIT 1"
+                )
+            return f"SELECT * FROM {table}{where} ORDER BY {col} {d} LIMIT 1"
+
+        # R8 late: '<superlative> <table> by <col>' without a count —
+        # 'largest order by totalprice' is the TOP ROW (ORDER BY col
+        # LIMIT 1), never the grouped aggregate the agg branch would
+        # build by reading 'order' as a column and 'by totalprice' as
+        # its grouping. 'top/bottom N ...' was already handled above.
+        m = re.search(
+            r"\b(largest|biggest|highest|greatest|maximum|most\s+expensive|"
+            r"smallest|lowest|least|minimum|cheapest|earliest|latest)\s+"
+            r"(\w+)\s+by\s+(\w+)\b",
+            q_main,
+        )
+        if m and not hv and self._is_table_word(m.group(2), schema):
+            col = self._resolve_column(m.group(3), cols)
+            if col is None:
+                return ""  # stated ranking column must resolve
+            d = (
+                "ASC"
+                if re.sub(r"\s+", " ", m.group(1)) in
+                ("smallest", "lowest", "least", "minimum", "cheapest",
+                 "earliest")
                 else "DESC"
             )
             if ex:
@@ -393,10 +534,80 @@ class RuleBasedGenerator:
                 )
             return f"SELECT * FROM {table}{where} ORDER BY {col} {d} LIMIT 1"
 
+        # R8 late: TWO stated aggregates over one metric ('total and
+        # average totalprice per orderstatus') — both render, in the
+        # question's order; the single-agg loop below would answer with
+        # whichever it scanned first and silently drop the other.
+        aggws = "|".join(
+            re.escape(k) for k in sorted(self._AGGS, key=len, reverse=True)
+        )
+        m = re.search(
+            rf"\b({aggws})\s+and\s+(?:the\s+)?({aggws})\b"
+            rf"(?:\s+of)?(?:\s+the)?\s+(\w+)"
+            rf"(?:\s+(?!of\b|as\b|by\b|per\b|for\b|in\b|and\b|is\b"
+            rf"|grouped\b|where\b|with\b|without\b|having\b"
+            rf"|sorted\b|ordered\b)(\w+))?",
+            q_main,
+        )
+        if m and not hv:
+            # same qualifier rule as the single-agg loop: a table noun
+            # right after the agg words qualifies the metric, it is not
+            # the metric ('total and average order totalprice')
+            target = m.group(3)
+            if (
+                m.group(4)
+                and self._is_table_word(m.group(3), schema)
+                and self._resolve_column(m.group(4), cols) is not None
+            ):
+                target = m.group(4)
+            col = self._resolve_column(target, cols)
+            if col is not None:
+                # a stated sort would be dropped (this branch has no
+                # _grouped_order plumbing) — refuse, never emit unsorted
+                # SQL that silently ignores it
+                if re.search(r"\b(?:sorted|ordered)\s+by\b", q_main):
+                    return ""
+                f1, f2 = self._AGGS[m.group(1)], self._AGGS[m.group(2)]
+                if f1 == f2:  # 'sum and total x' — one output, not two
+                    sel = f"{f1}({col}) AS {col}_{f1.lower()}"
+                else:
+                    sel = (
+                        f"{f1}({col}) AS {col}_{f1.lower()}, "
+                        f"{f2}({col}) AS {col}_{f2.lower()}"
+                    )
+                gp = self._group_parts(q_main, cols)
+                if gp:
+                    gsel, gby = gp
+                    if ex:
+                        return (
+                            f"SELECT {gsel}, {sel} FROM {table} t1"
+                            f"{ex_lead} {ex_pred} GROUP BY {gby}"
+                        )
+                    return (
+                        f"SELECT {gsel}, {sel} FROM {table}{where} "
+                        f"GROUP BY {gby}"
+                    )
+                # a grouping that is STATED but did not resolve in the
+                # base table (foreign column, gibberish) refuses — the
+                # ungrouped form would silently drop it (review)
+                if re.search(
+                    r"\b(?:by|per|for\s+each|for\s+every|in\s+each|"
+                    r"grouped\s+by)\b",
+                    q_main,
+                ):
+                    return ""
+                if ex:
+                    return f"SELECT {sel} FROM {table} t1{ex_lead} {ex_pred}"
+                return f"SELECT {sel} FROM {table}{where}"
+            return ""  # two stated aggregates whose metric resolves nowhere
+
         agg_stated = False
         for word, fn in self._AGGS.items():
+            # (?<!at\s): 'at least 1000' / 'at most 5' are comparison
+            # bounds, never the MIN/MAX aggregate words they contain —
+            # without the guard they refused via agg_stated (R8 late)
             m = re.search(
-                rf"\b{word}\b(?:\s+of)?(?:\s+the)?\s+(\w+)"
+                rf"(?<!at\s)\b{word}\b(?:\s+of)?(?:\s+the)?\s+(\w+)"
                 rf"(?:\s+(?!of\b|as\b|by\b|per\b|for\b|in\b|and\b|is\b"
                 rf"|grouped\b|where\b|with\b|without\b|having\b"
                 rf"|sorted\b|ordered\b)(\w+))?"
@@ -416,6 +627,13 @@ class RuleBasedGenerator:
                     and self._resolve_column(m.group(2), cols) is not None
                 ):
                     target = m.group(2)
+                # 'show the latest orders' is a listing request — a
+                # TABLE noun after earliest/latest must not fuzzy-
+                # resolve to some column and ship MAX(status) (review)
+                if word in ("earliest", "latest") and self._is_table_word(
+                    target, schema
+                ):
+                    continue
                 col = self._resolve_column(target, cols)
                 if col is None:
                     rebased = self._rebased_agg(
@@ -587,7 +805,19 @@ class RuleBasedGenerator:
             if col:
                 d = " DESC" if m.group(2) in ("desc", "descending") else ""
                 order_sql = f" ORDER BY {col}{d}"
-        return f"SELECT * FROM {table}{where}{order_sql}"
+        # R8 late: a stated row cap ('... limit 3', 'first 10 orders')
+        # renders — the fallback previously dropped it, returning every
+        # row of a query the user explicitly bounded. A cap with a
+        # stated 'by <col>' ranking this fallback did NOT render
+        # refuses: LIMIT without ORDER BY is arbitrary rows
+        # masquerading as the top N (review).
+        limit_sql = ""
+        m = re.search(r"\b(?:limit|first)\s+(\d+)\b", q)
+        if m:
+            if not order_sql and re.search(r"\bby\s+\w+", q):
+                return ""
+            limit_sql = f" LIMIT {m.group(1)}"
+        return f"SELECT * FROM {table}{where}{order_sql}{limit_sql}"
 
     # -- prompt / schema plumbing --------------------------------------
 
@@ -638,7 +868,12 @@ class RuleBasedGenerator:
         # table is the unambiguous target. Exact/suffix/containment
         # matches only (no difflib): a fuzzy hit here would resolve
         # near-gibberish to a table and break the refusal contract.
+        # R8 late: aggregate words are never column evidence — 'total
+        # and average acctbal' must resolve through acctbal (customer),
+        # not through 'total' ⊂ o_totalprice (orders).
         for w in words:
+            if w in self._AGGS or w == "count":
+                continue
             owners = []
             for t, cols in schema.items():
                 for cand in (w, w.rstrip("s")):
@@ -662,7 +897,11 @@ class RuleBasedGenerator:
     #: 'top products by revenue' vocabulary, front_end.py:578).
     #: Synonyms use suffix/containment matching ONLY — never difflib —
     #: so they cannot resolve near-gibberish (R8).
-    _SYNONYMS = {"revenue": ("totalprice", "price", "amount", "sales")}
+    _SYNONYMS = {
+        "revenue": ("totalprice", "price", "amount", "sales"),
+        "cost": ("retailprice", "price", "totalprice"),
+        "costs": ("retailprice", "price", "totalprice"),
+    }
 
     def _resolve_column(self, word: str, cols: dict[str, str]) -> str | None:
         if word in cols:
@@ -1154,7 +1393,8 @@ class RuleBasedGenerator:
     _EQ_STOP = frozenset(
         {"greater", "less", "more", "smaller", "larger", "bigger",
          "above", "over", "lower", "higher", "below", "under",
-         "between", "equal"}
+         "between", "equal", "not", "at", "least", "most",
+         "exceeds", "exceeding", "fewer"}
     )
 
     def _conditions(
@@ -1294,9 +1534,27 @@ class RuleBasedGenerator:
                     (m.start(), m.end(),
                      f"{col} BETWEEN {m.group(2)} AND {m.group(3)}")
                 )
+        # inclusive bounds claim their span before the strict compare
+        # ('at least' must not read as '... least ...' anywhere else)
         for m in re.finditer(
-            r"(\w+)\s+(?:is\s+)?(?:(greater|more|larger|bigger|higher|above|over)"
-            r"|(less|smaller|lower|below|under))\s*(?:than)?\s+(-?\d+(?:\.\d+)?)",
+            r"(\w+)\s+(?:is\s+)?(?:of\s+)?"
+            r"(at\s+least|no\s+less\s+than|at\s+most|no\s+more\s+than)"
+            r"\s+(-?\d+(?:\.\d+)?)",
+            raw,
+            re.IGNORECASE,
+        ):
+            if not free(m.start(), m.end()):
+                continue
+            col = q_col(m.group(1).lower())
+            if col:
+                kw = re.sub(r"\s+", " ", m.group(2).lower())
+                op = ">=" if kw in ("at least", "no less than") else "<="
+                found.append(
+                    (m.start(), m.end(), f"{col} {op} {m.group(3)}")
+                )
+        for m in re.finditer(
+            r"(\w+)\s+(?:is\s+)?(?:(greater|more|larger|bigger|higher|above|over|exceeds|exceeding)"
+            r"|(less|smaller|lower|below|under|fewer))\s*(?:than)?\s+(-?\d+(?:\.\d+)?)",
             raw,
             re.IGNORECASE,
         ):
@@ -1308,6 +1566,63 @@ class RuleBasedGenerator:
                 found.append(
                     (m.start(), m.end(), f"{col} {op} {m.group(4)}")
                 )
+        # substring filters (R8 late): '<col> contains 're'' /
+        # 'starts with x' / 'ends with x' -> LIKE with the value taken
+        # quoted or as one bare word (quotes doubled, LIKE wildcards
+        # escaped so a literal % in the question cannot widen the match)
+        for m in re.finditer(
+            r"(\w+)\s+(contains?|starts?\s+with|ends?\s+with)\s+"
+            r"(?:'([^']+)'|(\w+))",
+            raw,
+            re.IGNORECASE,
+        ):
+            if not free(m.start(), m.end()):
+                continue
+            col = q_col(m.group(1).lower())
+            val = m.group(3) if m.group(3) is not None else m.group(4)
+            if col and val:
+                v = (val.replace("'", "''")
+                        .replace("%", r"\%").replace("_", r"\_"))
+                kw = m.group(2).lower()
+                pat = (f"%{v}%" if kw.startswith("contain")
+                       else f"{v}%" if kw.startswith("start") else f"%{v}")
+                found.append((m.start(), m.end(), f"{col} LIKE '{pat}'"))
+        # negated equality BEFORE equality — 'status is not F' must not
+        # parse as status = 'not'
+        for m in re.finditer(
+            r"(\w+)\s+(?:is\s+not|does\s+not\s+equal|!=|<>)\s+"
+            r"'?([\w-]+)'?(?:\s|$)",
+            raw,
+            re.IGNORECASE,
+        ):
+            if not free(m.start(), m.end()) or m.group(2).lower() in self._EQ_STOP:
+                continue
+            col = q_col(m.group(1).lower())
+            if col:
+                val = m.group(2)
+                lit = val if re.fullmatch(r"-?\d+(\.\d+)?", val) else f"'{val}'"
+                found.append((m.start(), m.end(), f"{col} <> {lit}"))
+        # '[not] from/in <col> <value>' (R8 late): 'customers in nation
+        # 3' / 'not from nation 5'. Values are NUMERIC or quoted only —
+        # a bare-word value would let 'records from orders where ...'
+        # fuzzy-resolve 'orders' to a column and claim 'where' as its
+        # value. Date shapes ran first, so 'in march' / 'in 1995' are
+        # already claimed.
+        for m in re.finditer(
+            r"\b(not\s+)?(?:from|in)\s+(\w+)\s+"
+            r"(?:(-?\d+(?:\.\d+)?)|'([^']+)')(?:\s|$)",
+            raw,
+            re.IGNORECASE,
+        ):
+            if not free(m.start(), m.end()):
+                continue
+            col = q_col(m.group(2).lower())
+            if col:
+                val = m.group(3) if m.group(3) is not None else m.group(4)
+                lit = (val if m.group(3) is not None
+                       else "'" + val.replace("'", "''") + "'")
+                op = "<>" if m.group(1) else "="
+                found.append((m.start(), m.end(), f"{col} {op} {lit}"))
         for m in re.finditer(
             r"(\w+)\s+(?:is|equals|=)\s+'?([\w-]+)'?(?:\s|$)", raw, re.IGNORECASE
         ):

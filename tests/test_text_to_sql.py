@@ -924,3 +924,177 @@ def test_generator_grouped_sort_wiring_r8_review():
         "FROM orders t1 JOIN customer t2 ON t1.o_custkey = t2.c_custkey "
         "GROUP BY t2.c_name ORDER BY o_totalprice_sum DESC"
     )
+
+
+# -- R8 late: widened filter vocabulary, superlative rows through the
+# -- FK, multi-aggregate questions, and the global refusal guard -------
+
+
+def test_generator_inclusive_and_exceeds_comparisons():
+    """'at least/at most' render >=/<=, 'exceeds' renders >, and the
+    MIN/MAX words inside 'at least/at most' never fire the aggregate
+    branch (they refused via agg_stated before)."""
+    assert _gen("orders where totalprice is at least 1000") == (
+        "SELECT * FROM orders WHERE o_totalprice >= 1000"
+    )
+    assert _gen("orders where totalprice at most 500") == (
+        "SELECT * FROM orders WHERE o_totalprice <= 500"
+    )
+    assert _gen("orders whose totalprice exceeds 1000") == (
+        "SELECT * FROM orders WHERE o_totalprice > 1000"
+    )
+
+
+def test_generator_like_filters():
+    """contains / starts with / ends with -> LIKE, quoted or one bare
+    word, with quote doubling and LIKE-wildcard escaping."""
+    assert _gen("customers whose name contains 're'") == (
+        "SELECT * FROM customer WHERE c_name LIKE '%re%'"
+    )
+    assert _gen("customers where name starts with Cust") == (
+        "SELECT * FROM customer WHERE c_name LIKE 'Cust%'"
+    )
+    assert _gen("customers where name ends with 'Inc'") == (
+        "SELECT * FROM customer WHERE c_name LIKE '%Inc'"
+    )
+    # a literal % in the value cannot widen the match
+    assert _gen("customers whose name contains '50%'") == (
+        r"SELECT * FROM customer WHERE c_name LIKE '%50\%%'"
+    )
+
+
+def test_generator_negated_filters():
+    """'is not' renders <>; '[not] from/in <col> <numeric>' renders
+    the (in)equality — 'customers not from nation 5' previously
+    returned an unfiltered SELECT *."""
+    assert _gen("orders where orderstatus is not F") == (
+        "SELECT * FROM orders WHERE o_orderstatus <> 'F'"
+    )
+    assert _gen("orders with totalprice is not 0") == (
+        "SELECT * FROM orders WHERE o_totalprice <> 0"
+    )
+    assert _gen("customers in mktsegment 'BUILDING'") == (
+        "SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'"
+    )
+    # bare-word values stay out: 'records from orders where ...' must
+    # not fuzzy-claim 'orders' as a column with 'where' as its value
+    assert _gen("show me all records from orders") == "SELECT * FROM orders"
+
+
+def test_generator_superlative_table_by_column():
+    """'<superlative> <table> by <col>' is the TOP ROW — the agg branch
+    previously read 'order' as a column and emitted a nonsense grouped
+    MAX for 'largest order by totalprice'."""
+    assert _gen("largest order by totalprice") == (
+        "SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 1"
+    )
+    assert _gen("smallest order by totalprice") == (
+        "SELECT * FROM orders ORDER BY o_totalprice ASC LIMIT 1"
+    )
+    # an unresolvable ranking column refuses
+    assert _gen("largest order by frobnication") == ""
+
+
+def test_generator_superlative_count_through_join():
+    """'which customer has/placed the most orders' ranks base rows by
+    the COUNT of joined rows through the J3-inferred key pair; 'fewest'
+    flips the direction. The base row itself stays in the answer
+    (GROUP BY every base column), and the join is LEFT + COUNT(key) so
+    'fewest' can return a base row with ZERO joined rows."""
+    expected = (
+        "SELECT t1.c_custkey, t1.c_name, t1.c_mktsegment, "
+        "COUNT(t2.o_custkey) AS n "
+        "FROM customer t1 LEFT JOIN orders t2 ON t1.c_custkey = t2.o_custkey "
+        "GROUP BY t1.c_custkey, t1.c_name, t1.c_mktsegment "
+        "ORDER BY n DESC LIMIT 1"
+    )
+    assert _gen("which customer has the most orders") == expected
+    assert _gen("which customer placed the most orders") == expected
+    assert _gen("customers with the fewest orders") == expected.replace(
+        "ORDER BY n DESC", "ORDER BY n ASC"
+    )
+    # an unresolvable superlative target still refuses
+    assert _gen("which customer has the most frobnications") == ""
+
+
+def test_generator_multi_aggregate():
+    """TWO stated aggregates over one metric render both, in question
+    order — the single-agg loop answered with one and silently dropped
+    the other."""
+    assert _gen("total and average totalprice per orderstatus") == (
+        "SELECT o_orderstatus, SUM(o_totalprice) AS o_totalprice_sum, "
+        "AVG(o_totalprice) AS o_totalprice_avg "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+    assert _gen("min and max totalprice") == (
+        "SELECT MIN(o_totalprice) AS o_totalprice_min, "
+        "MAX(o_totalprice) AS o_totalprice_max FROM orders"
+    )
+    # two stated aggregates whose metric resolves nowhere refuse
+    assert _gen("total and average frobnication of orders") == ""
+    # review fixes: a stated grouping that does not resolve in the base
+    # table refuses (never ships the ungrouped form)...
+    assert _gen("total and average totalprice per mktsegment") == ""
+    assert _gen("total and average totalprice per frobnication") == ""
+    # ...a table noun after the agg words qualifies the metric...
+    assert _gen("total and average order totalprice per orderstatus") == (
+        "SELECT o_orderstatus, SUM(o_totalprice) AS o_totalprice_sum, "
+        "AVG(o_totalprice) AS o_totalprice_avg "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+    # ...synonymous agg words dedupe to one output column...
+    assert _gen("sum and total totalprice") == (
+        "SELECT SUM(o_totalprice) AS o_totalprice_sum FROM orders"
+    )
+    # ...and a stated sort this branch cannot render refuses
+    assert _gen(
+        "total and average totalprice per orderstatus sorted by total"
+    ) == ""
+
+
+def test_generator_stated_limit_is_honored():
+    """A stated row cap renders on the fallback paths — 'limit 3' was
+    previously dropped from the emitted SQL."""
+    assert _gen("show orders sorted by totalprice descending limit 3") == (
+        "SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 3"
+    )
+    assert _gen("first 5 customers") == "SELECT * FROM customer LIMIT 5"
+    # review fix: a cap with a stated ranking the fallback did not
+    # render refuses — LIMIT without ORDER BY is arbitrary rows
+    # masquerading as the top N
+    assert _gen("first 5 orders by totalprice") == ""
+
+
+def test_generator_earliest_latest():
+    """'earliest/latest <date col>' are MIN/MAX aggregates."""
+    assert _gen_d("earliest orderdate in orders") == (
+        "SELECT MIN(o_orderdate) AS o_orderdate_min FROM orders"
+    )
+    assert _gen_d("latest orderdate") == (
+        "SELECT MAX(o_orderdate) AS o_orderdate_max FROM orders"
+    )
+    # review fix: a TABLE noun after earliest/latest is a listing
+    # request, never MAX of a fuzzy-matched column
+    assert _gen_d("show the latest orders") == "SELECT * FROM orders"
+
+
+def test_generator_guard_refuses_unhonored_constraints():
+    """The global refusal guard: a stated numeric comparison, LIKE
+    filter, or row cap that NO branch parsed refuses the question —
+    each of these previously returned unfiltered SQL that silently
+    dropped the stated constraint."""
+    # unresolvable comparison column -> no WHERE -> refuse
+    assert _gen("orders where frobnication exceeds 1000") == ""
+    # one of TWO stated comparisons parsed -> op count < cue count
+    assert _gen(
+        "orders where totalprice greater than 100 and frobnication less than 1"
+    ) == ""
+    # unresolvable contains -> no LIKE -> refuse
+    assert _gen("customers whose frobnication contains 'x'") == ""
+    # stated limit that no branch rendered -> refuse (the agg branch
+    # never emits LIMIT)
+    assert _gen("average totalprice of orders limit 3") == ""
+    # ...but honored constraints pass through untouched
+    assert _gen("top 5 orders by totalprice") == (
+        "SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 5"
+    )
