@@ -236,9 +236,18 @@ class RuleBasedGenerator:
             "<>" not in s
             and " NOT " not in s
             and re.search(
-                r"\bis\s+not\s+\S|\bnot\s+(?:from|in)\s+\w+\s+(?:-?\d|')", q
+                r"\bis\s+not\s+\S|\bdoes\s+not\s+equal\s+\S|!=|<>"
+                r"|\bnot\s+(?:from|in)\s+\w+\s+(?:-?\d|')",
+                q,
             )
         ):
+            return True
+        # a stated 'in <year>' must render (as YEAR(col) = y or some
+        # parsed reading carrying the literal) — the date grammar bails
+        # when the preceding word is a numeric column ('... by
+        # totalprice in 1995'), which silently dropped the year before
+        m = re.search(r"\bin\s+((?:19|20)\d{2})\b", q)
+        if m and m.group(1) not in sql:
             return True
         return False
 
@@ -459,9 +468,21 @@ class RuleBasedGenerator:
         # would silently drop the stated group (review r7). Every word
         # the superlative regex accepts is an _AGGS key, so the fall-
         # through always lands in the aggregate branch, never the
-        # plain-select fallback (second review pass).
-        grouped = re.search(r"\b(?:by|per|for each|for every|in each|grouped by)\b", q_main)
+        # plain-select fallback (second review pass). 'sorted/ordered
+        # by' is a SORT mention, not a grouping — it must not divert
+        # '... the most orders sorted by name' into the agg loop (which
+        # would fuzzy-aggregate the table noun); with LIMIT 1 a
+        # secondary sort signals a different intent, so the branch
+        # refuses it below instead (third review pass).
+        grouped = re.search(
+            r"\b(?:(?<!sorted\s)(?<!ordered\s)by|per|for each|for every|"
+            r"in each|grouped by)\b",
+            q_main,
+        )
+        sort_stated = re.search(r"\b(?:sorted|ordered)\s+by\b", q_main)
         if m and not hv and not grouped:
+            if sort_stated:
+                return ""  # a stated sort is meaningless on a 1-row answer
             col = self._resolve_column(m.group(2), cols)
             d = (
                 "ASC"
@@ -484,16 +505,29 @@ class RuleBasedGenerator:
                 )
                 if other and keys and not ex:
                     gcols = ", ".join(f"t1.{c}" for c in cols)
-                    jwhere = self._where_clause(
-                        raw_where, cols, prefix="t1.", cols2=schema[other]
-                    )
                     # LEFT JOIN + COUNT(key): 'fewest' must be able to
                     # return a base row with ZERO joined rows — an
-                    # inner join would exclude the right answer (review)
+                    # inner join would exclude the right answer
+                    # (review). A condition on the JOINED side must
+                    # live in the ON clause for the same reason: in the
+                    # WHERE it nulls out exactly the zero-count rows
+                    # (third review pass). Mixed-side OR cannot be
+                    # split between ON and WHERE — refuse.
+                    conds = self._conditions(
+                        raw_where, cols, "t1.", schema[other], "t2."
+                    )
+                    t2c = [c for _, _, c in conds if c.startswith("t2.")]
+                    t1c = [c for _, _, c in conds if not c.startswith("t2.")]
+                    if t2c and re.search(r"\bor\b", raw_where, re.IGNORECASE):
+                        return ""
+                    on = f"t1.{keys[0]} = t2.{keys[1]}"
+                    if t2c:
+                        on += " AND " + " AND ".join(t2c)
+                    jwhere = f" WHERE {' AND '.join(t1c)}" if t1c else ""
                     return (
                         f"SELECT {gcols}, COUNT(t2.{keys[1]}) AS n "
                         f"FROM {table} t1 "
-                        f"LEFT JOIN {other} t2 ON t1.{keys[0]} = t2.{keys[1]}"
+                        f"LEFT JOIN {other} t2 ON {on}"
                         f"{jwhere} GROUP BY {gcols} "
                         f"ORDER BY n {d} LIMIT 1"
                     )
@@ -517,6 +551,15 @@ class RuleBasedGenerator:
             q_main,
         )
         if m and not hv and self._is_table_word(m.group(2), schema):
+            # a grouping or sort stated BEYOND the consumed 'by <col>'
+            # would be silently dropped by this 1-row answer — refuse
+            # ('largest order by totalprice per orderstatus' is a
+            # grouped question, third review pass)
+            if sort_stated or re.search(
+                r"\b(?:per|for\s+each|for\s+every|in\s+each|grouped\s+by)\b",
+                q_main,
+            ):
+                return ""
             col = self._resolve_column(m.group(3), cols)
             if col is None:
                 return ""  # stated ranking column must resolve

@@ -1098,3 +1098,45 @@ def test_generator_guard_refuses_unhonored_constraints():
     assert _gen("top 5 orders by totalprice") == (
         "SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 5"
     )
+
+
+def test_generator_count_superlative_t2_filter_in_on_clause():
+    """Third review pass: a filter resolving to the JOINED side lives
+    in the ON clause — in the WHERE it would null out exactly the
+    zero-count rows the LEFT JOIN exists to keep reachable."""
+    assert _gen(
+        "which customer placed the fewest orders where orderstatus is F"
+    ) == (
+        "SELECT t1.c_custkey, t1.c_name, t1.c_mktsegment, "
+        "COUNT(t2.o_custkey) AS n "
+        "FROM customer t1 LEFT JOIN orders t2 "
+        "ON t1.c_custkey = t2.o_custkey AND t2.o_orderstatus = 'F' "
+        "GROUP BY t1.c_custkey, t1.c_name, t1.c_mktsegment "
+        "ORDER BY n ASC LIMIT 1"
+    )
+    # mixed-side OR cannot split between ON and WHERE -> refuse
+    assert _gen(
+        "which customer placed the fewest orders "
+        "where orderstatus is F or mktsegment is BUILDING"
+    ) == ""
+
+
+def test_generator_superlative_refuses_stated_sort_and_grouping():
+    """Third review pass: a 1-row superlative answer refuses a stated
+    sort (meaningless on LIMIT 1, and previously diverted into the agg
+    loop as a nonsense fuzzy aggregate) and a stated grouping beyond
+    the consumed 'by <col>'."""
+    assert _gen("which customer placed the most orders sorted by name") == ""
+    assert _gen("largest order by totalprice per orderstatus") == ""
+
+
+def test_generator_guard_negation_and_year_cues():
+    """Third review pass: the refusal guard catches 'does not equal' /
+    '!=' negations and a stated 'in <year>' that no branch rendered."""
+    assert _gen("orders where frobnication does not equal 5") == ""
+    assert _gen("orders where frobnication != 7") == ""
+    assert _gen_d("largest order by totalprice in 1995") == ""
+    # ...but a year the date grammar DID render passes through
+    assert _gen_d("orders in 1995") == (
+        "SELECT * FROM orders WHERE YEAR(o_orderdate) = 1995"
+    )
