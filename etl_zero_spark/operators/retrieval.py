@@ -156,6 +156,12 @@ def bm25_topk(
         post.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
+        # a degenerate stats row (n_docs=0 / avgdl<=0 — e.g. a streamed
+        # index whose postings committed but whose stats epoch hasn't
+        # yet, ADVICE r8) would divide by zero and score every
+        # candidate NULL; refuse it declaratively so the result is
+        # EMPTY, never silently meaningless
+        .where((F.col("n_docs") > 0) & (F.col("avgdl") > 0))
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(idf * tf_part), 6).alias("score"))
     )

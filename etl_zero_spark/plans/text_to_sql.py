@@ -232,9 +232,14 @@ class RuleBasedGenerator:
             return True
         if " LIMIT " not in s and re.search(r"\b(?:limit|first)\s+\d+\b", q):
             return True
+        # the NOT of NOT EXISTS is an existence predicate, not a value
+        # negation — it must not satisfy a stated '!= / is not' filter
+        # (a dropped negation shipped silently whenever the question
+        # also said 'without orders', ADVICE r8)
         if (
             "<>" not in s
-            and " NOT " not in s
+            and "!=" not in s
+            and not re.search(r" NOT (?!EXISTS\b)", s)
             and re.search(
                 r"\bis\s+not\s+\S|\bdoes\s+not\s+equal\s+\S|!=|<>"
                 r"|\bnot\s+(?:from|in)\s+\w+\s+(?:-?\d|')",
@@ -516,8 +521,13 @@ class RuleBasedGenerator:
                     conds = self._conditions(
                         raw_where, cols, "t1.", schema[other], "t2."
                     )
-                    t2c = [c for _, _, c in conds if c.startswith("t2.")]
-                    t1c = [c for _, _, c in conds if not c.startswith("t2.")]
+                    # date conditions render wrapped (YEAR(t2.col)), so
+                    # side-classify by the t2. reference ANYWHERE in
+                    # the rendered SQL, not a prefix sniff (ADVICE r8:
+                    # 'fewest orders in 1995' put YEAR(t2.o_orderdate)
+                    # in WHERE, nulling the zero-count rows)
+                    t2c = [c for _, _, c in conds if "t2." in c]
+                    t1c = [c for _, _, c in conds if "t2." not in c]
                     if t2c and re.search(r"\bor\b", raw_where, re.IGNORECASE):
                         return ""
                     on = f"t1.{keys[0]} = t2.{keys[1]}"

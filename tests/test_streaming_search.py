@@ -130,3 +130,24 @@ def test_empty_index_returns_no_rows(spark, tmp_path):
     out = search(spark, state, queries)
     assert out.count() == 0
     assert out.columns == ["query_id", "doc_id", "rank", "score"]
+
+
+def test_postings_without_stats_returns_empty_not_null_scores(
+    spark, tmp_path
+):
+    """A crash between the postings commit and the stats commit of the
+    first epoch leaves postings queryable with (n_docs=0, avgdl=0);
+    scoring would divide by zero and return NULL scores for every
+    candidate (ADVICE r8). The degenerate-stats guard must make the
+    result EMPTY instead — silently meaningless rows are the one
+    unacceptable mode."""
+    state = StreamingSearchState(str(tmp_path / "state"))
+    docs = spark.createDataFrame(_DAY1, "doc_id long, text string")
+    post = retrieval.bm25_postings(docs)
+    state.postings.commit(post)  # stats table never committed
+    queries = spark.createDataFrame(
+        _QUERIES, "query_id bigint, query_text string"
+    )
+    out = search(spark, state, queries)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "doc_id", "rank", "score"]

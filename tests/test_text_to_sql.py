@@ -1140,3 +1140,43 @@ def test_generator_guard_negation_and_year_cues():
     assert _gen_d("orders in 1995") == (
         "SELECT * FROM orders WHERE YEAR(o_orderdate) = 1995"
     )
+
+
+def test_generator_count_superlative_date_filter_in_on_clause():
+    """ADVICE r8: date conditions render wrapped (YEAR(t2.col)), so a
+    startswith('t2.') side sniff routed them into WHERE, nulling the
+    zero-count rows. They must land in the ON clause like every other
+    joined-side condition."""
+    sql = _gen_dated("which customer placed the fewest orders in 1995")
+    assert "ON t1.c_custkey = t2.o_custkey AND YEAR(t2.o_orderdate) = 1995" in sql
+    assert "WHERE" not in sql
+    assert "LEFT JOIN" in sql and "ORDER BY n ASC LIMIT 1" in sql
+
+
+def test_generator_guard_not_exists_does_not_satisfy_negation():
+    """ADVICE r8: the NOT of NOT EXISTS must not satisfy a stated value
+    negation — a dropped 'is not X' filter shipped silently whenever
+    the question also had an existence constraint."""
+    gen = t2s.RuleBasedGenerator()
+    dropped = (
+        "SELECT * FROM customer t1 WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders t2 WHERE t2.o_custkey = t1.c_custkey)"
+    )
+    assert gen._drops_stated_constraint(
+        "customers without orders where mktsegment is not BUILDING", dropped
+    )
+    # carried negations still satisfy the guard, whatever their form
+    for ok in (
+        "SELECT * FROM customer WHERE c_mktsegment <> 'BUILDING'",
+        "SELECT * FROM customer WHERE c_mktsegment != 'BUILDING'",
+        "SELECT * FROM customer WHERE c_mktsegment NOT IN ('BUILDING')",
+    ):
+        assert not gen._drops_stated_constraint(
+            "customers where mktsegment is not BUILDING", ok
+        )
+    # and the full path still renders the filter alongside NOT EXISTS
+    out = _gen(
+        "customers without orders where mktsegment is not BUILDING"
+    )
+    assert "t1.c_mktsegment <> 'BUILDING'" in out
+    assert "NOT EXISTS" in out

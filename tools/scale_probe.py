@@ -655,11 +655,14 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         # -> packing, with collect_stats=True so the probe records the
         # per-stage survivor ledger (the ask's done-criterion).
         # The learned gate trains positive on a corpus slice and
-        # negative on the same slice token-REVERSED (separable, so
-        # corpus docs score high and the Pareto rule keeps most) — a
-        # negative register drawn from the corpus itself would score
-        # everything ~0.5 and the x^-9 tail would gut the corpus,
-        # probing an empty pipeline. corpus_report then summarizes the
+        # negative on the same slice CHARACTER-reversed (F.reverse on a
+        # string flips chars, which mangles every token — a disjoint
+        # vocabulary, so the bag-of-words classifier separates cleanly
+        # and corpus docs score high; token-order reversal would keep
+        # the same token features and separate nothing) — a negative
+        # register drawn from the corpus itself would score everything
+        # ~0.5 and the x^-9 tail would gut the corpus, probing an
+        # empty pipeline. corpus_report then summarizes the
         # release output (the ask's second half), timed separately.
         from etl_zero_spark.functions.artifacts import corpus_key
         from etl_zero_spark.operators import classifier as qc
