@@ -101,6 +101,7 @@ def prepare_corpus(
     dsir_seed: int = 0,
     shuffle_seed: int | None = 0,
     pack_budget: int | None = None,
+    pack_streams: int = 256,
     collect_stats: bool = True,
 ) -> CorpusResult:
     """Run the full preparation chain; every stage is optional via its
@@ -304,7 +305,18 @@ def prepare_corpus(
     if shuffle_seed is not None:
         df = shuffle_corpus(df, seed=shuffle_seed, id_col=id_col)
     if pack_budget is not None:
+        # pack_streams sizes the packing parallelism to the cluster
+        # (pack_sequences docstring); 1 collapses the stream hash to a
+        # single ordered fill — the exactly-replayable shape pipe1's
+        # oracle checks
         df = record(
-            "packed", pack_sequences(df, budget=pack_budget, id_col=id_col, text_col=text_col)
+            "packed",
+            pack_sequences(
+                df,
+                budget=pack_budget,
+                id_col=id_col,
+                text_col=text_col,
+                n_streams=pack_streams,
+            ),
         )
     return CorpusResult(df=df, stats=stats, persisted=persisted)

@@ -1193,9 +1193,10 @@ def mix1_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ret1_bm25_topk",
-    "lexical retrieval: BM25 inverted-index top-k "
-    "(operators/retrieval.py; declared R8 — slot freed by the "
-    "mm1+mm2_mm3 fold)",
+    "lexical + hybrid retrieval: BM25 inverted-index top-k and RRF "
+    "fusion with an exact-cosine ANN candidate list "
+    "(operators/retrieval.py; declared R8, widened to a tagged union "
+    "R9 per verdict ask #5 — rrf_fuse hash-checked in the same slot)",
     r"""
     WITH q(query_id, query_text) AS (
       VALUES (CAST(0 AS BIGINT), 'hash join strategy'),
@@ -1208,10 +1209,10 @@ def mix1_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                          x -> x != '') AS w
       FROM documents
     ),
-    flat AS (SELECT doc_id, unnest(w) AS term, len(w) AS dl FROM toks),
+    tflat AS (SELECT doc_id, unnest(w) AS term, len(w) AS dl FROM toks),
     post AS (
       SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
-      FROM flat GROUP BY 1, 2
+      FROM tflat GROUP BY 1, 2
     ),
     stats AS (
       SELECT count(*) AS n_docs, avg(coalesce(len(w), 0)) AS avgdl
@@ -1239,25 +1240,81 @@ def mix1_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN qt USING (term)
       JOIN dfreq USING (term), stats
       GROUP BY 1, 2
-    )
-    SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY query_id ORDER BY score DESC, doc_id
+    ),
+    bmrank AS (
+      SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, doc_id
+        ) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    ),
+    eflat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS idx,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    enorms AS (
+      SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM eflat GROUP BY 1
+    ),
+    dots AS (
+      SELECT pv.vec_id AS query_id, c.vec_id AS doc_id,
+             sum(pv.val * c.val) AS dot
+      FROM eflat pv JOIN eflat c ON pv.idx = c.idx
+      WHERE pv.vec_id < 3 AND pv.vec_id != c.vec_id
+      GROUP BY 1, 2
+    ),
+    annrank AS (
+      SELECT query_id, doc_id, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC, doc_id
       ) AS rank
-      FROM scored
-    ) WHERE rank <= 10
+      FROM dots JOIN enorms nq ON query_id = nq.vec_id
+                JOIN enorms nc ON doc_id = nc.vec_id
+    ),
+    contrib AS (
+      SELECT query_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c
+      FROM bmrank
+      UNION ALL
+      SELECT query_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank)
+      FROM annrank WHERE rank <= 10
+    ),
+    fsum AS (
+      SELECT query_id, doc_id, round(sum(c), 6) AS score
+      FROM contrib GROUP BY 1, 2
+    ),
+    fused AS (
+      SELECT query_id, doc_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id
+      ) AS rank, score
+      FROM fsum
+    )
+    SELECT 'bm25' AS tag, query_id, doc_id, rank, score FROM bmrank
+    UNION ALL
+    SELECT 'rrf' AS tag, query_id, doc_id, CAST(rank AS INT) AS rank,
+           score
+    FROM fused WHERE rank <= 10
     """,
-    "BM25 (Robertson idf, k1=1.2, b=0.75) top-10 per query over the "
-    "documents table for three literal probe queries — postings, "
-    "document frequencies, corpus stats and the scoring formula all "
-    "replayed in DuckDB over the repo-standard tokenization; scores "
-    "rounded to 6dp on both sides and ties broken by doc_id so the "
-    "top-k prefix is engine-independent (the LIMIT-total-order rule).",
+    "Tagged union. tag='bm25': BM25 (Robertson idf, k1=1.2, b=0.75) "
+    "top-10 per query over the documents table for three literal "
+    "probe queries — postings, document frequencies, corpus stats and "
+    "the scoring formula all replayed in DuckDB over the repo-"
+    "standard tokenization. tag='rrf': Reciprocal Rank Fusion "
+    "(Cormack et al. 2009, k=60) of that BM25 list with an exact-"
+    "cosine ANN list (query vectors = embeddings of vec_id 0..2, the "
+    "shared doc_id/vec_id id space) — the production hybrid-search "
+    "combiner, rank-based so lexical and vector scores need no "
+    "calibration; DuckDB replays both candidate lists and the "
+    "1/(k+rank) sums. Scores rounded to 6dp on both sides, every "
+    "window ordered on the ROUNDED score with doc_id tie-break, so "
+    "the top-k prefixes are engine-independent (the LIMIT-total-order "
+    "rule).",
 )
 def ret1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_zero_spark.operators import retrieval
 
     docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
     queries_df = spark.createDataFrame(
         [
             (0, "hash join strategy"),
@@ -1266,4 +1323,279 @@ def ret1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "query_id bigint, query_text string",
     )
-    return retrieval.bm25_topk(docs, queries_df, top_k=10)
+    bm = retrieval.bm25_topk(docs, queries_df, top_k=10)
+    ann = similarity.brute_force_topk_distributed(
+        emb.where(F.col("vec_id") < 3), emb, k=10
+    )
+    fused = retrieval.rrf_fuse(
+        [bm, ann.select(
+            "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+        )],
+        k=60,
+        top_k=10,
+    )
+    return (
+        bm.withColumn("tag", F.lit("bm25"))
+        .unionByName(fused.withColumn("tag", F.lit("rrf")))
+        .select("tag", "query_id", "doc_id", "rank", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# the composed corpus-preparation pipeline (R9, verdict ask #1)
+# ---------------------------------------------------------------------------
+
+#: pipe1's planted boilerplate line — normalized form == itself
+#: (lowercase, single spaces, >= 5 chars, so always dup-eligible) and
+#: disjoint from dd13's so the two fixtures stay independent.
+_PIPE_BOILER = "zz read more at the zz portal"
+
+
+def _pipe1_sql() -> str:
+    from etl_zero_spark.operators import text as _t
+
+    url, email = _t.PII_PATTERNS["url"], _t.PII_PATTERNS["email"]
+    ipv4, phone = _t.PII_PATTERNS["ipv4"], _t.PII_PATTERNS["phone"]
+    grams = (
+        "CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')] "
+        "ELSE list_distinct([array_to_string(w[i:i+7], ' ') "
+        "for i in range(1, len(w) - 6)]) END"
+    )
+    toks = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')"
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, source,
+        CASE WHEN doc_id % 37 = 5
+             THEN 'qq' || CAST(doc_id % 3 AS VARCHAR)
+             ELSE regexp_replace(text, '((?:\\w+ ){{4}}\\w+) ',
+                                 '\\1' || chr(10), 'g')
+                  || CASE WHEN doc_id % 7 = 0
+                          THEN chr(10) || '{_PIPE_BOILER}' ELSE '' END
+                  || CASE WHEN doc_id % 5 = 3
+                          THEN chr(10) || 'contact user'
+                               || CAST(doc_id AS VARCHAR)
+                               || '@example.com via https://ex.io/p/'
+                               || CAST(doc_id AS VARCHAR) || ' now'
+                          ELSE '' END
+        END AS text
+      FROM documents
+    ),
+    blocked AS (
+      SELECT * FROM corpus WHERE source NOT IN ('src4', 'src19')
+    ),
+    scrubbed AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '{url}')) AS BIGINT) AS n_url,
+             CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_email,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                 '{url}', '<URL>', 'g'),
+                 '{email}', '<EMAIL>', 'g'),
+                 '{ipv4}', '<IPV4>', 'g'),
+                 '{phone}', '<PHONE>', 'g') AS text
+      FROM blocked
+    ),
+    l AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+             unnest(string_split(text, chr(10))) AS line
+      FROM scrubbed
+    ),
+    k AS (
+      SELECT doc_id, pos, line,
+             regexp_replace(trim(lower(line)), '\\s+', ' ', 'g') AS key
+      FROM l
+    ),
+    dup AS (
+      SELECT key FROM k WHERE length(key) >= 5
+      GROUP BY key HAVING count(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM k
+      WHERE key NOT IN (SELECT key FROM dup)
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM kept GROUP BY doc_id
+    ),
+    lined AS (
+      SELECT s.doc_id, s.source, s.n_url, s.n_email,
+             coalesce(r.text, '') AS text
+      FROM scrubbed s LEFT JOIN rebuilt r ON s.doc_id = r.doc_id
+    ),
+    exd AS (
+      SELECT min(doc_id) AS doc_id, min_by(source, doc_id) AS source,
+             min_by(n_url, doc_id) AS n_url,
+             min_by(n_email, doc_id) AS n_email, text
+      FROM lined GROUP BY text
+    ),
+    alive AS (
+      SELECT doc_id AS a_id, doc_id + 1 AS b_id
+      FROM documents
+      WHERE doc_id % 25 = 11
+        AND doc_id IN (SELECT doc_id FROM exd)
+    ),
+    neard AS (
+      SELECT * FROM exd
+      WHERE doc_id NOT IN (SELECT b_id FROM alive)
+    ),
+    trg AS (
+      SELECT doc_id, {grams} AS gs
+      FROM (SELECT doc_id, {toks} AS w FROM neard)
+    ),
+    teg AS (
+      SELECT {grams} AS gs
+      FROM (SELECT {toks} AS w FROM documents WHERE doc_id % 100 = 17)
+    ),
+    contaminated AS (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT doc_id, unnest(gs) AS g FROM trg) t
+      JOIN (SELECT unnest(gs) AS g FROM teg) e ON t.g = e.g
+    ),
+    dec AS (
+      SELECT * FROM neard
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    toked AS (
+      SELECT *, CAST(len({toks}) AS BIGINT) AS n_tokens FROM dec
+    ),
+    final AS (
+      SELECT doc_id, source, n_url, n_email, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (
+                 ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+               ) - n_tokens) / 500.0) AS BIGINT) AS pack_key,
+             text
+      FROM toked
+    )
+    SELECT 'doc' AS tag, CAST(NULL AS VARCHAR) AS stage, doc_id, source,
+           n_url, n_email, n_tokens, pack_key, text,
+           CAST(NULL AS BIGINT) AS n
+    FROM final
+    UNION ALL
+    SELECT 'stage', s.stage, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           CAST(s.n AS BIGINT)
+    FROM (
+      SELECT 'input' AS stage, (SELECT count(*) FROM corpus) AS n
+      UNION ALL SELECT 'blocklist', (SELECT count(*) FROM blocked)
+      UNION ALL SELECT 'pii_scrub', (SELECT count(*) FROM scrubbed)
+      UNION ALL SELECT 'line_dedup', (SELECT count(*) FROM lined)
+      UNION ALL SELECT 'exact_dedup', (SELECT count(*) FROM exd)
+      UNION ALL SELECT 'near_dedup', (SELECT count(*) FROM neard)
+      UNION ALL SELECT 'decontaminate', (SELECT count(*) FROM dec)
+      UNION ALL SELECT 'packed', (SELECT count(*) FROM final)
+    ) s
+    """
+
+
+@query(
+    "pipe1_prepare_corpus",
+    "the composed prepare_corpus pipeline, hash-checked end to end "
+    "(plans/corpus_pipeline.py; declared R9 per verdict ask #1 — slot "
+    "freed by the s9+s10 fold)",
+    _pipe1_sql(),
+    "The 8-stage production composition run as ONE declared row: "
+    "blocklist -> PII scrub -> line-level boilerplate dedup -> exact "
+    "dedup -> near-dup resolution off an EXTERNAL pair feed (the "
+    "streaming-sink daily shape, keeper-survival rule included) -> "
+    "eval-set decontamination (8-gram overlap) -> seed-keyed shuffle "
+    "-> sequence packing (single-stream fill, budget 500). The "
+    "fixture plants every behavior: 5-word-line restructuring, a "
+    "boilerplate line on every 7th doc, an email+URL PII line on "
+    "every doc_id%5==3 doc (whose MASKED form becomes identical "
+    "across docs and is then itself removed by line dedup — a real "
+    "stage interaction), three exact-dup groups on doc_id%37==5 "
+    "(short line keys, so line dedup leaves them for exact dedup), a "
+    "pair feed (id, id+1) on doc_id%25==11, and a test set of "
+    "doc_id%100==17 raw texts whose token streams survive "
+    "restructuring. DuckDB replays every stage over strings (grams "
+    "join on gram TEXT; the Spark side's xxhash64 gram join is an "
+    "equality-preserving compression of the same rule) plus the "
+    "packing cumsum arithmetic; the per-stage survivor ledger is "
+    "emitted as tag='stage' rows and hash-checked against the "
+    "oracle's own stage counts (the mix1 pattern). The shuffle stage "
+    "runs but is order-only, which the order-insensitive value hash "
+    "deliberately ignores.",
+)
+def pipe1_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_zero_spark.plans.corpus_pipeline import prepare_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    restructured = F.regexp_replace(
+        F.col("text"), r"((?:\w+ ){4}\w+) ", "$1\n"
+    )
+    corpus = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 37 == 5,
+            F.concat(F.lit("qq"), (F.col("doc_id") % 3).cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                restructured,
+                F.when(
+                    F.col("doc_id") % 7 == 0, F.lit("\n" + _PIPE_BOILER)
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 5 == 3,
+                    F.concat(
+                        F.lit("\ncontact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com via https://ex.io/p/"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" now"),
+                    ),
+                ).otherwise(F.lit("")),
+            )
+        )
+        .alias("text"),
+    )
+    pairs = docs.where(F.col("doc_id") % 25 == 11).select(
+        F.col("doc_id").alias("a_id"), (F.col("doc_id") + 1).alias("b_id")
+    )
+    test_set = docs.where(F.col("doc_id") % 100 == 17).select(
+        "doc_id", "text"
+    )
+    res = prepare_corpus(
+        corpus,
+        blocked_sources=["src4", "src19"],
+        line_dedup_min_docs=2,
+        quality=False,  # salad text fails published Gopher wholesale
+        near_dedup_pairs=pairs,
+        test_set=test_set,
+        decontam_n=8,
+        shuffle_seed=0,
+        pack_budget=500,
+        pack_streams=1,
+        collect_stats=True,
+    )
+    nul_s = F.lit(None).cast("string")
+    nul_l = F.lit(None).cast("long")
+    doc_rows = res.df.select(
+        F.lit("doc").alias("tag"),
+        nul_s.alias("stage"),
+        "doc_id",
+        "source",
+        F.col("n_url").cast("long").alias("n_url"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("pack_key").cast("long").alias("pack_key"),
+        "text",
+        nul_l.alias("n"),
+    )
+    stage_rows = spark.createDataFrame(
+        [(s, int(n)) for s, n in res.stats.items()], "stage string, n long"
+    ).select(
+        F.lit("stage").alias("tag"),
+        "stage",
+        nul_l.alias("doc_id"),
+        nul_s.alias("source"),
+        nul_l.alias("n_url"),
+        nul_l.alias("n_email"),
+        nul_l.alias("n_tokens"),
+        nul_l.alias("pack_key"),
+        nul_s.alias("text"),
+        "n",
+    )
+    return doc_rows.unionByName(stage_rows)

@@ -175,25 +175,27 @@ def cdc1_merge_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "s10_preview_head",
-    "S10+O1",
-    "SELECT * FROM customer ORDER BY c_custkey LIMIT 5",
-    "Deterministic LIMIT-5 preview (front_end.py:132,560) — ordered so "
-    "both engines agree on the prefix.",
+    "s9_s10_sink_preview",
+    "S9 + S10 + O1 (R9 tagged-union fold — both operator ids kept "
+    "hash-checked; the freed slot declares pipe1_prepare_corpus)",
+    """
+    SELECT 's9' AS op, c_custkey, c_name, c_nationkey, c_acctbal,
+           c_mktsegment
+    FROM customer
+    UNION ALL
+    SELECT 's10' AS op, c_custkey, c_name, c_nationkey, c_acctbal,
+           c_mktsegment
+    FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 5)
+    """,
+    "Tagged union of the two trivial-sink rows: op='s9' is the CSV "
+    "sink round-trip (mapping.py:183-185 to_csv — write customer to an "
+    "executor-parallel headered CSV directory, read it back with the "
+    "original schema; the written bytes must reproduce the table), "
+    "op='s10' the deterministic LIMIT-5 preview "
+    "(front_end.py:132,560) — ordered so both engines agree on the "
+    "prefix.",
 )
-def s10_preview_head(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "customer").orderBy("c_custkey").limit(5)
-
-
-@query(
-    "s9_csv_sink",
-    "S9",
-    "SELECT * FROM customer",
-    "CSV sink round-trip (mapping.py:183-185 to_csv): write customer to "
-    "an executor-parallel headered CSV directory, read it back with the "
-    "original schema — the written bytes must reproduce the table.",
-)
-def s9_csv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s9_s10_sink_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from etl_zero_spark.catalog import Zone
@@ -201,7 +203,13 @@ def s9_csv_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     zone = Zone(tempfile.mkdtemp(prefix="etlzero_s9_"), "golden")
     zone.write_csv(c, "customer")
-    return zone.read_csv(spark, "customer", schema=c.schema)
+    s9 = zone.read_csv(spark, "customer", schema=c.schema)
+    s10 = c.orderBy("c_custkey").limit(5)
+    return (
+        s9.withColumn("op", F.lit("s9"))
+        .unionByName(s10.withColumn("op", F.lit("s10")))
+        .select("op", *c.columns)
+    )
 
 
 # --------------------------------------------------------------------------
