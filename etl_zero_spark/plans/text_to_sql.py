@@ -254,6 +254,30 @@ class RuleBasedGenerator:
         m = re.search(r"\bin\s+((?:19|20)\d{2})\b", q)
         if m and m.group(1) not in sql:
             return True
+        # a stated equality against a LITERAL-looking value (quoted,
+        # or ALL-CAPS-leading like the fixture's 'BUILDING'/'F') must
+        # carry that literal into the SQL — R9: multi-hop walks made
+        # 'where mktsegment is BUILDING' resolvable in a MID table,
+        # and before cols3 landed it silently vanished; this cue keeps
+        # the guard ahead of the grammar (the lockstep rule). Agg
+        # keywords are not literals ('what is MAX totalprice').
+        for lit in re.findall(
+            r"\b(?:is|equals)\s+(?!(?i:not)\b)('[^']+'|[A-Z][A-Z0-9_]*\b)",
+            raw,
+        ):
+            v = lit.strip("'")
+            if v.upper() in ("MAX", "MIN", "AVG", "SUM", "COUNT", "NULL",
+                             "TRUE", "FALSE"):
+                continue
+            if f"'{v}'" in sql:
+                continue
+            # numeric equalities render UNQUOTED ("equals '5'" ->
+            # = 5); accept the bare value after a comparator
+            if re.fullmatch(r"-?\d+(?:\.\d+)?", v) and re.search(
+                rf"[=<>]\s*{re.escape(v)}\b", sql
+            ):
+                continue
+            return True
         return False
 
     def _generate(self, prompt: str) -> str:
@@ -357,7 +381,7 @@ class RuleBasedGenerator:
                 col = self._resolve_column(md.group(1), cols)
                 if col is None:
                     return ""  # stated distinct target must resolve
-                gp = self._group_parts(q_main, cols)
+                gp = self._group_parts(q_main, cols, table)
                 if gp:
                     gsel, gby = gp
                     if ex:
@@ -381,7 +405,7 @@ class RuleBasedGenerator:
             # R6: grouped counts ('count of orders per orderpriority'),
             # with optional HAVING on the groups; late-R7: 'per month' /
             # 'by year' bucket the table's unique date column
-            gp = self._group_parts(q_main, cols)
+            gp = self._group_parts(q_main, cols, table)
             if gp:
                 gsel, gby = gp
                 # R8 review: a stated sort on the grouped count orders
@@ -427,7 +451,7 @@ class RuleBasedGenerator:
                 if hit is None:
                     hit = self._resolve_foreign_group(g.group(1), table, schema)
                 if hit:
-                    other, gcol, lk, rk = hit
+                    other, gcol, join_sql, galias, mid = hit
                     second, loc = "", None
                     if g.group(3):
                         loc = self._resolve_column(g.group(3), cols)
@@ -435,19 +459,21 @@ class RuleBasedGenerator:
                             return ""
                         second = f", t1.{loc}"
                     jwhere = self._where_clause(
-                        raw_where, cols, prefix="t1.", cols2=schema[other]
+                        raw_where, cols, prefix="t1.",
+                        cols2=schema[other], prefix2=f"{galias}.",
+                        cols3=schema[mid] if mid else None,
+                        prefix3="t2.",
                     )
                     osql = self._join_group_order(
                         q_main, ("count", "n"), "n", gcol, schema[other],
-                        loc, cols,
+                        loc, cols, galias=galias,
                     )
                     if osql is None:
                         return ""
                     return (
-                        f"SELECT t2.{gcol}{second}, COUNT(*) AS n "
-                        f"FROM {table} t1 JOIN {other} t2 "
-                        f"ON t1.{lk} = t2.{rk}{jwhere} "
-                        f"GROUP BY t2.{gcol}{second}{osql}"
+                        f"SELECT {galias}.{gcol}{second}, COUNT(*) AS n "
+                        f"FROM {table} t1{join_sql}{jwhere} "
+                        f"GROUP BY {galias}.{gcol}{second}{osql}"
                     )
                 return ""
             if hv:
@@ -498,46 +524,74 @@ class RuleBasedGenerator:
             if col is None:
                 # R8 late: the superlative target is another TABLE —
                 # 'which nation has the most customers' ranks base rows
-                # by the COUNT of joined rows through the J3-inferred
-                # key pair (GROUP BY every base column keeps the row
-                # itself in the answer). An unresolvable target, an
-                # ambiguous key pair, or an existence constraint (t2 is
-                # taken) still refuses.
+                # by the COUNT of joined rows through the FK walk
+                # (GROUP BY every base column keeps the row itself in
+                # the answer); R9 extends the walk to two hops ('which
+                # nation placed the most orders' goes through
+                # customer). An unresolvable target, an ambiguous
+                # walk, or an existence constraint still refuses.
                 other = self._table_mention(m.group(2), table, schema)
-                keys = (
-                    self._best_key_pair(schema[table], schema[other])
-                    if other else None
-                )
-                if other and keys and not ex:
-                    gcols = ", ".join(f"t1.{c}" for c in cols)
-                    # LEFT JOIN + COUNT(key): 'fewest' must be able to
-                    # return a base row with ZERO joined rows — an
-                    # inner join would exclude the right answer
-                    # (review). A condition on the JOINED side must
-                    # live in the ON clause for the same reason: in the
-                    # WHERE it nulls out exactly the zero-count rows
-                    # (third review pass). Mixed-side OR cannot be
-                    # split between ON and WHERE — refuse.
-                    conds = self._conditions(
-                        raw_where, cols, "t1.", schema[other], "t2."
+                steps = None
+                if other:
+                    steps = self._fk_path(
+                        schema, table, other, direction="child"
+                    ) or self._legacy_stem_fallback(
+                        table, other, schema, "child"
                     )
-                    # date conditions render wrapped (YEAR(t2.col)), so
-                    # side-classify by the t2. reference ANYWHERE in
-                    # the rendered SQL, not a prefix sniff (ADVICE r8:
-                    # 'fewest orders in 1995' put YEAR(t2.o_orderdate)
-                    # in WHERE, nulling the zero-count rows)
-                    t2c = [c for _, _, c in conds if "t2." in c]
-                    t1c = [c for _, _, c in conds if "t2." not in c]
-                    if t2c and re.search(r"\bor\b", raw_where, re.IGNORECASE):
+                if steps and not ex:
+                    gcols = ", ".join(f"t1.{c}" for c in cols)
+                    last = f"t{len(steps) + 1}"
+                    # LEFT JOINs + COUNT(last key): 'fewest' must be
+                    # able to return a base row with ZERO joined rows —
+                    # inner joins would exclude the right answer
+                    # (review). A condition on any JOINED side must
+                    # live in ITS join's ON clause for the same reason:
+                    # in the WHERE it nulls out exactly the zero-count
+                    # rows (third review pass; R9 extends the rule to
+                    # the mid table of a 2-hop walk). Mixed-side OR
+                    # cannot be split between ON and WHERE — refuse.
+                    mid = steps[0][0] if len(steps) == 2 else None
+                    conds = self._conditions(
+                        raw_where, cols, "t1.", schema[other], f"{last}.",
+                        schema[mid] if mid else None, "t2.",
+                    )
+                    # date conditions render wrapped (YEAR(tN.col)), so
+                    # side-classify by the alias reference ANYWHERE in
+                    # the rendered SQL, not a prefix sniff (ADVICE r8)
+                    by_alias = {
+                        i: [
+                            c for _, _, c in conds if f"t{i}." in c
+                        ]
+                        for i in range(2, len(steps) + 2)
+                    }
+                    t1c = [
+                        c
+                        for _, _, c in conds
+                        if not any(
+                            f"t{i}." in c for i in range(2, len(steps) + 2)
+                        )
+                    ]
+                    # ANY stated OR refuses here: joined-side
+                    # conditions live in ON clauses (unsplittable),
+                    # and the base-side join below is AND-only — an
+                    # OR between t1 filters would silently become the
+                    # zero-row conjunction (R9 review)
+                    if conds and re.search(
+                        r"\bor\b", raw_where, re.IGNORECASE
+                    ):
                         return ""
-                    on = f"t1.{keys[0]} = t2.{keys[1]}"
-                    if t2c:
-                        on += " AND " + " AND ".join(t2c)
+                    join_sql, prev = "", "t1"
+                    for i, (tbl, lk, rk) in enumerate(steps, start=2):
+                        on = f"{prev}.{lk} = t{i}.{rk}"
+                        if by_alias[i]:
+                            on += " AND " + " AND ".join(by_alias[i])
+                        join_sql += f" LEFT JOIN {tbl} t{i} ON {on}"
+                        prev = f"t{i}"
+                    cnt = steps[-1][2]
                     jwhere = f" WHERE {' AND '.join(t1c)}" if t1c else ""
                     return (
-                        f"SELECT {gcols}, COUNT(t2.{keys[1]}) AS n "
-                        f"FROM {table} t1 "
-                        f"LEFT JOIN {other} t2 ON {on}"
+                        f"SELECT {gcols}, COUNT({last}.{cnt}) AS n "
+                        f"FROM {table} t1{join_sql}"
                         f"{jwhere} GROUP BY {gcols} "
                         f"ORDER BY n {d} LIMIT 1"
                     )
@@ -628,7 +682,7 @@ class RuleBasedGenerator:
                         f"{f1}({col}) AS {col}_{f1.lower()}, "
                         f"{f2}({col}) AS {col}_{f2.lower()}"
                     )
-                gp = self._group_parts(q_main, cols)
+                gp = self._group_parts(q_main, cols, table)
                 if gp:
                     gsel, gby = gp
                     if ex:
@@ -699,7 +753,7 @@ class RuleBasedGenerator:
                     continue
                 # R7: '<agg> <col> as <name>' names the output column
                 alias = m.group(3) or f"{col}_{fn.lower()}"
-                gp = self._group_parts(q_main, cols)
+                gp = self._group_parts(q_main, cols, table)
                 if gp:
                     gsel, gby = gp
                     # R8: honor a stated sort on the grouped result
@@ -748,7 +802,7 @@ class RuleBasedGenerator:
                             g.group(1), table, schema
                         )
                     if hit:
-                        other, gcol, lk, rk = hit
+                        other, gcol, join_sql, galias, mid = hit
                         # a second stated group must resolve in the
                         # base table or the question refuses (it was
                         # silently dropped — second review pass)
@@ -764,19 +818,21 @@ class RuleBasedGenerator:
                         # would otherwise be ambiguous at execution
                         jwhere = self._where_clause(
                             raw_where, cols, prefix="t1.",
-                            cols2=schema[other],
+                            cols2=schema[other], prefix2=f"{galias}.",
+                            cols3=schema[mid] if mid else None,
+                            prefix3="t2.",
                         )
                         osql = self._join_group_order(
                             q_main, (word,), alias, gcol, schema[other],
-                            loc, cols,
+                            loc, cols, galias=galias,
                         )
                         if osql is None:
                             return ""
                         return (
-                            f"SELECT t2.{gcol}{second}, {fn}(t1.{col}) AS {alias} "
-                            f"FROM {table} t1 JOIN {other} t2 "
-                            f"ON t1.{lk} = t2.{rk}{jwhere} "
-                            f"GROUP BY t2.{gcol}{second}{osql}"
+                            f"SELECT {galias}.{gcol}{second}, "
+                            f"{fn}(t1.{col}) AS {alias} "
+                            f"FROM {table} t1{join_sql}{jwhere} "
+                            f"GROUP BY {galias}.{gcol}{second}{osql}"
                         )
                     # a stated grouping that resolves NOWHERE (incl. an
                     # ambiguous key pair) refuses, mirroring the count
@@ -957,23 +1013,44 @@ class RuleBasedGenerator:
     }
 
     def _resolve_column(self, word: str, cols: dict[str, str]) -> str | None:
+        r = self._resolve_column_tiered(word, cols)
+        return r[0] if r else None
+
+    def _resolve_column_tiered(
+        self, word: str, cols: dict[str, str]
+    ) -> tuple[str, int] | None:
+        """(column, confidence tier): 0 = deterministic (exact name,
+        unique suffix — the TPC-H 'price -> o_totalprice' style — or
+        unique substring); 1+k = the k-th synonym (the tuple order is
+        specificity: 'revenue' -> totalprice beats the generic
+        'price'); 100 = generic fuzzy. The tier lets cross-table
+        resolution prefer the most specific owner over looser guesses
+        ('revenue' means orders.o_totalprice, not p_retailprice via
+        the 'price' synonym, not l_extendedprice via edit distance —
+        R9 multi-hop)."""
         if word in cols:
-            return word
-        # bare mention matches the suffixed TPC-H style (price ->
-        # o_totalprice) before generic fuzzy
+            return (word, 0)
         suffix = [c for c in cols if c.lower().endswith(word.lower())]
         if len(suffix) == 1:
-            return suffix[0]
+            return (suffix[0], 0)
         contains = [c for c in cols if word.lower() in c.lower()]
         if len(contains) == 1:
-            return contains[0]
-        for syn in self._SYNONYMS.get(word.lower(), ()):
-            hits = [c for c in cols if c.lower().endswith(syn)]
-            if len(hits) != 1:
-                hits = [c for c in cols if syn in c.lower()]
-            if len(hits) == 1:
-                return hits[0]
-        return self._fuzzy(word, list(cols))
+            return (contains[0], 0)
+        syns = self._SYNONYMS.get(word.lower())
+        if syns is not None:
+            for k, syn in enumerate(syns):
+                hits = [c for c in cols if c.lower().endswith(syn)]
+                if len(hits) != 1:
+                    hits = [c for c in cols if syn in c.lower()]
+                if len(hits) == 1:
+                    return (hits[0], 1 + k)
+            # the synonym list IS the word's meaning: when none of its
+            # synonyms resolve, edit distance must not overrule it
+            # ('top 3 ... by revenue' fuzzy-ranked nation rows by
+            # n_nationkey — R9 probe)
+            return None
+        hit = self._fuzzy(word, list(cols))
+        return (hit, 100) if hit else None
 
     def _ranked_group_sql(
         self, q: str, cols: dict[str, str], table: str, where: str,
@@ -1052,6 +1129,13 @@ class RuleBasedGenerator:
             hit = self._resolve_column(m.group(1), cols)
             if hit:
                 return hit
+            # a STATED ranking column that does not resolve refuses —
+            # the numeric-column fallback below is the default for
+            # unranked 'top N <table>' questions, not a license to
+            # rank by an arbitrary column when the question named one
+            # ('top 3 nation name by revenue' ranked nations by
+            # n_nationkey, R9 probe)
+            return None
         for c, t in cols.items():  # first numeric column, schema order
             if t == "number":
                 return c
@@ -1080,7 +1164,7 @@ class RuleBasedGenerator:
     }
 
     def _group_parts(
-        self, q: str, cols: dict[str, str]
+        self, q: str, cols: dict[str, str], table: str | None = None
     ) -> tuple[str, str] | None:
         """(select_list, group_by_list) for the stated grouping —
         usually identical, but a temporal mention ('per month', 'by
@@ -1088,17 +1172,53 @@ class RuleBasedGenerator:
         while grouping by the bare expression (R7). A temporal word is
         only a time bucket when it does NOT resolve as a column and the
         table has a UNIQUE date-named column; two date columns stay
-        ambiguous and the mention resolves to nothing."""
+        ambiguous and the mention resolves to nothing. With ``table``,
+        the two-word self-qualified form 'per <base-table> <col>'
+        ('revenue per part name' ON the part table) groups by <col> —
+        reading the table noun as a column silently dropped the stated
+        <col> before (R9 probe: GROUP BY p_partkey, 'name' ignored);
+        a non-resolving <col> refuses rather than falls back."""
         m = re.search(
-            r"\b(?:by|per|for each|for every|in each|grouped by)\s+(\w+)(?:\s+and\s+(\w+))?", q
+            r"\b(?:by|per|for each|for every|in each|grouped by)\s+(\w+)"
+            r"(?:\s+(?!and\b|where\b|in\b|with\b|without\b|having\b"
+            r"|between\b|sorted\b|ordered\b|limit\b)(\w+))?"
+            r"(?:\s+and\s+(\w+))?",
+            q,
         )
         if not m:
             return None
+        w1 = m.group(1).lower()
+        tl = table.lower() if table is not None else None
+        if (
+            tl is not None
+            and m.group(2)
+            and (w1 in (tl, f"{tl}s", tl.rstrip("s"))
+                 or w1.rstrip("s") == tl)
+        ):
+            gcol = self._resolve_column(m.group(2).lower(), cols)
+            if gcol is None:
+                return None
+            first = (gcol, gcol)
+            if m.group(3):
+                second = self._group_part(m.group(3).lower(), cols)
+                if second and second != first:
+                    return (
+                        f"{first[0]}, {second[0]}",
+                        f"{first[1]}, {second[1]}",
+                    )
+            return first
         first = self._group_part(m.group(1).lower(), cols)
         if first is None:
             return None
         if m.group(2):
-            second = self._group_part(m.group(2).lower(), cols)
+            # a trailing second word after a COLUMN group is not part
+            # of the grouping ('per mktsegment sorted...' is guarded
+            # by the lookahead; anything else falls to other branches)
+            return first if self._group_part(
+                m.group(2).lower(), cols
+            ) is None else None
+        if m.group(3):
+            second = self._group_part(m.group(3).lower(), cols)
             if second and second != first:
                 return (
                     f"{first[0]}, {second[0]}",
@@ -1147,6 +1267,149 @@ class RuleBasedGenerator:
         if best is None or best_score < 0.6 or tied:
             return None
         return best
+
+    @staticmethod
+    def _key_stem(col: str) -> str | None:
+        """The column's FK stem: the name minus a 1-2 letter table
+        prefix (TPC-H style ``o_``/``l_``), kept only when it looks
+        like a KEY (ends in key/id). 'o_custkey' -> 'custkey',
+        'c_acctbal' -> None. Stem EQUALITY is the edge rule of the
+        multi-hop schema walk — name-similarity alone invents joins
+        like l_partkey = c_nationkey (R9 full-schema probe)."""
+        m = re.match(r"^[A-Za-z]{1,2}_(.+)$", col)
+        s = m.group(1) if m else col
+        return s if re.search(r"(?:key|id)$", s.lower()) else None
+
+    def _fk_edge(
+        self, ta: str, tb: str, schema: dict
+    ) -> tuple[str, str, str] | None:
+        """The unique stem-equal key pair joining ``ta`` to ``tb``:
+        ``(a_col, b_col, root)`` where ``root`` is the stem minus its
+        key/id suffix ('custkey' -> 'cust') — the walk uses it to
+        orient the edge (the root names the PARENT table). Two
+        distinct shared stems = ambiguous = no edge (refusing beats
+        guessing which FK the question meant)."""
+        stems: dict[str, tuple[str, str]] = {}
+        for ka in schema[ta]:
+            sa = self._key_stem(ka)
+            if sa is None:
+                continue
+            for kb in schema[tb]:
+                if self._key_stem(kb) == sa:
+                    stems.setdefault(sa.lower(), (ka, kb))
+        if len(stems) != 1:
+            return None
+        stem, (ka, kb) = next(iter(stems.items()))
+        return (ka, kb, re.sub(r"_?(?:key|id)$", "", stem))
+
+    @staticmethod
+    def _root_owner_ok(t: str, root: str, schema: dict) -> bool:
+        """Whether table ``t`` is the key root's owner. Exact match
+        (modulo naive plural) wins outright; an abbreviation root
+        ('cust' -> customer) owns only the UNIQUE prefix match, and
+        never when some schema table matches the root exactly —
+        'part'.startswith would otherwise crown partsupp a parent and
+        re-open the fan-out double-count (R9 review)."""
+        if not root:
+            return False
+        tl = t.lower()
+        if tl == root or tl == f"{root}s" or tl.rstrip("s") == root:
+            return True
+        if not tl.startswith(root):
+            return False
+        pref = [x for x in schema if x.lower().startswith(root)]
+        exact = [
+            x for x in pref
+            if x.lower() in (root, f"{root}s")
+            or x.lower().rstrip("s") == root
+        ]
+        return not exact and len(pref) == 1 and pref[0] == t
+
+    def _edge_dir_ok(
+        self, prev_t: str, next_t: str, root: str, direction: str,
+        schema: dict,
+    ) -> bool:
+        """Whether walking prev->next crosses the edge in the wanted
+        direction: 'parent' steps must LAND on the stem's owner
+        (orders->customer on custkey — each row joins at most one, so
+        base-row aggregates never fan out), 'child' steps must LEAVE
+        it (nation->customer on nationkey — the counting direction).
+        A root naming neither endpoint (the customer~supplier
+        nationkey pun) orients nowhere and is excluded: joining two
+        foreign keys is a same-parent equi-join, not an FK walk."""
+        t = next_t if direction == "parent" else prev_t
+        return self._root_owner_ok(t, root, schema)
+
+    def _fk_path(
+        self, schema: dict, src: str, dst: str, direction: str = "parent"
+    ) -> list[tuple[str, str, str]] | None:
+        """The FK-walk from ``src`` to ``dst`` as join steps
+        ``[(next_table, prev_col, next_col), ...]`` — at most two hops
+        (the reference's schema walk iterates all table pairs,
+        mapping.py:140-149; chains compose them), every step oriented
+        ``direction``. 'parent' is the group/aggregate walk (no step
+        fans out, so SUM/COUNT over base rows stay correct — counting
+        'orders per part name' through the fanning lineitem hop
+        DOUBLE-counts multi-line orders and must refuse, R9 probe);
+        'child' is the counting walk of the FK-count superlatives.
+        Exactly ONE path may exist at the chosen depth: a direct edge
+        wins; else the unique oriented 2-hop. Ambiguity -> None."""
+        direct = self._fk_edge(src, dst, schema)
+        if direct is not None and self._edge_dir_ok(
+            src, dst, direct[2], direction, schema
+        ):
+            return [(dst, direct[0], direct[1])]
+        paths = []
+        for mid in schema:
+            if mid in (src, dst):
+                continue
+            e1 = self._fk_edge(src, mid, schema)
+            e2 = self._fk_edge(mid, dst, schema)
+            if (
+                e1 is not None
+                and e2 is not None
+                and self._edge_dir_ok(src, mid, e1[2], direction, schema)
+                and self._edge_dir_ok(mid, dst, e2[2], direction, schema)
+            ):
+                paths.append((mid, e1, e2))
+        if len(paths) != 1:
+            return None
+        mid, e1, e2 = paths[0]
+        return [(mid, e1[0], e1[1]), (dst, e2[0], e2[1])]
+
+    @staticmethod
+    def _render_fk_joins(
+        steps: list[tuple[str, str, str]]
+    ) -> tuple[str, str]:
+        """``(join_sql, last_alias)`` for a step list: aliases run
+        t2, t3, ... off the t1 base."""
+        sql, prev = "", "t1"
+        for i, (tbl, lk, rk) in enumerate(steps, start=2):
+            sql += f" JOIN {tbl} t{i} ON {prev}.{lk} = t{i}.{rk}"
+            prev = f"t{i}"
+        return sql, prev
+
+    def _legacy_stem_fallback(
+        self, table: str, other: str, schema: dict, direction: str
+    ) -> list[tuple[str, str, str]] | None:
+        """Single-pair fallback when the oriented walk found no path:
+        the most name-similar pair, accepted only as a stem-equal KEY
+        pair whose root owns the right endpoint for ``direction`` —
+        name similarity alone invents joins (l_partkey = c_nationkey,
+        p_retailprice = o_totalprice), and a same-parent equi-join
+        ('suppliers per customer name' on nationkey = nationkey)
+        answers a question the FK graph cannot ask (R9 probe + review:
+        one copy, both walk directions)."""
+        keys = self._best_key_pair(schema[table], schema[other])
+        if keys is None:
+            return None
+        sa, sb = self._key_stem(keys[0]), self._key_stem(keys[1])
+        if sa is None or sa != sb:
+            return None
+        root = re.sub(r"_?(?:key|id)$", "", sa)
+        if not self._edge_dir_ok(table, other, root, direction, schema):
+            return None
+        return [(other, keys[0], keys[1])]
 
     def _existence(
         self, q: str, table: str, schema: dict
@@ -1214,12 +1477,20 @@ class RuleBasedGenerator:
         for t, ocols in schema.items():
             if t == table:
                 continue
-            c = self._resolve_column(metric_word, ocols)
-            if c:
-                owners.append((t, c))
+            r = self._resolve_column_tiered(metric_word, ocols)
+            if r:
+                owners.append((t, r[0], r[1]))
+        if owners:
+            # confidence-tiered: a synonym owner outranks fuzzy ones
+            # ('revenue' is orders.o_totalprice by synonym; on a wide
+            # schema edit distance also volunteers p_retailprice and
+            # l_extendedprice — guesses must not veto the stated
+            # reading, R9). Ties WITHIN the best tier stay ambiguous.
+            best = min(o[2] for o in owners)
+            owners = [o for o in owners if o[2] == best]
         if len(owners) != 1:
             return None
-        base, col = owners[0]
+        base, col = owners[0][0], owners[0][1]
         g = re.search(
             r"\b(?:by|per|for each|for every|in each|grouped by)\s+(\w+)"
             r"(?:\s+(?!and\b|where\b|in\b|with\b|without\b|having\b|between\b|sorted\b|ordered\b)(\w+))?",
@@ -1236,36 +1507,63 @@ class RuleBasedGenerator:
             gcol = self._resolve_column(g.group(1), schema[table])
         if gcol is None:
             return None
-        keys = self._best_key_pair(schema[base], schema[table])
-        if keys is None:
+        join = self._foreign_join(base, table, schema)
+        if join is None:
             return None
+        join_sql, galias, mid = join
         alias = alias_word or f"{col}_{fn.lower()}"
         jwhere = self._where_clause(
-            raw_where, schema[base], prefix="t1.", cols2=schema[table]
+            raw_where, schema[base], prefix="t1.", cols2=schema[table],
+            prefix2=f"{galias}.",
+            cols3=schema[mid] if mid else None,
+            prefix3="t2.",
         )
         osql = self._join_group_order(
             q_main, (metric_word,), alias, gcol, schema[table], None,
-            schema[base],
+            schema[base], galias=galias,
         )
         if osql is None:
             return ""
         return (
-            f"SELECT t2.{gcol}, {fn}(t1.{col}) AS {alias} "
-            f"FROM {base} t1 JOIN {table} t2 "
-            f"ON t1.{keys[0]} = t2.{keys[1]}{jwhere} "
-            f"GROUP BY t2.{gcol}{osql}"
+            f"SELECT {galias}.{gcol}, {fn}(t1.{col}) AS {alias} "
+            f"FROM {base} t1{join_sql}{jwhere} "
+            f"GROUP BY {galias}.{gcol}{osql}"
         )
+
+    def _foreign_join(
+        self, table: str, other: str, schema: dict
+    ) -> tuple[str, str, str | None] | None:
+        """``(join_sql, group_alias, mid_table)`` walking ``table`` to
+        ``other``: the FK-stem path (1 or 2 hops, R9) first; the
+        legacy name-similarity single pair only as a fallback and only
+        when it is not a mismatched pair of two KEY columns — that
+        shape (l_partkey = c_nationkey) is how name similarity invents
+        joins (R9 full-schema probe). ``mid_table`` names the
+        intermediate table of a 2-hop walk (None on one hop) so
+        callers can resolve stated filters against it too."""
+        steps = self._fk_path(schema, table, other, direction="parent")
+        if steps is None:
+            steps = self._legacy_stem_fallback(
+                table, other, schema, "parent"
+            )
+        if steps is None:
+            return None
+        join_sql, galias = self._render_fk_joins(steps)
+        mid = steps[0][0] if len(steps) == 2 else None
+        return (join_sql, galias, mid)
 
     def _resolve_foreign_group(
         self, word: str, table: str, schema: dict, second: str | None = None
-    ) -> tuple[str, str, str, str] | None:
-        """(other_table, group_col, left_key, right_key) when ``word``
-        resolves in exactly one OTHER table and a join-key pair
-        exists. With ``second``, the two-word form ``<table> <col>``
-        ('per customer name' -> customer.c_name through the inferred
-        key pair) — the reference demo's richest shape, 'total revenue
-        per customer name' (R8); None when either mention fails, so
-        the caller falls back to the single-word reading."""
+    ) -> tuple[str, str, str, str, str | None] | None:
+        """(other_table, group_col, join_sql, group_alias, mid) when
+        ``word`` resolves in exactly one OTHER table and an FK walk
+        reaches it — one hop ('per mktsegment'), or two through the
+        stem-keyed schema walk ('per nation name' from orders goes
+        through customer, R9). With ``second``, the two-word form
+        ``<table> <col>`` ('per customer name' -> customer.c_name) —
+        the reference demo's richest shape (R8); None when either
+        mention fails, so the caller falls back to the single-word
+        reading."""
         if second is not None:
             other = self._table_mention(word, table, schema)
             if other is None:
@@ -1273,10 +1571,10 @@ class RuleBasedGenerator:
             gcol = self._resolve_column(second, schema[other])
             if gcol is None:
                 return None
-            keys = self._best_key_pair(schema[table], schema[other])
-            if keys is None:
+            join = self._foreign_join(table, other, schema)
+            if join is None:
                 return None
-            return (other, gcol, keys[0], keys[1])
+            return (other, gcol, join[0], join[1], join[2])
         candidates = []
         for other, ocols in schema.items():
             if other == table:
@@ -1287,10 +1585,10 @@ class RuleBasedGenerator:
         if len(candidates) != 1:
             return None
         other, gcol = candidates[0]
-        keys = self._best_key_pair(schema[table], schema[other])
-        if keys is None:
+        join = self._foreign_join(table, other, schema)
+        if join is None:
             return None
-        return (other, gcol, keys[0], keys[1])
+        return (other, gcol, join[0], join[1], join[2])
 
     def _sort_mention(self, q: str) -> tuple[str, str] | None:
         """The stated sort, if any: (word, ' DESC'/' ASC'/'')."""
@@ -1347,12 +1645,14 @@ class RuleBasedGenerator:
         other_cols: dict[str, str],
         loc: str | None,
         cols: dict[str, str],
+        galias: str = "t2",
     ) -> str | None:
         """ORDER BY for the FOREIGN-group join branches (R8 review —
         they silently dropped a stated sort): the aggregate reference
         (any word in ``agg_words``, an _AGGS synonym, or a base-table
         column mention) orders by ``alias``; the foreign group column
-        by ``t2.<gcol>``; the second, local group by ``t1.<loc>``.
+        by ``<galias>.<gcol>`` (the group table's alias — t3 on a
+        two-hop walk, R9); the second, local group by ``t1.<loc>``.
         '' = no sort stated; None = stated but unresolvable ->
         refuse."""
         srt = self._sort_mention(q)
@@ -1362,7 +1662,7 @@ class RuleBasedGenerator:
         if w in agg_words or self._AGGS.get(w) is not None:
             return f" ORDER BY {alias}{d}"
         if self._resolve_column(w, other_cols) == gcol:
-            return f" ORDER BY t2.{gcol}{d}"
+            return f" ORDER BY {galias}.{gcol}{d}"
         if loc is not None and self._resolve_column(w, cols) == loc:
             return f" ORDER BY t1.{loc}{d}"
         if self._resolve_column(w, cols) is not None:
@@ -1457,6 +1757,8 @@ class RuleBasedGenerator:
         prefix: str,
         cols2: dict[str, str] | None = None,
         prefix2: str = "t2.",
+        cols3: dict[str, str] | None = None,
+        prefix3: str = "t2.",
     ) -> list[tuple[int, int, str]]:
         """Every resolvable condition in the question as (start, end,
         sql), non-overlapping, question order. BETWEEN claims its span
@@ -1466,42 +1768,41 @@ class RuleBasedGenerator:
         resolve in the base table resolves against the JOINED table and
         renders ``prefix2``-qualified — 'total revenue per customer
         name where mktsegment is BUILDING' filters on t2.c_mktsegment
-        instead of silently dropping the stated condition."""
+        instead of silently dropping the stated condition. ``cols3``
+        (R9, two-hop walks): the MID table of the walk, third in
+        resolution order — the same filter through orders->customer->
+        nation renders against the customer alias."""
         found: list[tuple[int, int, str]] = []
+        scopes = [(cols, prefix)]
+        if cols2 is not None:
+            scopes.append((cols2, prefix2))
+        if cols3 is not None:
+            scopes.append((cols3, prefix3))
 
         def free(s: int, e: int) -> bool:
             return all(e <= fs or s >= fe for fs, fe, _ in found)
 
         def q_col(word: str) -> str | None:
             """Qualified column name for a mention — base table first,
-            then the joined table when one is in scope."""
-            c = self._resolve_column(word, cols)
-            if c is not None:
-                return f"{prefix}{c}"
-            if cols2 is not None:
-                c = self._resolve_column(word, cols2)
+            then the joined tables in walk order."""
+            for sc, pf in scopes:
+                c = self._resolve_column(word, sc)
                 if c is not None:
-                    return f"{prefix2}{c}"
+                    return f"{pf}{c}"
             return None
 
         def q_type(word: str) -> str | None:
-            c = self._resolve_column(word, cols)
-            if c is not None:
-                return cols.get(c)
-            if cols2 is not None:
-                c = self._resolve_column(word, cols2)
+            for sc, _ in scopes:
+                c = self._resolve_column(word, sc)
                 if c is not None:
-                    return cols2.get(c)
+                    return sc.get(c)
             return None
 
         def q_date(word: str | None) -> str | None:
-            c = self._resolve_date_column(word, cols)
-            if c is not None:
-                return f"{prefix}{c}"
-            if cols2 is not None:
-                c = self._resolve_date_column(word, cols2)
+            for sc, pf in scopes:
+                c = self._resolve_date_column(word, sc)
                 if c is not None:
-                    return f"{prefix2}{c}"
+                    return f"{pf}{c}"
             return None
 
         # Date shapes FIRST (R7): their 'and'/'is' must never read as
@@ -1695,6 +1996,8 @@ class RuleBasedGenerator:
         prefix: str = "",
         cols2: dict[str, str] | None = None,
         prefix2: str = "t2.",
+        cols3: dict[str, str] | None = None,
+        prefix3: str = "t2.",
     ) -> str:
         """Parses the ORIGINAL-case question (literals like 'F' must
         survive); keywords match case-insensitively. ``prefix``
@@ -1710,7 +2013,9 @@ class RuleBasedGenerator:
         'or' in the gap -> OR; no connective word defaults to AND,
         matching the reference demo's 'products with price over X and
         stock under Y' space, text_to_sql.py:110-144)."""
-        conds = self._conditions(raw, cols, prefix, cols2, prefix2)
+        conds = self._conditions(
+            raw, cols, prefix, cols2, prefix2, cols3, prefix3
+        )
         if not conds:
             return ""
         sql = conds[0][2]

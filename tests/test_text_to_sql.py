@@ -1180,3 +1180,163 @@ def test_generator_guard_not_exists_does_not_satisfy_negation():
     )
     assert "t1.c_mktsegment <> 'BUILDING'" in out
     assert "NOT EXISTS" in out
+
+
+# --- R9: multi-hop FK walks (VERDICT r8 ask #4) ----------------------------
+
+_SCHEMA_FULL = (
+    "CREATE TABLE region (r_regionkey number, r_name text)\n"
+    "CREATE TABLE nation (n_nationkey number, n_name text, "
+    "n_regionkey number)\n"
+    "CREATE TABLE customer (c_custkey number, c_name text, "
+    "c_nationkey number, c_acctbal number, c_mktsegment text)\n"
+    "CREATE TABLE supplier (s_suppkey number, s_name text, "
+    "s_nationkey number, s_acctbal number)\n"
+    "CREATE TABLE part (p_partkey number, p_name text, p_brand text, "
+    "p_retailprice number)\n"
+    "CREATE TABLE orders (o_orderkey number, o_custkey number, "
+    "o_orderstatus text, o_totalprice number, o_orderdate text)\n"
+    "CREATE TABLE lineitem (l_orderkey number, l_partkey number, "
+    "l_suppkey number, l_quantity number, l_extendedprice number)"
+)
+
+
+def _gen_full(question: str) -> str:
+    return t2s.RuleBasedGenerator()(
+        t2s.build_prompt(_SCHEMA_FULL, question)
+    )
+
+
+def test_generator_two_hop_group_by():
+    """'revenue per nation name' walks orders->customer->nation on the
+    stem-keyed FK graph (the reference's schema walk composed over two
+    hops, mapping.py:140-149)."""
+    assert _gen_full("total revenue per nation name") == (
+        "SELECT t3.n_name, SUM(t1.o_totalprice) AS o_totalprice_sum "
+        "FROM orders t1 JOIN customer t2 ON t1.o_custkey = t2.c_custkey "
+        "JOIN nation t3 ON t2.c_nationkey = t3.n_nationkey "
+        "GROUP BY t3.n_name"
+    )
+    assert _gen_full("number of customers per region name") == (
+        "SELECT t3.r_name, COUNT(*) AS n FROM customer t1 "
+        "JOIN nation t2 ON t1.c_nationkey = t2.n_nationkey "
+        "JOIN region t3 ON t2.n_regionkey = t3.r_regionkey "
+        "GROUP BY t3.r_name"
+    )
+
+
+def test_generator_two_hop_mid_table_filter_renders():
+    """A stated filter resolving only in the MID table of the walk
+    must render against its alias, not silently vanish (R9 — the
+    cols3 scope)."""
+    out = _gen_full(
+        "total revenue per nation name where mktsegment is BUILDING"
+    )
+    assert "WHERE t2.c_mktsegment = 'BUILDING'" in out
+    assert "JOIN nation t3" in out
+
+
+def test_generator_two_hop_count_superlative_left_joins():
+    """'which nation placed the most orders' counts through TWO LEFT
+    JOINs (zero-count nations stay reachable); a counted-side filter
+    lands in the LAST ON, a mid-side filter in the MID ON."""
+    out = _gen_full("which nation placed the fewest orders in 1995")
+    assert "LEFT JOIN customer t2 ON t1.n_nationkey = t2.c_nationkey" in out
+    assert (
+        "LEFT JOIN orders t3 ON t2.c_custkey = t3.o_custkey "
+        "AND YEAR(t3.o_orderdate) = 1995" in out
+    )
+    assert "WHERE" not in out
+    mid = _gen_full(
+        "which nation placed the fewest orders where mktsegment is BUILDING"
+    )
+    assert (
+        "LEFT JOIN customer t2 ON t1.n_nationkey = t2.c_nationkey "
+        "AND t2.c_mktsegment = 'BUILDING'" in mid
+    )
+
+
+def test_generator_walk_direction_refusals():
+    """Walks that would fan out or rely on a key pun refuse instead of
+    miscounting (R9 full-schema probe): counting orders per part rides
+    the fanning lineitem hop (double-counts multi-line orders); the
+    customer~supplier nationkey pair is a same-parent equi-join, not
+    an FK; a superlative whose walk needs a parent-direction step
+    would count join rows, not target rows."""
+    assert _gen_full("count of orders per part name") == ""
+    assert _gen_full("number of suppliers per customer name") == ""
+    assert _gen_full("which part has the most orders") == ""
+    # three hops away stays out of the bounded walk
+    assert _gen_full("number of orders per region name") == ""
+
+
+def test_generator_self_qualified_group_two_words():
+    """'per part name' ON the part table groups by p_name — reading
+    the table noun as a column grouped by p_partkey and silently
+    dropped the stated 'name' (R9 probe)."""
+    assert _gen_full("total retailprice per part name") == (
+        "SELECT p_name, SUM(p_retailprice) AS p_retailprice_sum "
+        "FROM part GROUP BY p_name"
+    )
+
+
+def test_generator_synonym_words_never_fuzzy_rank():
+    """A word with a synonym entry whose synonyms all fail must not
+    fall through to edit distance: 'top 3 nation name by revenue'
+    ranked nations by n_nationkey before (R9 probe); a stated-but-
+    unresolvable ranking column refuses rather than ranking by the
+    first numeric column."""
+    assert _gen_full("top 3 nation name by revenue") == ""
+    assert _gen_full("top 3 nations by frobnication") == ""
+    # the unranked default still works
+    assert _gen_full("top 3 orders by totalprice") == (
+        "SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 3"
+    )
+
+
+def test_generator_guard_equality_literal_cue():
+    """The guard refuses any SQL that fails to carry a stated
+    'is <LITERAL>' equality (R9 cue, the lockstep rule)."""
+    gen = t2s.RuleBasedGenerator()
+    assert gen._drops_stated_constraint(
+        "revenue per nation name where mktsegment is BUILDING",
+        "SELECT n_name, SUM(o_totalprice) FROM orders GROUP BY n_name",
+    )
+    assert not gen._drops_stated_constraint(
+        "orders where orderstatus is F",
+        "SELECT * FROM orders WHERE o_orderstatus = 'F'",
+    )
+    # aggregate keywords are not literals
+    assert not gen._drops_stated_constraint(
+        "what is MAX totalprice", "SELECT MAX(o_totalprice) FROM orders"
+    )
+
+
+def test_generator_r9_review_fixes():
+    """Pinned repros of the R9 review findings: partsupp prefix must
+    not pass the parent-ownership check (fan-out double-count);
+    base-side OR in the FK-count superlative refuses instead of
+    becoming a zero-row AND; 'is NOT <v>' passes the guard when the
+    negation rendered; 'per order status' (singular table noun) groups
+    by the column; quoted-numeric equality renders unquoted and still
+    passes the guard."""
+    gen = t2s.RuleBasedGenerator()
+    ps = (
+        "CREATE TABLE part (p_partkey number, p_retailprice number)\n"
+        "CREATE TABLE partsupp (ps_partkey number, ps_availqty number)"
+    )
+    assert gen(t2s.build_prompt(ps, "total retailprice per availqty")) == ""
+    assert _gen(
+        "which customer placed the most orders "
+        "where acctbal over 1000 or acctbal under 10"
+    ) == ""
+    assert _gen("orders where orderstatus is NOT F") == (
+        "SELECT * FROM orders WHERE o_orderstatus <> 'F'"
+    )
+    assert _gen("total totalprice per order status") == (
+        "SELECT o_orderstatus, SUM(o_totalprice) AS o_totalprice_sum "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+    assert _gen("orders where orderkey equals '5'") == (
+        "SELECT * FROM orders WHERE o_orderkey = 5"
+    )
