@@ -60,7 +60,7 @@ _PURE_PROBES = frozenset({
     "e3_sessionize_10m", "aj1_asof_10m", "rj1_range_10m",
     "gopher_100k", "semdedup_100k_t09", "span_dedup_100k_k25",
     "line_dedup_100k",
-    "span_dedup_100k_verify", "corpus_pipeline_1m",
+    "span_dedup_100k_verify", "corpus_pipeline_1m", "report_1m",
     "lm_ppl_100k", "dsir_100k_top10k", "drift_1m_distinct_cat",
     "report_100k",
     "shuffle_100k", "scd2_merge_1m",
@@ -271,7 +271,7 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
     of running — the bench artifact's existence outranks probe
     completeness (the r3 lesson: a bench that dies emits nothing)."""
     if budget_s is None:
-        budget_s = float(os.environ.get("SPARK_GRAFT_PROBE_BUDGET", "900"))
+        budget_s = float(os.environ.get("SPARK_GRAFT_PROBE_BUDGET", "1300"))
     t_start = time.perf_counter()
     from pyspark.sql import functions as F
 
@@ -645,6 +645,159 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
 
     pipeline_1m_detail: dict = {}
 
+    def report_1m():
+        # R9 (VERDICT r8 #2): corpus_report at 1M docs STANDALONE —
+        # the r8 number (37.0s at 924k) ran co-scheduled right after
+        # the 155s pipeline probe, so cache/memory pressure could not
+        # be separated from an algorithmic knee. Median-of-3 in
+        # isolation is the honest scaling read against report_100k.
+        from etl_zero_spark.operators.report import corpus_report
+
+        d1m = load_table(spark, PROBE_1M_DIR, "documents")
+        rep = corpus_report(d1m, source_col="source", lang_col="lang")
+        assert rep["n_docs"] == 1_000_000, rep["n_docs"]
+        return spark.createDataFrame(
+            [("n_docs", float(rep["n_docs"])),
+             ("total_words", float(rep["total_words"]))],
+            "metric string, value double",
+        )
+
+    bm25_build_sec: list = []
+    bm25_index_frames: list = []
+
+    def bm25_1m():
+        # R9 (VERDICT r8 #7): the BM25 index-only contract MEASURED,
+        # not argued (retrieval.py:47-56) — build postings + corpus
+        # stats over 1M salad docs once (build_sec: one explode + one
+        # groupBy + a 2-scalar agg; production persists this bucketed
+        # by term), then answer 8 probe queries purely off the index
+        # (search_sec = sec - build_sec, the dd9 split). The salad
+        # vocabulary is adversarial: ~45 distinct terms over ~150M
+        # token rows means every query term has a ~3M-row posting
+        # list — the worst case for the broadcast-scoring join.
+        from etl_zero_spark.operators import retrieval
+
+        d1m = load_table(spark, PROBE_1M_DIR, "documents")
+        t = time.perf_counter()
+        post = retrieval.bm25_postings(d1m).persist()
+        post.count()
+        st = retrieval.corpus_stats(d1m).persist()
+        st.count()
+        bm25_index_frames.extend([post, st])
+        bm25_build_sec.append(round(time.perf_counter() - t, 2))
+        queries = spark.createDataFrame(
+            [
+                (i, f"{_VOCAB[i]} {_VOCAB[i + 7]} {_VOCAB[i + 13]}")
+                for i in range(8)
+            ],
+            "query_id bigint, query_text string",
+        )
+        return retrieval.bm25_topk(
+            None, queries, top_k=10, postings=post, stats=st
+        )
+
+    daily_detail: dict = {}
+
+    def daily_ingest_100k():
+        # R9 (VERDICT r8 #6): the operational daily-ingest rehearsal —
+        # every piece is tested alone; this times the COMPOSITION a
+        # production cluster runs per day-delta, end to end. Setup
+        # (the cost of already having history, reported separately):
+        # snapshot-commit the 100k corpus, build + persist the MinHash
+        # index and the BM25 postings/stats, full-build a per-source
+        # matview. Then ONE 1k day-delta flows through:
+        #   sink_sec     exactly-once streaming snapshot ingest
+        #   neardup_sec  incremental near-dup probe vs the index (d9)
+        #   index_sec    extend_postings + merge_stats (O(delta))
+        #   matview_sec  incremental per-source refresh
+        # total_sec is the recurring daily cost at this scale.
+        import shutil
+        import tempfile
+
+        from etl_zero_spark.operators import retrieval
+        from etl_zero_spark.operators.matview import MaterializedAgg
+        from etl_zero_spark.sources.snapshots import (
+            SnapshotTable,
+            snapshot_sink,
+        )
+
+        root = tempfile.mkdtemp(prefix="etlzero_daily_probe_")
+        frames = []
+        try:
+            t = time.perf_counter()
+            base = SnapshotTable(os.path.join(root, "docs"))
+            base.commit(docs)
+            idx = dedup.build_minhash_index(docs)
+            idx.bands.persist().count()
+            idx.shingles.persist().count()
+            post = retrieval.bm25_postings(docs).persist()
+            post.count()
+            st = retrieval.corpus_stats(docs).persist()
+            st.count()
+            frames += [idx.bands, idx.shingles, post, st]
+            mv = MaterializedAgg(
+                base,
+                SnapshotTable(os.path.join(root, "mv")),
+                keys=["source"],
+                aggs={"n_chars": ["sum", "count"]},
+            )
+            mv.refresh(spark)
+            daily_detail["setup_sec"] = round(time.perf_counter() - t, 2)
+
+            delta = docs.where(F.col("doc_id") < 1_000).select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            ).persist()
+            delta.count()
+            frames.append(delta)
+            delta_src = os.path.join(root, "delta_src")
+            delta.coalesce(4).write.parquet(delta_src)
+
+            t = time.perf_counter()
+            stream = spark.readStream.schema(delta.schema).parquet(
+                delta_src
+            )
+            q = snapshot_sink(
+                stream, base, "probe_daily_sink",
+                os.path.join(root, "ck"),
+            )
+            q.awaitTermination()
+            daily_detail["sink_sec"] = round(time.perf_counter() - t, 2)
+
+            t = time.perf_counter()
+            pairs = dedup.incremental_minhash_pairs(
+                delta, idx, threshold=0.5
+            )
+            daily_detail["neardup_pairs"] = pairs.count()
+            daily_detail["neardup_sec"] = round(
+                time.perf_counter() - t, 2
+            )
+
+            t = time.perf_counter()
+            retrieval.extend_postings(post, delta).count()
+            retrieval.merge_stats(
+                st, retrieval.corpus_stats(delta)
+            ).collect()
+            daily_detail["index_sec"] = round(time.perf_counter() - t, 2)
+
+            t = time.perf_counter()
+            r = mv.refresh(spark)
+            assert r["mode"] == "incremental", r
+            daily_detail["matview_sec"] = round(
+                time.perf_counter() - t, 2
+            )
+            daily_detail["total_sec"] = round(
+                daily_detail["sink_sec"] + daily_detail["neardup_sec"]
+                + daily_detail["index_sec"] + daily_detail["matview_sec"],
+                2,
+            )
+            assert base.rows() == N_DOCS + 1_000, base.rows()
+            return mv.read(spark).localCheckpoint()
+        finally:
+            for f in frames:
+                f.unpersist()
+            shutil.rmtree(root, ignore_errors=True)
+
     def corpus_pipeline_1m():
         # R8 (VERDICT r7 #3): the multi-stage prepare_corpus
         # COMPOSITION at 1M docs — per-stage probes all run at 100k,
@@ -874,7 +1027,10 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("cohorts_10m", cohorts_10m),
         ("snapshot_ops_6m", snapshot_6m),
         ("dd9_incremental_1k_delta", dd9_incremental),
+        ("daily_ingest_100k", daily_ingest_100k),
         ("dd2_t05", dd2),
+        ("report_1m", report_1m),
+        ("bm25_1m", bm25_1m),
         # LAST and budget-gated: the 1M composition is the most
         # expensive probe; a budget stop here costs one row, not the
         # whole per-operator tier above.
@@ -884,11 +1040,11 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             out[name] = {"skipped": f"probe budget {budget_s}s spent"}
             print(f"# probe {name}: {out[name]}", file=sys.stderr)
             continue
-        if name == "corpus_pipeline_1m":
-            # the 1M corpus generates lazily HERE — only once this probe
-            # is actually going to run (a small-budget smoke run must not
-            # pay the generation and then skip the probe, R8 review) —
-            # and outside the timed window (one-time, marker-cached)
+        if name in ("report_1m", "bm25_1m", "corpus_pipeline_1m"):
+            # the 1M corpus generates lazily HERE — only once a 1M
+            # probe is actually going to run (a small-budget smoke run
+            # must not pay the generation and then skip the probe, R8
+            # review) — and outside the timed window (marker-cached)
             generate_1m(spark)
         t0 = time.perf_counter()
         try:
@@ -941,6 +1097,15 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
                 out[name]["incremental_sec"] = matview_full_sec[1]
             if name == "snapshot_ops_6m" and snap_detail:
                 out[name].update(snap_detail)
+            if name == "bm25_1m" and bm25_build_sec:
+                out[name]["build_sec"] = bm25_build_sec[0]
+                out[name]["search_sec"] = round(
+                    out[name]["sec"] - bm25_build_sec[0], 2
+                )
+                for frame in bm25_index_frames:
+                    frame.unpersist()
+            if name == "daily_ingest_100k" and daily_detail:
+                out[name].update(daily_detail)
             if name == "corpus_pipeline_1m" and pipeline_1m_detail:
                 out[name].update(pipeline_1m_detail)
                 out[name]["rows"] = pipeline_1m_detail.get(
