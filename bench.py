@@ -557,6 +557,19 @@ def main() -> None:
             # query's ratio by it to read the drift-normalized delta
             "host_drift_estimate": delta.get("calib_hash_agg_6b"),
             "ratios": delta,
+            # VERDICT r8 ask #3: the same ratios with host drift
+            # divided out — screen THESE for regressions; raw ratios
+            # stay alongside for transparency. Null estimate (first
+            # round with a calib baseline) leaves this empty.
+            "ratios_drift_normalized": (
+                {
+                    q: round(r / delta["calib_hash_agg_6b"], 2)
+                    for q, r in delta.items()
+                    if q != "calib_hash_agg_6b"
+                }
+                if delta.get("calib_hash_agg_6b")
+                else {}
+            ),
         },
     }
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:

@@ -719,3 +719,149 @@ def temperature_weights(
     raised = {s: (m / total) ** alpha for s, m in mass.items()}
     z = sum(raised.values())
     return {s: v / z for s, v in sorted(raised.items())}
+
+
+# ---------------------------------------------------------------------------
+# train/val/test splitting + leakage hardening (R9)
+# ---------------------------------------------------------------------------
+
+
+def split_corpus(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by deterministic hash
+    interval — the pretraining holdout carve ('train 0.98, val 0.01,
+    test 0.01'). ``xxhash64(id, seed)`` maps each row to a point in
+    [0, 1e6); consecutive fractions own consecutive intervals, so the
+    assignment is a PURE FUNCTION of (id, seed): reproducible across
+    runs, clusters, partitionings and task retries, and STABLE under
+    corpus growth — a document's split never flips when other
+    documents arrive (the property a resumable 100 TB ingest needs;
+    ``randomSplit`` gives none of these). Different seeds give
+    independent carves for ablations. Fractions must sum to 1 (the
+    split is a partition, not a sample — compose
+    :func:`stratified_sample` first to subsample); the last-named
+    split absorbs integer-rounding remainder so every row lands
+    somewhere. No shuffle: one codegen'd CASE projection."""
+    if not fractions:
+        raise ValueError("split_corpus: fractions must be non-empty")
+    for name, frac in fractions.items():
+        if not name:
+            raise ValueError("split_corpus: empty split name")
+        if not 0.0 < frac <= 1.0:
+            raise ValueError(
+                f"split_corpus: fraction {name}={frac} not in (0, 1]"
+            )
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"split_corpus: fractions sum to {total}, need exactly 1 "
+            "(a split is a partition — subsample with stratified_sample "
+            "first)"
+        )
+    h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    names = list(fractions)
+    expr = F.lit(names[-1])  # last split absorbs rounding remainder
+    assign, cum = None, 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = h < F.lit(int(round(cum * 1_000_000)))
+        assign = (
+            F.when(cond, F.lit(name))
+            if assign is None
+            else assign.when(cond, F.lit(name))
+        )
+    out = expr if assign is None else assign.otherwise(expr)
+    return df.withColumn(split_col, out)
+
+
+def leakage_pairs(
+    train: DataFrame,
+    heldout: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs CROSSING the train/heldout boundary — the
+    eval-leakage scan decontamination's exact-n-gram tier misses
+    (paraphrased or lightly-edited twins): index the heldout side
+    (the small side by construction — holdouts are percents), probe
+    it with train via the O(train x bands) incremental path, and keep
+    only pairs with exactly one member in the heldout (train-vs-train
+    pairs are dedup's business, not leakage). Ids must be disjoint
+    across the two frames (a split partition guarantees it)."""
+    from etl_zero_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+
+    idx = build_minhash_index(heldout, text_col=text_col, id_col=id_col)
+    pairs = incremental_minhash_pairs(
+        train, idx, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    hid = heldout.select(F.col(id_col)).dropDuplicates()
+    flagged = pairs.join(
+        hid.select(F.col(id_col).alias("a_id"), F.lit(True).alias("__ah")),
+        "a_id",
+        "left",
+    ).join(
+        hid.select(F.col(id_col).alias("b_id"), F.lit(True).alias("__bh")),
+        "b_id",
+        "left",
+    )
+    return flagged.where(
+        F.coalesce(F.col("__ah"), F.lit(False))
+        != F.coalesce(F.col("__bh"), F.lit(False))
+    ).drop("__ah", "__bh")
+
+
+def harden_split(
+    df: DataFrame,
+    heldout_splits: tuple[str, ...] = ("val", "test"),
+    threshold: float = 0.5,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    collect_stats: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Drop every train document that is a near-duplicate of a
+    heldout document — the leakage guard a split must pass before any
+    eval number is trusted (a val twin left in train scores the
+    memorization, not the model). The heldout rows are NEVER touched
+    (evals stay comparable across hardenings); the condemned train
+    twin is dropped, mirroring decontaminate()'s direction. Returns
+    ``(hardened_df, ledger)``; ledger counts are computed only with
+    ``collect_stats`` (three bounded aggregations — skip at full
+    scale and let zone writes count)."""
+    is_held = F.col(split_col).isin(*heldout_splits)
+    train = df.where(~is_held)
+    held = df.where(is_held)
+    pairs = leakage_pairs(
+        train, held, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    hid = held.select(F.col(id_col)).dropDuplicates()
+    leaked = (
+        pairs.select(F.col("a_id").alias(id_col))
+        .unionByName(pairs.select(F.col("b_id").alias(id_col)))
+        .join(hid, id_col, "left_anti")  # keep only the TRAIN member
+        .dropDuplicates()
+    )
+    out = df.join(
+        leaked.withColumn("__leak", F.lit(True)), id_col, "left"
+    ).where(
+        is_held | F.col("__leak").isNull()
+    ).drop("__leak")
+    ledger: dict = {}
+    if collect_stats:
+        leaked_n = leaked.count()
+        ledger = {
+            "train_before": train.count(),
+            "leaked_dropped": leaked_n,
+            "train_after": None,  # filled below without a third scan
+        }
+        ledger["train_after"] = ledger["train_before"] - leaked_n
+    return out, ledger

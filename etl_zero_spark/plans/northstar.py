@@ -1572,7 +1572,13 @@ def pipe1_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nul_s = F.lit(None).cast("string")
     nul_l = F.lit(None).cast("long")
-    doc_rows = res.df.select(
+    # every stage has already RUN here (collect_stats counts each
+    # cached frame for the ledger); localCheckpoint truncates the
+    # returned lineage to that materialized state, so the consumer's
+    # plan shows the real execution shape instead of re-printing the
+    # whole 8-stage tree once per cache reference (the audit digest
+    # counts the string)
+    doc_rows = res.df.localCheckpoint().select(
         F.lit("doc").alias("tag"),
         nul_s.alias("stage"),
         "doc_id",
