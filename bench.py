@@ -62,6 +62,9 @@ HEADLINE = [
     # R8: corpus mixing + BM25 retrieval (VERDICT r7 #1 + payload)
     "mix1_corpus_mix",
     "ret1_bm25_topk",
+    # R9: the composed pipeline's declared (audit-heavy) row — its
+    # production path stays benched as x_corpus_pipeline
+    "pipe1_prepare_corpus",
 ]
 
 

@@ -123,11 +123,15 @@ def decontaminate(
     min_shared: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_gram_df: int | None = 10_000,
 ) -> DataFrame:
     """Training corpus minus every document contaminated against the
-    evaluation set: one anti-join off the pair table."""
+    evaluation set: one anti-join off the pair table. ``max_gram_df``
+    passes through to the contamination scan — callers needing the
+    EXACT rule at any cost (pipe1's oracle replay) pass None."""
     pairs = cross_corpus_contamination(
-        train, test, n=n, min_shared=min_shared, id_col=id_col, text_col=text_col
+        train, test, n=n, min_shared=min_shared, id_col=id_col,
+        text_col=text_col, max_gram_df=max_gram_df,
     ).select(F.col("train_id").alias(id_col)).distinct()
     return train.join(pairs, id_col, "left_anti")
 
@@ -746,7 +750,12 @@ def split_corpus(
     split is a partition, not a sample — compose
     :func:`stratified_sample` first to subsample); the last-named
     split absorbs integer-rounding remainder so every row lands
-    somewhere. No shuffle: one codegen'd CASE projection."""
+    somewhere. No shuffle: one codegen'd CASE projection.
+
+    The hash is domain-separated from the sampling ops (an op tag is
+    mixed in): stratified_sample keeps exactly the LOW hash interval,
+    so reusing its hash point here would map a <=98% sample entirely
+    onto the first split and leave the holdouts EMPTY (R9 review)."""
     if not fractions:
         raise ValueError("split_corpus: fractions must be non-empty")
     for name, frac in fractions.items():
@@ -763,7 +772,10 @@ def split_corpus(
             "(a split is a partition — subsample with stratified_sample "
             "first)"
         )
-    h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    h = F.pmod(
+        F.xxhash64(F.lit("split_corpus"), F.col(id_col), F.lit(seed)),
+        F.lit(1_000_000),
+    )
     names = list(fractions)
     expr = F.lit(names[-1])  # last split absorbs rounding remainder
     assign, cum = None, 0.0
@@ -834,9 +846,12 @@ def harden_split(
     memorization, not the model). The heldout rows are NEVER touched
     (evals stay comparable across hardenings); the condemned train
     twin is dropped, mirroring decontaminate()'s direction. Returns
-    ``(hardened_df, ledger)``; ledger counts are computed only with
-    ``collect_stats`` (three bounded aggregations — skip at full
-    scale and let zone writes count)."""
+    ``(hardened_df, ledger)``. With ``collect_stats`` the leaked-id
+    frame (ids only — tiny) is PERSISTED before its count so the
+    corpus-scale MinHash join runs once, not once for the ledger and
+    again on the consumer's first action (R9 review); the persisted
+    handle stays cached for the consumer — skip stats at full scale
+    and let zone writes count."""
     is_held = F.col(split_col).isin(*heldout_splits)
     train = df.where(~is_held)
     held = df.where(is_held)
@@ -857,6 +872,7 @@ def harden_split(
     ).drop("__leak")
     ledger: dict = {}
     if collect_stats:
+        leaked = leaked.persist()
         leaked_n = leaked.count()
         ledger = {
             "train_before": train.count(),

@@ -96,6 +96,7 @@ def prepare_corpus(
     substring_dedup_k: int | None = None,
     test_set: DataFrame | None = None,
     decontam_n: int = 8,
+    decontam_max_gram_df: int | None = 10_000,
     dsir_target: DataFrame | None = None,
     dsir_k: int | None = None,
     dsir_seed: int = 0,
@@ -279,7 +280,8 @@ def prepare_corpus(
         df = record(
             "decontaminate",
             decontaminate(
-                df, test_set, n=decontam_n, id_col=id_col, text_col=text_col
+                df, test_set, n=decontam_n, id_col=id_col,
+                text_col=text_col, max_gram_df=decontam_max_gram_df,
             ),
         )
     if dsir_target is not None and dsir_k is not None:

@@ -1565,6 +1565,10 @@ def pipe1_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         near_dedup_pairs=pairs,
         test_set=test_set,
         decontam_n=8,
+        # None: the oracle replays the EXACT contamination rule; the
+        # default hot-gram cap would silently exempt >10k-df grams on
+        # a large-enough fixture and diverge from the SQL (R9 review)
+        decontam_max_gram_df=None,
         shuffle_seed=0,
         pack_budget=500,
         pack_streams=1,
@@ -1577,8 +1581,13 @@ def pipe1_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returned lineage to that materialized state, so the consumer's
     # plan shows the real execution shape instead of re-printing the
     # whole 8-stage tree once per cache reference (the audit digest
-    # counts the string)
-    doc_rows = res.df.localCheckpoint().select(
+    # counts the string). The checkpoint also makes the stage caches
+    # dead weight — release them NOW, not at session end (R9 review:
+    # bench runs this 4x then the memory-sensitive 1M probes in the
+    # same session)
+    final = res.df.localCheckpoint()
+    res.unpersist()
+    doc_rows = final.select(
         F.lit("doc").alias("tag"),
         nul_s.alias("stage"),
         "doc_id",

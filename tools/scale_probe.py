@@ -678,23 +678,32 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         from etl_zero_spark.operators import retrieval
 
         d1m = load_table(spark, PROBE_1M_DIR, "documents")
-        t = time.perf_counter()
-        post = retrieval.bm25_postings(d1m).persist()
-        post.count()
-        st = retrieval.corpus_stats(d1m).persist()
-        st.count()
-        bm25_index_frames.extend([post, st])
-        bm25_build_sec.append(round(time.perf_counter() - t, 2))
-        queries = spark.createDataFrame(
-            [
-                (i, f"{_VOCAB[i]} {_VOCAB[i + 7]} {_VOCAB[i + 13]}")
-                for i in range(8)
-            ],
-            "query_id bigint, query_text string",
-        )
-        return retrieval.bm25_topk(
-            None, queries, top_k=10, postings=post, stats=st
-        )
+        try:
+            t = time.perf_counter()
+            post = retrieval.bm25_postings(d1m).persist()
+            post.count()
+            st = retrieval.corpus_stats(d1m).persist()
+            st.count()
+            bm25_index_frames.extend([post, st])
+            bm25_build_sec.append(round(time.perf_counter() - t, 2))
+            queries = spark.createDataFrame(
+                [
+                    (i, f"{_VOCAB[i]} {_VOCAB[i + 7]} {_VOCAB[i + 13]}")
+                    for i in range(8)
+                ],
+                "query_id bigint, query_text string",
+            )
+            return retrieval.bm25_topk(
+                None, queries, top_k=10, postings=post, stats=st
+            )
+        except BaseException:
+            # the success path unpersists post-loop (after the harness
+            # counts the returned frame); a failure here must not park
+            # ~150M persisted posting rows in front of the 1M pipeline
+            # probe (the documented dd9 starvation shape, R9 review)
+            for frame in bm25_index_frames:
+                frame.unpersist()
+            raise
 
     daily_detail: dict = {}
 
@@ -774,7 +783,12 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             )
 
             t = time.perf_counter()
-            retrieval.extend_postings(post, delta).count()
+            # production APPENDS the delta's posting rows to the
+            # persisted table and merges stats — time exactly that
+            # (counting extend_postings' union would rescan the whole
+            # corpus-sized left side and report an O(corpus) number
+            # as the incremental cost, R9 review)
+            retrieval.bm25_postings(delta).count()
             retrieval.merge_stats(
                 st, retrieval.corpus_stats(delta)
             ).collect()
