@@ -209,3 +209,35 @@ def test_mix_corpus_allocation_invariants(spark, counts, weights, budget):
     for s, w in weights.items():
         if w == 0:
             assert alloc[s]["allocated"] == 0
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    raw=st.lists(
+        st.floats(min_value=0.01, max_value=1.0), min_size=2, max_size=6
+    ),
+    n=st.integers(min_value=50, max_value=400),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_split_corpus_partition_properties(spark, raw, n, seed):
+    """split_corpus is a PARTITION on any normalized fraction vector:
+    every row lands in exactly one split, and the assignment is a pure
+    function of (id, seed) — a subset of the corpus keeps its splits
+    (R9)."""
+    total = sum(raw)
+    names = [f"s{i}" for i in range(len(raw))]
+    fracs = {nm: v / total for nm, v in zip(names, raw)}
+    # re-normalize drift from float division onto the last split
+    fracs[names[-1]] = 1.0 - sum(fracs[nm] for nm in names[:-1])
+    df = spark.createDataFrame(
+        [(i,) for i in range(n)], "doc_id long"
+    )
+    out = corpus.split_corpus(df, fracs, seed=seed).collect()
+    assert len(out) == n
+    assigned = {r.doc_id: r.split for r in out}
+    assert set(assigned.values()) <= set(names)
+    sub = corpus.split_corpus(
+        df.where(F.col("doc_id") % 3 == 0), fracs, seed=seed
+    ).collect()
+    for r in sub:  # growth/subset stability
+        assert assigned[r.doc_id] == r.split

@@ -120,3 +120,20 @@ def test_harden_split_composes_with_split_corpus(spark):
     assert out.where("doc_id = 42").count() == 0
     assert out.where("doc_id = 43").count() == 1
     assert ledger["leaked_dropped"] >= 1
+
+
+def test_split_hash_domain_separated_from_sampling(spark):
+    """R9 review: stratified_sample keeps exactly the LOW hash
+    interval; if split_corpus reused the same hash point, a <=98%
+    sample would land entirely in the first split and the holdouts
+    would be silently EMPTY. Composition must yield every split."""
+    d = _docs(spark, 4000)
+    sample = corpus.stratified_sample(d, "source", 0.5, "doc_id")
+    out = corpus.split_corpus(sample, FRACS)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0, counts
+    n = sum(counts.values())
+    for name, frac in FRACS.items():
+        mean, sd = n * frac, (n * frac * (1 - frac)) ** 0.5
+        assert abs(counts.get(name, 0) - mean) < 5 * sd, (name, counts)
