@@ -334,6 +334,20 @@ def _extras(spark, sf_dir: str) -> dict:
         )
         return retrieval.bm25_topk(docs, q, top_k=10).count()
 
+    def x_split_harden() -> int:
+        # R9: leakage-safe holdout carve production path — hash-split
+        # the corpus, then drop train near-twins of heldout docs (the
+        # MinHash boundary scan). Ledger off: the single consumer
+        # action below is the honest per-invocation cost.
+        from etl_zero_spark.operators import corpus as corp
+
+        docs = load_table(spark, sf_dir, "documents")
+        split = corp.split_corpus(
+            docs, {"train": 0.96, "val": 0.02, "test": 0.02}
+        )
+        out, _ = corp.harden_split(split, collect_stats=False)
+        return out.count()
+
     def calib_fixed_hash_agg() -> int:
         # Host-drift calibration (VERDICT r7 ask #2): a FIXED,
         # code-stable workload. The SIZE is part of the query NAME
@@ -382,6 +396,7 @@ def _extras(spark, sf_dir: str) -> dict:
         "x_corpus_report": x_corpus_report,
         "x_chunk_documents": x_chunk_documents,
         "x_bm25_topk": x_bm25_topk,
+        "x_split_harden": x_split_harden,
     }
 
 

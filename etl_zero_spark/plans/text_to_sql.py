@@ -533,9 +533,7 @@ class RuleBasedGenerator:
                 other = self._table_mention(m.group(2), table, schema)
                 steps = None
                 if other:
-                    steps = self._fk_path(
-                        schema, table, other, direction="child"
-                    ) or self._legacy_stem_fallback(
+                    steps = self._oriented_walk(
                         table, other, schema, "child"
                     )
                 if steps and not ex:
@@ -1379,15 +1377,29 @@ class RuleBasedGenerator:
 
     @staticmethod
     def _render_fk_joins(
-        steps: list[tuple[str, str, str]]
+        steps: list[tuple[str, str, str]],
+        base_alias: str = "t1",
+        start: int = 2,
     ) -> tuple[str, str]:
         """``(join_sql, last_alias)`` for a step list: aliases run
-        t2, t3, ... off the t1 base."""
-        sql, prev = "", "t1"
-        for i, (tbl, lk, rk) in enumerate(steps, start=2):
+        t{start}, t{start+1}, ... off ``base_alias`` (subqueries start
+        their own walk at t2/t3 — R9 review, one renderer)."""
+        sql, prev = "", base_alias
+        for i, (tbl, lk, rk) in enumerate(steps, start=start):
             sql += f" JOIN {tbl} t{i} ON {prev}.{lk} = t{i}.{rk}"
             prev = f"t{i}"
         return sql, prev
+
+    def _oriented_walk(
+        self, table: str, other: str, schema: dict, direction: str
+    ) -> list[tuple[str, str, str]] | None:
+        """The two-step resolution policy every walk consumer shares:
+        the oriented FK path, else the legacy single-pair fallback
+        under the same orientation (R9 review: one copy, so a future
+        tightening cannot drift between consumers)."""
+        return self._fk_path(
+            schema, table, other, direction=direction
+        ) or self._legacy_stem_fallback(table, other, schema, direction)
 
     def _legacy_stem_fallback(
         self, table: str, other: str, schema: dict, direction: str
@@ -1413,10 +1425,11 @@ class RuleBasedGenerator:
 
     def _existence(
         self, q: str, table: str, schema: dict
-    ) -> tuple[str, str, str, bool] | str | None:
+    ) -> tuple[list, bool] | str | None:
         """A stated existence constraint against another table:
-        ``(other, left_key, right_key, anti)`` when the mention
-        resolves ('customers without orders' / 'that have orders');
+        ``(walk_steps, anti)`` when the mention resolves through the
+        child-direction FK walk — one hop ('customers without
+        orders') or two ('nations without orders', R9);
         the sentinel ``'refuse'`` for a stated EXCLUSION whose mention
         names no table (any branch answering without it would silently
         drop the constraint — ADVICE r7 #1); None when no existence
@@ -1439,23 +1452,44 @@ class RuleBasedGenerator:
             return None
         word = next(g for g in m.groups() if g)
         other = self._table_mention(word, table, schema)
-        keys = (
-            self._best_key_pair(schema[table], schema[other])
-            if other else None
-        )
-        if other and keys:
-            return (other, keys[0], keys[1], anti)
-        return "refuse" if anti else None
+        steps = None
+        if other:
+            # EXISTS is a per-row boolean, so unlike aggregates either
+            # orientation is sound: prefer the counting direction
+            # ('nations without orders' walks nation -> customer ->
+            # orders), else the parent walk ('orders without
+            # customers' — the orphan scan; R9 review: forcing child
+            # silently dropped the semi form and refused the anti)
+            steps = self._oriented_walk(
+                table, other, schema, "child"
+            ) or self._oriented_walk(table, other, schema, "parent")
+        if steps:
+            return (steps, anti)
+        # an EXCLUSION that resolves nowhere refuses (dropping it
+        # would invert the answer); a SEMI mention that resolves to a
+        # table but no walk ALSO refuses — falling through to None
+        # would answer without the stated constraint (R9 review)
+        return "refuse" if (anti or other) else None
 
     @staticmethod
-    def _exists_pred(ex: tuple[str, str, str, bool]) -> str:
+    def _exists_pred(ex: tuple[list, bool]) -> str:
         """The correlated [NOT] EXISTS predicate for a resolved
-        existence constraint; the outer table is always aliased t1."""
-        other, lk, rk, anti = ex
+        existence walk; the outer table is always aliased t1, the
+        subquery's own aliases start at t2 (branches that would need
+        t2 outside refuse when ``ex`` is set). One hop correlates
+        directly; a 2-hop walk joins the mid table to the target
+        INSIDE the subquery ('nations without orders' -> NOT EXISTS
+        (SELECT 1 FROM customer t2 JOIN orders t3 ON t2.c_custkey =
+        t3.o_custkey WHERE t2.c_nationkey = t1.n_nationkey))."""
+        steps, anti = ex
         neg = "NOT " if anti else ""
+        first_tbl, first_lk, first_rk = steps[0]
+        joins, _ = RuleBasedGenerator._render_fk_joins(
+            steps[1:], base_alias="t2", start=3
+        )
         return (
-            f"{neg}EXISTS (SELECT 1 FROM {other} t2 "
-            f"WHERE t2.{rk} = t1.{lk})"
+            f"{neg}EXISTS (SELECT 1 FROM {first_tbl} t2{joins} "
+            f"WHERE t2.{first_rk} = t1.{first_lk})"
         )
 
     def _rebased_agg(
@@ -1541,11 +1575,7 @@ class RuleBasedGenerator:
         joins (R9 full-schema probe). ``mid_table`` names the
         intermediate table of a 2-hop walk (None on one hop) so
         callers can resolve stated filters against it too."""
-        steps = self._fk_path(schema, table, other, direction="parent")
-        if steps is None:
-            steps = self._legacy_stem_fallback(
-                table, other, schema, "parent"
-            )
+        steps = self._oriented_walk(table, other, schema, "parent")
         if steps is None:
             return None
         join_sql, galias = self._render_fk_joins(steps)

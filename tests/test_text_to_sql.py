@@ -1340,3 +1340,54 @@ def test_generator_r9_review_fixes():
     assert _gen("orders where orderkey equals '5'") == (
         "SELECT * FROM orders WHERE o_orderkey = 5"
     )
+
+
+def test_generator_two_hop_existence():
+    """R9 late: existence constraints walk two hops in the counting
+    direction — 'nations without orders' correlates through customer
+    inside the subquery; an unreachable walk still refuses on the
+    anti form rather than dropping the stated exclusion."""
+    assert _gen_full("nations without orders") == (
+        "SELECT * FROM nation t1 WHERE NOT EXISTS "
+        "(SELECT 1 FROM customer t2 JOIN orders t3 "
+        "ON t2.c_custkey = t3.o_custkey "
+        "WHERE t2.c_nationkey = t1.n_nationkey)"
+    )
+    assert _gen_full("nations that have orders") == (
+        "SELECT * FROM nation t1 WHERE EXISTS "
+        "(SELECT 1 FROM customer t2 JOIN orders t3 "
+        "ON t2.c_custkey = t3.o_custkey "
+        "WHERE t2.c_nationkey = t1.n_nationkey)"
+    )
+    assert _gen_full("how many nations have no orders") == (
+        "SELECT COUNT(*) AS n FROM nation t1 WHERE NOT EXISTS "
+        "(SELECT 1 FROM customer t2 JOIN orders t3 "
+        "ON t2.c_custkey = t3.o_custkey "
+        "WHERE t2.c_nationkey = t1.n_nationkey)"
+    )
+    # 1-hop keeps its exact old rendering
+    assert _gen_full("customers without orders") == (
+        "SELECT * FROM customer t1 WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders t2 WHERE t2.o_custkey = t1.c_custkey)"
+    )
+    # no child walk from part to orders -> the stated exclusion refuses
+    assert _gen_full("parts without orders") == ""
+
+
+def test_generator_existence_both_walk_directions():
+    """R9 review: EXISTS is a per-row boolean, so BOTH walk
+    orientations are sound — 'orders without customers' (the orphan
+    scan, parent direction) must keep working alongside the child-
+    direction 'nations without orders'; a semi mention that resolves
+    to a table with NO walk refuses rather than silently answering
+    without the stated constraint."""
+    assert _gen("orders without customers") == (
+        "SELECT * FROM orders t1 WHERE NOT EXISTS "
+        "(SELECT 1 FROM customer t2 WHERE t2.c_custkey = t1.o_custkey)"
+    )
+    assert _gen("orders that have customers") == (
+        "SELECT * FROM orders t1 WHERE EXISTS "
+        "(SELECT 1 FROM customer t2 WHERE t2.c_custkey = t1.o_custkey)"
+    )
+    assert _gen_full("parts that have orders") == ""
+    assert _gen_full("parts without orders") == ""
