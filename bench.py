@@ -375,8 +375,27 @@ def _extras(spark, sf_dir: str) -> dict:
         )
         return int(row.s is not None)
 
+    def calib_fixed_hash_agg_18b() -> int:
+        # R9: the 6B calibration's warm readings drifted ±20% between
+        # same-code runs thirty minutes apart (0.52s vs 0.65s) — too
+        # noisy for the single-query drift estimate it feeds. This 3x
+        # sibling (~1.8s warm) amortizes scheduler jitter; it runs
+        # ALONGSIDE 6B (not instead — the rename rule: a resized
+        # workload is a different query, and r9's estimate still needs
+        # the 6B ratio against r8's baseline). From r10 on, the
+        # estimate below prefers this one automatically once both
+        # rounds carry it.
+        row = (
+            spark.range(18_000_000_000)
+            .select(F.xxhash64("id").alias("h"))
+            .agg(F.sum("h").alias("s"))
+            .first()
+        )
+        return int(row.s is not None)
+
     return {
         "calib_hash_agg_6b": calib_fixed_hash_agg,
+        "calib_hash_agg_18b": calib_fixed_hash_agg_18b,
         "x_bpe_tokenize": x_bpe_tokenize,
         "x_gopher_gate": x_gopher_gate,
         "x_validate_single_scan": x_validate_single_scan,
@@ -572,8 +591,13 @@ def main() -> None:
             "baseline_round": prev_round,
             # the calibration query touches no repo operator, so its
             # ratio is a pure host-speed estimate: divide any other
-            # query's ratio by it to read the drift-normalized delta
-            "host_drift_estimate": delta.get("calib_hash_agg_6b"),
+            # query's ratio by it to read the drift-normalized delta.
+            # Prefer the 18B workload (lower jitter) when BOTH rounds
+            # carry it; until then the 6B ratio keeps continuity
+            "host_drift_estimate": (
+                delta.get("calib_hash_agg_18b")
+                or delta.get("calib_hash_agg_6b")
+            ),
             "ratios": delta,
             # VERDICT r8 ask #3: the same ratios with host drift
             # divided out — screen THESE for regressions; raw ratios
@@ -581,11 +605,21 @@ def main() -> None:
             # round with a calib baseline) leaves this empty.
             "ratios_drift_normalized": (
                 {
-                    q: round(r / delta["calib_hash_agg_6b"], 2)
+                    q: round(
+                        r
+                        / (
+                            delta.get("calib_hash_agg_18b")
+                            or delta["calib_hash_agg_6b"]
+                        ),
+                        2,
+                    )
                     for q, r in delta.items()
-                    if q != "calib_hash_agg_6b"
+                    if not q.startswith("calib_hash_agg")
                 }
-                if delta.get("calib_hash_agg_6b")
+                if (
+                    delta.get("calib_hash_agg_18b")
+                    or delta.get("calib_hash_agg_6b")
+                )
                 else {}
             ),
         },
