@@ -61,7 +61,7 @@ HEADLINE = [
     "sdd1_semantic_dedup",
     # R8: corpus mixing + BM25 retrieval (VERDICT r7 #1 + payload)
     "mix1_corpus_mix",
-    "ret1_bm25_topk",
+    "ret1_hybrid_topk",
     # R9: the composed pipeline's declared (audit-heavy) row — its
     # production path stays benched as x_corpus_pipeline
     "pipe1_prepare_corpus",
@@ -561,6 +561,19 @@ def main() -> None:
         for q in warm
         if isinstance(prev_warm.get(q), (int, float)) and prev_warm[q] > 0
     }
+    # Host-drift estimate, computed ONCE (R10 advice: the previous
+    # per-site `or delta["calib_hash_agg_6b"]` fallback raised KeyError
+    # if the 18B ratio was present-but-falsy after the 6B retires).
+    # Prefer the 18B workload (lower jitter) whenever both rounds
+    # carry it; the 6B ratio keeps continuity otherwise.
+    drift_est = delta.get("calib_hash_agg_18b") or delta.get(
+        "calib_hash_agg_6b"
+    )
+    drift_src = (
+        "calib_hash_agg_18b"
+        if delta.get("calib_hash_agg_18b")
+        else ("calib_hash_agg_6b" if delta.get("calib_hash_agg_6b") else None)
+    )
 
     total = round(sum(warm.values()), 3)
     doc = {
@@ -592,12 +605,10 @@ def main() -> None:
             # the calibration query touches no repo operator, so its
             # ratio is a pure host-speed estimate: divide any other
             # query's ratio by it to read the drift-normalized delta.
-            # Prefer the 18B workload (lower jitter) when BOTH rounds
-            # carry it; until then the 6B ratio keeps continuity
-            "host_drift_estimate": (
-                delta.get("calib_hash_agg_18b")
-                or delta.get("calib_hash_agg_6b")
-            ),
+            # drift_src records WHICH calibration workload produced it
+            # (18B auto-preferred once both rounds carry it, R9 ask #1)
+            "host_drift_estimate": drift_est,
+            "host_drift_source": drift_src,
             "ratios": delta,
             # VERDICT r8 ask #3: the same ratios with host drift
             # divided out — screen THESE for regressions; raw ratios
@@ -605,21 +616,11 @@ def main() -> None:
             # round with a calib baseline) leaves this empty.
             "ratios_drift_normalized": (
                 {
-                    q: round(
-                        r
-                        / (
-                            delta.get("calib_hash_agg_18b")
-                            or delta["calib_hash_agg_6b"]
-                        ),
-                        2,
-                    )
+                    q: round(r / drift_est, 2)
                     for q, r in delta.items()
                     if not q.startswith("calib_hash_agg")
                 }
-                if (
-                    delta.get("calib_hash_agg_18b")
-                    or delta.get("calib_hash_agg_6b")
-                )
+                if drift_est
                 else {}
             ),
         },

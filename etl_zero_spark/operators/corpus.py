@@ -804,8 +804,12 @@ def leakage_pairs(
     (the small side by construction — holdouts are percents), probe
     it with train via the O(train x bands) incremental path, and keep
     only pairs with exactly one member in the heldout (train-vs-train
-    pairs are dedup's business, not leakage). Ids must be disjoint
-    across the two frames (a split partition guarantees it)."""
+    pairs are dedup's business, not leakage — ``delta_vs_index_only``
+    drops that block BEFORE candidate rescoring; without it the probe
+    would pay a train-vs-train LSH self-join plus Jaccard rescore at
+    ~whole-corpus scale just to discard the pairs, R10 advice). Ids
+    must be disjoint across the two frames (a split partition
+    guarantees it)."""
     from etl_zero_spark.operators.dedup import (
         build_minhash_index,
         incremental_minhash_pairs,
@@ -813,7 +817,8 @@ def leakage_pairs(
 
     idx = build_minhash_index(heldout, text_col=text_col, id_col=id_col)
     pairs = incremental_minhash_pairs(
-        train, idx, threshold=threshold, text_col=text_col, id_col=id_col
+        train, idx, threshold=threshold, text_col=text_col, id_col=id_col,
+        delta_vs_index_only=True,
     )
     hid = heldout.select(F.col(id_col)).dropDuplicates()
     flagged = pairs.join(

@@ -1137,6 +1137,7 @@ def incremental_minhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     check_disjoint_ids: bool = False,
+    delta_vs_index_only: bool = False,
 ) -> DataFrame:
     """Near-dup pairs INVOLVING the delta batch: delta-vs-corpus plus
     delta-vs-delta, never corpus-vs-corpus — the daily-ingest shape
@@ -1153,7 +1154,15 @@ def incremental_minhash_pairs(
     semi-join probe of the index's shingle table against the delta's
     ids (limit(3) — stops after a small collision sample for the error
     message, never a full count) — opt-in because a well-formed ingest
-    already guarantees it and the probe is a per-call job."""
+    already guarantees it and the probe is a per-call job.
+
+    ``delta_vs_index_only`` drops the delta-vs-delta block before any
+    rescore work: callers that only want pairs CROSSING the boundary
+    (leakage_pairs probes the heldout index with the ~whole-corpus
+    train side, where the within-block would be a train-vs-train LSH
+    self-join whose candidates are Jaccard-rescored just to be thrown
+    away) must set it — the default keeps the daily-ingest composition
+    contract (delta+delta pairs included)."""
     if check_disjoint_ids:
         clash = (
             index.shingles.select("id")
@@ -1188,18 +1197,21 @@ def incremental_minhash_pairs(
         )
         .dropDuplicates()
     )
-    a, b = d_idx.bands.alias("a"), d_idx.bands.alias("b")
-    within = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+    if delta_vs_index_only:
+        candidates = cross
+    else:
+        a, b = d_idx.bands.alias("a"), d_idx.bands.alias("b")
+        within = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+            .dropDuplicates()
         )
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .dropDuplicates()
-    )
-    candidates = cross.unionByName(within).dropDuplicates()
+        candidates = cross.unionByName(within).dropDuplicates()
     all_sh = index.shingles.unionByName(d_idx.shingles)
     sh_a = all_sh.select(F.col("id").alias("a_id"), F.col("shingles").alias("sh_a"))
     sh_b = all_sh.select(F.col("id").alias("b_id"), F.col("shingles").alias("sh_b"))

@@ -1192,7 +1192,7 @@ def mix1_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "ret1_bm25_topk",
+    "ret1_hybrid_topk",
     "lexical + hybrid retrieval: BM25 inverted-index top-k and RRF "
     "fusion with an exact-cosine ANN candidate list "
     "(operators/retrieval.py; declared R8, widened to a tagged union "
@@ -1310,7 +1310,7 @@ def mix1_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the top-k prefixes are engine-independent (the LIMIT-total-order "
     "rule).",
 )
-def ret1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ret1_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_zero_spark.operators import retrieval
 
     docs = load_table(spark, sf_dir, "documents")

@@ -409,6 +409,39 @@ def test_incremental_equals_full_rerun(spark, sf_dir):
     assert base & inc == set()  # incremental never re-emits corpus pairs
 
 
+def test_incremental_delta_vs_index_only_drops_within_block(spark, sf_dir):
+    """delta_vs_index_only keeps exactly the boundary-crossing subset:
+    pairs with one member per side, never delta-vs-delta — the
+    leakage_pairs contract (R10 advice: without it harden_split paid a
+    train-vs-train LSH self-join + rescore at ~whole-corpus scale just
+    to discard the pairs)."""
+    from etl_zero_spark.operators.dedup import (
+        build_minhash_index,
+        incremental_minhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") < 400)
+    delta = docs.where(F.col("doc_id") >= 400)
+    t = 0.3
+
+    def pairset(df):
+        return {(r.a_id, r.b_id, r.jaccard) for r in df.collect()}
+
+    idx = build_minhash_index(corpus)
+    both = pairset(incremental_minhash_pairs(delta, idx, threshold=t))
+    cross_only = pairset(
+        incremental_minhash_pairs(
+            delta, idx, threshold=t, delta_vs_index_only=True
+        )
+    )
+    expected = {
+        p for p in both if (p[0] < 400) != (p[1] < 400)  # one member/side
+    }
+    assert cross_only == expected
+    assert cross_only <= both
+
+
 def test_extend_index_chains_days(spark, sf_dir):
     """Two delta days through extend_minhash_index reach the same pair
     universe as one big re-run."""

@@ -680,11 +680,16 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         d1m = load_table(spark, PROBE_1M_DIR, "documents")
         try:
             t = time.perf_counter()
+            # register each frame BEFORE its materializing count: if
+            # st.count() (or post.count()) raises, the already-persisted
+            # postings frame must be in the cleanup list or it survives
+            # into the 1M pipeline probe (R10 advice)
             post = retrieval.bm25_postings(d1m).persist()
+            bm25_index_frames.append(post)
             post.count()
             st = retrieval.corpus_stats(d1m).persist()
+            bm25_index_frames.append(st)
             st.count()
-            bm25_index_frames.extend([post, st])
             bm25_build_sec.append(round(time.perf_counter() - t, 2))
             queries = spark.createDataFrame(
                 [
