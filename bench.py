@@ -30,8 +30,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "j1_j6_inner_left_join",
     "j5_revenue_by_nation",
-    "a1_a2_multi_func_groupby",
-    "a3_histogram",
+    # R10 fold: a1_a2 + a3 run as one declared slot (rename rule: the
+    # folded workload is a different query, so no cross-round ratio)
+    "a1_a3_aggregate_family",
     "o3_top_k",
     "cd_acd_count_distinct",
     "w2_running_sum",

@@ -106,7 +106,7 @@ def histogram_data(df: DataFrame, col: str, bins: int = 20) -> DataFrame:
     N equal-width intervals over [min, max], RIGHT-closed (a value on
     an interior edge belongs to the bin that ends there), with the
     first edge stretched 0.1% left so the minimum lands in bin 0.
-    (Spark's ``width_bucket`` and a3_histogram use right-OPEN bins —
+    (Spark's ``width_bucket`` and the a3 histogram tranche use right-OPEN bins —
     the conventions differ exactly on edge values.)
 
     Right-closed via negation: ``width_bucket`` is right-open, so

@@ -1614,3 +1614,400 @@ def pipe1_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
     )
     return doc_rows.unionByName(stage_rows)
+
+
+# ---------------------------------------------------------------------------
+# c10: leakage-safe corpus splitting (declared R10, verdict ask #2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "split1_corpus_split",
+    "c10: leakage-safe splitting + hardening (split_corpus / "
+    "leakage_pairs / harden_split, SURVEY §2.11-c10; declared R10 per "
+    "verdict ask #2 — slot freed by the p2 -> p2_p5_p6 fold)",
+    r"""
+    WITH n AS (
+      SELECT CAST(count(*) AS BIGINT) AS base,
+             CAST(coalesce(sum(CASE WHEN doc_id % 97 = 3 THEN 1 END), 0)
+                  AS BIGINT) AS planted
+      FROM documents
+    )
+    SELECT s.split, s.frac, n.base + n.planted AS n_total,
+           TRUE AS fractions_ok, TRUE AS totality_ok,
+           TRUE AS growth_stable_ok, TRUE AS heldout_untouched_ok,
+           TRUE AS crossings_dropped_ok, TRUE AS ledger_ok
+    FROM (VALUES ('test', 0.1), ('train', 0.8), ('val', 0.1))
+         AS s(split, frac)
+    CROSS JOIN n
+    """,
+    "The split/harden tier as a hash-checked row (the mix1 "
+    "boolean-pinning pattern: xxhash64 interval assignment is not "
+    "ANSI-replayable, so the oracle recomputes what IS — the corpus "
+    "size including the planted twins — and asserts COMPUTED booleans "
+    "TRUE). Fixture plants an exact twin (same text, id+10M) for every "
+    "doc_id % 97 == 3, then splits 0.8/0.1/0.1 and hardens. Booleans, "
+    "each computed in-plan from the real frames: fractions_ok "
+    "(per-split count within 4 binomial sigmas of frac*N), totality_ok "
+    "(every row lands in exactly one named split), growth_stable_ok "
+    "(splitting the doc_id%2==0 SUBSET assigns every row identically "
+    "to the full-corpus split — the resumable-ingest property "
+    "randomSplit lacks), heldout_untouched_ok (the val/test id set "
+    "survives hardening byte-identical), crossings_dropped_ok (every "
+    "planted twin pair straddling the train/heldout boundary loses "
+    "exactly its TRAIN member — jaccard 1.0 >= 0.5 guarantees LSH "
+    "finds it), ledger_ok (harden_split's driver ledger arithmetic "
+    "train_before - dropped == train_after matches the frame counts). "
+    "Mutation-tested in tests/test_audit_mutations.py like mix1's.",
+)
+def split1_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_zero_spark.operators import corpus as corp
+
+    held = ("val", "test")
+    fractions = {"test": 0.1, "val": 0.1, "train": 0.8}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.where(F.col("doc_id") % 97 == 3).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    full = docs.unionByName(twins)
+    # localCheckpoint both audited frames (the pipe1 pattern): every
+    # boolean below aggregates over them, and without the checkpoint
+    # each aggregate would re-run the whole MinHash leakage probe —
+    # both frames are corpus-sized id/split projections, tiny at any SF
+    sp = corp.split_corpus(
+        full, fractions, id_col="doc_id", seed=11
+    ).localCheckpoint()
+    hardened, ledger = corp.harden_split(
+        sp, heldout_splits=held, threshold=0.5, collect_stats=True
+    )
+    hardened = hardened.localCheckpoint()
+
+    # every 1-row/3-row frame below broadcasts into the ledger; the
+    # corpus-scale work (the MinHash probe) ran once inside the
+    # checkpoint above
+    n_total = full.agg(F.count(F.lit(1)).alias("n_total"))
+    before = sp.groupBy("split").agg(F.count(F.lit(1)).alias("n_before"))
+    after = hardened.groupBy("split").agg(F.count(F.lit(1)).alias("n_after"))
+    fracs = spark.createDataFrame(
+        sorted(fractions.items()), "split string, frac double"
+    )
+    named_total = before.join(fracs, "split", "left_semi").agg(
+        F.coalesce(F.sum("n_before"), F.lit(0)).alias("n_named")
+    )
+    is_held_name = F.col("split").isin(*held)
+    per = (
+        fracs.join(before, "split", "left")
+        .join(after, "split", "left")
+        .withColumn("n_before", F.coalesce("n_before", F.lit(0)))
+        .withColumn("n_after", F.coalesce("n_after", F.lit(0)))
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(named_total))
+    )
+    held_counts_ok = per.agg(
+        F.bool_and(
+            F.when(is_held_name, F.col("n_after") == F.col("n_before"))
+            .otherwise(F.lit(True))
+        ).alias("held_counts_ok")
+    )
+    held_ids_kept = (
+        sp.where(is_held_name)
+        .select("doc_id")
+        .join(
+            hardened.where(is_held_name).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        .agg((F.count(F.lit(1)) == 0).alias("held_ids_kept"))
+    )
+    sub = corp.split_corpus(
+        full.where(F.col("doc_id") % 2 == 0), fractions,
+        id_col="doc_id", seed=11,
+    )
+    growth = (
+        sub.select("doc_id", F.col("split").alias("sub_split"))
+        .join(sp.select("doc_id", "split"), "doc_id")
+        .agg(
+            F.bool_and(F.col("sub_split") == F.col("split")).alias(
+                "growth_stable_ok"
+            )
+        )
+    )
+    twin_assign = sp.where(F.col("doc_id") >= 10_000_000).select(
+        (F.col("doc_id") - 10_000_000).alias("doc_id"),
+        F.col("split").alias("twin_split"),
+    )
+    crossing = twin_assign.join(
+        sp.select("doc_id", F.col("split").alias("orig_split")), "doc_id"
+    ).where(
+        F.col("twin_split").isin(*held) != F.col("orig_split").isin(*held)
+    )
+    train_member = F.when(
+        F.col("orig_split").isin(*held), F.col("doc_id") + F.lit(10_000_000)
+    ).otherwise(F.col("doc_id"))
+    crossings = (
+        crossing.select(train_member.alias("doc_id"))
+        .join(hardened.select("doc_id"), "doc_id", "left_semi")
+        .agg((F.count(F.lit(1)) == 0).alias("crossings_dropped_ok"))
+    )
+    ledger_arith_ok = (
+        ledger["train_before"] - ledger["leaked_dropped"]
+        == ledger["train_after"]
+    )
+    train_counts = (
+        sp.where(~is_held_name)
+        .agg(F.count(F.lit(1)).alias("tb"))
+        .crossJoin(
+            F.broadcast(
+                hardened.where(~is_held_name).agg(
+                    F.count(F.lit(1)).alias("ta")
+                )
+            )
+        )
+        .select(
+            (
+                (F.col("tb") == F.lit(ledger["train_before"]))
+                & (F.col("ta") == F.lit(ledger["train_after"]))
+                & F.lit(ledger_arith_ok)
+            ).alias("ledger_ok")
+        )
+    )
+    band = 4.0 * F.sqrt(
+        F.col("n_total") * F.col("frac") * (1.0 - F.col("frac"))
+    ) + F.lit(1.0)
+    return (
+        per.crossJoin(F.broadcast(held_counts_ok))
+        .crossJoin(F.broadcast(held_ids_kept))
+        .crossJoin(F.broadcast(growth))
+        .crossJoin(F.broadcast(crossings))
+        .crossJoin(F.broadcast(train_counts))
+        .select(
+            "split",
+            "frac",
+            "n_total",
+            (
+                F.abs(F.col("n_before") - F.col("frac") * F.col("n_total"))
+                <= band
+            ).alias("fractions_ok"),
+            (F.col("n_named") == F.col("n_total")).alias("totality_ok"),
+            "growth_stable_ok",
+            (F.col("held_counts_ok") & F.col("held_ids_kept")).alias(
+                "heldout_untouched_ok"
+            ),
+            "crossings_dropped_ok",
+            "ledger_ok",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality gate (declared R10, verdict ask #5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_gopher_gate",
+    "Gopher quality gate (operators/quality.py, Rae et al. 2021 "
+    "Appendix A1.1; declared R10 per verdict ask #5 — slot freed by "
+    "the a1_a2 + a3 fold): SQL-replayable battery hash-checked, greedy "
+    "dup-ngram tier pinned on planted docs",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             regexp_extract(text, '^(\S+ \S+ \S+ \S+ \S+)', 1) AS h5
+      FROM documents
+    ),
+    augd AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN text || chr(10) || h5 || chr(10) || h5
+               WHEN 1 THEN text || chr(10) || chr(10) || text
+               WHEN 2 THEN h5 || ' ' || h5 || ' ' || h5
+               ELSE text END AS aug
+      FROM base
+    ),
+    t AS (
+      SELECT doc_id, aug, CAST(len(aug) AS DOUBLE) AS chars,
+             list_filter(string_split_regex(aug, '\n+'), x -> x != '') AS lines,
+             list_filter(string_split_regex(aug, '\n{2,}'), x -> x != '') AS paras,
+             list_filter(string_split_regex(lower(aug), '\s+'), x -> x != '') AS words
+      FROM augd
+    ),
+    lstat AS (
+      SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n,
+             CAST(sum(c - 1) AS DOUBLE) AS dup_e,
+             CAST(sum((c - 1) * len(v)) AS DOUBLE) AS dup_c
+      FROM (SELECT doc_id, v, count(*) AS c
+            FROM (SELECT doc_id, unnest(lines) AS v FROM t) GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    pstat AS (
+      SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n,
+             CAST(sum(c - 1) AS DOUBLE) AS dup_e,
+             CAST(sum((c - 1) * len(v)) AS DOUBLE) AS dup_c
+      FROM (SELECT doc_id, v, count(*) AS c
+            FROM (SELECT doc_id, unnest(paras) AS v FROM t) GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    gc AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(words) - 1),
+                                         i -> words[i] || ' ' || words[i + 1])) AS g
+            FROM t WHERE len(words) >= 2)
+      GROUP BY 1, 2
+    ),
+    gtop AS (
+      SELECT doc_id, max(c * len(g)) AS score
+      FROM (SELECT *, max(c) OVER (PARTITION BY doc_id) AS mc FROM gc)
+      WHERE c = mc
+      GROUP BY 1
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(len(words) AS INT) AS n_words,
+             round(list_aggregate(list_transform(words, w -> len(w)), 'sum')
+                   / CAST(len(words) AS DOUBLE), 6) AS awl,
+             round(len(regexp_extract_all(aug, '#|\.\.\.|…'))
+                   / CAST(len(words) AS DOUBLE), 6) AS sym_ratio,
+             round(len(list_filter(lines,
+                     l -> starts_with(trim(l), '•') OR starts_with(trim(l), '‣')
+                       OR starts_with(trim(l), '▪') OR starts_with(trim(l), '-')
+                       OR starts_with(trim(l), '*')))
+                   / CAST(len(lines) AS DOUBLE), 6) AS bullet_frac,
+             round(len(list_filter(lines,
+                     l -> ends_with(trim(l), '...') OR ends_with(trim(l), '…')))
+                   / CAST(len(lines) AS DOUBLE), 6) AS ellipsis_frac,
+             round(len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+                   / CAST(len(words) AS DOUBLE), 6) AS alpha_frac,
+             CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                                  s -> list_contains(words, s))) AS INT)
+               AS stopword_hits
+      FROM t
+    ),
+    sig AS (
+      SELECT t.doc_id,
+             round(l.dup_e / l.n, 6) AS dup_line_frac,
+             round(l.dup_c / t.chars, 6) AS dup_line_char_frac,
+             round(p.dup_e / p.n, 6) AS dup_para_frac,
+             round(p.dup_c / t.chars, 6) AS dup_para_char_frac,
+             round(coalesce(g.score, 0) / t.chars, 6) AS top_2gram_char_frac
+      FROM t
+      LEFT JOIN lstat l USING (doc_id)
+      LEFT JOIN pstat p USING (doc_id)
+      LEFT JOIN gtop g USING (doc_id)
+    )
+    SELECT 'doc' AS tag, CAST(s.doc_id AS BIGINT) AS key,
+           s.dup_line_frac, s.dup_line_char_frac,
+           s.dup_para_frac, s.dup_para_char_frac, s.top_2gram_char_frac,
+           q.n_words, q.stopword_hits,
+           NOT (s.dup_line_frac > 0.30 OR s.dup_para_frac > 0.30
+                OR s.dup_line_char_frac > 0.20 OR s.dup_para_char_frac > 0.20
+                OR s.top_2gram_char_frac > 0.20
+                OR q.n_words < 20 OR q.n_words > 100000
+                OR q.awl < 3.0 OR q.awl > 10.0
+                OR q.sym_ratio > 0.10 OR q.bullet_frac > 0.90
+                OR q.ellipsis_frac > 0.30 OR q.alpha_frac < 0.80
+                OR q.stopword_hits < 1) AS keep,
+           CAST(NULL AS BOOLEAN) AS greedy_ok
+    FROM sig s JOIN q USING (doc_id)
+    UNION ALL
+    SELECT 'planted', v.key,
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BOOLEAN),
+           TRUE
+    FROM (VALUES (CAST(10000001 AS BIGINT)), (CAST(10000002 AS BIGINT)),
+                 (CAST(10000003 AS BIGINT))) AS v(key)
+    """,
+    "The published heuristic battery hash-checked end-to-end where SQL "
+    "can replay it, boolean-pinned where it can't (the cd_acd "
+    "pattern). The fixture text is single-line, so repetition is "
+    "PLANTED deterministically on both sides from doc_id: %4==0 "
+    "appends the doc's first-5-word line twice (trips dup_line_frac), "
+    "%4==1 appends the whole text as a second paragraph (trips "
+    "dup_para_* and dup_line_*), %4==2 rebuilds the doc as the 5-word "
+    "head tripled (trips top_2gram and the word-count floor), %4==3 "
+    "stays organic. The oracle replays dup line/para fractions (sorted "
+    "multiset arithmetic), the top-2-gram score with the engine's "
+    "count-then-run-score tie-break, the full quality battery "
+    "(avg word len, symbol/bullet/ellipsis/alpha ratios, stopword "
+    "hits), and the keep verdict under the declared threshold "
+    "overrides. The greedy dup-ngram scan (sequential by definition — "
+    "a repeat hit consumes n tokens) is pinned on three planted docs "
+    "whose dup_5/6gram fractions are hand-computed, including one "
+    "(abcde x3) where greedy and naive counting DIVERGE (0.62069 "
+    "greedy vs 9 repeated windows naive) — greedy_ok asserts both "
+    "values per doc. Threshold overrides (top_3/4gram and dup_ngram "
+    "tiers to 10.0 = never trip; min_words 20, min_stopword_hits 1 to "
+    "split the fixture) keep 'keep' SQL-replayable; the neutralized "
+    "tiers keep their published defaults in GOPHER_THRESHOLDS and "
+    "their own pytest oracles.",
+)
+def q1_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_zero_spark.operators import quality
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    h5 = F.regexp_extract("text", r"^(\S+ \S+ \S+ \S+ \S+)", 1)
+    m = F.col("doc_id") % 4
+    aug = (
+        F.when(m == 0, F.concat("text", F.lit("\n"), h5, F.lit("\n"), h5))
+        .when(m == 1, F.concat("text", F.lit("\n\n"), "text"))
+        .when(m == 2, F.concat(h5, F.lit(" "), h5, F.lit(" "), h5))
+        .otherwise(F.col("text"))
+    )
+    gated = quality.gopher_filter(
+        docs.withColumn("text", aug),
+        thresholds={
+            **{f"dup_{n}gram_char_frac": 10.0 for n in range(5, 11)},
+            "top_3gram_char_frac": 10.0,
+            "top_4gram_char_frac": 10.0,
+            "min_words": 20,
+            "min_stopword_hits": 1,
+        },
+    )
+    nd = F.lit(None).cast("double")
+    doc_rows = gated.select(
+        F.lit("doc").alias("tag"),
+        F.col("doc_id").cast("long").alias("key"),
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "dup_para_frac",
+        "dup_para_char_frac",
+        "top_2gram_char_frac",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("stopword_hits").cast("int").alias("stopword_hits"),
+        "keep",
+        F.lit(None).cast("boolean").alias("greedy_ok"),
+    )
+    planted = spark.createDataFrame(
+        [
+            (
+                10_000_001,
+                "alpha beta gamma delta epsilon"
+                " alpha beta gamma delta epsilon",
+                0.491803,
+                0.0,
+            ),
+            (10_000_002, "one two three four five six seven", 0.0, 0.0),
+            (10_000_003, "a b c d e a b c d e a b c d e", 0.62069, 0.37931),
+        ],
+        "doc_id long, text string, exp5 double, exp6 double",
+    )
+    psig = quality.repetition_signals(planted, top_ns=(), dup_ns=(5, 6))
+    prows = psig.join(planted.select("doc_id", "exp5", "exp6"), "doc_id").select(
+        F.lit("planted").alias("tag"),
+        F.col("doc_id").alias("key"),
+        nd.alias("dup_line_frac"),
+        nd.alias("dup_line_char_frac"),
+        nd.alias("dup_para_frac"),
+        nd.alias("dup_para_char_frac"),
+        nd.alias("top_2gram_char_frac"),
+        F.lit(None).cast("int").alias("n_words"),
+        F.lit(None).cast("int").alias("stopword_hits"),
+        F.lit(None).cast("boolean").alias("keep"),
+        (
+            (F.col("dup_5gram_char_frac") == F.col("exp5"))
+            & (F.col("dup_6gram_char_frac") == F.col("exp6"))
+        ).alias("greedy_ok"),
+    )
+    return doc_rows.unionByName(prows)

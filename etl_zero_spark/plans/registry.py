@@ -216,20 +216,15 @@ def s9_s10_sink_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.2 row-level transforms
 # --------------------------------------------------------------------------
 @query(
-    "p2_distinct_rows",
-    "P2",
-    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-    "Exact dedup via DISTINCT (transformations_code.py:78-79).",
-)
-def p2_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").dropDuplicates()
-
-
-@query(
-    "p5_p6_cleaning",
-    "P5 + P6 (incl. fuzzy tier; the R7 fold that freed a declared slot "
-    "for dd13_line_dedup — both operator ids preserved)",
+    "p2_p5_p6_cleaning",
+    "P2 + P5 + P6 (incl. fuzzy tier; the R7 fold freed a declared slot "
+    "for dd13_line_dedup, the R10 fold absorbs P2's DISTINCT to free "
+    "the slot that declares split1 — all three operator ids preserved)",
     """
+    SELECT 'p2' AS op, CAST(NULL AS BIGINT) AS key, l_returnflag AS a,
+           l_linestatus AS b, CAST(NULL AS VARCHAR) AS c
+    FROM (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem)
+    UNION ALL
     SELECT 'p5' AS op, c_custkey AS key, trim(c_name) AS a,
            trim(c_mktsegment) AS b, CAST(NULL AS VARCHAR) AS c
     FROM customer
@@ -266,14 +261,28 @@ def p2_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a tagged union on the harmonized (op, key, a, b, c) schema: "
     "'p5' rows carry (custkey, trimmed name, trimmed segment, NULL); "
     "'p6' rows carry (orderkey, std date, dirty date, re-standardized "
-    "dirty date).",
+    "dirty date). R10 adds the 'p2' tranche: the exact-dedup DISTINCT "
+    "projection (transformations_code.py:78-79) on the harmonized "
+    "schema (null key, returnflag/linestatus riding a/b).",
 )
-def p5_p6_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+def p2_p5_p6_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_zero_spark.functions.dates import (
         fuzzy_parse_date_udf,
         standardize_date_expr,
     )
 
+    li = load_table(spark, sf_dir, "lineitem")
+    p2_part = (
+        li.select("l_returnflag", "l_linestatus")
+        .dropDuplicates()
+        .select(
+            F.lit("p2").alias("op"),
+            F.lit(None).cast("long").alias("key"),
+            F.col("l_returnflag").alias("a"),
+            F.col("l_linestatus").alias("b"),
+            F.lit(None).cast("string").alias("c"),
+        )
+    )
     c = load_table(spark, sf_dir, "customer")
     p5_part = c.select(
         F.lit("p5").alias("op"),
@@ -304,7 +313,7 @@ def p5_p6_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
             standardize_date_expr(dirty), fuzzy_parse_date_udf()(dirty)
         ).alias("c"),
     )
-    return p5_part.unionByName(p6_part)
+    return p2_part.unionByName(p5_part).unionByName(p6_part)
 
 
 @query(
@@ -519,8 +528,10 @@ def j7_j8_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.4 aggregations
 # --------------------------------------------------------------------------
 @query(
-    "a1_a2_multi_func_groupby",
-    "A1+A2",
+    "a1_a3_aggregate_family",
+    "A1+A2+A3 (R10 fold absorbing the standalone histogram to free "
+    "the slot that declares q1_gopher_gate — all three operator ids "
+    "preserved, every row of all three still hash-checked)",
     """
     SELECT o_orderstatus, o_orderpriority,
            round(sum(o_totalprice), 2) AS o_totalprice_sum,
@@ -536,13 +547,26 @@ def j7_j8_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            NULL, NULL, NULL, NULL
     FROM orders
     GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'A3' AS o_orderstatus,
+           CAST(least(cast(floor((l_quantity - mn) / ((mx - mn) / 10.0)) AS int), 9)
+                AS VARCHAR) AS o_orderpriority,
+           NULL, NULL, NULL, NULL,
+           count(*) AS o_totalprice_count
+    FROM lineitem,
+         (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem)
+    WHERE l_quantity IS NOT NULL
+    GROUP BY 2
     """,
     "The reference's multi-key multi-function aggregation with "
     "{col}_{fn} flattened naming (transformations_code.py:168-184), "
     "unioned with the A2 chart-prep single-function category sum "
-    "(front_end.py:818) tagged 'ALL'.",
+    "(front_end.py:818) tagged 'ALL', and (R10 fold) the A3 "
+    "equal-width 10-bin histogram (front_end.py:798-806) tagged 'A3' "
+    "with the bin index riding the priority column and its count "
+    "riding o_totalprice_count.",
 )
-def a1_a2_multi_func_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a1_a3_aggregate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Both grouping granularities come from ONE grouping-sets pass (one
     # scan + one Expand + one shuffle); two plain groupBys would scan
     # orders twice. grouping_id: 0 = (status, priority), 1 = (status).
@@ -565,7 +589,7 @@ def a1_a2_multi_func_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shape (priority 'ALL', non-sum aggregates nulled) in place.
     is_a2 = F.col("gid") == 1
     null_if_a2 = lambda c: F.when(~is_a2, F.col(c)).alias(c)
-    return base.select(
+    a1_a2 = base.select(
         "o_orderstatus",
         F.when(is_a2, F.lit("ALL")).otherwise(F.col("o_orderpriority")).alias(
             "o_orderpriority"
@@ -576,36 +600,30 @@ def a1_a2_multi_func_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         null_if_a2("o_totalprice_max"),
         null_if_a2("o_totalprice_count"),
     )
-
-
-@query(
-    "a3_histogram",
-    "A3",
-    """
-    WITH stats AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem)
-    SELECT least(cast(floor((l_quantity - mn) / ((mx - mn) / 10.0)) AS int), 9) AS bucket,
-           count(*) AS count
-    FROM lineitem, stats
-    WHERE l_quantity IS NOT NULL
-    GROUP BY 1 ORDER BY 1
-    """,
-    "Equal-width 10-bin histogram (front_end.py:798-806): tiny stats agg "
-    "broadcast into the bucket expression; scan is pruned to one column.",
-)
-def a3_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3 tranche: equal-width 10-bin histogram — tiny stats agg
+    # broadcast into the bucket expression; scan pruned to one column.
     li = load_table(spark, sf_dir, "lineitem").select("l_quantity")
     stats = li.agg(F.min("l_quantity").alias("mn"), F.max("l_quantity").alias("mx"))
     width = (F.col("mx") - F.col("mn")) / F.lit(10.0)
     bucket = F.least(
         F.floor((F.col("l_quantity") - F.col("mn")) / width).cast("int"), F.lit(9)
     )
-    return (
+    a3 = (
         li.crossJoin(F.broadcast(stats))
         .where(F.col("l_quantity").isNotNull())
-        .groupBy(bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("count"))
-        .orderBy("bucket")
+        .groupBy(bucket.cast("string").alias("o_orderpriority"))
+        .agg(F.count(F.lit(1)).alias("o_totalprice_count"))
+        .select(
+            F.lit("A3").alias("o_orderstatus"),
+            "o_orderpriority",
+            F.lit(None).cast("double").alias("o_totalprice_sum"),
+            F.lit(None).cast("double").alias("o_totalprice_mean"),
+            F.lit(None).cast("double").alias("o_totalprice_min"),
+            F.lit(None).cast("double").alias("o_totalprice_max"),
+            "o_totalprice_count",
+        )
     )
+    return a1_a2.unionByName(a3)
 
 
 # --------------------------------------------------------------------------

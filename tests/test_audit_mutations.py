@@ -20,6 +20,7 @@ hash the gate would record.
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -264,3 +265,193 @@ def test_mix1_nested_flips_on_unstable_selection(spark, monkeypatch):
     rows = _run(spark, "mix1_corpus_mix")
     assert all(not r.nested_ok for r in rows)
     assert all(r.realized_matches for r in rows)
+
+
+# --- split1: leakage-safe splitting + hardening (R10) ------------------------
+
+
+def test_split1_fractions_flip_on_collapsed_assignment(spark, monkeypatch):
+    """An assignment bug that funnels every row into one split (e.g. a
+    cumulative-interval off-by-all) → fractions_ok FALSE on every row
+    (train overshoots its band, val/test undershoot theirs) while the
+    partition stays total (totality_ok TRUE) and the heldout booleans
+    go vacuously TRUE (there is no heldout left to damage)."""
+    from etl_zero_spark.operators import corpus as corp
+
+    def collapsed(df, fractions, id_col="doc_id", seed=42, split_col="split"):
+        return df.withColumn(split_col, F.lit("train"))
+
+    monkeypatch.setattr(corp, "split_corpus", collapsed)
+    rows = _run(spark, "split1_corpus_split")
+    assert all(not r.fractions_ok for r in rows)
+    assert all(r.totality_ok for r in rows)
+
+
+def test_split1_totality_flips_on_unnamed_split(spark, monkeypatch):
+    """Rows leaking into a split name outside the declared fractions
+    (e.g. a CASE fall-through returning a raw hash bucket) → the named
+    splits no longer sum to the corpus → totality_ok FALSE."""
+    from etl_zero_spark.operators import corpus as corp
+
+    real = corp.split_corpus
+
+    def leaky(df, fractions, id_col="doc_id", seed=42, split_col="split"):
+        out = real(df, fractions, id_col=id_col, seed=seed, split_col=split_col)
+        return out.withColumn(
+            split_col,
+            F.when(F.col(id_col) % 10 == 0, F.lit("orphan")).otherwise(
+                F.col(split_col)
+            ),
+        )
+
+    monkeypatch.setattr(corp, "split_corpus", leaky)
+    rows = _run(spark, "split1_corpus_split")
+    assert all(not r.totality_ok for r in rows)
+
+
+def test_split1_growth_stability_flips_on_state_dependent_seed(
+    spark, monkeypatch
+):
+    """An assignment whose hash leaks run state (mix1's drifting-seed
+    shape — or any rank/percentile-based splitter, which is exactly
+    what randomSplit does) assigns the doc_id%2==0 subset differently
+    from the full corpus → growth_stable_ok FALSE; the per-call
+    fractions stay uniform so fractions_ok stays TRUE."""
+    from etl_zero_spark.operators import corpus as corp
+
+    real = corp.split_corpus
+    calls = []
+
+    def drifting(df, fractions, id_col="doc_id", seed=42, split_col="split"):
+        calls.append(1)
+        return real(
+            df, fractions, id_col=id_col, seed=seed + len(calls),
+            split_col=split_col,
+        )
+
+    monkeypatch.setattr(corp, "split_corpus", drifting)
+    rows = _run(spark, "split1_corpus_split")
+    assert all(not r.growth_stable_ok for r in rows)
+    assert all(r.fractions_ok for r in rows)
+
+
+def test_split1_heldout_flips_when_hardening_touches_heldout(
+    spark, monkeypatch
+):
+    """A hardening that drops the HELDOUT member instead of (or along
+    with) the train twin — the exact bug the eval-comparability rule
+    exists to prevent — must flip heldout_untouched_ok FALSE."""
+    from etl_zero_spark.operators import corpus as corp
+
+    real = corp.harden_split
+
+    def overzealous(df, **kw):
+        out, ledger = real(df, **kw)
+        held = kw.get("heldout_splits", ("val", "test"))
+        split_col = kw.get("split_col", "split")
+        id_col = kw.get("id_col", "doc_id")
+        victim = (
+            df.where(F.col(split_col).isin(*held))
+            .select(F.min(id_col).alias("v"))
+            .collect()[0]["v"]
+        )
+        return out.where(F.col(id_col) != F.lit(victim)), ledger
+
+    monkeypatch.setattr(corp, "harden_split", overzealous)
+    rows = _run(spark, "split1_corpus_split")
+    assert all(not r.heldout_untouched_ok for r in rows)
+
+
+def test_split1_crossings_flip_when_hardening_drops_nothing(
+    spark, monkeypatch
+):
+    """A no-op hardening (dead LSH banding, empty pair feed) leaves the
+    planted cross-boundary twins' train members in place →
+    crossings_dropped_ok FALSE; the self-consistent zero ledger keeps
+    ledger_ok TRUE (the booleans must fail independently)."""
+    from etl_zero_spark.operators import corpus as corp
+
+    def noop(df, **kw):
+        held = kw.get("heldout_splits", ("val", "test"))
+        split_col = kw.get("split_col", "split")
+        tb = df.where(~F.col(split_col).isin(*held)).count()
+        return df, {
+            "train_before": tb,
+            "leaked_dropped": 0,
+            "train_after": tb,
+        }
+
+    monkeypatch.setattr(corp, "harden_split", noop)
+    rows = _run(spark, "split1_corpus_split")
+    assert all(not r.crossings_dropped_ok for r in rows)
+    assert all(r.ledger_ok for r in rows)
+    assert all(r.heldout_untouched_ok for r in rows)
+
+
+def test_split1_ledger_flips_on_miscounted_drop(spark, monkeypatch):
+    """A ledger that undercounts the dropped twins (e.g. counting
+    pairs instead of distinct condemned ids) breaks the
+    before - dropped == after arithmetic → ledger_ok FALSE while the
+    frame-level booleans stay TRUE."""
+    from etl_zero_spark.operators import corpus as corp
+
+    real = corp.harden_split
+
+    def miscounted(df, **kw):
+        out, ledger = real(df, **kw)
+        ledger = dict(ledger)
+        ledger["leaked_dropped"] = ledger["leaked_dropped"] + 1
+        return out, ledger
+
+    monkeypatch.setattr(corp, "harden_split", miscounted)
+    rows = _run(spark, "split1_corpus_split")
+    assert all(not r.ledger_ok for r in rows)
+    assert all(r.crossings_dropped_ok for r in rows)
+
+
+# --- q1: Gopher gate's greedy dup-ngram pin (R10) ----------------------------
+
+
+def test_q1_greedy_flips_on_naive_window_count(spark, monkeypatch):
+    """The classic wrong implementation — counting every repeated
+    window instead of consuming n tokens on a hit — diverges from the
+    published greedy scan exactly on the overlapping-repeat planted doc
+    (abcde x3), so at least that greedy_ok must flip FALSE; the
+    non-overlapping planted doc agrees under both definitions and
+    stays TRUE (the pin distinguishes the algorithms, not just
+    'returns numbers')."""
+    from etl_zero_spark.operators import quality
+
+    def naive_udf(ns):
+        @F.pandas_udf("array<double>")
+        def scan(texts: pd.Series) -> pd.Series:
+            out = []
+            for text in texts:
+                words = [w for w in text.lower().split() if w]
+                total = len(text)
+                fracs = []
+                for n in ns:
+                    if len(words) < n or total == 0:
+                        fracs.append(0.0)
+                        continue
+                    seen: set = set()
+                    repeated = 0
+                    for i in range(len(words) - n + 1):
+                        gram = " ".join(words[i : i + n])
+                        if gram in seen:
+                            repeated += len(gram)
+                        else:
+                            seen.add(gram)
+                    fracs.append(round(repeated / total, 6))
+                out.append(fracs)
+            return pd.Series(out)
+
+        return scan
+
+    monkeypatch.setattr(quality, "_dup_ngram_udf", naive_udf)
+    rows = _run(spark, "q1_gopher_gate")
+    planted = [r for r in rows if r.tag == "planted"]
+    assert len(planted) == 3
+    flipped = {r.key: r.greedy_ok for r in planted}
+    assert flipped[10_000_003] is False  # overlapping repeats diverge
+    assert flipped[10_000_002] is True  # no repeats: both agree
