@@ -313,6 +313,38 @@ class RuleBasedGenerator:
         # transfer to q.
         q_main = raw_where.lower() if hv else q
 
+        # R10 (VERDICT r9 #3): a bare mass-noun metric with a stated
+        # grouping implies SUM — 'revenue per part name' previously
+        # fell through every aggregate branch (no agg word) and dumped
+        # SELECT * with the stated grouping silently dropped. Only the
+        # unambiguous revenue/sales nouns, only when no aggregate word
+        # is already stated, and only with an explicit grouping cue
+        # ('sorted by' stays a sort, bare 'by' stays untouched).
+        if (
+            re.search(
+                r"\b(?:revenue|sales)\b.*"
+                r"\b(?:per|for\s+each|for\s+every|in\s+each|grouped\s+by)\b",
+                q_main,
+            )
+            and not any(
+                re.search(rf"\b{w}\b", q_main) for w in self._AGGS
+            )
+        ):
+            q_main = f"total {q_main}"
+
+        # R10 probe: a DISJUNCTIVE grouping ('count of orders per part
+        # name or orderstatus') is not expressible as a GROUP BY —
+        # every branch would keep the first group and silently drop
+        # the stated alternative; refuse globally (bare 'by' stays
+        # untouched so 'top 3 orders by totalprice or quantity' keeps
+        # its own branch's handling).
+        if re.search(
+            r"\b(?:per|for\s+each|for\s+every|in\s+each|grouped\s+by)"
+            r"\s+\w+(?:\s+\w+)?(?:\s+and\s+\w+(?:\s+\w+)?)?\s+or\b",
+            q_main,
+        ):
+            return ""
+
         # R8 (ADVICE r7 #1): a stated existence constraint ('without
         # orders', 'that have orders') is detected BEFORE the count/agg
         # branches — they previously answered 'how many customers
@@ -434,7 +466,7 @@ class RuleBasedGenerator:
             # too (second review pass — it was silently dropped).
             g = re.search(
                 r"\b(?:by|per|for each|for every|in each|grouped by)\s+(\w+)"
-                r"(?:\s+(?!and\b|where\b|in\b|with\b|without\b|having\b|between\b|sorted\b|ordered\b)(\w+))?"
+                r"(?:\s+(?!and\b|or\b|where\b|in\b|with\b|without\b|having\b|between\b|sorted\b|ordered\b)(\w+))?"
                 r"(?:\s+and\s+(\w+))?",
                 q_main,
             )
@@ -451,7 +483,7 @@ class RuleBasedGenerator:
                 if hit is None:
                     hit = self._resolve_foreign_group(g.group(1), table, schema)
                 if hit:
-                    other, gcol, join_sql, galias, mid = hit
+                    other, gcol, join_sql, galias, mid, fan_pk = hit
                     second, loc = "", None
                     if g.group(3):
                         loc = self._resolve_column(g.group(3), cols)
@@ -470,8 +502,13 @@ class RuleBasedGenerator:
                     )
                     if osql is None:
                         return ""
+                    # R10 (VERDICT r9 #3): a fan-out bridge duplicates
+                    # each base row once per bridge row — 'count of
+                    # orders per part name' through lineitem counts
+                    # DISTINCT base keys, never join rows
+                    cnt = f"COUNT(DISTINCT t1.{fan_pk})" if fan_pk else "COUNT(*)"
                     return (
-                        f"SELECT {galias}.{gcol}{second}, COUNT(*) AS n "
+                        f"SELECT {galias}.{gcol}{second}, {cnt} AS n "
                         f"FROM {table} t1{join_sql}{jwhere} "
                         f"GROUP BY {galias}.{gcol}{second}{osql}"
                     )
@@ -531,11 +568,19 @@ class RuleBasedGenerator:
                 # customer). An unresolvable target, an ambiguous
                 # walk, or an existence constraint still refuses.
                 other = self._table_mention(m.group(2), table, schema)
-                steps = None
+                steps, fanned = None, False
                 if other:
                     steps = self._oriented_walk(
                         table, other, schema, "child"
                     )
+                    if steps is None:
+                        # R10 (VERDICT r9 #3): 'which part has the
+                        # most orders' rides the fan-out bridge —
+                        # target rows repeat once per bridge row, so
+                        # the count below goes DISTINCT
+                        fan = self._fanout_walk(table, other, schema)
+                        if fan is not None:
+                            steps, fanned = fan[0], True
                 if steps and not ex:
                     gcols = ", ".join(f"t1.{c}" for c in cols)
                     last = f"t{len(steps) + 1}"
@@ -586,9 +631,14 @@ class RuleBasedGenerator:
                         join_sql += f" LEFT JOIN {tbl} t{i} ON {on}"
                         prev = f"t{i}"
                     cnt = steps[-1][2]
+                    cexpr = (
+                        f"COUNT(DISTINCT {last}.{cnt})"
+                        if fanned
+                        else f"COUNT({last}.{cnt})"
+                    )
                     jwhere = f" WHERE {' AND '.join(t1c)}" if t1c else ""
                     return (
-                        f"SELECT {gcols}, COUNT({last}.{cnt}) AS n "
+                        f"SELECT {gcols}, {cexpr} AS n "
                         f"FROM {table} t1{join_sql}"
                         f"{jwhere} GROUP BY {gcols} "
                         f"ORDER BY n {d} LIMIT 1"
@@ -739,14 +789,24 @@ class RuleBasedGenerator:
                     target, schema
                 ):
                     continue
-                col = self._resolve_column(target, cols)
-                if col is None:
+                r_local = self._resolve_column_tiered(target, cols)
+                col = r_local[0] if r_local else None
+                # R10: a non-deterministic LOCAL hit no longer blocks
+                # the rebase — 'revenue per part name' resolved
+                # p_retailprice via the generic 'price' synonym (tier
+                # 2) on the part table and self-grouped, while orders
+                # owns the stated metric at tier 1; the rebase now runs
+                # whenever a foreign owner is STRICTLY more confident
+                # (deterministic local hits, tier 0, never rebase)
+                if col is None or r_local[1] > 0:
                     rebased = self._rebased_agg(
                         q_main, raw_where, target, m.group(3), fn,
                         table, schema, hv, ex,
+                        max_tier=(r_local[1] - 1) if r_local else None,
                     )
                     if rebased is not None:
                         return rebased
+                if col is None:
                     agg_stated = True
                     continue
                 # R7: '<agg> <col> as <name>' names the output column
@@ -783,7 +843,7 @@ class RuleBasedGenerator:
                 # the inferred o_custkey = c_custkey).
                 g = re.search(
                     r"\b(?:by|per|for each|for every|in each|grouped by)\s+(\w+)"
-                    r"(?:\s+(?!and\b|where\b|in\b|with\b|without\b|having\b|between\b|sorted\b|ordered\b)(\w+))?"
+                    r"(?:\s+(?!and\b|or\b|where\b|in\b|with\b|without\b|having\b|between\b|sorted\b|ordered\b)(\w+))?"
                     r"(?:\s+and\s+(\w+))?",
                     q_main,
                 )
@@ -800,7 +860,7 @@ class RuleBasedGenerator:
                             g.group(1), table, schema
                         )
                     if hit:
-                        other, gcol, join_sql, galias, mid = hit
+                        other, gcol, join_sql, galias, mid, fan_pk = hit
                         # a second stated group must resolve in the
                         # base table or the question refuses (it was
                         # silently dropped — second review pass)
@@ -826,11 +886,9 @@ class RuleBasedGenerator:
                         )
                         if osql is None:
                             return ""
-                        return (
-                            f"SELECT {galias}.{gcol}{second}, "
-                            f"{fn}(t1.{col}) AS {alias} "
-                            f"FROM {table} t1{join_sql}{jwhere} "
-                            f"GROUP BY {galias}.{gcol}{second}{osql}"
+                        return self._render_foreign_agg(
+                            fn, col, alias, table, gcol, galias,
+                            join_sql, jwhere, osql, fan_pk, loc,
                         )
                     # a stated grouping that resolves NOWHERE (incl. an
                     # ambiguous key pair) refuses, mirroring the count
@@ -1178,7 +1236,7 @@ class RuleBasedGenerator:
         a non-resolving <col> refuses rather than falls back."""
         m = re.search(
             r"\b(?:by|per|for each|for every|in each|grouped by)\s+(\w+)"
-            r"(?:\s+(?!and\b|where\b|in\b|with\b|without\b|having\b"
+            r"(?:\s+(?!and\b|or\b|where\b|in\b|with\b|without\b|having\b"
             r"|between\b|sorted\b|ordered\b|limit\b)(\w+))?"
             r"(?:\s+and\s+(\w+))?",
             q,
@@ -1357,6 +1415,21 @@ class RuleBasedGenerator:
             src, dst, direct[2], direction, schema
         ):
             return [(dst, direct[0], direct[1])]
+        hop = self._two_hop(src, dst, schema, direction, direction)
+        if hop is None:
+            return None
+        mid, e1, e2 = hop
+        return [(mid, e1[0], e1[1]), (dst, e2[0], e2[1])]
+
+    def _two_hop(
+        self, src: str, dst: str, schema: dict, dir1: str, dir2: str
+    ) -> tuple[str, tuple, tuple] | None:
+        """The UNIQUE 2-hop bridge src -> mid -> dst with each hop
+        oriented as asked — the one enumeration shared by _fk_path
+        (direction, direction) and _fanout_walk ('child', 'parent');
+        R10 review: two copies of this loop would let a future edge-
+        rule tightening silently apply to only one walk. Zero or
+        several bridges -> None (ambiguity refuses)."""
         paths = []
         for mid in schema:
             if mid in (src, dst):
@@ -1366,14 +1439,11 @@ class RuleBasedGenerator:
             if (
                 e1 is not None
                 and e2 is not None
-                and self._edge_dir_ok(src, mid, e1[2], direction, schema)
-                and self._edge_dir_ok(mid, dst, e2[2], direction, schema)
+                and self._edge_dir_ok(src, mid, e1[2], dir1, schema)
+                and self._edge_dir_ok(mid, dst, e2[2], dir2, schema)
             ):
                 paths.append((mid, e1, e2))
-        if len(paths) != 1:
-            return None
-        mid, e1, e2 = paths[0]
-        return [(mid, e1[0], e1[1]), (dst, e2[0], e2[1])]
+        return paths[0] if len(paths) == 1 else None
 
     @staticmethod
     def _render_fk_joins(
@@ -1495,7 +1565,7 @@ class RuleBasedGenerator:
     def _rebased_agg(
         self, q_main: str, raw_where: str, metric_word: str,
         alias_word: str | None, fn: str, table: str,
-        schema: dict, hv, ex,
+        schema: dict, hv, ex, max_tier: int | None = None,
     ) -> str | None:
         """'total revenue per customer name' resolves its TABLE
         mention to customer, but the metric column lives in orders —
@@ -1504,9 +1574,17 @@ class RuleBasedGenerator:
         through the J3-inferred key pair (R8, VERDICT r7 #5). None
         unless the metric owner is unambiguous AND the stated group
         resolves in the mentioned table — the caller keeps scanning
-        (and ultimately refuses or falls back) rather than guessing."""
-        if hv or ex:
-            return None  # HAVING/existence scope is ambiguous across the join
+        (and ultimately refuses or falls back) rather than guessing.
+        ``max_tier`` (R10): when the caller already holds a LOCAL
+        reading, the rebase only fires if the foreign owner is at
+        least this confident — strictly better than the local tier —
+        so a deterministic local column is never overridden and ties
+        keep the local reading. A HAVING/existence question whose
+        metric a foreign table owns at that strictly-better tier
+        REFUSES ('' — the subquery scope is ambiguous across the
+        join) rather than shipping the weaker local guess the caller
+        holds (R10 review: 'revenue per part name having count over
+        5' summed p_retailprice)."""
         owners = []
         for t, ocols in schema.items():
             if t == table:
@@ -1521,13 +1599,22 @@ class RuleBasedGenerator:
             # l_extendedprice — guesses must not veto the stated
             # reading, R9). Ties WITHIN the best tier stay ambiguous.
             best = min(o[2] for o in owners)
+            if max_tier is not None and best > max_tier:
+                return None  # the local reading is at least as confident
             owners = [o for o in owners if o[2] == best]
+        if hv or ex:
+            # HAVING/existence scope is ambiguous across the join: no
+            # rebase renders. With a vetoed local reading (max_tier
+            # set) and a foreign owner that outranks it, refuse;
+            # otherwise leave the caller's flow untouched.
+            return "" if (max_tier is not None and len(owners) == 1) else None
         if len(owners) != 1:
             return None
         base, col = owners[0][0], owners[0][1]
         g = re.search(
             r"\b(?:by|per|for each|for every|in each|grouped by)\s+(\w+)"
-            r"(?:\s+(?!and\b|where\b|in\b|with\b|without\b|having\b|between\b|sorted\b|ordered\b)(\w+))?",
+            r"(?:\s+(?!and\b|or\b|where\b|in\b|with\b|without\b|having\b|between\b|sorted\b|ordered\b)(\w+))?"
+            r"(?:\s+and\s+(\w+))?",
             q_main,
         )
         if not g:
@@ -1541,10 +1628,19 @@ class RuleBasedGenerator:
             gcol = self._resolve_column(g.group(1), schema[table])
         if gcol is None:
             return None
+        # a stated SECOND group must resolve in the metric owner (the
+        # t1 side after the rebase) or the question refuses — it was
+        # silently dropped before (R10 review; mirrors the agg/count
+        # branches' contract)
+        loc = None
+        if g.group(3):
+            loc = self._resolve_column(g.group(3), schema[base])
+            if loc is None:
+                return ""
         join = self._foreign_join(base, table, schema)
         if join is None:
             return None
-        join_sql, galias, mid = join
+        join_sql, galias, mid, fan_pk = join
         alias = alias_word or f"{col}_{fn.lower()}"
         jwhere = self._where_clause(
             raw_where, schema[base], prefix="t1.", cols2=schema[table],
@@ -1553,43 +1649,110 @@ class RuleBasedGenerator:
             prefix3="t2.",
         )
         osql = self._join_group_order(
-            q_main, (metric_word,), alias, gcol, schema[table], None,
+            q_main, (metric_word,), alias, gcol, schema[table], loc,
             schema[base], galias=galias,
         )
         if osql is None:
             return ""
-        return (
-            f"SELECT {galias}.{gcol}, {fn}(t1.{col}) AS {alias} "
-            f"FROM {base} t1{join_sql}{jwhere} "
-            f"GROUP BY {galias}.{gcol}{osql}"
+        return self._render_foreign_agg(
+            fn, col, alias, base, gcol, galias, join_sql, jwhere, osql,
+            fan_pk, loc,
         )
+
+    def _render_foreign_agg(
+        self, fn: str, col: str, alias: str, table: str, gcol: str,
+        galias: str, join_sql: str, jwhere: str, osql: str,
+        fan_pk: str | None, loc: str | None = None,
+    ) -> str:
+        """The grouped foreign-join aggregate, fan-out-aware (R10,
+        VERDICT r9 #3; one renderer shared by the agg branch and the
+        rebase branch so the dedup rule cannot drift between them).
+        On a plain parent walk — and for MIN/MAX, which are duplicate-
+        insensitive, on any walk — the straight join renders. SUM/AVG
+        over a fanning bridge first collapse the duplication with a
+        DISTINCT (base_pk, group, metric[, local group]) pre-aggregate:
+        each base row contributes its metric ONCE per group it
+        reaches, however many bridge rows carried it there ('revenue
+        per part name' sums each order's totalprice once per part,
+        not once per lineitem). A name collision inside the distinct
+        projection refuses — aliasing apart would invent output
+        names the asker never stated."""
+        second = f", t1.{loc}" if loc else ""
+        if not fan_pk or fn in ("MIN", "MAX"):
+            return (
+                f"SELECT {galias}.{gcol}{second}, {fn}(t1.{col}) AS {alias} "
+                f"FROM {table} t1{join_sql}{jwhere} "
+                f"GROUP BY {galias}.{gcol}{second}{osql}"
+            )
+        inner = [fan_pk, gcol, col] + ([loc] if loc else [])
+        if len(set(inner)) != len(inner):
+            return ""
+        vsecond = f", v.{loc}" if loc else ""
+        vosql = osql.replace(f"{galias}.", "v.").replace("t1.", "v.")
+        inner_sel = f"t1.{fan_pk}, {galias}.{gcol}{second}, t1.{col}"
+        return (
+            f"SELECT v.{gcol}{vsecond}, {fn}(v.{col}) AS {alias} FROM "
+            f"(SELECT DISTINCT {inner_sel} "
+            f"FROM {table} t1{join_sql}{jwhere}) v "
+            f"GROUP BY v.{gcol}{vsecond}{vosql}"
+        )
+
+    def _fanout_walk(
+        self, table: str, other: str, schema: dict
+    ) -> tuple[list[tuple[str, str, str]], str] | None:
+        """The unique child-then-parent 2-hop — the star-schema
+        fan-out path ('orders per part name' walks orders ->
+        lineitem -> part: the first hop LEAVES the base's own key so
+        base rows fan out across the bridge, the second lands on the
+        group's owner). Returns ``(steps, base_pk)`` where ``base_pk``
+        is the base-side key of the fanning edge (o_orderkey) — the
+        column whose DISTINCT collapses the fan-out so COUNT/SUM over
+        base rows stay correct (R10, VERDICT r9 #3: these questions
+        previously refused). Ambiguity (zero or several bridges)
+        still returns None -> refuse."""
+        hop = self._two_hop(table, other, schema, "child", "parent")
+        if hop is None:
+            return None
+        mid, e1, e2 = hop
+        return ([(mid, e1[0], e1[1]), (other, e2[0], e2[1])], e1[0])
 
     def _foreign_join(
         self, table: str, other: str, schema: dict
-    ) -> tuple[str, str, str | None] | None:
-        """``(join_sql, group_alias, mid_table)`` walking ``table`` to
-        ``other``: the FK-stem path (1 or 2 hops, R9) first; the
-        legacy name-similarity single pair only as a fallback and only
-        when it is not a mismatched pair of two KEY columns — that
-        shape (l_partkey = c_nationkey) is how name similarity invents
-        joins (R9 full-schema probe). ``mid_table`` names the
-        intermediate table of a 2-hop walk (None on one hop) so
-        callers can resolve stated filters against it too."""
+    ) -> tuple[str, str, str | None, str | None] | None:
+        """``(join_sql, group_alias, mid_table, fan_pk)`` walking
+        ``table`` to ``other``: the FK-stem path (1 or 2 hops, R9)
+        first; the legacy name-similarity single pair only as a
+        fallback and only when it is not a mismatched pair of two KEY
+        columns — that shape (l_partkey = c_nationkey) is how name
+        similarity invents joins (R9 full-schema probe). ``mid_table``
+        names the intermediate table of a 2-hop walk (None on one hop)
+        so callers can resolve stated filters against it too.
+        ``fan_pk`` is non-None when only the FAN-OUT bridge reaches
+        ``other`` (R10): the caller MUST then de-duplicate base rows —
+        COUNT(DISTINCT fan_pk) or the distinct pre-aggregate — or
+        refuse; rendering the plain aggregate would double-count."""
         steps = self._oriented_walk(table, other, schema, "parent")
+        fan_pk = None
         if steps is None:
-            return None
+            fan = self._fanout_walk(table, other, schema)
+            if fan is None:
+                return None
+            steps, fan_pk = fan
         join_sql, galias = self._render_fk_joins(steps)
         mid = steps[0][0] if len(steps) == 2 else None
-        return (join_sql, galias, mid)
+        return (join_sql, galias, mid, fan_pk)
 
     def _resolve_foreign_group(
         self, word: str, table: str, schema: dict, second: str | None = None
-    ) -> tuple[str, str, str, str, str | None] | None:
-        """(other_table, group_col, join_sql, group_alias, mid) when
-        ``word`` resolves in exactly one OTHER table and an FK walk
-        reaches it — one hop ('per mktsegment'), or two through the
-        stem-keyed schema walk ('per nation name' from orders goes
-        through customer, R9). With ``second``, the two-word form
+    ) -> tuple[str, str, str, str, str | None, str | None] | None:
+        """(other_table, group_col, join_sql, group_alias, mid,
+        fan_pk) when ``word`` resolves in exactly one OTHER table and
+        an FK walk reaches it — one hop ('per mktsegment'), or two
+        through the stem-keyed schema walk ('per nation name' from
+        orders goes through customer, R9), or the fan-out bridge
+        ('per part name' from orders through lineitem, R10 —
+        ``fan_pk`` then carries the base key the caller must
+        de-duplicate on). With ``second``, the two-word form
         ``<table> <col>`` ('per customer name' -> customer.c_name) —
         the reference demo's richest shape (R8); None when either
         mention fails, so the caller falls back to the single-word
@@ -1604,7 +1767,7 @@ class RuleBasedGenerator:
             join = self._foreign_join(table, other, schema)
             if join is None:
                 return None
-            return (other, gcol, join[0], join[1], join[2])
+            return (other, gcol, *join)
         candidates = []
         for other, ocols in schema.items():
             if other == table:
@@ -1618,7 +1781,7 @@ class RuleBasedGenerator:
         join = self._foreign_join(table, other, schema)
         if join is None:
             return None
-        return (other, gcol, join[0], join[1], join[2])
+        return (other, gcol, *join)
 
     def _sort_mention(self, q: str) -> tuple[str, str] | None:
         """The stated sort, if any: (word, ' DESC'/' ASC'/'')."""
@@ -1812,21 +1975,27 @@ class RuleBasedGenerator:
         def free(s: int, e: int) -> bool:
             return all(e <= fs or s >= fe for fs, fe, _ in found)
 
-        def q_col(word: str) -> str | None:
-            """Qualified column name for a mention — base table first,
-            then the joined tables in walk order."""
+        def q_best(word: str) -> tuple[str, str, dict] | None:
+            """(prefix, column, scope) for a mention, confidence-tiered
+            ACROSS the walk's tables (R10 probe: 'where retailprice
+            over 1500' on the orders->lineitem->part walk fuzzy-hit
+            o_totalprice because the base scope was tried first —
+            the part side owns the word at tier 0). Strictly better
+            tier wins; ties keep the earlier scope (base first)."""
+            best: tuple[int, str, str, dict] | None = None
             for sc, pf in scopes:
-                c = self._resolve_column(word, sc)
-                if c is not None:
-                    return f"{pf}{c}"
-            return None
+                r = self._resolve_column_tiered(word, sc)
+                if r is not None and (best is None or r[1] < best[0]):
+                    best = (r[1], pf, r[0], sc)
+            return (best[1], best[2], best[3]) if best else None
+
+        def q_col(word: str) -> str | None:
+            b = q_best(word)
+            return f"{b[0]}{b[1]}" if b else None
 
         def q_type(word: str) -> str | None:
-            for sc, _ in scopes:
-                c = self._resolve_column(word, sc)
-                if c is not None:
-                    return sc.get(c)
-            return None
+            b = q_best(word)
+            return b[2].get(b[1]) if b else None
 
         def q_date(word: str | None) -> str | None:
             for sc, pf in scopes:

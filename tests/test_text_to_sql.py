@@ -1257,17 +1257,166 @@ def test_generator_two_hop_count_superlative_left_joins():
 
 
 def test_generator_walk_direction_refusals():
-    """Walks that would fan out or rely on a key pun refuse instead of
-    miscounting (R9 full-schema probe): counting orders per part rides
-    the fanning lineitem hop (double-counts multi-line orders); the
+    """Walks that rely on a key pun or exceed the bounded depth refuse
+    instead of miscounting (R9 full-schema probe): the
     customer~supplier nationkey pair is a same-parent equi-join, not
-    an FK; a superlative whose walk needs a parent-direction step
-    would count join rows, not target rows."""
-    assert _gen_full("count of orders per part name") == ""
+    an FK; region is three hops from orders. The FAN-OUT walks these
+    asserts used to pin as refusals are now ANSWERED with the
+    de-duplicated forms (R10, VERDICT r9 #3) — see the fan-out tests
+    below."""
     assert _gen_full("number of suppliers per customer name") == ""
-    assert _gen_full("which part has the most orders") == ""
     # three hops away stays out of the bounded walk
     assert _gen_full("number of orders per region name") == ""
+    # no 2-hop bridge exists customer -> part either (it needs three)
+    assert _gen_full("count of customers per part name") == ""
+
+
+def test_generator_fanout_count_distinct():
+    """'count of orders per part name' rides the fanning lineitem
+    bridge with COUNT(DISTINCT base key) — counting join rows would
+    double-count multi-line orders (R10, VERDICT r9 #3; the R9 refusal
+    upgraded to the correct answer)."""
+    assert _gen_full("count of orders per part name") == (
+        "SELECT t3.p_name, COUNT(DISTINCT t1.o_orderkey) AS n "
+        "FROM orders t1 "
+        "JOIN lineitem t2 ON t1.o_orderkey = t2.l_orderkey "
+        "JOIN part t3 ON t2.l_partkey = t3.p_partkey "
+        "GROUP BY t3.p_name"
+    )
+    # a base-side filter still renders in the WHERE
+    out = _gen_full(
+        "count of orders per part brand where orderstatus is F"
+    )
+    assert "COUNT(DISTINCT t1.o_orderkey)" in out
+    assert "WHERE t1.o_orderstatus = 'F'" in out
+
+
+def test_generator_fanout_sum_preaggregates():
+    """SUM/AVG through the fan-out bridge first collapse the
+    duplication with a DISTINCT (base_pk, group, metric) subquery —
+    each order's totalprice counts once per part it reaches, not once
+    per lineitem; MIN/MAX are duplicate-insensitive and keep the plain
+    join (R10)."""
+    assert _gen_full("total revenue per part name") == (
+        "SELECT v.p_name, SUM(v.o_totalprice) AS o_totalprice_sum "
+        "FROM (SELECT DISTINCT t1.o_orderkey, t3.p_name, t1.o_totalprice "
+        "FROM orders t1 "
+        "JOIN lineitem t2 ON t1.o_orderkey = t2.l_orderkey "
+        "JOIN part t3 ON t2.l_partkey = t3.p_partkey) v "
+        "GROUP BY v.p_name"
+    )
+    mn = _gen_full("min totalprice per part name")
+    assert "SELECT DISTINCT" not in mn
+    assert "MIN(t1.o_totalprice)" in mn
+
+
+def test_generator_fanout_bare_revenue_implies_sum():
+    """A bare mass-noun metric with a stated grouping implies SUM —
+    'revenue per part name' previously fell through every aggregate
+    branch and dumped SELECT * FROM part with the stated metric AND
+    grouping silently dropped (R10 probe)."""
+    out = _gen_full("revenue per part name")
+    assert out.startswith("SELECT v.p_name, SUM(v.o_totalprice)")
+    # ...but a sort mention alone must not imply aggregation
+    assert _gen_full("revenue sorted by totalprice") == (
+        "SELECT * FROM orders ORDER BY o_totalprice"
+    )
+
+
+def test_generator_fanout_superlative_counts_distinct():
+    """'which part has the most orders' walks the fan-out bridge and
+    ranks by COUNT(DISTINCT target key) — join-row counting would rank
+    by lineitem count; LEFT JOINs keep zero-order parts reachable for
+    'fewest' (R10; the R9 refusal upgraded)."""
+    out = _gen_full("which part has the fewest orders in 1995")
+    assert "COUNT(DISTINCT t3.o_orderkey) AS n" in out
+    assert "LEFT JOIN lineitem t2 ON t1.p_partkey = t2.l_partkey" in out
+    assert (
+        "LEFT JOIN orders t3 ON t2.l_orderkey = t3.o_orderkey "
+        "AND YEAR(t3.o_orderdate) = 1995" in out
+    )
+    assert out.endswith("ORDER BY n ASC LIMIT 1")
+
+
+def test_generator_filter_side_resolution_is_tiered():
+    """A filter mention owned by a JOINED walk table at tier 0 must
+    not fuzzy-resolve against the base table first: 'retailprice over
+    1500' on the orders->lineitem->part walk rendered
+    t1.o_totalprice > 1500 before (R10 probe) — the stated column
+    exists, two hops away."""
+    out = _gen_full(
+        "count of orders per part name where retailprice over 1500"
+    )
+    assert "WHERE t3.p_retailprice > 1500" in out
+    # a mid-table filter keeps resolving against the bridge
+    out = _gen_full(
+        "count of orders per part name where quantity over 30"
+    )
+    assert "WHERE t2.l_quantity > 30" in out
+
+
+def test_generator_disjunctive_grouping_refuses():
+    """'per part name or orderstatus' is not expressible as a GROUP
+    BY — every branch kept the first group and silently dropped the
+    stated alternative (R10 probe); condition-level OR is unaffected."""
+    assert _gen_full("count of orders per part name or orderstatus") == ""
+    assert _gen_full(
+        "count of orders per orderpriority or orderstatus"
+    ) == ""
+    assert _gen_full(
+        "orders where orderstatus is F or orderstatus is O"
+    ) == (
+        "SELECT * FROM orders "
+        "WHERE o_orderstatus = 'F' OR o_orderstatus = 'O'"
+    )
+
+
+def test_generator_vetoed_local_with_having_or_existence_refuses():
+    """When a foreign owner outranks the local metric reading but
+    HAVING/existence scope blocks the rebase, the question REFUSES
+    instead of shipping the weaker local guess — 'revenue per part
+    name having count over 5' summed p_retailprice (R10 review)."""
+    assert _gen_full("revenue per part name having count over 5") == ""
+    assert _gen_full("revenue per part name that have lineitems") == ""
+    # a deterministic local reading keeps its HAVING branch
+    out = _gen_full(
+        "total totalprice per orderstatus having count over 100"
+    )
+    assert "HAVING COUNT(*) > 100" in out and "o_totalprice" in out
+
+
+def test_generator_rebased_second_group_renders_or_refuses():
+    """A stated second grouping on the REBASE path must render (in the
+    metric owner) or refuse — it was silently dropped while the
+    equivalent count question kept it (R10 review)."""
+    out = _gen_full("total totalprice per part name and orderstatus")
+    assert "v.o_orderstatus" in out
+    assert "GROUP BY v.p_name, v.o_orderstatus" in out
+    assert _gen_full(
+        "total totalprice per part name and frobnication"
+    ) == ""
+
+
+def test_generator_disjunct_after_second_group_refuses():
+    """'per A and B or C' escaped the narrow disjunctive guard and
+    dropped the 'or C' alternative (R10 review)."""
+    assert _gen_full(
+        "count of orders per orderstatus and totalprice or orderdate"
+    ) == ""
+
+
+def test_generator_rebase_prefers_more_confident_foreign_owner():
+    """A non-deterministic LOCAL metric hit no longer blocks the
+    rebase: on the part table 'revenue' hit p_retailprice through the
+    generic 'price' synonym (tier 2) and self-grouped, while orders
+    owns the stated metric at tier 1 (R10). A deterministic local
+    column still wins outright."""
+    out = _gen_full("total totalprice per part name")
+    assert "SUM(v.o_totalprice)" in out  # fuzzy local lost to tier-0 foreign
+    assert _gen_full("total retailprice per part name") == (
+        "SELECT p_name, SUM(p_retailprice) AS p_retailprice_sum "
+        "FROM part GROUP BY p_name"
+    )
 
 
 def test_generator_self_qualified_group_two_words():
