@@ -142,20 +142,37 @@ PROBE_1M_DIR = os.path.join(
 )
 N_DOCS_1M = 1_000_000
 
+#: 4M-doc corpus (R10, VERDICT r9 #4): the second point of the
+#: pipeline-linearity claim — 1M docs is two orders below the design
+#: point's per-executor share, so the claim needs a 4x row.
+PROBE_4M_DIR = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), "etlzero_scale_probe_4m"
+)
+N_DOCS_4M = 4_000_000
 
-def generate_1m(spark, out_dir: str = PROBE_1M_DIR, parts: int = 32) -> str:
-    """Documents-only 1M corpus (VERDICT r7 #3); idempotent."""
+
+def _generate_docs_only(spark, out_dir: str, n_docs: int, parts: int) -> str:
     marker = os.path.join(out_dir, "_COMPLETE")
     if os.path.exists(marker):
         return out_dir
     t0 = time.perf_counter()
     _write(
-        _salad_documents(spark, N_DOCS_1M, parts),
+        _salad_documents(spark, n_docs, parts),
         os.path.join(out_dir, "documents.parquet"),
     )
     with open(marker, "w") as fh:
         fh.write(f"generated in {time.perf_counter() - t0:.1f}s\n")
     return out_dir
+
+
+def generate_1m(spark, out_dir: str = PROBE_1M_DIR, parts: int = 32) -> str:
+    """Documents-only 1M corpus (VERDICT r7 #3); idempotent."""
+    return _generate_docs_only(spark, out_dir, N_DOCS_1M, parts)
+
+
+def generate_4m(spark, out_dir: str = PROBE_4M_DIR, parts: int = 32) -> str:
+    """Documents-only 4M corpus (R10); idempotent."""
+    return _generate_docs_only(spark, out_dir, N_DOCS_4M, parts)
 
 
 def generate(spark, out_dir: str = PROBE_DIR, parts: int = 32) -> str:
@@ -271,7 +288,10 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
     of running — the bench artifact's existence outranks probe
     completeness (the r3 lesson: a bench that dies emits nothing)."""
     if budget_s is None:
-        budget_s = float(os.environ.get("SPARK_GRAFT_PROBE_BUDGET", "1300"))
+        # R10: +300s over the r9 default for the corpus_pipeline_4m
+        # linearity row (its own cost gate skips it when the window
+        # is already spent)
+        budget_s = float(os.environ.get("SPARK_GRAFT_PROBE_BUDGET", "1600"))
     t_start = time.perf_counter()
     from pyspark.sql import functions as F
 
@@ -664,6 +684,7 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
 
     bm25_build_sec: list = []
     bm25_index_frames: list = []
+    bm25_maint: dict = {}
 
     def bm25_1m():
         # R9 (VERDICT r8 #7): the BM25 index-only contract MEASURED,
@@ -691,6 +712,31 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             bm25_index_frames.append(st)
             st.count()
             bm25_build_sec.append(round(time.perf_counter() - t, 2))
+            # R10 (VERDICT r9 #6): the O(delta) maintenance contract
+            # at 1M-index scale. extend = the delta's own postings +
+            # the 2-scalar stats merge (production APPENDS those rows;
+            # counting extend_postings' union would rescan the whole
+            # index and report an O(index) number as the incremental
+            # cost — the daily_ingest_100k rule). remove IS O(index)
+            # by nature (one anti-join over the posting table) and is
+            # timed as exactly that. Both run once, first call only
+            # (reps would re-time a warm cache); their cost is inside
+            # this probe's sec — search_sec subtracts them.
+            if not bm25_maint:
+                delta = d1m.where(F.col("doc_id") < 1_000).select(
+                    (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                    "text",
+                )
+                t = time.perf_counter()
+                retrieval.bm25_postings(delta).count()
+                retrieval.merge_stats(
+                    st, retrieval.corpus_stats(delta)
+                ).collect()
+                bm25_maint["extend_sec"] = round(time.perf_counter() - t, 2)
+                t = time.perf_counter()
+                gone = d1m.select("doc_id").where(F.col("doc_id") < 1_000)
+                retrieval.remove_postings(post, gone).count()
+                bm25_maint["remove_sec"] = round(time.perf_counter() - t, 2)
             queries = spark.createDataFrame(
                 [
                     (i, f"{_VOCAB[i]} {_VOCAB[i + 7]} {_VOCAB[i + 13]}")
@@ -878,6 +924,48 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         res.unpersist()
         return spark.createDataFrame([(n,)], "rows long")
 
+    pipeline_4m_detail: dict = {}
+
+    def corpus_pipeline_4m():
+        # R10 (VERDICT r9 #4): the composed pipeline at 4M docs — the
+        # second point of the linearity claim (1M is two orders below
+        # the design point's per-executor share). Identical stage
+        # shape and thresholds to corpus_pipeline_1m; the in-probe
+        # corpus_report is EXCLUDED here (report scaling has its own
+        # report_1m row), so compare this row's sec against the 1M
+        # row's sec MINUS its report_sec. Single run by design: one
+        # rep is ~7x the rep threshold and the budget gate below
+        # guards the tail of the probe window.
+        from etl_zero_spark.functions.artifacts import corpus_key
+        from etl_zero_spark.operators import classifier as qc
+        from etl_zero_spark.plans.corpus_pipeline import prepare_corpus
+
+        d4m = load_table(spark, PROBE_4M_DIR, "documents")
+        pos = d4m.where(F.col("doc_id") % 100 == 0).select("doc_id", "text")
+        neg = pos.select("doc_id", F.reverse(F.col("text")).alias("text"))
+        model = qc.cached_quality_classifier(
+            pos, neg,
+            corpus_key(
+                os.path.join(PROBE_4M_DIR, "documents.parquet"),
+                pos="mod100", neg="mod100-reversed",
+            ),
+            max_iter=10,
+        )
+        res = prepare_corpus(
+            d4m,
+            quality=False,
+            classifier_model=model,
+            line_dedup_min_docs=2,
+            near_dedup_threshold=0.5,
+            substring_dedup_k=25,
+            pack_budget=2048,
+            collect_stats=True,
+        )
+        n = res.df.count()
+        pipeline_4m_detail["stage_survivors"] = dict(res.stats)
+        res.unpersist()
+        return spark.createDataFrame([(n,)], "rows long")
+
     def lm_ppl_100k():
         # R6: CCNet-style quality signal at 100k docs — train the
         # pruned bigram LM on a 20k-doc reference slice (two groupBy
@@ -1050,15 +1138,36 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("dd2_t05", dd2),
         ("report_1m", report_1m),
         ("bm25_1m", bm25_1m),
-        # LAST and budget-gated: the 1M composition is the most
-        # expensive probe; a budget stop here costs one row, not the
-        # whole per-operator tier above.
+        # LAST and budget-gated: the composed pipelines are the most
+        # expensive probes; a budget stop here costs one row, not the
+        # whole per-operator tier above. 4M runs after 1M so a stop
+        # keeps the smaller linearity point.
         ("corpus_pipeline_1m", corpus_pipeline_1m),
+        ("corpus_pipeline_4m", corpus_pipeline_4m),
     ]:
         if time.perf_counter() - t_start > budget_s:
             out[name] = {"skipped": f"probe budget {budget_s}s spent"}
             print(f"# probe {name}: {out[name]}", file=sys.stderr)
             continue
+        if name == "corpus_pipeline_4m":
+            # the 4M composition costs ~4x the 1M row's pipeline-only
+            # time; running it into a nearly-spent budget would blow
+            # well past the cap mid-probe (the budget check is
+            # per-probe, not preemptive), so it needs this much left
+            remaining = budget_s - (time.perf_counter() - t_start)
+            est = 4.0 * max(
+                out.get("corpus_pipeline_1m", {}).get("sec", 120) or 120,
+                60,
+            ) - 4.0 * out.get("corpus_pipeline_1m", {}).get(
+                "report_sec", 0
+            )
+            if remaining < est:
+                out[name] = {
+                    "skipped": f"needs ~{est:.0f}s, {remaining:.0f}s left"
+                }
+                print(f"# probe {name}: {out[name]}", file=sys.stderr)
+                continue
+            generate_4m(spark)
         if name in ("report_1m", "bm25_1m", "corpus_pipeline_1m"):
             # the 1M corpus generates lazily HERE — only once a 1M
             # probe is actually going to run (a small-budget smoke run
@@ -1118,8 +1227,12 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
                 out[name].update(snap_detail)
             if name == "bm25_1m" and bm25_build_sec:
                 out[name]["build_sec"] = bm25_build_sec[0]
+                out[name].update(bm25_maint)  # extend/remove at 1M (R10)
                 out[name]["search_sec"] = round(
-                    out[name]["sec"] - bm25_build_sec[0], 2
+                    out[name]["sec"] - bm25_build_sec[0]
+                    - bm25_maint.get("extend_sec", 0)
+                    - bm25_maint.get("remove_sec", 0),
+                    2,
                 )
                 for frame in bm25_index_frames:
                     frame.unpersist()
@@ -1130,6 +1243,18 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
                 out[name]["rows"] = pipeline_1m_detail.get(
                     "report_n_docs", rows
                 )
+            if name == "corpus_pipeline_4m" and pipeline_4m_detail:
+                out[name].update(pipeline_4m_detail)
+                # sec/M-docs vs the 1M row (1M's sec includes its
+                # in-probe report; subtract for like-for-like)
+                p1 = out.get("corpus_pipeline_1m", {})
+                if isinstance(p1.get("sec"), (int, float)):
+                    out[name]["sec_per_mdocs"] = round(
+                        out[name]["sec"] / 4.0, 2
+                    )
+                    out[name]["sec_per_mdocs_1m_row"] = round(
+                        p1["sec"] - p1.get("report_sec", 0), 2
+                    )
         except Exception as exc:  # noqa: BLE001 — probe must not kill bench
             out[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
         print(f"# probe {name}: {out[name]}", file=sys.stderr)
