@@ -567,14 +567,15 @@ def main() -> None:
     # if the 18B ratio was present-but-falsy after the 6B retires).
     # Prefer the 18B workload (lower jitter) whenever both rounds
     # carry it; the 6B ratio keeps continuity otherwise.
-    drift_est = delta.get("calib_hash_agg_18b") or delta.get(
-        "calib_hash_agg_6b"
+    drift_src = next(
+        (
+            k
+            for k in ("calib_hash_agg_18b", "calib_hash_agg_6b")
+            if delta.get(k)
+        ),
+        None,
     )
-    drift_src = (
-        "calib_hash_agg_18b"
-        if delta.get("calib_hash_agg_18b")
-        else ("calib_hash_agg_6b" if delta.get("calib_hash_agg_6b") else None)
-    )
+    drift_est = delta[drift_src] if drift_src else None
 
     total = round(sum(warm.values()), 3)
     doc = {

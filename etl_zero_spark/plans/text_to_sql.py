@@ -335,11 +335,13 @@ class RuleBasedGenerator:
         # R10 probe: a DISJUNCTIVE grouping ('count of orders per part
         # name or orderstatus') is not expressible as a GROUP BY —
         # every branch would keep the first group and silently drop
-        # the stated alternative; refuse globally (bare 'by' stays
-        # untouched so 'top 3 orders by totalprice or quantity' keeps
-        # its own branch's handling).
+        # the stated alternative; refuse globally. Bare 'by' is a cue
+        # too (R10 review: the grouping branches consume it, so the
+        # 'by'-phrased disjunction survived the per-only guard) — and
+        # a 'by X or Y' that is a SORT or RANKING mention would drop
+        # its alternative just as silently, so refusing covers it.
         if re.search(
-            r"\b(?:per|for\s+each|for\s+every|in\s+each|grouped\s+by)"
+            r"\b(?:by|per|for\s+each|for\s+every|in\s+each|grouped\s+by)"
             r"\s+\w+(?:\s+\w+)?(?:\s+and\s+\w+(?:\s+\w+)?)?\s+or\b",
             q_main,
         ):
@@ -551,6 +553,12 @@ class RuleBasedGenerator:
         if m and not hv and not grouped:
             if sort_stated:
                 return ""  # a stated sort is meaningless on a 1-row answer
+            if re.match(r"\s+or\b", q_main[m.end():]):
+                # a DISJUNCTIVE superlative target ('the most orders
+                # or lineitems') would keep the first word and
+                # silently drop the alternative — newly reachable now
+                # that the fan-out walk answers these (R10 review)
+                return ""
             col = self._resolve_column(m.group(2), cols)
             d = (
                 "ASC"

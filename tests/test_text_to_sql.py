@@ -1405,6 +1405,19 @@ def test_generator_disjunct_after_second_group_refuses():
     ) == ""
 
 
+def test_generator_by_phrased_disjunct_refuses():
+    """Bare 'by' is a grouping/ranking cue the branches consume, so a
+    'by'-phrased disjunction must refuse like the 'per' form — and a
+    disjunctive superlative target ('the most orders or lineitems')
+    must refuse rather than keep the first word, now that the fan-out
+    walk answers the conjunction-free form (R10 review, second pass)."""
+    assert _gen_full("count of orders by part name or orderstatus") == ""
+    assert _gen_full("which part has the most orders or lineitems") == ""
+    assert _gen_full("top 3 orders by totalprice or quantity") == ""
+    # the conjunction-free forms stay answered
+    assert "COUNT(DISTINCT" in _gen_full("which part has the most orders")
+
+
 def test_generator_rebase_prefers_more_confident_foreign_owner():
     """A non-deterministic LOCAL metric hit no longer blocks the
     rebase: on the part table 'revenue' hit p_retailprice through the

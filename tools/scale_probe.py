@@ -1245,6 +1245,13 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
                 )
             if name == "corpus_pipeline_4m" and pipeline_4m_detail:
                 out[name].update(pipeline_4m_detail)
+                # the fn returns a 1-row count frame; report the real
+                # surviving-document count like the 1M row does (R10
+                # review: rows:1 next to rows:~1M misleads exactly the
+                # 4x comparison this row exists for)
+                out[name]["rows"] = pipeline_4m_detail.get(
+                    "stage_survivors", {}
+                ).get("packed", rows)
                 # sec/M-docs vs the 1M row (1M's sec includes its
                 # in-probe report; subtract for like-for-like)
                 p1 = out.get("corpus_pipeline_1m", {})
