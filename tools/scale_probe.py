@@ -951,19 +951,32 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             ),
             max_iter=10,
         )
-        res = prepare_corpus(
-            d4m,
-            quality=False,
-            classifier_model=model,
-            line_dedup_min_docs=2,
-            near_dedup_threshold=0.5,
-            substring_dedup_k=25,
-            pack_budget=2048,
-            collect_stats=True,
-        )
-        n = res.df.count()
-        pipeline_4m_detail["stage_survivors"] = dict(res.stats)
-        res.unpersist()
+        # 4x the rows needs 4x the shuffle granularity: at the bench
+        # session's 32 partitions the span-dedup gram explode puts
+        # ~600MB on every one of 32 concurrent tasks and the 24g
+        # local-JVM heap dies ("size shuffle partitions so partitions
+        # fit executor memory at the target SF" — this probe IS that
+        # sizing rule in action). Restored before returning; the
+        # heavy work all executes inside this window (prepare_corpus
+        # materializes its stages under collect_stats).
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "128")
+        try:
+            res = prepare_corpus(
+                d4m,
+                quality=False,
+                classifier_model=model,
+                line_dedup_min_docs=2,
+                near_dedup_threshold=0.5,
+                substring_dedup_k=25,
+                pack_budget=2048,
+                collect_stats=True,
+            )
+            n = res.df.count()
+            pipeline_4m_detail["stage_survivors"] = dict(res.stats)
+            res.unpersist()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         return spark.createDataFrame([(n,)], "rows long")
 
     def lm_ppl_100k():
