@@ -485,7 +485,7 @@ class RuleBasedGenerator:
                 if hit is None:
                     hit = self._resolve_foreign_group(g.group(1), table, schema)
                 if hit:
-                    other, gcol, join_sql, galias, mid, fan_pk = hit
+                    other, gcol, join_sql, galias, mids, fan_pk = hit
                     second, loc = "", None
                     if g.group(3):
                         loc = self._resolve_column(g.group(3), cols)
@@ -495,8 +495,10 @@ class RuleBasedGenerator:
                     jwhere = self._where_clause(
                         raw_where, cols, prefix="t1.",
                         cols2=schema[other], prefix2=f"{galias}.",
-                        cols3=schema[mid] if mid else None,
+                        cols3=schema[mids[0]] if mids else None,
                         prefix3="t2.",
+                        cols4=schema[mids[1]] if len(mids) > 1 else None,
+                        prefix4="t3.",
                     )
                     osql = self._join_group_order(
                         q_main, ("count", "n"), "n", gcol, schema[other],
@@ -599,12 +601,14 @@ class RuleBasedGenerator:
                     # live in ITS join's ON clause for the same reason:
                     # in the WHERE it nulls out exactly the zero-count
                     # rows (third review pass; R9 extends the rule to
-                    # the mid table of a 2-hop walk). Mixed-side OR
+                    # the mid tables of multi-hop walks). Mixed-side OR
                     # cannot be split between ON and WHERE — refuse.
-                    mid = steps[0][0] if len(steps) == 2 else None
+                    w_mids = [tbl for tbl, _, _ in steps[:-1]]
                     conds = self._conditions(
                         raw_where, cols, "t1.", schema[other], f"{last}.",
-                        schema[mid] if mid else None, "t2.",
+                        schema[w_mids[0]] if w_mids else None, "t2.",
+                        schema[w_mids[1]] if len(w_mids) > 1 else None,
+                        "t3.",
                     )
                     # date conditions render wrapped (YEAR(tN.col)), so
                     # side-classify by the alias reference ANYWHERE in
@@ -868,7 +872,7 @@ class RuleBasedGenerator:
                             g.group(1), table, schema
                         )
                     if hit:
-                        other, gcol, join_sql, galias, mid, fan_pk = hit
+                        other, gcol, join_sql, galias, mids, fan_pk = hit
                         # a second stated group must resolve in the
                         # base table or the question refuses (it was
                         # silently dropped — second review pass)
@@ -885,8 +889,10 @@ class RuleBasedGenerator:
                         jwhere = self._where_clause(
                             raw_where, cols, prefix="t1.",
                             cols2=schema[other], prefix2=f"{galias}.",
-                            cols3=schema[mid] if mid else None,
+                            cols3=schema[mids[0]] if mids else None,
                             prefix3="t2.",
+                            cols4=schema[mids[1]] if len(mids) > 1 else None,
+                            prefix4="t3.",
                         )
                         osql = self._join_group_order(
                             q_main, (word,), alias, gcol, schema[other],
@@ -1408,50 +1414,69 @@ class RuleBasedGenerator:
         self, schema: dict, src: str, dst: str, direction: str = "parent"
     ) -> list[tuple[str, str, str]] | None:
         """The FK-walk from ``src`` to ``dst`` as join steps
-        ``[(next_table, prev_col, next_col), ...]`` — at most two hops
-        (the reference's schema walk iterates all table pairs,
-        mapping.py:140-149; chains compose them), every step oriented
-        ``direction``. 'parent' is the group/aggregate walk (no step
-        fans out, so SUM/COUNT over base rows stay correct — counting
-        'orders per part name' through the fanning lineitem hop
-        DOUBLE-counts multi-line orders and must refuse, R9 probe);
-        'child' is the counting walk of the FK-count superlatives.
-        Exactly ONE path may exist at the chosen depth: a direct edge
-        wins; else the unique oriented 2-hop. Ambiguity -> None."""
-        direct = self._fk_edge(src, dst, schema)
-        if direct is not None and self._edge_dir_ok(
-            src, dst, direct[2], direction, schema
-        ):
-            return [(dst, direct[0], direct[1])]
-        hop = self._two_hop(src, dst, schema, direction, direction)
-        if hop is None:
-            return None
-        mid, e1, e2 = hop
-        return [(mid, e1[0], e1[1]), (dst, e2[0], e2[1])]
+        ``[(next_table, prev_col, next_col), ...]`` — at most three
+        hops (the reference's schema walk iterates all table pairs,
+        mapping.py:140-149; chains compose them; R10 added the third
+        hop for the region tier), every step oriented ``direction``.
+        'parent' is the group/aggregate walk (no step fans out, so
+        SUM/COUNT over base rows stay correct — counting 'orders per
+        part name' through the fanning lineitem hop DOUBLE-counts
+        multi-line orders; the fan-out bridge handles that shape with
+        explicit dedup, _fanout_walk); 'child' is the counting walk
+        of the FK-count superlatives. Depths are tried shallowest-
+        first and the search STOPS at the first depth with any path
+        at all: exactly one -> answer; several -> None (two equally
+        short relationships are ambiguous even when a longer detour
+        is unique — R10 review: the 3-hop tier must never 'resolve'
+        an ambiguous 2-hop)."""
+        for hops in (1, 2, 3):
+            paths = self._oriented_paths(
+                src, dst, schema, (direction,) * hops
+            )
+            if paths:
+                return paths[0] if len(paths) == 1 else None
+        return None
 
-    def _two_hop(
-        self, src: str, dst: str, schema: dict, dir1: str, dir2: str
-    ) -> tuple[str, tuple, tuple] | None:
-        """The UNIQUE 2-hop bridge src -> mid -> dst with each hop
-        oriented as asked — the one enumeration shared by _fk_path
-        (direction, direction) and _fanout_walk ('child', 'parent');
-        R10 review: two copies of this loop would let a future edge-
-        rule tightening silently apply to only one walk. Zero or
-        several bridges -> None (ambiguity refuses)."""
-        paths = []
-        for mid in schema:
-            if mid in (src, dst):
-                continue
-            e1 = self._fk_edge(src, mid, schema)
-            e2 = self._fk_edge(mid, dst, schema)
-            if (
-                e1 is not None
-                and e2 is not None
-                and self._edge_dir_ok(src, mid, e1[2], dir1, schema)
-                and self._edge_dir_ok(mid, dst, e2[2], dir2, schema)
+    def _oriented_paths(
+        self,
+        src: str,
+        dst: str,
+        schema: dict,
+        dirs: tuple,
+        _visited: frozenset | None = None,
+    ) -> list:
+        """ALL walks src -> dst of exactly ``len(dirs)`` hops, hop i
+        oriented ``dirs[i]`` — the ONE edge enumeration every walk
+        shares (_fk_path passes a uniform direction per depth;
+        _fanout_walk passes ('child', 'parent')). One copy, so an
+        edge-rule tightening cannot silently apply to only some
+        depths or directions (R10 review, both passes). Paths never
+        revisit a table (visited set), so cycles cannot loop the
+        search; callers decide what to do with path COUNTS, which is
+        how depth-2 ambiguity refuses instead of falling through to a
+        unique depth-3 detour."""
+        visited = _visited or frozenset((src, dst))
+        if len(dirs) == 1:
+            e = self._fk_edge(src, dst, schema)
+            if e is not None and self._edge_dir_ok(
+                src, dst, e[2], dirs[0], schema
             ):
-                paths.append((mid, e1, e2))
-        return paths[0] if len(paths) == 1 else None
+                return [[(dst, e[0], e[1])]]
+            return []
+        out = []
+        for mid in schema:
+            if mid in visited:
+                continue
+            e = self._fk_edge(src, mid, schema)
+            if e is None or not self._edge_dir_ok(
+                src, mid, e[2], dirs[0], schema
+            ):
+                continue
+            for tail in self._oriented_paths(
+                mid, dst, schema, dirs[1:], visited | {mid}
+            ):
+                out.append([(mid, e[0], e[1])] + tail)
+        return out
 
     @staticmethod
     def _render_fk_joins(
@@ -1507,7 +1532,8 @@ class RuleBasedGenerator:
         """A stated existence constraint against another table:
         ``(walk_steps, anti)`` when the mention resolves through the
         child-direction FK walk — one hop ('customers without
-        orders') or two ('nations without orders', R9);
+        orders'), two ('nations without orders', R9), or three
+        ('regions without orders', R10);
         the sentinel ``'refuse'`` for a stated EXCLUSION whose mention
         names no table (any branch answering without it would silently
         drop the constraint — ADVICE r7 #1); None when no existence
@@ -1555,10 +1581,12 @@ class RuleBasedGenerator:
         existence walk; the outer table is always aliased t1, the
         subquery's own aliases start at t2 (branches that would need
         t2 outside refuse when ``ex`` is set). One hop correlates
-        directly; a 2-hop walk joins the mid table to the target
-        INSIDE the subquery ('nations without orders' -> NOT EXISTS
-        (SELECT 1 FROM customer t2 JOIN orders t3 ON t2.c_custkey =
-        t3.o_custkey WHERE t2.c_nationkey = t1.n_nationkey))."""
+        directly; a multi-hop walk joins every mid table to the
+        target INSIDE the subquery, aliases t2..t4 ('nations without
+        orders' -> NOT EXISTS (SELECT 1 FROM customer t2 JOIN orders
+        t3 ON t2.c_custkey = t3.o_custkey WHERE t2.c_nationkey =
+        t1.n_nationkey); R10 adds the 3-hop 'regions without
+        orders')."""
         steps, anti = ex
         neg = "NOT " if anti else ""
         first_tbl, first_lk, first_rk = steps[0]
@@ -1648,13 +1676,15 @@ class RuleBasedGenerator:
         join = self._foreign_join(base, table, schema)
         if join is None:
             return None
-        join_sql, galias, mid, fan_pk = join
+        join_sql, galias, mids, fan_pk = join
         alias = alias_word or f"{col}_{fn.lower()}"
         jwhere = self._where_clause(
             raw_where, schema[base], prefix="t1.", cols2=schema[table],
             prefix2=f"{galias}.",
-            cols3=schema[mid] if mid else None,
+            cols3=schema[mids[0]] if mids else None,
             prefix3="t2.",
+            cols4=schema[mids[1]] if len(mids) > 1 else None,
+            prefix4="t3.",
         )
         osql = self._join_group_order(
             q_main, (metric_word,), alias, gcol, schema[table], loc,
@@ -1718,23 +1748,26 @@ class RuleBasedGenerator:
         base rows stay correct (R10, VERDICT r9 #3: these questions
         previously refused). Ambiguity (zero or several bridges)
         still returns None -> refuse."""
-        hop = self._two_hop(table, other, schema, "child", "parent")
-        if hop is None:
+        paths = self._oriented_paths(
+            table, other, schema, ("child", "parent")
+        )
+        if len(paths) != 1:
             return None
-        mid, e1, e2 = hop
-        return ([(mid, e1[0], e1[1]), (other, e2[0], e2[1])], e1[0])
+        steps = paths[0]
+        return (steps, steps[0][1])
 
     def _foreign_join(
         self, table: str, other: str, schema: dict
-    ) -> tuple[str, str, str | None, str | None] | None:
-        """``(join_sql, group_alias, mid_table, fan_pk)`` walking
-        ``table`` to ``other``: the FK-stem path (1 or 2 hops, R9)
+    ) -> tuple[str, str, tuple[str, ...], str | None] | None:
+        """``(join_sql, group_alias, mid_tables, fan_pk)`` walking
+        ``table`` to ``other``: the FK-stem path (1-3 hops, R9/R10)
         first; the legacy name-similarity single pair only as a
         fallback and only when it is not a mismatched pair of two KEY
         columns — that shape (l_partkey = c_nationkey) is how name
-        similarity invents joins (R9 full-schema probe). ``mid_table``
-        names the intermediate table of a 2-hop walk (None on one hop)
-        so callers can resolve stated filters against it too.
+        similarity invents joins (R9 full-schema probe).
+        ``mid_tables`` names the intermediate tables of a multi-hop
+        walk in alias order (t2, t3, ...; empty on one hop) so callers
+        can resolve stated filters against every table on the path.
         ``fan_pk`` is non-None when only the FAN-OUT bridge reaches
         ``other`` (R10): the caller MUST then de-duplicate base rows —
         COUNT(DISTINCT fan_pk) or the distinct pre-aggregate — or
@@ -1747,17 +1780,19 @@ class RuleBasedGenerator:
                 return None
             steps, fan_pk = fan
         join_sql, galias = self._render_fk_joins(steps)
-        mid = steps[0][0] if len(steps) == 2 else None
-        return (join_sql, galias, mid, fan_pk)
+        mids = tuple(tbl for tbl, _, _ in steps[:-1])
+        return (join_sql, galias, mids, fan_pk)
 
     def _resolve_foreign_group(
         self, word: str, table: str, schema: dict, second: str | None = None
-    ) -> tuple[str, str, str, str, str | None, str | None] | None:
-        """(other_table, group_col, join_sql, group_alias, mid,
+    ) -> tuple[str, str, str, str, tuple[str, ...], str | None] | None:
+        """(other_table, group_col, join_sql, group_alias, mids,
         fan_pk) when ``word`` resolves in exactly one OTHER table and
-        an FK walk reaches it — one hop ('per mktsegment'), or two
-        through the stem-keyed schema walk ('per nation name' from
-        orders goes through customer, R9), or the fan-out bridge
+        an FK walk reaches it — one hop ('per mktsegment'), two or
+        three through the stem-keyed schema walk ('per nation name'
+        from orders goes through customer, R9; 'per region name'
+        through customer and nation, R10 — ``mids`` lists the
+        intermediate tables in alias order), or the fan-out bridge
         ('per part name' from orders through lineitem, R10 —
         ``fan_pk`` then carries the base key the caller must
         de-duplicate on). With ``second``, the two-word form
@@ -1960,6 +1995,8 @@ class RuleBasedGenerator:
         prefix2: str = "t2.",
         cols3: dict[str, str] | None = None,
         prefix3: str = "t2.",
+        cols4: dict[str, str] | None = None,
+        prefix4: str = "t3.",
     ) -> list[tuple[int, int, str]]:
         """Every resolvable condition in the question as (start, end,
         sql), non-overlapping, question order. BETWEEN claims its span
@@ -1972,13 +2009,18 @@ class RuleBasedGenerator:
         instead of silently dropping the stated condition. ``cols3``
         (R9, two-hop walks): the MID table of the walk, third in
         resolution order — the same filter through orders->customer->
-        nation renders against the customer alias."""
+        nation renders against the customer alias. ``cols4`` (R10,
+        three-hop walks): the second mid table. Resolution across all
+        scopes is confidence-tiered (q_best), so scope order only
+        breaks exact ties."""
         found: list[tuple[int, int, str]] = []
         scopes = [(cols, prefix)]
         if cols2 is not None:
             scopes.append((cols2, prefix2))
         if cols3 is not None:
             scopes.append((cols3, prefix3))
+        if cols4 is not None:
+            scopes.append((cols4, prefix4))
 
         def free(s: int, e: int) -> bool:
             return all(e <= fs or s >= fe for fs, fe, _ in found)
@@ -2205,6 +2247,8 @@ class RuleBasedGenerator:
         prefix2: str = "t2.",
         cols3: dict[str, str] | None = None,
         prefix3: str = "t2.",
+        cols4: dict[str, str] | None = None,
+        prefix4: str = "t3.",
     ) -> str:
         """Parses the ORIGINAL-case question (literals like 'F' must
         survive); keywords match case-insensitively. ``prefix``
@@ -2212,7 +2256,8 @@ class RuleBasedGenerator:
         could be ambiguous across the joined tables; ``cols2`` lets a
         mention resolve against the JOINED table (``prefix2``) when
         the base table has no such column (R8 review — a stated filter
-        on the foreign side must render, not silently vanish).
+        on the foreign side must render, not silently vanish);
+        ``cols3``/``cols4`` are the walk's mid tables (R9/R10).
 
         R6: multi-condition — every resolvable condition is kept, and
         consecutive conditions combine with the connective the question
@@ -2221,7 +2266,8 @@ class RuleBasedGenerator:
         matching the reference demo's 'products with price over X and
         stock under Y' space, text_to_sql.py:110-144)."""
         conds = self._conditions(
-            raw, cols, prefix, cols2, prefix2, cols3, prefix3
+            raw, cols, prefix, cols2, prefix2, cols3, prefix3,
+            cols4, prefix4,
         )
         if not conds:
             return ""

@@ -1260,15 +1260,97 @@ def test_generator_walk_direction_refusals():
     """Walks that rely on a key pun or exceed the bounded depth refuse
     instead of miscounting (R9 full-schema probe): the
     customer~supplier nationkey pair is a same-parent equi-join, not
-    an FK; region is three hops from orders. The FAN-OUT walks these
-    asserts used to pin as refusals are now ANSWERED with the
-    de-duplicated forms (R10, VERDICT r9 #3) — see the fan-out tests
-    below."""
+    an FK. The FAN-OUT walks these asserts used to pin as refusals
+    are now ANSWERED with the de-duplicated forms (R10, VERDICT r9
+    #3) — see the fan-out tests below — and the region tier is now a
+    unique THREE-hop walk (late R10)."""
     assert _gen_full("number of suppliers per customer name") == ""
-    # three hops away stays out of the bounded walk
-    assert _gen_full("number of orders per region name") == ""
-    # no 2-hop bridge exists customer -> part either (it needs three)
+    # no oriented walk exists customer -> part at any bounded depth
     assert _gen_full("count of customers per part name") == ""
+
+
+def test_generator_three_hop_walks():
+    """The region tier (late R10): 'orders per region name' is the
+    unique oriented 3-hop orders->customer->nation->region; the count
+    superlative walks it child-wise over LEFT JOINs; existence
+    correlates all three hops inside the subquery; a mid-table filter
+    resolves against its own alias (the cols4 scope)."""
+    assert _gen_full("number of orders per region name") == (
+        "SELECT t4.r_name, COUNT(*) AS n FROM orders t1 "
+        "JOIN customer t2 ON t1.o_custkey = t2.c_custkey "
+        "JOIN nation t3 ON t2.c_nationkey = t3.n_nationkey "
+        "JOIN region t4 ON t3.n_regionkey = t4.r_regionkey "
+        "GROUP BY t4.r_name"
+    )
+    out = _gen_full(
+        "total revenue per region name where mktsegment is BUILDING"
+    )
+    assert "WHERE t2.c_mktsegment = 'BUILDING'" in out
+    assert "JOIN region t4" in out
+    sup = _gen_full("which region has the most orders")
+    assert "LEFT JOIN nation t2" in sup
+    assert "LEFT JOIN orders t4" in sup
+    assert sup.endswith("ORDER BY n DESC LIMIT 1")
+    ex = _gen_full("regions without orders")
+    assert (
+        "NOT EXISTS (SELECT 1 FROM nation t2 "
+        "JOIN customer t3 ON t2.n_nationkey = t3.c_nationkey "
+        "JOIN orders t4 ON t3.c_custkey = t4.o_custkey "
+        "WHERE t2.n_regionkey = t1.r_regionkey)" in ex
+    )
+    # no oriented walk reaches part from customer at any depth
+    assert _gen_full("count of customers per part name") == ""
+
+
+def test_generator_ambiguous_two_hop_never_resolves_via_three_hop():
+    """Two equally short relationships are ambiguous even when a
+    longer detour is unique: a->b->d and a->c->d tie at depth 2, so
+    the walk must refuse — NOT answer through the unique 3-hop
+    a->e->f->d (R10 review: the first 3-hop implementation fell
+    through)."""
+    gen = t2s.RuleBasedGenerator()
+    schema = (
+        "CREATE TABLE visits (vi_id number, vi_storekey number, "
+        "vi_clerkkey number, vi_promokey number, vi_val number)\n"
+        "CREATE TABLE store (st_storekey number, st_citykey number)\n"
+        "CREATE TABLE clerk (cl_clerkkey number, cl_citykey number)\n"
+        "CREATE TABLE city (ci_citykey number, ci_name text)\n"
+        "CREATE TABLE promo (pr_promokey number, pr_vendorkey number)\n"
+        "CREATE TABLE vendor (v_vendorkey number, v_citykey number)"
+    )
+    assert gen(
+        t2s.build_prompt(schema, "count of visits per city name")
+    ) == ""
+    # dropping one of the tied bridges makes the 2-hop unique again
+    unambiguous = schema.replace(
+        "CREATE TABLE clerk (cl_clerkkey number, cl_citykey number)\n", ""
+    ).replace("vi_clerkkey number, ", "")
+    out = gen(
+        t2s.build_prompt(unambiguous, "count of visits per city name")
+    )
+    assert "JOIN store t2" in out and "JOIN city t3" in out
+
+
+def test_generator_four_hop_walk_refuses():
+    """Depth is bounded at three: on a pure 5-table chain the group
+    four parents away refuses — a synthetic fixture, because on the
+    TPC-H shape every 4-hop question has a shorter reading (R10
+    review: the previous 'depth bound' assert was vacuously covered
+    by a no-walk-exists case)."""
+    gen = t2s.RuleBasedGenerator()
+    schema = (
+        "CREATE TABLE event (ev_id number, ev_userkey number, "
+        "ev_val number)\n"
+        "CREATE TABLE users (u_userkey number, u_teamkey number)\n"
+        "CREATE TABLE team (tm_teamkey number, tm_orgkey number)\n"
+        "CREATE TABLE org (og_orgkey number, og_zonekey number)\n"
+        "CREATE TABLE zone (z_zonekey number, z_name text)"
+    )
+    assert gen(t2s.build_prompt(schema, "total val per zone name")) == ""
+    # ...while the 3-hop prefix of the same chain answers
+    assert "JOIN org t4" in gen(
+        t2s.build_prompt(schema, "total val per org orgkey")
+    )
 
 
 def test_generator_fanout_count_distinct():
