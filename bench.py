@@ -642,6 +642,11 @@ def main() -> None:
         "n_ok": len(warm),
         "n_err": len(errors),
         "sf": sf,
+        # R10 (VERDICT r9 #1): the driver records only this stdout
+        # line into BENCH_r{N}.json, so the drift estimate must ride
+        # it — the full ratio blocks stay in BENCH_LOCAL.json
+        "host_drift_estimate": drift_est,
+        "host_drift_source": drift_src,
         "detail_file": "BENCH_LOCAL.json",
     }
     if errors:
