@@ -151,11 +151,31 @@ class RuleBasedGenerator:
       orderstatus'); ``earliest/latest <col>`` -> MIN/MAX; a stated
       ``limit N`` / ``first N`` renders on the fallback paths
       (late R8)
+    * ``top/bottom N <table> [<col>] by [<agg>] <metric>``  -> the
+      RANKED CHILD WALK (R11, VERDICT r10 #1): the group names the
+      base table and the metric lives foreign — 'top 3 nations by
+      revenue' ranks nation rows (or the stated column, 'top 5
+      nation names by total revenue') by the SUM of the walked-to
+      metric over LEFT JOINs, COALESCE(...,0) so empty groups rank
+      deterministically on every engine; a stated AVG drops empty
+      groups with HAVING COUNT > 0 instead. Locally-owned metrics
+      keep their local readings ('top 5 orders by totalprice')
+    * ``which <tA> has the highest [total|average] <metric>`` -> the
+      grouped-superlative twin: the same child-walk aggregate with
+      LIMIT 1 keeping the winning row (R11)
+    * ``how many <tA> are in each <tB>``                -> count per
+      GROUP-TABLE row through the child walk FROM the group table
+      (LEFT JOINs: empty groups report 0; a fan-out bridge counts
+      DISTINCT) — 'how many customers are in each region' (R11)
     * the REFUSAL GUARD: after any branch answers, a stated numeric
       comparison with fewer comparison operators in the SQL than
       cues in the question, a contains/starts/ends with no LIKE, a
-      row cap with no LIMIT, or a negation with no <>/NOT refuses
-      the whole question — mistranslation never ships (late R8)
+      row cap (incl. top/bottom N, R11) with no LIMIT, a negation
+      with no <>/NOT, or a stated 'or' with fewer OR connectives in
+      the SQL than 'or' tokens in the question (R11 — unparsed value
+      alternatives like 'clerk is A or B' previously shipped with
+      the alternative silently dropped) refuses the whole question —
+      mistranslation never ships (late R8)
 
     Table and column mentions resolve by containment first, then
     difflib fuzzy match (cutoff 0.6 — the reference's column-matching
@@ -230,7 +250,26 @@ class RuleBasedGenerator:
             r"\b(?:contains?|starts?\s+with|ends?\s+with)\s+(?:'|\w)", q
         ):
             return True
-        if " LIMIT " not in s and re.search(r"\b(?:limit|first)\s+\d+\b", q):
+        if " LIMIT " not in s and re.search(
+            r"\b(?:limit|first|top|bottom)\s+\d+\b", q
+        ):
+            # R11 lockstep: 'top/bottom N' joined the cue list with the
+            # ranked child-walk branches — a HAVING question like 'top 3
+            # orderstatus by count having count over 5' skips the top-N
+            # branch and previously shipped the grouped count with the
+            # stated cap silently dropped
+            return True
+        # R11: a stated 'or' the SQL does not carry is a dropped
+        # alternative — 'clerk is A or B' rendered only clerk = 'A',
+        # 'in 1995 or 1996' only the first year. Count standalone 'or'
+        # tokens OUTSIDE quoted values in the question against OR
+        # connectives in the SQL (quoted SQL literals keep original
+        # case, so uppercase ' OR ' counts only connectives); fewer ORs
+        # than 'or's means some alternative vanished. Branch-level
+        # refusals (disjunctive grouping/superlative) already returned
+        # '' before this guard runs.
+        q_or = len(re.findall(r"\bor\b", re.sub(r"'[^']*'", " ", q)))
+        if q_or and len(re.findall(r" OR ", sql)) < q_or:
             return True
         # the NOT of NOT EXISTS is an existence predicate, not a value
         # negation — it must not satisfy a stated '!= / is not' filter
@@ -261,8 +300,15 @@ class RuleBasedGenerator:
         # and before cols3 landed it silently vanished; this cue keeps
         # the guard ahead of the grammar (the lockstep rule). Agg
         # keywords are not literals ('what is MAX totalprice').
+        # ...value tokens extend past [A-Z_]: mixed-case-with-symbol
+        # ('Clerk#000000951') and digit-leading-with-a-letter
+        # ('1-URGENT') are literals too — before R11 the first was
+        # invisible to this cue AND unparseable by the equality
+        # grammar, so 'where clerk is Clerk#000000951' shipped an
+        # UNFILTERED select (ADVICE r10 #3's family)
         for lit in re.findall(
-            r"\b(?:is|equals)\s+(?!(?i:not)\b)('[^']+'|[A-Z][A-Z0-9_]*\b)",
+            r"\b(?:is|equals)\s+(?!(?i:not)\b)"
+            r"('[^']+'|[A-Z][\w#./-]*|\d[\w#./-]*[A-Za-z][\w#./-]*)",
             raw,
         ):
             v = lit.strip("'")
@@ -340,9 +386,18 @@ class RuleBasedGenerator:
         # 'by'-phrased disjunction survived the per-only guard) — and
         # a 'by X or Y' that is a SORT or RANKING mention would drop
         # its alternative just as silently, so refusing covers it.
+        # (ADVICE r10 #2: the window words must look like GROUP nouns —
+        # a filter keyword between the cue and the 'or' means the 'or'
+        # belongs to a condition, not the grouping; the condition
+        # parsers and the or-parity guard own that case)
+        _gw = (
+            r"(?!(?:where|is|equals|contains|starts|ends|over|under|"
+            r"above|below|between|in|from|not|having|with|at|sorted|"
+            r"ordered)\b)\w+"
+        )
         if re.search(
-            r"\b(?:by|per|for\s+each|for\s+every|in\s+each|grouped\s+by)"
-            r"\s+\w+(?:\s+\w+)?(?:\s+and\s+\w+(?:\s+\w+)?)?\s+or\b",
+            rf"\b(?:by|per|for\s+each|for\s+every|in\s+each|grouped\s+by)"
+            rf"\s+{_gw}(?:\s+{_gw})?(?:\s+and\s+{_gw}(?:\s+{_gw})?)?\s+or\b",
             q_main,
         ):
             return ""
@@ -375,6 +430,14 @@ class RuleBasedGenerator:
             ranked = self._ranked_group_sql(q, cols, table, where, n, "DESC")
             if ranked is not None:
                 return "" if ex else ranked
+            # R11: the group names the base TABLE and the metric lives
+            # foreign ('top 3 nations by revenue') — the ranked child
+            # walk; local readings were already preferred above
+            ranked = self._ranked_child_sql(
+                q, raw_where, table, cols, schema, n, "DESC"
+            )
+            if ranked is not None:
+                return "" if ex else ranked
             order = self._order_column(q, cols)
             if order is None:
                 return ""
@@ -392,6 +455,11 @@ class RuleBasedGenerator:
         if m and not hv:
             n = int(m.group(1))
             ranked = self._ranked_group_sql(q, cols, table, where, n, "ASC")
+            if ranked is not None:
+                return "" if ex else ranked
+            ranked = self._ranked_child_sql(
+                q, raw_where, table, cols, schema, n, "ASC"
+            )
             if ranked is not None:
                 return "" if ex else ranked
             order = self._order_column(q, cols)
@@ -516,6 +584,51 @@ class RuleBasedGenerator:
                         f"FROM {table} t1{join_sql}{jwhere} "
                         f"GROUP BY {galias}.{gcol}{second}{osql}"
                     )
+                # R11 (VERDICT r10 #1): the stated group names a TABLE —
+                # 'how many customers are in each region' counts base
+                # rows per group-table row through the child-direction
+                # walk FROM the group table (region -> nation ->
+                # customer; LEFT JOINs so empty groups report 0), or
+                # the fan-out bridge with a DISTINCT count when only
+                # it reaches the base. Two-word '<table> <col>'
+                # mentions resolved above via _resolve_foreign_group
+                # (the inner-join reading those tests pin); a second
+                # 'and <col>' group would live at the LEAF of the
+                # flipped walk — refuse rather than mis-scope it.
+                gt = self._table_mention(g.group(1), table, schema)
+                if gt is not None and not g.group(3):
+                    gcol2 = None
+                    if g.group(2):
+                        gcol2 = self._resolve_column(g.group(2), schema[gt])
+                        if gcol2 is None:
+                            return ""
+                    steps, fanned = (
+                        self._oriented_walk(gt, table, schema, "child"),
+                        False,
+                    )
+                    if steps is None:
+                        fan = self._fanout_walk(gt, table, schema)
+                        if fan is not None:
+                            steps, fanned = fan[0], True
+                    if steps:
+                        csql = ""
+                        srt = self._sort_mention(q_main)
+                        if srt is not None:
+                            w, dd = srt
+                            sc = self._resolve_column(w, schema[gt])
+                            if w in ("count", "n"):
+                                csql = f" ORDER BY n{dd}"
+                            elif sc is not None and (
+                                gcol2 is None or sc == gcol2
+                            ):
+                                csql = f" ORDER BY t1.{sc}{dd}"
+                            else:
+                                return ""  # stated sort must resolve
+                        sql = self._child_agg_sql(
+                            raw_where, gt, gcol2, steps, schema, "COUNT",
+                            fanned=fanned, osql=csql,
+                        )
+                        return sql or ""
                 return ""
             if hv:
                 return ""  # HAVING needs groups; none resolved
@@ -531,7 +644,8 @@ class RuleBasedGenerator:
         m = re.search(
             r"\b(?:has|have|had|with|placed|made)\s+the\s+"
             r"(highest|largest|biggest|greatest|maximum|most|"
-            r"lowest|smallest|least|minimum|fewest)\s+(\w+)",
+            r"lowest|smallest|least|minimum|fewest)\s+"
+            r"(?:(total|sum|combined|average|avg|mean)\s+)?(\w+)",
             q_main,
         )
         # ...but never when the question ALSO states a grouping — 'the
@@ -561,7 +675,7 @@ class RuleBasedGenerator:
                 # silently drop the alternative — newly reachable now
                 # that the fan-out walk answers these (R10 review)
                 return ""
-            col = self._resolve_column(m.group(2), cols)
+            col = self._resolve_column(m.group(3), cols)
             d = (
                 "ASC"
                 if m.group(1) in
@@ -577,7 +691,7 @@ class RuleBasedGenerator:
                 # nation placed the most orders' goes through
                 # customer). An unresolvable target, an ambiguous
                 # walk, or an existence constraint still refuses.
-                other = self._table_mention(m.group(2), table, schema)
+                other = self._table_mention(m.group(3), table, schema)
                 steps, fanned = None, False
                 if other:
                     steps = self._oriented_walk(
@@ -592,69 +706,33 @@ class RuleBasedGenerator:
                         if fan is not None:
                             steps, fanned = fan[0], True
                 if steps and not ex:
-                    gcols = ", ".join(f"t1.{c}" for c in cols)
-                    last = f"t{len(steps) + 1}"
-                    # LEFT JOINs + COUNT(last key): 'fewest' must be
-                    # able to return a base row with ZERO joined rows —
-                    # inner joins would exclude the right answer
-                    # (review). A condition on any JOINED side must
-                    # live in ITS join's ON clause for the same reason:
-                    # in the WHERE it nulls out exactly the zero-count
-                    # rows (third review pass; R9 extends the rule to
-                    # the mid tables of multi-hop walks). Mixed-side OR
-                    # cannot be split between ON and WHERE — refuse.
-                    w_mids = [tbl for tbl, _, _ in steps[:-1]]
-                    conds = self._conditions(
-                        raw_where, cols, "t1.", schema[other], f"{last}.",
-                        schema[w_mids[0]] if w_mids else None, "t2.",
-                        schema[w_mids[1]] if len(w_mids) > 1 else None,
-                        "t3.",
+                    sql = self._child_agg_sql(
+                        raw_where, table, None, steps, schema, "COUNT",
+                        fanned=fanned, order=d, limit=1,
                     )
-                    # date conditions render wrapped (YEAR(tN.col)), so
-                    # side-classify by the alias reference ANYWHERE in
-                    # the rendered SQL, not a prefix sniff (ADVICE r8)
-                    by_alias = {
-                        i: [
-                            c for _, _, c in conds if f"t{i}." in c
-                        ]
-                        for i in range(2, len(steps) + 2)
-                    }
-                    t1c = [
-                        c
-                        for _, _, c in conds
-                        if not any(
-                            f"t{i}." in c for i in range(2, len(steps) + 2)
+                    return sql or ""
+                if other is None and not ex:
+                    # R11 (VERDICT r10 #1): the target is a foreign
+                    # METRIC — 'which nation has the highest total
+                    # revenue' ranks base rows by the SUM (or a stated
+                    # AVG) of the metric through the child-direction
+                    # walk, the grouped-superlative twin of the ranked
+                    # child walk in the top-N branch. An aggregate
+                    # qualifier is optional: a bare mass-noun metric
+                    # under a superlative implies SUM.
+                    mt = self._child_metric(table, m.group(3), schema)
+                    if mt is not None:
+                        _, mcol, msteps = mt
+                        fn = (
+                            "AVG"
+                            if (m.group(2) or "") in ("average", "avg", "mean")
+                            else "SUM"
                         )
-                    ]
-                    # ANY stated OR refuses here: joined-side
-                    # conditions live in ON clauses (unsplittable),
-                    # and the base-side join below is AND-only — an
-                    # OR between t1 filters would silently become the
-                    # zero-row conjunction (R9 review)
-                    if conds and re.search(
-                        r"\bor\b", raw_where, re.IGNORECASE
-                    ):
-                        return ""
-                    join_sql, prev = "", "t1"
-                    for i, (tbl, lk, rk) in enumerate(steps, start=2):
-                        on = f"{prev}.{lk} = t{i}.{rk}"
-                        if by_alias[i]:
-                            on += " AND " + " AND ".join(by_alias[i])
-                        join_sql += f" LEFT JOIN {tbl} t{i} ON {on}"
-                        prev = f"t{i}"
-                    cnt = steps[-1][2]
-                    cexpr = (
-                        f"COUNT(DISTINCT {last}.{cnt})"
-                        if fanned
-                        else f"COUNT({last}.{cnt})"
-                    )
-                    jwhere = f" WHERE {' AND '.join(t1c)}" if t1c else ""
-                    return (
-                        f"SELECT {gcols}, {cexpr} AS n "
-                        f"FROM {table} t1{join_sql}"
-                        f"{jwhere} GROUP BY {gcols} "
-                        f"ORDER BY n {d} LIMIT 1"
-                    )
+                        sql = self._child_agg_sql(
+                            raw_where, table, None, msteps, schema, fn,
+                            mcol=mcol, order=d, limit=1,
+                        )
+                        return sql or ""
                 return ""  # stated superlative target must resolve
             if ex:
                 return (
@@ -897,6 +975,11 @@ class RuleBasedGenerator:
                         osql = self._join_group_order(
                             q_main, (word,), alias, gcol, schema[other],
                             loc, cols, galias=galias,
+                            vprefix=(
+                                "v."
+                                if fan_pk and fn not in ("MIN", "MAX")
+                                else None
+                            ),
                         )
                         if osql is None:
                             return ""
@@ -1689,6 +1772,7 @@ class RuleBasedGenerator:
         osql = self._join_group_order(
             q_main, (metric_word,), alias, gcol, schema[table], loc,
             schema[base], galias=galias,
+            vprefix=("v." if fan_pk and fn not in ("MIN", "MAX") else None),
         )
         if osql is None:
             return ""
@@ -1726,7 +1810,10 @@ class RuleBasedGenerator:
         if len(set(inner)) != len(inner):
             return ""
         vsecond = f", v.{loc}" if loc else ""
-        vosql = osql.replace(f"{galias}.", "v.").replace("t1.", "v.")
+        # osql already renders against v. — the caller passed
+        # vprefix='v.' for this fan path (ADVICE r10 #4: the old
+        # string-replace rewrite corrupted quoted literals)
+        vosql = osql
         inner_sel = f"t1.{fan_pk}, {galias}.{gcol}{second}, t1.{col}"
         return (
             f"SELECT v.{gcol}{vsecond}, {fn}(v.{col}) AS {alias} FROM "
@@ -1755,6 +1842,209 @@ class RuleBasedGenerator:
             return None
         steps = paths[0]
         return (steps, steps[0][1])
+
+    def _child_join_where(
+        self, raw_where: str, table: str, steps: list, schema: dict
+    ) -> tuple[str, str] | None:
+        """LEFT-JOIN chain + WHERE for a child-direction walk FROM
+        ``table`` (the R8-late superlative machinery, extracted R11 so
+        the ranked/count child-walk branches share one copy). LEFT
+        JOINs because zero-match base rows must stay rankable/countable
+        — inner joins would exclude the right 'fewest' answer and hide
+        empty groups. A condition on any JOINED side lives in ITS
+        join's ON clause for the same reason: in the WHERE it nulls out
+        exactly the zero-count rows (third review pass; R9 extends the
+        rule to multi-hop mids). Date conditions render wrapped
+        (YEAR(tN.col)), so sides classify by the alias reference
+        ANYWHERE in the rendered SQL, not a prefix sniff (ADVICE r8).
+        ANY stated OR refuses (None): joined-side conditions are
+        unsplittable across ON/WHERE, and the base side is AND-only —
+        an OR would silently become the zero-row conjunction (R9
+        review)."""
+        other = steps[-1][0]
+        last = f"t{len(steps) + 1}"
+        w_mids = [tbl for tbl, _, _ in steps[:-1]]
+        conds = self._conditions(
+            raw_where, schema[table], "t1.", schema[other], f"{last}.",
+            schema[w_mids[0]] if w_mids else None, "t2.",
+            schema[w_mids[1]] if len(w_mids) > 1 else None,
+            "t3.",
+        )
+        if conds and re.search(r"\bor\b", raw_where, re.IGNORECASE):
+            return None
+        by_alias = {
+            i: [c for _, _, c in conds if f"t{i}." in c]
+            for i in range(2, len(steps) + 2)
+        }
+        t1c = [
+            c
+            for _, _, c in conds
+            if not any(f"t{i}." in c for i in range(2, len(steps) + 2))
+        ]
+        join_sql, prev = "", "t1"
+        for i, (tbl, lk, rk) in enumerate(steps, start=2):
+            on = f"{prev}.{lk} = t{i}.{rk}"
+            if by_alias[i]:
+                on += " AND " + " AND ".join(by_alias[i])
+            join_sql += f" LEFT JOIN {tbl} t{i} ON {on}"
+            prev = f"t{i}"
+        jwhere = f" WHERE {' AND '.join(t1c)}" if t1c else ""
+        return (join_sql, jwhere)
+
+    def _child_agg_sql(
+        self,
+        raw_where: str,
+        gtable: str,
+        gcol: str | None,
+        steps: list,
+        schema: dict,
+        fn: str,
+        mcol: str | None = None,
+        fanned: bool = False,
+        order: str | None = None,
+        limit: int | None = None,
+        osql: str = "",
+    ) -> str | None:
+        """The grouped aggregate over a child-direction walk FROM the
+        group table (R11, VERDICT r10 #1) — one renderer for the
+        FK-count superlatives, the ranked child walk ('top 3 nations
+        by revenue'), the grouped metric superlative ('which nation
+        has the highest total revenue'), and the count-per-group-table
+        shape ('how many customers are in each region'). ``gcol`` None
+        groups by EVERY base column (the row-keeping form); a column
+        groups by itself. ``fn`` 'COUNT' counts the walk's landing key
+        (0 for empty groups through the LEFT JOINs; DISTINCT when the
+        walk ``fanned`` through a bridge); SUM coalesces to 0 — empty
+        groups rank at the bottom ascending on EVERY engine (Spark
+        sorts NULLS FIRST ascending, DuckDB NULLS LAST — and 'zero
+        revenue' is the right reading of a group with no rows);
+        AVG/MIN/MAX drop empty groups with HAVING COUNT > 0 instead
+        (their NULL has no sane rank, and 0 would be a wrong value).
+        ``order``+``limit`` render the ranking tail; ``osql`` is a
+        pre-rendered ORDER BY for unranked callers. None = refuse (a
+        stated OR the ON/WHERE split cannot honor)."""
+        jw = self._child_join_where(raw_where, gtable, steps, schema)
+        if jw is None:
+            return None
+        join_sql, jwhere = jw
+        last = f"t{len(steps) + 1}"
+        landing = steps[-1][2]
+        gsel = (
+            f"t1.{gcol}"
+            if gcol
+            else ", ".join(f"t1.{c}" for c in schema[gtable])
+        )
+        having = ""
+        if fn == "COUNT":
+            alias = "n"
+            expr = f"COUNT({'DISTINCT ' if fanned else ''}{last}.{landing})"
+        elif fn == "SUM":
+            alias = f"{mcol}_sum"
+            expr = f"COALESCE(SUM({last}.{mcol}), 0)"
+        else:
+            alias = f"{mcol}_{fn.lower()}"
+            expr = f"{fn}({last}.{mcol})"
+            having = f" HAVING COUNT({last}.{landing}) > 0"
+        tail = f" ORDER BY {alias} {order} LIMIT {limit}" if order else osql
+        return (
+            f"SELECT {gsel}, {expr} AS {alias} FROM {gtable} t1{join_sql}"
+            f"{jwhere} GROUP BY {gsel}{having}{tail}"
+        )
+
+    def _child_metric(
+        self, table: str, word: str, schema: dict,
+        max_tier: int | None = None,
+    ) -> tuple[str, str, list] | None:
+        """The unique FOREIGN owner of a NUMERIC metric word,
+        reachable from ``table`` by the child-direction walk:
+        ``(owner, column, steps)`` — 'revenue' from nation resolves to
+        orders.o_totalprice through nation -> customer -> orders (R11,
+        VERDICT r10 #1). Owner choice is confidence-tiered exactly
+        like _rebased_agg (a synonym owner outranks fuzzy ones; ties
+        within the best tier stay ambiguous -> None); ``max_tier``
+        lets callers holding a LOCAL reading demand the foreign owner
+        be STRICTLY more confident. The walk is pure child-direction,
+        so each leaf row is reached at most once and SUM/AVG over the
+        leaf metric never double-count; a metric only a fan-out bridge
+        reaches stays None (refusal beats a silent double-count)."""
+        owners = []
+        for t, ocols in schema.items():
+            if t == table:
+                continue
+            r = self._resolve_column_tiered(word, ocols)
+            if r and ocols.get(r[0]) == "number":
+                owners.append((t, r[0], r[1]))
+        if not owners:
+            return None
+        best = min(o[2] for o in owners)
+        if max_tier is not None and best > max_tier:
+            return None
+        owners = [o for o in owners if o[2] == best]
+        if len(owners) != 1:
+            return None
+        owner, mcol, _ = owners[0]
+        steps = self._oriented_walk(table, owner, schema, "child")
+        return (owner, mcol, steps) if steps else None
+
+    def _ranked_child_sql(
+        self, q: str, raw_where: str, table: str, cols: dict,
+        schema: dict, n: int, direction: str,
+    ) -> str | None:
+        """'top/bottom N <base-table> [<col>] by [<agg>] <metric>'
+        where the metric lives in a FOREIGN table reachable by the
+        child walk — 'top 3 nations by revenue', 'top 5 nation names
+        by total revenue' (R11, VERDICT r10 #1; these refused while
+        their plain-aggregate twins answered). Groups are the base
+        rows (or the stated base column); the ranking aggregate runs
+        over the walked-to metric, SUM unless an aggregate word is
+        stated. None = not this shape (the caller falls through to
+        the local ranked-group / raw-row paths — in particular a
+        metric the base table owns at least as confidently, like
+        'top 5 orders by totalprice', stays the local reading); '' =
+        the shape IS stated but cannot be honored -> refuse."""
+        aggws = "|".join(
+            re.escape(k) for k in sorted(self._AGGS, key=len, reverse=True)
+        )
+        m = re.search(
+            rf"\b(?:top|bottom|lowest|smallest)\s+\d+\s+(\w+)(?:\s+(\w+))?"
+            rf"\s+by\s+(?:({aggws})\s+)?(?:of\s+)?(\w+)\b",
+            q,
+        )
+        if not m:
+            return None
+        tl = table.lower()
+        w1 = m.group(1)
+        if (
+            w1 not in (tl, f"{tl}s", tl.rstrip("s"))
+            and w1.rstrip("s") != tl
+        ):
+            return None  # the group word must name the base table
+        r_local = self._resolve_column_tiered(m.group(4), cols)
+        mt = self._child_metric(
+            table, m.group(4), schema,
+            max_tier=(r_local[1] - 1) if r_local else None,
+        )
+        if mt is None:
+            return None
+        gcol = None
+        if m.group(2):
+            gcol = self._resolve_column(m.group(2), schema[table])
+            if gcol is None:
+                return ""  # a stated base-side group column must resolve
+        # a sort or grouping stated BEYOND the consumed 'by <metric>'
+        # would be silently dropped by this ranked answer — refuse
+        if self._sort_mention(q) or re.search(
+            r"\b(?:per|for\s+each|for\s+every|in\s+each|grouped\s+by)\b",
+            q,
+        ):
+            return ""
+        fn = self._AGGS.get(m.group(3) or "", "SUM")
+        _, mcol, steps = mt
+        sql = self._child_agg_sql(
+            raw_where, table, gcol, steps, schema, fn, mcol=mcol,
+            order=direction, limit=n,
+        )
+        return "" if sql is None else sql
 
     def _foreign_join(
         self, table: str, other: str, schema: dict
@@ -1882,6 +2172,7 @@ class RuleBasedGenerator:
         loc: str | None,
         cols: dict[str, str],
         galias: str = "t2",
+        vprefix: str | None = None,
     ) -> str | None:
         """ORDER BY for the FOREIGN-group join branches (R8 review —
         they silently dropped a stated sort): the aggregate reference
@@ -1889,6 +2180,11 @@ class RuleBasedGenerator:
         column mention) orders by ``alias``; the foreign group column
         by ``<galias>.<gcol>`` (the group table's alias — t3 on a
         two-hop walk, R9); the second, local group by ``t1.<loc>``.
+        With ``vprefix`` (ADVICE r10 #4) the group/loc references
+        render against that OUTPUT-side alias instead — the fan-out
+        pre-aggregate wraps the join in a subquery exposing gcol/loc
+        through ``v.``, and rewriting the tail by string replace after
+        the fact corrupts any quoted literal carrying 't1.'.
         '' = no sort stated; None = stated but unresolvable ->
         refuse."""
         srt = self._sort_mention(q)
@@ -1898,9 +2194,9 @@ class RuleBasedGenerator:
         if w in agg_words or self._AGGS.get(w) is not None:
             return f" ORDER BY {alias}{d}"
         if self._resolve_column(w, other_cols) == gcol:
-            return f" ORDER BY {galias}.{gcol}{d}"
+            return f" ORDER BY {vprefix or galias + '.'}{gcol}{d}"
         if loc is not None and self._resolve_column(w, cols) == loc:
-            return f" ORDER BY t1.{loc}{d}"
+            return f" ORDER BY {vprefix or 't1.'}{loc}{d}"
         if self._resolve_column(w, cols) is not None:
             # a base-table metric mention ('sorted by revenue' on the
             # summed column) refers to the aggregate output
@@ -2047,6 +2343,17 @@ class RuleBasedGenerator:
             b = q_best(word)
             return b[2].get(b[1]) if b else None
 
+        def q_tier(word: str) -> int | None:
+            """The best confidence tier ``word`` resolves at across
+            the walk's scopes (0 = deterministic name; 1+ = synonym;
+            100 = fuzzy) — the year-parser's guard keys on it."""
+            best: int | None = None
+            for sc, _ in scopes:
+                r = self._resolve_column_tiered(word, sc)
+                if r is not None and (best is None or r[1] < best):
+                    best = r[1]
+            return best
+
         def q_date(word: str | None) -> str | None:
             for sc, pf in scopes:
                 c = self._resolve_date_column(word, sc)
@@ -2097,10 +2404,20 @@ class RuleBasedGenerator:
             # month condition ('in march in 1995'); the preceding word
             # is read back only for the numeric-column guard
             # ('totalprice in 1000' stays out of the date grammar).
+            # The guard is TIER-0 only (R11): a deterministic column
+            # name before the year could be a value filter on it, but
+            # a mass-noun SYNONYM ('total revenue in 1995') is never a
+            # filter column the user typed — treating it as one
+            # blocked the year from parsing and the whole question
+            # refused via the in-<year> lockstep cue.
             if not free(m.start(), m.end()):
                 continue
             w = _pre_word(m.start())
-            if w and q_type(w.lower()) == "number":
+            if (
+                w
+                and q_type(w.lower()) == "number"
+                and q_tier(w.lower()) == 0
+            ):
                 continue
             col = q_date(w)
             if col:
@@ -2192,9 +2509,14 @@ class RuleBasedGenerator:
                 found.append((m.start(), m.end(), f"{col} LIKE '{pat}'"))
         # negated equality BEFORE equality — 'status is not F' must not
         # parse as status = 'not'
+        # value tokens take word chars plus #./- (R11, ADVICE r10 #3's
+        # family): TPC-H-style literals like 'Clerk#000000951' died at
+        # the '#' under [\w-]+, so the condition never parsed and the
+        # question shipped UNFILTERED when the literal guard also
+        # missed the mixed-case token
         for m in re.finditer(
             r"(\w+)\s+(?:is\s+not|does\s+not\s+equal|!=|<>)\s+"
-            r"'?([\w-]+)'?(?:\s|$)",
+            r"'?([\w#./-]+)'?(?:\s|$)",
             raw,
             re.IGNORECASE,
         ):
@@ -2227,7 +2549,9 @@ class RuleBasedGenerator:
                 op = "<>" if m.group(1) else "="
                 found.append((m.start(), m.end(), f"{col} {op} {lit}"))
         for m in re.finditer(
-            r"(\w+)\s+(?:is|equals|=)\s+'?([\w-]+)'?(?:\s|$)", raw, re.IGNORECASE
+            r"(\w+)\s+(?:is|equals|=)\s+'?([\w#./-]+)'?(?:\s|$)",
+            raw,
+            re.IGNORECASE,
         ):
             if not free(m.start(), m.end()) or m.group(2).lower() in self._EQ_STOP:
                 continue

