@@ -268,8 +268,14 @@ class RuleBasedGenerator:
         # than 'or's means some alternative vanished. Branch-level
         # refusals (disjunctive grouping/superlative) already returned
         # '' before this guard runs.
+        # ...quoted spans are stripped from BOTH sides: an uppercase
+        # ' OR ' inside a quoted SQL literal would otherwise count as
+        # a connective and mask a genuinely dropped alternative
+        # (review catch).
         q_or = len(re.findall(r"\bor\b", re.sub(r"'[^']*'", " ", q)))
-        if q_or and len(re.findall(r" OR ", sql)) < q_or:
+        if q_or and len(
+            re.findall(r" OR ", re.sub(r"'[^']*'", " ", sql))
+        ) < q_or:
             return True
         # the NOT of NOT EXISTS is an existence predicate, not a value
         # negation — it must not satisfy a stated '!= / is not' filter
@@ -300,15 +306,20 @@ class RuleBasedGenerator:
         # and before cols3 landed it silently vanished; this cue keeps
         # the guard ahead of the grammar (the lockstep rule). Agg
         # keywords are not literals ('what is MAX totalprice').
-        # ...value tokens extend past [A-Z_]: mixed-case-with-symbol
-        # ('Clerk#000000951') and digit-leading-with-a-letter
-        # ('1-URGENT') are literals too — before R11 the first was
-        # invisible to this cue AND unparseable by the equality
-        # grammar, so 'where clerk is Clerk#000000951' shipped an
-        # UNFILTERED select (ADVICE r10 #3's family)
+        # ...value tokens extend past [A-Z_]: tokens carrying a digit
+        # or symbol ('Clerk#000000951', '1-URGENT') are literals too —
+        # before R11 the first was invisible to this cue AND
+        # unparseable by the equality grammar, so 'where clerk is
+        # Clerk#000000951' shipped an UNFILTERED select (ADVICE r10
+        # #3's family). Pure-alpha mixed-case words stay OUT of the
+        # cue: 'what is Average totalprice' is prose, not a literal
+        # (review catch — widening to any capitalized token falsely
+        # refused it).
         for lit in re.findall(
             r"\b(?:is|equals)\s+(?!(?i:not)\b)"
-            r"('[^']+'|[A-Z][\w#./-]*|\d[\w#./-]*[A-Za-z][\w#./-]*)",
+            r"('[^']+'|[A-Z][A-Z0-9_]*\b"
+            r"|[A-Za-z][\w#./-]*[#\d/-][\w#./-]*"
+            r"|\d[\w#./-]*[A-Za-z][\w#./-]*)",
             raw,
         ):
             v = lit.strip("'")
@@ -720,7 +731,10 @@ class RuleBasedGenerator:
                     # child walk in the top-N branch. An aggregate
                     # qualifier is optional: a bare mass-noun metric
                     # under a superlative implies SUM.
-                    mt = self._child_metric(table, m.group(3), schema)
+                    mt = self._child_metric(
+                        table, m.group(3), schema,
+                        explicit_agg=bool(m.group(2)),
+                    )
                     if mt is not None:
                         _, mcol, msteps = mt
                         fn = (
@@ -1944,7 +1958,12 @@ class RuleBasedGenerator:
         else:
             alias = f"{mcol}_{fn.lower()}"
             expr = f"{fn}({last}.{mcol})"
-            having = f" HAVING COUNT({last}.{landing}) > 0"
+            # count the METRIC, not the join key (review catch): a
+            # group whose joined rows exist but whose metric values
+            # are all NULL still yields AVG/MIN/MAX = NULL, and NULL
+            # re-opens the Spark/DuckDB ordering divergence this
+            # HAVING exists to close
+            having = f" HAVING COUNT({last}.{mcol}) > 0"
         tail = f" ORDER BY {alias} {order} LIMIT {limit}" if order else osql
         return (
             f"SELECT {gsel}, {expr} AS {alias} FROM {gtable} t1{join_sql}"
@@ -1954,6 +1973,7 @@ class RuleBasedGenerator:
     def _child_metric(
         self, table: str, word: str, schema: dict,
         max_tier: int | None = None,
+        explicit_agg: bool = False,
     ) -> tuple[str, str, list] | None:
         """The unique FOREIGN owner of a NUMERIC metric word,
         reachable from ``table`` by the child-direction walk:
@@ -1966,7 +1986,17 @@ class RuleBasedGenerator:
         be STRICTLY more confident. The walk is pure child-direction,
         so each leaf row is reached at most once and SUM/AVG over the
         leaf metric never double-count; a metric only a fan-out bridge
-        reaches stays None (refusal beats a silent double-count)."""
+        reaches stays None (refusal beats a silent double-count).
+
+        ``explicit_agg`` is whether the question STATED an aggregate
+        word (review catch): without one the implied SUM is only the
+        right reading for a mass-noun SYNONYM metric (tiers 1-99 —
+        'revenue', 'sales'); a real foreign column name ('highest
+        quantity' -> l_quantity, tier 0) under a bare superlative more
+        plausibly means the MAX single value, so the walk declines and
+        the caller refuses rather than shipping SUM as a guess. Fuzzy
+        hits (tier 100) never drive a walked aggregate either way —
+        guess-on-guess."""
         owners = []
         for t, ocols in schema.items():
             if t == table:
@@ -1978,6 +2008,8 @@ class RuleBasedGenerator:
             return None
         best = min(o[2] for o in owners)
         if max_tier is not None and best > max_tier:
+            return None
+        if best >= 100 or (not explicit_agg and best == 0):
             return None
         owners = [o for o in owners if o[2] == best]
         if len(owners) != 1:
@@ -2023,6 +2055,7 @@ class RuleBasedGenerator:
         mt = self._child_metric(
             table, m.group(4), schema,
             max_tier=(r_local[1] - 1) if r_local else None,
+            explicit_agg=bool(m.group(3)),
         )
         if mt is None:
             return None
@@ -2032,11 +2065,17 @@ class RuleBasedGenerator:
             if gcol is None:
                 return ""  # a stated base-side group column must resolve
         # a sort or grouping stated BEYOND the consumed 'by <metric>'
-        # would be silently dropped by this ranked answer — refuse
+        # would be silently dropped by this ranked answer — refuse.
+        # A SECOND bare 'by' is a group cue too ('top 3 nations by
+        # revenue by region' — review catch: the per-style check alone
+        # let it ship with the second grouping dropped); with the sort
+        # mention already refused above, the shape owns exactly one.
         if self._sort_mention(q) or re.search(
             r"\b(?:per|for\s+each|for\s+every|in\s+each|grouped\s+by)\b",
             q,
         ):
+            return ""
+        if len(re.findall(r"\bby\b", q)) > 1:
             return ""
         fn = self._AGGS.get(m.group(3) or "", "SUM")
         _, mcol, steps = mt
@@ -2321,8 +2360,8 @@ class RuleBasedGenerator:
         def free(s: int, e: int) -> bool:
             return all(e <= fs or s >= fe for fs, fe, _ in found)
 
-        def q_best(word: str) -> tuple[str, str, dict] | None:
-            """(prefix, column, scope) for a mention, confidence-tiered
+        def q_best(word: str) -> tuple[int, str, str, dict] | None:
+            """(tier, prefix, column, scope) for a mention, confidence-tiered
             ACROSS the walk's tables (R10 probe: 'where retailprice
             over 1500' on the orders->lineitem->part walk fuzzy-hit
             o_totalprice because the base scope was tried first —
@@ -2333,26 +2372,15 @@ class RuleBasedGenerator:
                 r = self._resolve_column_tiered(word, sc)
                 if r is not None and (best is None or r[1] < best[0]):
                     best = (r[1], pf, r[0], sc)
-            return (best[1], best[2], best[3]) if best else None
+            return best
 
         def q_col(word: str) -> str | None:
             b = q_best(word)
-            return f"{b[0]}{b[1]}" if b else None
+            return f"{b[1]}{b[2]}" if b else None
 
         def q_type(word: str) -> str | None:
             b = q_best(word)
-            return b[2].get(b[1]) if b else None
-
-        def q_tier(word: str) -> int | None:
-            """The best confidence tier ``word`` resolves at across
-            the walk's scopes (0 = deterministic name; 1+ = synonym;
-            100 = fuzzy) — the year-parser's guard keys on it."""
-            best: int | None = None
-            for sc, _ in scopes:
-                r = self._resolve_column_tiered(word, sc)
-                if r is not None and (best is None or r[1] < best):
-                    best = r[1]
-            return best
+            return b[3].get(b[2]) if b else None
 
         def q_date(word: str | None) -> str | None:
             for sc, pf in scopes:
@@ -2413,11 +2441,8 @@ class RuleBasedGenerator:
             if not free(m.start(), m.end()):
                 continue
             w = _pre_word(m.start())
-            if (
-                w
-                and q_type(w.lower()) == "number"
-                and q_tier(w.lower()) == 0
-            ):
+            wb = q_best(w.lower()) if w else None
+            if wb and wb[3].get(wb[2]) == "number" and wb[0] == 0:
                 continue
             col = q_date(w)
             if col:
@@ -2513,10 +2538,13 @@ class RuleBasedGenerator:
         # family): TPC-H-style literals like 'Clerk#000000951' died at
         # the '#' under [\w-]+, so the condition never parsed and the
         # question shipped UNFILTERED when the literal guard also
-        # missed the mixed-case token
+        # missed the mixed-case token. Bare values must END on a
+        # non-dot char: a mid-question sentence period ('status is F.
+        # sorted by ...') is punctuation, not part of the literal
+        # (review catch — 'F.' matched zero rows).
         for m in re.finditer(
             r"(\w+)\s+(?:is\s+not|does\s+not\s+equal|!=|<>)\s+"
-            r"'?([\w#./-]+)'?(?:\s|$)",
+            r"'?([\w#./-]*[\w#/-])'?(?:\s|$)",
             raw,
             re.IGNORECASE,
         ):
@@ -2549,7 +2577,7 @@ class RuleBasedGenerator:
                 op = "<>" if m.group(1) else "="
                 found.append((m.start(), m.end(), f"{col} {op} {lit}"))
         for m in re.finditer(
-            r"(\w+)\s+(?:is|equals|=)\s+'?([\w#./-]+)'?(?:\s|$)",
+            r"(\w+)\s+(?:is|equals|=)\s+'?([\w#./-]*[\w#/-])'?(?:\s|$)",
             raw,
             re.IGNORECASE,
         ):

@@ -1690,7 +1690,7 @@ def test_generator_ranked_child_walk_group_column():
     assert _gen_full("top 5 nation names by average revenue") == (
         "SELECT t1.n_name, AVG(t3.o_totalprice) AS o_totalprice_avg "
         f"{_NATION_REV_JOINS}"
-        "GROUP BY t1.n_name HAVING COUNT(t3.o_custkey) > 0 "
+        "GROUP BY t1.n_name HAVING COUNT(t3.o_totalprice) > 0 "
         "ORDER BY o_totalprice_avg DESC LIMIT 5"
     )
 
@@ -1741,7 +1741,7 @@ def test_generator_grouped_superlative_foreign_metric():
         "AVG(t3.o_totalprice) AS o_totalprice_avg "
         f"{_NATION_REV_JOINS}"
         f"GROUP BY {_NATION_COLS} "
-        "HAVING COUNT(t3.o_custkey) > 0 "
+        "HAVING COUNT(t3.o_totalprice) > 0 "
         "ORDER BY o_totalprice_avg DESC LIMIT 1"
     )
     # bare mass-noun metric implies SUM, one hop
@@ -1917,3 +1917,38 @@ def test_generator_superlative_metric_year_filter_in_on_clause():
     # a deterministic numeric column before the year still stays out
     # of the date grammar (and the lockstep cue refuses the question)
     assert _gen_full("orders where totalprice in 1995") == ""
+
+
+def test_generator_review_catches_r11_batch():
+    """Pins for the r11 review findings on the ranked/superlative
+    child-walk batch."""
+    # 1. a sentence period is punctuation, not part of the literal —
+    # 'F.' would match zero rows; the unparsed condition refuses
+    assert _gen_full(
+        "show orders where orderstatus is F. sorted by totalprice descending"
+    ) == ""
+    # 2. capitalized English aggregate words are prose, not literals
+    assert _gen_full("what is Average totalprice") == (
+        "SELECT AVG(o_totalprice) AS o_totalprice_avg FROM orders"
+    )
+    assert _gen_full("what is Total revenue per nation name") == (
+        "SELECT t3.n_name, SUM(t1.o_totalprice) AS o_totalprice_sum "
+        "FROM orders t1 JOIN customer t2 ON t1.o_custkey = t2.c_custkey "
+        "JOIN nation t3 ON t2.c_nationkey = t3.n_nationkey "
+        "GROUP BY t3.n_name"
+    )
+    # 3. a real foreign column name under a bare superlative is NOT an
+    # implied SUM ('highest quantity' plausibly means the max value) —
+    # refuse; an explicit aggregate word states the intent and walks
+    assert _gen_full("which nation has the highest quantity") == ""
+    out = _gen_full("which nation has the highest total quantity")
+    assert "COALESCE(SUM(" in out and "l_quantity" in out
+    # 4. a second bare 'by' is a grouping this ranked answer would drop
+    assert _gen_full("top 3 nations by revenue by region") == ""
+    # 5. an uppercase OR inside a quoted SQL literal is not a connective
+    gen = t2s.RuleBasedGenerator()
+    assert gen._drops_stated_constraint(
+        "orders where comment contains 'P OR F' and clerk is A or B",
+        "SELECT * FROM orders WHERE o_comment LIKE '%P OR F%' "
+        "AND o_clerk = 'A'",
+    )
