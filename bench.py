@@ -35,7 +35,10 @@ HEADLINE = [
     "a1_a3_aggregate_family",
     "o3_top_k",
     "cd_acd_count_distinct",
-    "w2_running_sum",
+    # R11 fold: w2's running sum joined the window-family slot (rename
+    # rule: the folded workload is a different query, no cross-round
+    # ratio for the new name)
+    "w1_w4_window_family",
     "e1_e2_windows",
     "e3_sessionize_batch",
     "aj1_asof_join",
@@ -66,7 +69,20 @@ HEADLINE = [
     # R9: the composed pipeline's declared (audit-heavy) row — its
     # production path stays benched as x_corpus_pipeline
     "pipe1_prepare_corpus",
+    # R11: eval-set decontamination declared (VERDICT r10 #2)
+    "ct1_decontamination",
 ]
+
+#: Cross-round ratio pairing for UNCHANGED workloads that changed
+#: name (ADVICE r10 #1: a pure rename severs the warm-ratio silently;
+#: the rename rule only exempts RESIZED/FOLDED workloads). Maps
+#: current name -> the name the same workload carried last round.
+RENAMED_UNCHANGED = {
+    # r10 renamed ret1_bm25_topk (hybrid retrieval was always the
+    # workload; the key caught up with it) — one-round bridge, drop
+    # after r11's baseline carries the new name.
+    "ret1_hybrid_topk": "ret1_bm25_topk",
+}
 
 
 def _extras(spark, sf_dir: str) -> dict:
@@ -557,10 +573,19 @@ def main() -> None:
                 )
                 prev_warm = q
                 break
+    # a renamed-but-unchanged workload pairs with its old key when the
+    # baseline predates the rename (ADVICE r10 #1 — the rename rule
+    # exempts only RESIZED/FOLDED workloads from ratio continuity)
+    def _prev_of(q: str):
+        v = prev_warm.get(q)
+        if v is None and q in RENAMED_UNCHANGED:
+            v = prev_warm.get(RENAMED_UNCHANGED[q])
+        return v
+
     delta = {
-        q: round(warm[q] / prev_warm[q], 2)
+        q: round(warm[q] / _prev_of(q), 2)
         for q in warm
-        if isinstance(prev_warm.get(q), (int, float)) and prev_warm[q] > 0
+        if isinstance(_prev_of(q), (int, float)) and _prev_of(q) > 0
     }
     # Host-drift estimate, computed ONCE (R10 advice: the previous
     # per-site `or delta["calib_hash_agg_6b"]` fallback raised KeyError

@@ -22,19 +22,32 @@ from etl_zero_spark.plans.registry import query
 
 
 @query(
-    "w1_w3_w4_window_family",
-    "window: row_number top-N per group + lag/lead + rank/dense_rank",
+    "w1_w4_window_family",
+    "window: row_number top-N per group + cumulative frame + lag/lead "
+    "+ rank/dense_rank (W1+W2+W3+W4 — the R11 fold of w2_running_sum "
+    "into the R5 window-family slot, freeing the slot that declares "
+    "ct1_decontamination)",
     """
     SELECT 'topn' AS op, c_mktsegment AS grp, o_orderkey AS id,
            o_totalprice AS val, rn,
            CAST(NULL AS DOUBLE) AS prev_val, CAST(NULL AS DOUBLE) AS next_val,
-           CAST(NULL AS BIGINT) AS val_rank, CAST(NULL AS BIGINT) AS val_dense_rank
+           CAST(NULL AS BIGINT) AS val_rank, CAST(NULL AS BIGINT) AS val_dense_rank,
+           CAST(NULL AS DOUBLE) AS running_total
     FROM (
       SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
              row_number() OVER (PARTITION BY c.c_mktsegment
                                 ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     ) WHERE rn <= 3
+    UNION ALL
+    SELECT 'running', CAST(o_custkey AS VARCHAR), o_orderkey, o_totalprice,
+           CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+    FROM orders
     UNION ALL
     SELECT 'lag_rank', p_brand, p_partkey, p_retailprice,
            CAST(NULL AS BIGINT),
@@ -43,18 +56,21 @@ from etl_zero_spark.plans.registry import query
            lead(p_retailprice) OVER (PARTITION BY p_brand
                  ORDER BY p_retailprice DESC, p_partkey),
            rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC),
-           dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC)
+           dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC),
+           CAST(NULL AS DOUBLE)
     FROM part
     """,
     "The window-function family in one tagged union (the R5 fold that "
-    "freed a declared slot for snap1; operator ids W1+W3+W4 all "
-    "preserved): 'topn' = top-3 orders per market segment via ranked "
-    "row_number; 'lag_rank' = lag/lead over a totally-ordered window "
-    "(unique p_partkey tiebreaker) plus rank/dense_rank over the "
-    "tie-bearing price order (ties share rank), both families in one "
-    "pass over part.",
+    "freed a declared slot for snap1; R11 folds W2 in too — operator "
+    "ids W1+W2+W3+W4 all preserved): 'topn' = top-3 orders per market "
+    "segment via ranked row_number; 'running' = per-customer "
+    "cumulative order total over the unbounded-preceding frame "
+    "(unique o_orderkey tiebreaker so both engines accumulate in one "
+    "defined order); 'lag_rank' = lag/lead over a totally-ordered "
+    "window (unique p_partkey tiebreaker) plus rank/dense_rank over "
+    "the tie-bearing price order (ties share rank).",
 )
-def w1_w3_w4_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+def w1_w4_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
@@ -75,7 +91,25 @@ def w1_w3_w4_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("next_val"),
             F.lit(None).cast("long").alias("val_rank"),
             F.lit(None).cast("long").alias("val_dense_rank"),
+            F.lit(None).cast("double").alias("running_total"),
         )
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = o.select(
+        F.lit("running").alias("op"),
+        F.col("o_custkey").cast("string").alias("grp"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("val"),
+        F.lit(None).cast("long").alias("rn"),
+        F.lit(None).cast("double").alias("prev_val"),
+        F.lit(None).cast("double").alias("next_val"),
+        F.lit(None).cast("long").alias("val_rank"),
+        F.lit(None).cast("long").alias("val_dense_rank"),
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
     )
     p = load_table(spark, sf_dir, "part")
     w_uniq = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
@@ -90,34 +124,9 @@ def w1_w3_w4_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("p_retailprice").over(w_uniq).alias("next_val"),
         F.rank().over(w_tie).cast("long").alias("val_rank"),
         F.dense_rank().over(w_tie).cast("long").alias("val_dense_rank"),
+        F.lit(None).cast("double").alias("running_total"),
     )
-    return topn.unionByName(lag_rank)
-
-
-@query(
-    "w2_running_sum",
-    "window: cumulative frame",
-    """
-    SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                 ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
-    FROM orders
-    """,
-    "Per-customer running order total (unbounded-preceding frame).",
-)
-def w2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
-    )
+    return topn.unionByName(running).unionByName(lag_rank)
 
 
 @query(

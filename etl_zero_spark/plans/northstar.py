@@ -2011,3 +2011,152 @@ def q1_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("greedy_ok"),
     )
     return doc_rows.unionByName(prows)
+
+
+# ---------------------------------------------------------------------------
+# eval-set decontamination (ct1 — R11, VERDICT r10 #2)
+# ---------------------------------------------------------------------------
+
+#: ct1's planted contamination passage: 10 tokens outside the fixture
+#: vocabulary appended identically (engine and oracle) to every
+#: doc_id%10==0 TRAIN document and every doc_id%7==1 TEST document, so
+#: cross-corpus contamination exists by construction — the passage's 3
+#: interior 8-grams are shared by every (planted test, planted train)
+#: pair. The fixture's natural exact-duplicate texts contaminate too;
+#: the oracle replays those as well.
+_CT_BOILER = "ct0 ct1 ct2 ct3 ct4 ct5 ct6 ct7 ct8 ct9"
+#: the capped tier's hot-gram bound: the planted grams' TRAIN document
+#: frequency (~|train|/10, i.e. 25 at sf0.01) exceeds it, so the
+#: capped tier provably DROPS them — the cap's scale contract
+#: (worst-case join fan-out bounded at |test_grams| * cap) is
+#: hash-checked as behavior, not asserted as a boolean.
+_CT_CAP = 20
+_CT_N = 8
+
+
+@query(
+    "ct1_decontamination",
+    "corpus: train/test contamination scan + decontaminate "
+    "(GPT-3-appendix n-gram overlap shape)",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 AND doc_id % 10 = 0
+                    THEN text || ' {_CT_BOILER}'
+                  WHEN doc_id % 2 = 1 AND doc_id % 7 = 1
+                    THEN text || ' {_CT_BOILER}'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    train AS (SELECT * FROM corpus WHERE doc_id % 2 = 0),
+    test  AS (SELECT * FROM corpus WHERE doc_id % 2 = 1),
+    wl_tr AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+      FROM train
+    ),
+    wl_te AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+      FROM test
+    ),
+    g_tr AS (
+      SELECT doc_id AS train_id,
+             unnest(list_distinct(
+               CASE WHEN len(w) < {_CT_N} THEN [array_to_string(w, ' ')]
+                    ELSE [array_to_string(w[i:i+{_CT_N - 1}], ' ')
+                          for i in range(1, len(w) - {_CT_N - 2})] END)) AS g
+      FROM wl_tr
+    ),
+    g_te AS (
+      SELECT doc_id AS test_id,
+             unnest(list_distinct(
+               CASE WHEN len(w) < {_CT_N} THEN [array_to_string(w, ' ')]
+                    ELSE [array_to_string(w[i:i+{_CT_N - 1}], ' ')
+                          for i in range(1, len(w) - {_CT_N - 2})] END)) AS g
+      FROM wl_te
+    ),
+    hot AS (SELECT g FROM g_tr GROUP BY g HAVING count(*) > {_CT_CAP}),
+    pairs_exact AS (
+      SELECT test_id, train_id, count(*) AS shared_ngrams
+      FROM g_te JOIN g_tr USING (g)
+      GROUP BY 1, 2
+    ),
+    pairs_capped AS (
+      SELECT test_id, train_id, count(*) AS shared_ngrams
+      FROM g_te JOIN (SELECT * FROM g_tr
+                      WHERE g NOT IN (SELECT g FROM hot)) tr USING (g)
+      GROUP BY 1, 2
+    ),
+    cleaned AS (
+      SELECT doc_id FROM train
+      WHERE doc_id NOT IN (SELECT DISTINCT train_id FROM pairs_exact)
+    )
+    SELECT 'exact' AS tier, test_id, train_id,
+           CAST(shared_ngrams AS BIGINT) AS shared_ngrams
+    FROM pairs_exact
+    UNION ALL
+    SELECT 'capped', test_id, train_id, CAST(shared_ngrams AS BIGINT)
+    FROM pairs_capped
+    UNION ALL
+    SELECT 'cleaned', CAST(NULL AS BIGINT), doc_id, CAST(NULL AS BIGINT)
+    FROM cleaned
+    """,
+    "Eval-set decontamination declared CHECKED (VERDICT r10 #2 — the "
+    "most-cited pytest-only LLM operator): documents split into "
+    "train (even doc_id) / test (odd), a 10-token passage planted on "
+    "every 10th train and every 7th-mod-1 test doc identically on "
+    "both sides, and THREE tagged tiers hash-checked against a full "
+    "DuckDB replay over gram STRINGS (the Spark side hashes grams "
+    "with xxhash64 — dd12's collision contract): 'exact' = every "
+    "(test, train) pair sharing >= 1 distinct word 8-gram with its "
+    "shared count (the GPT-3 appendix scan at n=8 for the fixture's "
+    "doc lengths), 'capped' = the production hot-gram-bounded path at "
+    "max_gram_df=20, where the planted grams (train-df ~25 at "
+    "sf0.01) are provably dropped — the cap that bounds join fan-out "
+    "at 100 TB is checked as BEHAVIOR, the oracle recomputing the "
+    "same hot set; 'cleaned' = decontaminate()'s surviving train ids "
+    "at the production default cap (10k — no fixture gram is that "
+    "hot, so it equals the exact rule; the capped tier is where the "
+    "cap bites). Scale: both corpora explode to (8-byte gram hash, "
+    "id) inverted indexes meeting in ONE shuffled equi-join — never "
+    "a document cross-join (operators/corpus.py:66).",
+)
+def ct1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_zero_spark.operators import corpus as corpus_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 10 == 0),
+            F.concat(F.col("text"), F.lit(" " + _CT_BOILER)),
+        )
+        .when(
+            (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 7 == 1),
+            F.concat(F.col("text"), F.lit(" " + _CT_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    train = planted.where(F.col("doc_id") % 2 == 0)
+    test = planted.where(F.col("doc_id") % 2 == 1)
+    exact = corpus_ops.cross_corpus_contamination(
+        train, test, n=_CT_N, max_gram_df=None
+    )
+    capped = corpus_ops.cross_corpus_contamination(
+        train, test, n=_CT_N, max_gram_df=_CT_CAP
+    )
+    cleaned = corpus_ops.decontaminate(train, test, n=_CT_N)
+    tag = lambda df, t: df.select(
+        F.lit(t).alias("tier"), "test_id", "train_id", "shared_ngrams"
+    )
+    cleaned_rows = cleaned.select(
+        F.lit("cleaned").alias("tier"),
+        F.lit(None).cast("long").alias("test_id"),
+        F.col("doc_id").alias("train_id"),
+        F.lit(None).cast("long").alias("shared_ngrams"),
+    )
+    return tag(exact, "exact").unionByName(tag(capped, "capped")).unionByName(
+        cleaned_rows
+    )

@@ -455,3 +455,46 @@ def test_q1_greedy_flips_on_naive_window_count(spark, monkeypatch):
     flipped = {r.key: r.greedy_ok for r in planted}
     assert flipped[10_000_003] is False  # overlapping repeats diverge
     assert flipped[10_000_002] is True  # no repeats: both agree
+
+
+# ---------------------------------------------------------------------------
+# ct1_decontamination (R11, VERDICT r10 #2): the capped tier is
+# hash-checked BEHAVIOR — a cap that silently stops applying must
+# change the declared rows (the driver's value-hash goes red)
+# ---------------------------------------------------------------------------
+
+
+def test_ct1_capped_tier_flips_on_ignored_cap(spark, monkeypatch):
+    """Mutation: cross_corpus_contamination ignores max_gram_df (the
+    hot-gram bound that keeps the 100 TB join fan-out linear). The
+    declared query's 'capped' tier must then regain the planted
+    hot-gram pairs — i.e. differ row-for-row from the committed
+    oracle expectation — while the 'exact' tier stays identical."""
+    from etl_zero_spark.operators import corpus as corpus_ops
+
+    healthy = {
+        (r.tier, r.test_id, r.train_id, r.shared_ngrams)
+        for r in _run(spark, "ct1_decontamination")
+    }
+    h_exact = {t for t in healthy if t[0] == "exact"}
+    h_capped = {t for t in healthy if t[0] == "capped"}
+    # the plant worked: hot pairs exist in exact and are absent capped
+    assert len(h_exact) > len(h_capped)
+
+    orig = corpus_ops.cross_corpus_contamination
+
+    def no_cap(train, test, **kw):
+        kw["max_gram_df"] = None
+        return orig(train, test, **kw)
+
+    monkeypatch.setattr(corpus_ops, "cross_corpus_contamination", no_cap)
+    mutated = {
+        (r.tier, r.test_id, r.train_id, r.shared_ngrams)
+        for r in _run(spark, "ct1_decontamination")
+    }
+    m_exact = {t for t in mutated if t[0] == "exact"}
+    m_capped = {t for t in mutated if t[0] == "capped"}
+    assert m_exact == h_exact  # the exact tier is cap-independent
+    assert m_capped != h_capped  # the dead cap flips the hash-checked rows
+    # and it flips in the telling direction: the planted hot pairs return
+    assert len(m_capped) > len(h_capped)
