@@ -1862,6 +1862,37 @@ def split1_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE c = mc
       GROUP BY 1
     ),
+    gc3 AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(words) - 2),
+                                         i -> words[i] || ' ' || words[i + 1]
+                                              || ' ' || words[i + 2])) AS g
+            FROM t WHERE len(words) >= 3)
+      GROUP BY 1, 2
+    ),
+    gtop3 AS (
+      SELECT doc_id, max(c * len(g)) AS score
+      FROM (SELECT *, max(c) OVER (PARTITION BY doc_id) AS mc FROM gc3)
+      WHERE c = mc
+      GROUP BY 1
+    ),
+    gc4 AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(words) - 3),
+                                         i -> words[i] || ' ' || words[i + 1]
+                                              || ' ' || words[i + 2]
+                                              || ' ' || words[i + 3])) AS g
+            FROM t WHERE len(words) >= 4)
+      GROUP BY 1, 2
+    ),
+    gtop4 AS (
+      SELECT doc_id, max(c * len(g)) AS score
+      FROM (SELECT *, max(c) OVER (PARTITION BY doc_id) AS mc FROM gc4)
+      WHERE c = mc
+      GROUP BY 1
+    ),
     q AS (
       SELECT doc_id,
              CAST(len(words) AS INT) AS n_words,
@@ -1890,19 +1921,26 @@ def split1_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(l.dup_c / t.chars, 6) AS dup_line_char_frac,
              round(p.dup_e / p.n, 6) AS dup_para_frac,
              round(p.dup_c / t.chars, 6) AS dup_para_char_frac,
-             round(coalesce(g.score, 0) / t.chars, 6) AS top_2gram_char_frac
+             round(coalesce(g.score, 0) / t.chars, 6) AS top_2gram_char_frac,
+             round(coalesce(g3.score, 0) / t.chars, 6) AS top_3gram_char_frac,
+             round(coalesce(g4.score, 0) / t.chars, 6) AS top_4gram_char_frac
       FROM t
       LEFT JOIN lstat l USING (doc_id)
       LEFT JOIN pstat p USING (doc_id)
       LEFT JOIN gtop g USING (doc_id)
+      LEFT JOIN gtop3 g3 USING (doc_id)
+      LEFT JOIN gtop4 g4 USING (doc_id)
     )
     SELECT 'doc' AS tag, CAST(s.doc_id AS BIGINT) AS key,
            s.dup_line_frac, s.dup_line_char_frac,
            s.dup_para_frac, s.dup_para_char_frac, s.top_2gram_char_frac,
+           s.top_3gram_char_frac, s.top_4gram_char_frac,
            q.n_words, q.stopword_hits,
            NOT (s.dup_line_frac > 0.30 OR s.dup_para_frac > 0.30
                 OR s.dup_line_char_frac > 0.20 OR s.dup_para_char_frac > 0.20
                 OR s.top_2gram_char_frac > 0.20
+                OR s.top_3gram_char_frac > 0.18
+                OR s.top_4gram_char_frac > 0.16
                 OR q.n_words < 20 OR q.n_words > 100000
                 OR q.awl < 3.0 OR q.awl > 10.0
                 OR q.sym_ratio > 0.10 OR q.bullet_frac > 0.90
@@ -1913,6 +1951,7 @@ def split1_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'planted', v.key,
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BOOLEAN),
            TRUE
@@ -1928,20 +1967,21 @@ def split1_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dup_para_* and dup_line_*), %4==2 rebuilds the doc as the 5-word "
     "head tripled (trips top_2gram and the word-count floor), %4==3 "
     "stays organic. The oracle replays dup line/para fractions (sorted "
-    "multiset arithmetic), the top-2-gram score with the engine's "
-    "count-then-run-score tie-break, the full quality battery "
-    "(avg word len, symbol/bullet/ellipsis/alpha ratios, stopword "
-    "hits), and the keep verdict under the declared threshold "
-    "overrides. The greedy dup-ngram scan (sequential by definition — "
-    "a repeat hit consumes n tokens) is pinned on three planted docs "
-    "whose dup_5/6gram fractions are hand-computed, including one "
-    "(abcde x3) where greedy and naive counting DIVERGE (0.62069 "
-    "greedy vs 9 repeated windows naive) — greedy_ok asserts both "
-    "values per doc. Threshold overrides (top_3/4gram and dup_ngram "
-    "tiers to 10.0 = never trip; min_words 20, min_stopword_hits 1 to "
-    "split the fixture) keep 'keep' SQL-replayable; the neutralized "
-    "tiers keep their published defaults in GOPHER_THRESHOLDS and "
-    "their own pytest oracles.",
+    "multiset arithmetic), the top-2/3/4-gram scores with the engine's "
+    "count-then-run-score tie-break (R11, VERDICT r10 #4: top_3/4gram "
+    "joined the hash-checked columns at their PUBLISHED thresholds — "
+    "0.18/0.16 — and their overrides were dropped), the full quality "
+    "battery (avg word len, symbol/bullet/ellipsis/alpha ratios, "
+    "stopword hits), and the keep verdict. The greedy dup-ngram scan "
+    "(sequential by definition — a repeat hit consumes n tokens) is "
+    "pinned on three planted docs whose dup_5/6gram fractions are "
+    "hand-computed, including one (abcde x3) where greedy and naive "
+    "counting DIVERGE (0.62069 greedy vs 9 repeated windows naive) — "
+    "greedy_ok asserts both values per doc. Remaining overrides: the "
+    "dup_ngram tiers to 10.0 (never trip — genuinely sequential, "
+    "boolean-pinned instead) and the fixture splits min_words 20 / "
+    "min_stopword_hits 1; the neutralized tiers keep their published "
+    "defaults in GOPHER_THRESHOLDS and their own pytest oracles.",
 )
 def q1_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_zero_spark.operators import quality
@@ -1959,8 +1999,6 @@ def q1_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("text", aug),
         thresholds={
             **{f"dup_{n}gram_char_frac": 10.0 for n in range(5, 11)},
-            "top_3gram_char_frac": 10.0,
-            "top_4gram_char_frac": 10.0,
             "min_words": 20,
             "min_stopword_hits": 1,
         },
@@ -1974,6 +2012,8 @@ def q1_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_para_frac",
         "dup_para_char_frac",
         "top_2gram_char_frac",
+        "top_3gram_char_frac",
+        "top_4gram_char_frac",
         F.col("n_words").cast("int").alias("n_words"),
         F.col("stopword_hits").cast("int").alias("stopword_hits"),
         "keep",
@@ -2002,6 +2042,8 @@ def q1_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.alias("dup_para_frac"),
         nd.alias("dup_para_char_frac"),
         nd.alias("top_2gram_char_frac"),
+        nd.alias("top_3gram_char_frac"),
+        nd.alias("top_4gram_char_frac"),
         F.lit(None).cast("int").alias("n_words"),
         F.lit(None).cast("int").alias("stopword_hits"),
         F.lit(None).cast("boolean").alias("keep"),
