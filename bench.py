@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -601,6 +602,31 @@ def main() -> None:
         None,
     )
     drift_est = delta[drift_src] if drift_src else None
+    # R11 (VERDICT r10 #5): a MULTI-QUERY drift panel alongside the
+    # single-workload calibration — the calib's warm reading swings
+    # enough between same-code runs (r10 notes: q1 0.41<->0.61s while
+    # calib moved differently) that one workload is a noisy divisor.
+    # The panel is the median warm-ratio of five stable MID-WEIGHT
+    # queries (0.3-3s warm: above scheduler noise, below the
+    # co-scheduling-sensitive tail). CAVEAT: panel members are repo
+    # code — a round that CHANGES one must drop it here or its code
+    # delta reads as host drift (the calib rows stay alongside for
+    # exactly that reason; drift_normalized prefers the panel but the
+    # raw ratios always ship).
+    _PANEL = (
+        "dd7_dedup_transitive",
+        "e3_sessionize_batch",
+        "scd1_type2_merge",
+        "dd2_ngram_jaccard_pairs",
+        "snap1_time_travel_read",
+    )
+    panel_ratios = [delta[q] for q in _PANEL if delta.get(q)]
+    drift_panel = (
+        round(statistics.median(panel_ratios), 3)
+        if len(panel_ratios) >= 3
+        else None
+    )
+    drift_norm = drift_panel or drift_est
 
     total = round(sum(warm.values()), 3)
     doc = {
@@ -636,18 +662,26 @@ def main() -> None:
             # (18B auto-preferred once both rounds carry it, R9 ask #1)
             "host_drift_estimate": drift_est,
             "host_drift_source": drift_src,
+            # R11 panel (VERDICT r10 #5): median warm-ratio of five
+            # mid-weight queries; normalization prefers it over the
+            # single-workload calib when >= 3 members have ratios
+            "host_drift_panel": drift_panel,
+            "host_drift_panel_members": list(_PANEL),
             "ratios": delta,
             # VERDICT r8 ask #3: the same ratios with host drift
             # divided out — screen THESE for regressions; raw ratios
             # stay alongside for transparency. Null estimate (first
             # round with a calib baseline) leaves this empty.
+            "drift_normalized_by": (
+                "panel" if drift_panel else ("calib" if drift_est else None)
+            ),
             "ratios_drift_normalized": (
                 {
-                    q: round(r / drift_est, 2)
+                    q: round(r / drift_norm, 2)
                     for q, r in delta.items()
                     if not q.startswith("calib_hash_agg")
                 }
-                if drift_est
+                if drift_norm
                 else {}
             ),
         },
@@ -672,6 +706,7 @@ def main() -> None:
         # it — the full ratio blocks stay in BENCH_LOCAL.json
         "host_drift_estimate": drift_est,
         "host_drift_source": drift_src,
+        "host_drift_panel": drift_panel,
         "detail_file": "BENCH_LOCAL.json",
     }
     if errors:

@@ -60,7 +60,10 @@ _PURE_PROBES = frozenset({
     "e3_sessionize_10m", "aj1_asof_10m", "rj1_range_10m",
     "gopher_100k", "semdedup_100k_t09", "span_dedup_100k_k25",
     "line_dedup_100k",
-    "span_dedup_100k_verify", "corpus_pipeline_1m", "report_1m",
+    # corpus_pipeline_1m left the pure set in R11: its rep budget
+    # funds the 2M linearity midpoint (VERDICT r10 #3) — the band now
+    # comes from three same-mode single-rep points, not reps of one
+    "span_dedup_100k_verify", "report_1m",
     "lm_ppl_100k", "dsir_100k_top10k", "drift_1m_distinct_cat",
     "report_100k",
     "shuffle_100k", "scd2_merge_1m",
@@ -150,6 +153,16 @@ PROBE_4M_DIR = os.path.join(
 )
 N_DOCS_4M = 4_000_000
 
+#: 2M-doc corpus (R11, VERDICT r10 #3): the report-excluded MIDPOINT
+#: of the pipeline-linearity band — r10's 4M point was one rep against
+#: a bimodal 1M band, so the linearity sentence needs a same-mode
+#: (report-excluded, single-rep) middle point. Budget comes from the
+#: 1M row dropping to one rep this round.
+PROBE_2M_DIR = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), "etlzero_scale_probe_2m"
+)
+N_DOCS_2M = 2_000_000
+
 
 def _generate_docs_only(spark, out_dir: str, n_docs: int, parts: int) -> str:
     marker = os.path.join(out_dir, "_COMPLETE")
@@ -168,6 +181,11 @@ def _generate_docs_only(spark, out_dir: str, n_docs: int, parts: int) -> str:
 def generate_1m(spark, out_dir: str = PROBE_1M_DIR, parts: int = 32) -> str:
     """Documents-only 1M corpus (VERDICT r7 #3); idempotent."""
     return _generate_docs_only(spark, out_dir, N_DOCS_1M, parts)
+
+
+def generate_2m(spark, out_dir: str = PROBE_2M_DIR, parts: int = 32) -> str:
+    """Documents-only 2M corpus (R11); idempotent."""
+    return _generate_docs_only(spark, out_dir, N_DOCS_2M, parts)
 
 
 def generate_4m(spark, out_dir: str = PROBE_4M_DIR, parts: int = 32) -> str:
@@ -290,8 +308,9 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
     if budget_s is None:
         # R10: +300s over the r9 default for the corpus_pipeline_4m
         # linearity row (its own cost gate skips it when the window
-        # is already spent)
-        budget_s = float(os.environ.get("SPARK_GRAFT_PROBE_BUDGET", "1600"))
+        # is already spent). R11: +100s nets the 2M midpoint +
+        # split_harden_1m against the 1M row dropping to one rep.
+        budget_s = float(os.environ.get("SPARK_GRAFT_PROBE_BUDGET", "1700"))
     t_start = time.perf_counter()
     from pyspark.sql import functions as F
 
@@ -979,6 +998,109 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         return spark.createDataFrame([(n,)], "rows long")
 
+    split_harden_detail: dict = {}
+    split_harden_frames: list = []
+
+    def split_harden_1m():
+        # R11 (VERDICT r10 #6): the split/harden leakage scan at
+        # corpus scale — x_split_harden runs at sf0.1 (~15k docs); the
+        # tier's pitch is leakage scanning at 1M. The bm25_1m pattern:
+        # index the HELDOUT side once (index_sec — holdouts are
+        # percents, so the index is the small side by construction:
+        # ~20k docs of 1M at 0.98/0.01/0.01), then probe the ~980k
+        # train side through the O(train x bands) incremental path
+        # (probe_sec = sec - index_sec) and return the condemned train
+        # ids (rows = the drop count). delta_vs_index_only — the r10
+        # ADVICE close — is what makes the probe O(train x bands): the
+        # train-vs-train block is cut BEFORE candidate rescoring, and
+        # this row measures that claim instead of arguing it.
+        from etl_zero_spark.operators import corpus as corp
+
+        d1m = load_table(spark, PROBE_1M_DIR, "documents")
+        sp = corp.split_corpus(
+            d1m, {"train": 0.98, "val": 0.01, "test": 0.01}
+        )
+        held = sp.where(F.col("split").isin("val", "test")).select(
+            "doc_id", "text"
+        )
+        train = sp.where(~F.col("split").isin("val", "test")).select(
+            "doc_id", "text"
+        )
+        try:
+            t = time.perf_counter()
+            # the two split counts ride the index window (one codegen
+            # scan each); index_sec is therefore "everything before
+            # the train probe can start"
+            split_harden_detail["n_heldout"] = held.count()
+            split_harden_detail["n_train"] = train.count()
+            idx = dedup.build_minhash_index(held)
+            idx.bands.persist().count()
+            idx.shingles.persist().count()
+            split_harden_frames.extend([idx.bands, idx.shingles])
+            split_harden_detail["index_sec"] = round(
+                time.perf_counter() - t, 2
+            )
+            pairs = dedup.incremental_minhash_pairs(
+                train, idx, threshold=0.5, delta_vs_index_only=True
+            )
+            # the condemned train side of each crossing pair (the ids
+            # harden_split would drop) — distinct, heldout never touched
+            sides = pairs.select(F.col("a_id").alias("doc_id")).unionByName(
+                pairs.select(F.col("b_id").alias("doc_id"))
+            )
+            return sides.join(
+                held.select("doc_id"), "doc_id", "left_anti"
+            ).dropDuplicates()
+        except BaseException:
+            for frame in split_harden_frames:
+                frame.unpersist()
+            raise
+
+    pipeline_2m_detail: dict = {}
+
+    def corpus_pipeline_2m():
+        # R11 (VERDICT r10 #3): the report-excluded MIDPOINT of the
+        # pipeline-linearity band. Identical stage shape and
+        # thresholds to corpus_pipeline_1m/4m; report excluded like
+        # the 4M row, so all three points compare like-for-like
+        # (subtract report_sec from the 1M row). 64 shuffle
+        # partitions: the same rows-per-partition sizing rule the 4M
+        # row pins at 128.
+        from etl_zero_spark.functions.artifacts import corpus_key
+        from etl_zero_spark.operators import classifier as qc
+        from etl_zero_spark.plans.corpus_pipeline import prepare_corpus
+
+        d2m = load_table(spark, PROBE_2M_DIR, "documents")
+        pos = d2m.where(F.col("doc_id") % 100 == 0).select("doc_id", "text")
+        neg = pos.select("doc_id", F.reverse(F.col("text")).alias("text"))
+        model = qc.cached_quality_classifier(
+            pos, neg,
+            corpus_key(
+                os.path.join(PROBE_2M_DIR, "documents.parquet"),
+                pos="mod100", neg="mod100-reversed",
+            ),
+            max_iter=10,
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        try:
+            res = prepare_corpus(
+                d2m,
+                quality=False,
+                classifier_model=model,
+                line_dedup_min_docs=2,
+                near_dedup_threshold=0.5,
+                substring_dedup_k=25,
+                pack_budget=2048,
+                collect_stats=True,
+            )
+            n = res.df.count()
+            pipeline_2m_detail["stage_survivors"] = dict(res.stats)
+            res.unpersist()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return spark.createDataFrame([(n,)], "rows long")
+
     def lm_ppl_100k():
         # R6: CCNet-style quality signal at 100k docs — train the
         # pruned bigram LM on a 20k-doc reference slice (two groupBy
@@ -1151,27 +1273,31 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("dd2_t05", dd2),
         ("report_1m", report_1m),
         ("bm25_1m", bm25_1m),
+        ("split_harden_1m", split_harden_1m),
         # LAST and budget-gated: the composed pipelines are the most
         # expensive probes; a budget stop here costs one row, not the
-        # whole per-operator tier above. 4M runs after 1M so a stop
-        # keeps the smaller linearity point.
+        # whole per-operator tier above. 4M runs after 2M after 1M so
+        # a stop keeps the smaller linearity points.
         ("corpus_pipeline_1m", corpus_pipeline_1m),
+        ("corpus_pipeline_2m", corpus_pipeline_2m),
         ("corpus_pipeline_4m", corpus_pipeline_4m),
     ]:
         if time.perf_counter() - t_start > budget_s:
             out[name] = {"skipped": f"probe budget {budget_s}s spent"}
             print(f"# probe {name}: {out[name]}", file=sys.stderr)
             continue
-        if name == "corpus_pipeline_4m":
-            # the 4M composition costs ~4x the 1M row's pipeline-only
-            # time; running it into a nearly-spent budget would blow
-            # well past the cap mid-probe (the budget check is
-            # per-probe, not preemptive), so it needs this much left
+        if name in ("corpus_pipeline_2m", "corpus_pipeline_4m"):
+            # the composed pipeline costs ~Nx the 1M row's
+            # pipeline-only time; running it into a nearly-spent
+            # budget would blow well past the cap mid-probe (the
+            # budget check is per-probe, not preemptive), so it needs
+            # this much left
+            scale = 2.0 if name == "corpus_pipeline_2m" else 4.0
             remaining = budget_s - (time.perf_counter() - t_start)
-            est = 4.0 * max(
+            est = scale * max(
                 out.get("corpus_pipeline_1m", {}).get("sec", 120) or 120,
                 60,
-            ) - 4.0 * out.get("corpus_pipeline_1m", {}).get(
+            ) - scale * out.get("corpus_pipeline_1m", {}).get(
                 "report_sec", 0
             )
             if remaining < est:
@@ -1180,8 +1306,12 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
                 }
                 print(f"# probe {name}: {out[name]}", file=sys.stderr)
                 continue
-            generate_4m(spark)
-        if name in ("report_1m", "bm25_1m", "corpus_pipeline_1m"):
+            (generate_2m if name == "corpus_pipeline_2m" else generate_4m)(
+                spark
+            )
+        if name in (
+            "report_1m", "bm25_1m", "split_harden_1m", "corpus_pipeline_1m"
+        ):
             # the 1M corpus generates lazily HERE — only once a 1M
             # probe is actually going to run (a small-budget smoke run
             # must not pay the generation and then skip the probe, R8
@@ -1251,11 +1381,25 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
                     frame.unpersist()
             if name == "daily_ingest_100k" and daily_detail:
                 out[name].update(daily_detail)
+            if name == "split_harden_1m" and split_harden_detail:
+                out[name].update(split_harden_detail)
+                out[name]["probe_sec"] = round(
+                    out[name]["sec"] - split_harden_detail["index_sec"], 2
+                )
+                out[name]["dropped_train_docs"] = rows
+                for frame in split_harden_frames:
+                    frame.unpersist()
             if name == "corpus_pipeline_1m" and pipeline_1m_detail:
                 out[name].update(pipeline_1m_detail)
                 out[name]["rows"] = pipeline_1m_detail.get(
                     "report_n_docs", rows
                 )
+            if name == "corpus_pipeline_2m" and pipeline_2m_detail:
+                out[name].update(pipeline_2m_detail)
+                out[name]["rows"] = pipeline_2m_detail.get(
+                    "stage_survivors", {}
+                ).get("packed", rows)
+                out[name]["sec_per_mdocs"] = round(out[name]["sec"] / 2.0, 2)
             if name == "corpus_pipeline_4m" and pipeline_4m_detail:
                 out[name].update(pipeline_4m_detail)
                 # the fn returns a 1-row count frame; report the real
@@ -1275,6 +1419,18 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
                     out[name]["sec_per_mdocs_1m_row"] = round(
                         p1["sec"] - p1.get("report_sec", 0), 2
                     )
+                # R11 (VERDICT r10 #3): the linearity BAND — all
+                # same-mode (report-excluded, single-rep) per-M-docs
+                # points in one place, so the claim reads off a band,
+                # not a point-vs-bimodal-median comparison
+                band = {}
+                if isinstance(p1.get("sec"), (int, float)):
+                    band["1m"] = round(p1["sec"] - p1.get("report_sec", 0), 2)
+                p2 = out.get("corpus_pipeline_2m", {})
+                if isinstance(p2.get("sec_per_mdocs"), (int, float)):
+                    band["2m"] = p2["sec_per_mdocs"]
+                band["4m"] = out[name]["sec_per_mdocs"]
+                out[name]["sec_per_mdocs_band"] = band
         except Exception as exc:  # noqa: BLE001 — probe must not kill bench
             out[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
         print(f"# probe {name}: {out[name]}", file=sys.stderr)
