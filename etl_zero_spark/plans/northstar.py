@@ -2068,10 +2068,11 @@ def q1_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the oracle replays those as well.
 _CT_BOILER = "ct0 ct1 ct2 ct3 ct4 ct5 ct6 ct7 ct8 ct9"
 #: the capped tier's hot-gram bound: the planted grams' TRAIN document
-#: frequency (~|train|/10, i.e. 25 at sf0.01) exceeds it, so the
-#: capped tier provably DROPS them — the cap's scale contract
-#: (worst-case join fan-out bounded at |test_grams| * cap) is
-#: hash-checked as behavior, not asserted as a boolean.
+#: frequency (every doc_id%10==0 doc is even, so |corpus|/10 =
+#: |train|/5 — df 50 at sf0.01's 500 docs) exceeds it, so the capped
+#: tier provably DROPS them — the cap's scale contract (worst-case
+#: join fan-out bounded at |test_grams| * cap) is hash-checked as
+#: behavior, not asserted as a boolean.
 _CT_CAP = 20
 _CT_N = 8
 
@@ -2154,7 +2155,7 @@ _CT_N = 8
     "(test, train) pair sharing >= 1 distinct word 8-gram with its "
     "shared count (the GPT-3 appendix scan at n=8 for the fixture's "
     "doc lengths), 'capped' = the production hot-gram-bounded path at "
-    "max_gram_df=20, where the planted grams (train-df ~25 at "
+    "max_gram_df=20, where the planted grams (train-df 50 at "
     "sf0.01) are provably dropped — the cap that bounds join fan-out "
     "at 100 TB is checked as BEHAVIOR, the oracle recomputing the "
     "same hot set; 'cleaned' = decontaminate()'s surviving train ids "

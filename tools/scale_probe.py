@@ -1044,17 +1044,25 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
                 train, idx, threshold=0.5, delta_vs_index_only=True
             )
             # the condemned train side of each crossing pair (the ids
-            # harden_split would drop) — distinct, heldout never touched
+            # harden_split would drop) — distinct, heldout never
+            # touched. Counted IN HERE so the heavy probe job runs
+            # inside this try: a failure at the runner's fn().count()
+            # would skip the success-path unpersist and park the
+            # persisted index in front of the pipeline probes (review
+            # catch — the documented dd2_t05 starvation shape).
             sides = pairs.select(F.col("a_id").alias("doc_id")).unionByName(
                 pairs.select(F.col("b_id").alias("doc_id"))
             )
-            return sides.join(
-                held.select("doc_id"), "doc_id", "left_anti"
-            ).dropDuplicates()
-        except BaseException:
+            n_dropped = (
+                sides.join(held.select("doc_id"), "doc_id", "left_anti")
+                .dropDuplicates()
+                .count()
+            )
+            split_harden_detail["dropped_train_docs"] = n_dropped
+            return spark.createDataFrame([(n_dropped,)], "rows long")
+        finally:
             for frame in split_harden_frames:
                 frame.unpersist()
-            raise
 
     pipeline_2m_detail: dict = {}
 
@@ -1383,12 +1391,10 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
                 out[name].update(daily_detail)
             if name == "split_harden_1m" and split_harden_detail:
                 out[name].update(split_harden_detail)
-                out[name]["probe_sec"] = round(
-                    out[name]["sec"] - split_harden_detail["index_sec"], 2
-                )
-                out[name]["dropped_train_docs"] = rows
-                for frame in split_harden_frames:
-                    frame.unpersist()
+                if "index_sec" in split_harden_detail:
+                    out[name]["probe_sec"] = round(
+                        out[name]["sec"] - split_harden_detail["index_sec"], 2
+                    )
             if name == "corpus_pipeline_1m" and pipeline_1m_detail:
                 out[name].update(pipeline_1m_detail)
                 out[name]["rows"] = pipeline_1m_detail.get(
@@ -1409,13 +1415,15 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
                 out[name]["rows"] = pipeline_4m_detail.get(
                     "stage_survivors", {}
                 ).get("packed", rows)
-                # sec/M-docs vs the 1M row (1M's sec includes its
-                # in-probe report; subtract for like-for-like)
+                # sec/M-docs unconditionally (it depends only on this
+                # row — review catch: keying it on the 1M row turned a
+                # completed 4M probe into a KeyError err row whenever
+                # the 1M row had failed); the 1M comparison point only
+                # when that row exists (1M's sec includes its in-probe
+                # report; subtract for like-for-like)
+                out[name]["sec_per_mdocs"] = round(out[name]["sec"] / 4.0, 2)
                 p1 = out.get("corpus_pipeline_1m", {})
                 if isinstance(p1.get("sec"), (int, float)):
-                    out[name]["sec_per_mdocs"] = round(
-                        out[name]["sec"] / 4.0, 2
-                    )
                     out[name]["sec_per_mdocs_1m_row"] = round(
                         p1["sec"] - p1.get("report_sec", 0), 2
                     )
