@@ -545,9 +545,14 @@ class RuleBasedGenerator:
             # second stated group ('per mktsegment and orderstatus')
             # must resolve in the BASE table or the question refuses
             # too (second review pass — it was silently dropped).
+            # R11: '(does|do) each <Y> [have]' is count phrasing for
+            # the same grouping ('how many orders does each customer
+            # have'); the trailing verb is excluded from the two-word
+            # group capture.
             g = re.search(
-                r"\b(?:by|per|for each|for every|in each|grouped by)\s+(\w+)"
-                r"(?:\s+(?!and\b|or\b|where\b|in\b|with\b|without\b|having\b|between\b|sorted\b|ordered\b)(\w+))?"
+                r"\b(?:by|per|for each|for every|in each|grouped by"
+                r"|(?:does|do)\s+each)\s+(\w+)"
+                r"(?:\s+(?!and\b|or\b|where\b|in\b|with\b|without\b|having\b|between\b|sorted\b|ordered\b|have\b|has\b)(\w+))?"
                 r"(?:\s+and\s+(\w+))?",
                 q_main,
             )
@@ -1346,9 +1351,10 @@ class RuleBasedGenerator:
         <col> before (R9 probe: GROUP BY p_partkey, 'name' ignored);
         a non-resolving <col> refuses rather than falls back."""
         m = re.search(
-            r"\b(?:by|per|for each|for every|in each|grouped by)\s+(\w+)"
+            r"\b(?:by|per|for each|for every|in each|grouped by"
+            r"|(?:does|do)\s+each)\s+(\w+)"
             r"(?:\s+(?!and\b|or\b|where\b|in\b|with\b|without\b|having\b"
-            r"|between\b|sorted\b|ordered\b|limit\b)(\w+))?"
+            r"|between\b|sorted\b|ordered\b|limit\b|have\b|has\b)(\w+))?"
             r"(?:\s+and\s+(\w+))?",
             q,
         )
@@ -2029,7 +2035,11 @@ class RuleBasedGenerator:
         their plain-aggregate twins answered). Groups are the base
         rows (or the stated base column); the ranking aggregate runs
         over the walked-to metric, SUM unless an aggregate word is
-        stated. None = not this shape (the caller falls through to
+        stated. 'top N <table> by number/count of <other>' — and the
+        bare-table shorthand 'top 3 nations by orders' — rank by the
+        COUNT of reachable rows instead (the FK-count superlative at
+        LIMIT N; a fan-out bridge counts DISTINCT). None = not this
+        shape (the caller falls through to
         the local ranked-group / raw-row paths — in particular a
         metric the base table owns at least as confidently, like
         'top 5 orders by totalprice', stays the local reading); '' =
@@ -2039,7 +2049,8 @@ class RuleBasedGenerator:
         )
         m = re.search(
             rf"\b(?:top|bottom|lowest|smallest)\s+\d+\s+(\w+)(?:\s+(\w+))?"
-            rf"\s+by\s+(?:({aggws})\s+)?(?:of\s+)?(\w+)\b",
+            rf"\s+by\s+(?:(?:number|count)\s+of\s+(\w+)"
+            rf"|(?:({aggws})\s+)?(?:of\s+)?(\w+))\b",
             q,
         )
         if not m:
@@ -2051,14 +2062,38 @@ class RuleBasedGenerator:
             and w1.rstrip("s") != tl
         ):
             return None  # the group word must name the base table
-        r_local = self._resolve_column_tiered(m.group(4), cols)
-        mt = self._child_metric(
-            table, m.group(4), schema,
-            max_tier=(r_local[1] - 1) if r_local else None,
-            explicit_agg=bool(m.group(3)),
-        )
-        if mt is None:
-            return None
+        cw, aggword, mword = m.group(3), m.group(4), m.group(5)
+        count_steps, fanned = None, False
+        if cw is None and mword is not None:
+            r_local = self._resolve_column_tiered(mword, cols)
+            mt = self._child_metric(
+                table, mword, schema,
+                max_tier=(r_local[1] - 1) if r_local else None,
+                explicit_agg=bool(aggword),
+            )
+            if mt is None and aggword is None and not r_local:
+                # a bare TABLE metric reads as its count — 'top 3
+                # nations by orders' ranks by COUNT of reachable
+                # orders, the explicit 'by number of orders' twin
+                cw = mword if self._is_table_word(mword, schema) else None
+            if mt is None and cw is None:
+                return None
+        else:
+            mt = None
+        if cw is not None:
+            # ranked COUNT walk (the 'which nation placed the most
+            # orders' superlative at LIMIT N): child walk, else the
+            # fan-out bridge with a DISTINCT count
+            other = self._table_mention(cw, table, schema)
+            if other is None:
+                return ""  # stated count target must resolve
+            count_steps = self._oriented_walk(table, other, schema, "child")
+            if count_steps is None:
+                fan = self._fanout_walk(table, other, schema)
+                if fan is not None:
+                    count_steps, fanned = fan[0], True
+            if count_steps is None:
+                return ""  # stated count target unreachable -> refuse
         gcol = None
         if m.group(2):
             gcol = self._resolve_column(m.group(2), schema[table])
@@ -2077,7 +2112,13 @@ class RuleBasedGenerator:
             return ""
         if len(re.findall(r"\bby\b", q)) > 1:
             return ""
-        fn = self._AGGS.get(m.group(3) or "", "SUM")
+        if count_steps is not None:
+            sql = self._child_agg_sql(
+                raw_where, table, gcol, count_steps, schema, "COUNT",
+                fanned=fanned, order=direction, limit=n,
+            )
+            return "" if sql is None else sql
+        fn = self._AGGS.get(aggword or "", "SUM")
         _, mcol, steps = mt
         sql = self._child_agg_sql(
             raw_where, table, gcol, steps, schema, fn, mcol=mcol,
@@ -2416,17 +2457,33 @@ class RuleBasedGenerator:
                      f"MONTH({col}) BETWEEN {lo} AND {hi}")
                 )
         for m in re.finditer(
-            rf"\bin\s+({months})\b", raw, re.IGNORECASE
+            rf"\bin\s+({months})((?:\s+or\s+(?:{months}))+)?\b",
+            raw,
+            re.IGNORECASE,
         ):
             if not free(m.start(), m.end()):
                 continue
             col = q_date(_pre_word(m.start()))
             if col:
-                found.append(
-                    (m.start(), m.end(),
-                     f"MONTH({col}) = {self._MONTHS[m.group(1).lower()]}")
+                mos = [self._MONTHS[m.group(1).lower()]] + [
+                    self._MONTHS[w.lower()]
+                    for w in re.findall(
+                        rf"or\s+({months})", m.group(2) or "", re.IGNORECASE
+                    )
+                ]
+                sql = (
+                    f"MONTH({col}) = {mos[0]}"
+                    if len(mos) == 1
+                    else "("
+                    + " OR ".join(f"MONTH({col}) = {mo}" for mo in mos)
+                    + ")"
                 )
-        for m in re.finditer(r"\bin\s+(\d{4})\b", raw, re.IGNORECASE):
+                found.append((m.start(), m.end(), sql))
+        for m in re.finditer(
+            r"\bin\s+(\d{4})((?:\s+or\s+(?:19|20)\d{2})+)?\b",
+            raw,
+            re.IGNORECASE,
+        ):
             # 'orders in 1995' -> YEAR(o_orderdate) = 1995. The match
             # is just 'in <year>' so it composes with an adjacent
             # month condition ('in march in 1995'); the preceding word
@@ -2446,9 +2503,16 @@ class RuleBasedGenerator:
                 continue
             col = q_date(w)
             if col:
+                yrs = [m.group(1)] + re.findall(
+                    r"or\s+((?:19|20)\d{2})", m.group(2) or "", re.IGNORECASE
+                )
                 found.append(
                     (m.start(), m.end(),
-                     f"YEAR({col}) = {m.group(1)}")
+                     f"YEAR({col}) = {yrs[0]}"
+                     if len(yrs) == 1
+                     else "("
+                     + " OR ".join(f"YEAR({col}) = {y}" for y in yrs)
+                     + ")")
                 )
         for m in re.finditer(
             r"(\w+)\s+(?:is\s+)?between\s+(\d{4}-\d{2}-\d{2})\s+and\s+"
@@ -2553,6 +2617,16 @@ class RuleBasedGenerator:
             col = q_col(m.group(1).lower())
             if col:
                 val = m.group(2)
+                if (
+                    q_type(m.group(1).lower()) == "number"
+                    and not re.fullmatch(r"-?\d+(\.\d+)?", val)
+                ):
+                    # a non-numeric literal against a NUMBER column is
+                    # a mis-resolution (R11: 'priority is 1-URGENT'
+                    # fuzzy-hit o_shippriority and shipped an equality
+                    # that matches nothing) — leave the span unclaimed
+                    # so the literal guard refuses the question
+                    continue
                 lit = val if re.fullmatch(r"-?\d+(\.\d+)?", val) else f"'{val}'"
                 found.append((m.start(), m.end(), f"{col} <> {lit}"))
         # '[not] from/in <col> <value>' (R8 late): 'customers in nation
@@ -2576,8 +2650,20 @@ class RuleBasedGenerator:
                        else "'" + val.replace("'", "''") + "'")
                 op = "<>" if m.group(1) else "="
                 found.append((m.start(), m.end(), f"{col} {op} {lit}"))
+        # equality takes a SAME-COLUMN value disjunction (R11 follow-up:
+        # 'orderstatus is F or P' refused under the or-parity guard
+        # once it landed — but a disjunction of VALUES for one stated
+        # column is unambiguous, so it answers as an OR list). Each
+        # disjunct must NOT be followed by a comparator keyword — in
+        # 'status is F or priority is 1-URGENT' the word after 'or' is
+        # a new condition's COLUMN, and the tail must leave it for the
+        # connective logic to pick up.
         for m in re.finditer(
-            r"(\w+)\s+(?:is|equals|=)\s+'?([\w#./-]*[\w#/-])'?(?:\s|$)",
+            r"(\w+)\s+(?:is|equals|=)\s+'?([\w#./-]*[\w#/-])'?"
+            r"((?:\s+or\s+'?[\w#./-]*[\w#/-]'?"
+            r"(?!\s+(?:is|equals|=|contains?|starts?|ends?|over|under|"
+            r"above|below|between|greater|less|exceeds?|at)\b))*)"
+            r"(?:\s|$)",
             raw,
             re.IGNORECASE,
         ):
@@ -2585,9 +2671,33 @@ class RuleBasedGenerator:
                 continue
             col = q_col(m.group(1).lower())
             if col:
-                val = m.group(2)
-                lit = val if re.fullmatch(r"-?\d+(\.\d+)?", val) else f"'{val}'"
-                found.append((m.start(), m.end(), f"{col} = {lit}"))
+                vals = [m.group(2)] + re.findall(
+                    r"\bor\s+'?([\w#./-]*[\w#/-])'?",
+                    m.group(3) or "",
+                    re.IGNORECASE,
+                )
+                if any(v.lower() in self._EQ_STOP for v in vals[1:]):
+                    # an 'or <stop-word>' tail is a mis-split, not a
+                    # value list — leave the span unclaimed (the
+                    # or-parity guard then refuses the question)
+                    continue
+                if q_type(m.group(1).lower()) == "number" and any(
+                    not re.fullmatch(r"-?\d+(\.\d+)?", v) for v in vals
+                ):
+                    # same numeric-type rule as the negated form
+                    continue
+                lits = [
+                    v if re.fullmatch(r"-?\d+(\.\d+)?", v) else f"'{v}'"
+                    for v in vals
+                ]
+                sql = (
+                    f"{col} = {lits[0]}"
+                    if len(lits) == 1
+                    else "("
+                    + " OR ".join(f"{col} = {l}" for l in lits)
+                    + ")"
+                )
+                found.append((m.start(), m.end(), sql))
         return sorted(found)
 
     def _where_clause(

@@ -1848,7 +1848,14 @@ def test_generator_or_parity_guard():
     assert _gen_full(
         "average totalprice per orderstatus where clerk is A or B"
     ) == ""
-    assert _gen_full("count of orders per orderstatus in 1995 or 1996") == ""
+    # R11 follow-up: a same-column VALUE disjunction is unambiguous and
+    # now ANSWERS as an OR list instead of refusing (r11 pinned this as
+    # a refusal when the or-parity guard first landed)
+    assert _gen_full("count of orders per orderstatus in 1995 or 1996") == (
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+        "WHERE (YEAR(o_orderdate) = 1995 OR YEAR(o_orderdate) = 1996) "
+        "GROUP BY o_orderstatus"
+    )
     assert _gen_full(
         "show orders where totalprice over 100 or totalprice under 10"
     ) == (
@@ -1951,4 +1958,104 @@ def test_generator_review_catches_r11_batch():
         "orders where comment contains 'P OR F' and clerk is A or B",
         "SELECT * FROM orders WHERE o_comment LIKE '%P OR F%' "
         "AND o_clerk = 'A'",
+    )
+
+
+# ---------------------------------------------------------------------------
+# R11 follow-up batch: value disjunctions answer, ranked count walks,
+# 'does each' count phrasing, numeric-type literal guard
+# ---------------------------------------------------------------------------
+
+
+def test_generator_value_disjunction_answers():
+    """A same-column value disjunction is unambiguous — it renders as
+    an OR list instead of refusing ('orderstatus is F or P', 'in 1995
+    or 1996', 'in march or april'). A disjunct followed by a
+    comparator keyword is a NEW condition's column, not a value."""
+    assert _gen_full("orders where orderstatus is F or P") == (
+        "SELECT * FROM orders "
+        "WHERE (o_orderstatus = 'F' OR o_orderstatus = 'P')"
+    )
+    assert _gen_full("orders in 1995 or 1996") == (
+        "SELECT * FROM orders "
+        "WHERE (YEAR(o_orderdate) = 1995 OR YEAR(o_orderdate) = 1996)"
+    )
+    assert _gen_full("orders in march or april") == (
+        "SELECT * FROM orders "
+        "WHERE (MONTH(o_orderdate) = 3 OR MONTH(o_orderdate) = 4)"
+    )
+    assert _gen_full(
+        "orders where orderstatus is F or totalprice over 100"
+    ) == ("SELECT * FROM orders WHERE o_orderstatus = 'F' OR o_totalprice > 100")
+
+
+def test_generator_ranked_count_walk():
+    """'top N <table> by number/count of <other>' — the FK-count
+    superlative at LIMIT N; the bare-table shorthand reads the same;
+    a fan-out bridge counts DISTINCT; an unreachable stated count
+    target refuses."""
+    out = _gen_full("top 3 nations by number of orders")
+    assert "COUNT(t3.o_custkey) AS n" in out
+    assert out.endswith("ORDER BY n DESC LIMIT 3")
+    assert _gen_full("top 3 nations by orders") == out
+    assert _gen_full("top 3 nation names by count of orders").startswith(
+        "SELECT t1.n_name, COUNT(t3.o_custkey) AS n "
+    )
+    fan = _gen_full("top 3 parts by number of orders")
+    assert "COUNT(DISTINCT t3.o_orderkey) AS n" in fan
+    assert _gen_full("bottom 2 nations by number of orders").endswith(
+        "ORDER BY n ASC LIMIT 2"
+    )
+    # lineitem IS reachable (nation -> supplier -> lineitem, the
+    # supplier-side walk); part is reachable by NO oriented walk from
+    # nation (3 child hops exceed none, the fan-out bridge has no
+    # edge) -> the stated count target refuses
+    assert _gen_full("top 3 nations by number of lineitems").startswith(
+        "SELECT t1.n_nationkey, t1.n_name, t1.n_regionkey, "
+        "COUNT(t3.l_suppkey) AS n FROM nation t1 "
+        "LEFT JOIN supplier t2 ON t1.n_nationkey = t2.s_nationkey "
+        "LEFT JOIN lineitem t3 ON t2.s_suppkey = t3.l_suppkey "
+    )
+    assert _gen_full("top 3 nations by number of parts") == ""
+
+
+def test_generator_does_each_count_phrasing():
+    """'how many X does each Y have' is the count-per-group-table
+    shape: the walk runs FROM the group table with LEFT JOINs and the
+    trailing verb never reads as a column."""
+    out = _gen_full("how many orders does each customer have")
+    assert out.startswith("SELECT t1.c_custkey, ")
+    assert "COUNT(t2.o_custkey) AS n" in out
+    assert "LEFT JOIN orders t2 ON t1.c_custkey = t2.o_custkey" in out
+    # the disjunctive form stays refused (the alternative would drop)
+    assert _gen_full(
+        "how many orders does each customer or supplier have"
+    ) == ""
+
+
+def test_generator_numeric_column_string_literal_refuses():
+    """A non-numeric literal against a NUMBER column is a
+    mis-resolution — 'priority is 1-URGENT' fuzzy-hit o_shippriority
+    (number) and shipped an equality that matches nothing; the span
+    now stays unclaimed and the literal guard refuses. Exact mentions
+    and numeric values keep answering."""
+    clerk_schema = (
+        "CREATE TABLE orders (o_orderkey number, o_orderstatus text, "
+        "o_orderpriority text, o_shippriority number)"
+    )
+
+    def _gen_c(question):
+        return t2s.RuleBasedGenerator()(
+            t2s.build_prompt(clerk_schema, question)
+        )
+
+    assert _gen_c("orders where priority is 1-URGENT") == ""
+    assert _gen_c("orders where orderpriority is 1-URGENT") == (
+        "SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'"
+    )
+    assert _gen_c("orders where shippriority is 1") == (
+        "SELECT * FROM orders WHERE o_shippriority = 1"
+    )
+    assert _gen_c("orders where shippriority is not 1") == (
+        "SELECT * FROM orders WHERE o_shippriority <> 1"
     )
