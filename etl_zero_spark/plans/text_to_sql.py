@@ -691,7 +691,19 @@ class RuleBasedGenerator:
                 # silently drop the alternative — newly reachable now
                 # that the fan-out walk answers these (R10 review)
                 return ""
-            col = self._resolve_column(m.group(3), cols)
+            tw = m.group(3)
+            if (
+                tw in (table, f"{table}s", table.rstrip("s"))
+                or tw.rstrip("s") == table
+            ):
+                # the superlative target names the BASE table itself —
+                # 'which region has the most orders' on a schema with
+                # no region table resolves base=orders, and 'orders'
+                # then fuzzy-hit o_orderstatus and shipped a garbage
+                # row ranking (R11 follow-up review); there is no
+                # per-row reading of 'the most <own-table>', so refuse
+                return ""
+            col = self._resolve_column(tw, cols)
             d = (
                 "ASC"
                 if m.group(1) in
@@ -1276,11 +1288,36 @@ class RuleBasedGenerator:
                 f"{where} GROUP BY {gby} ORDER BY {alias} {direction} "
                 f"LIMIT {n}"
             )
-        gp = self._group_part(m.group(1).lower(), cols)
+        gw = m.group(1)
+        if any(
+            gw in (t, f"{t}s", t.rstrip("s")) or gw.rstrip("s") == t
+            for t in ([table] if table else [])
+        ):
+            # the group word names the base TABLE — the child-walk
+            # branches own that shape (review catch: 'top 3 nations by
+            # count of orders' fuzzy-resolved 'nations' to n_nationkey
+            # here and shipped a degenerate COUNT(*) per key, dropping
+            # 'of orders'; 'top 3 nations by average revenue' refused
+            # outright while its 'nation names' twin answered)
+            return None
+        gp = self._group_part(gw.lower(), cols)
         if gp is None:
             return ""
         gsel, gby = gp
         if m.group(2) == "count":
+            tgt = m.group(3)
+            if (
+                tgt is not None
+                and re.search(r"\bcount\s+of\b", m.group(0))
+                and tgt not in (table, f"{table}s", table.rstrip("s"))
+                and tgt.rstrip("s") != table
+                and self._resolve_column(tgt, cols) is None
+            ):
+                # 'by count of <other-table>' — not a local row count;
+                # the ranked count walk owns it (or refuses). A
+                # trailing non-'of' word ('by count in orders') is not
+                # a count target.
+                return None
             return (
                 f"SELECT {gsel}, COUNT(*) AS n FROM {table}{where} "
                 f"GROUP BY {gby} ORDER BY n {direction} LIMIT {n}"
@@ -2362,6 +2399,15 @@ class RuleBasedGenerator:
          "exceeds", "exceeding", "fewer"}
     )
 
+    @staticmethod
+    def _or_list(exprs: list) -> str:
+        """One condition from same-column disjuncts: the bare
+        expression alone, else the parenthesized OR chain — the parens
+        keep the inter-condition AND/OR connectives correct (one
+        renderer for the month/year/equality disjunction tails, review
+        catch: three hand-rolled copies drift)."""
+        return exprs[0] if len(exprs) == 1 else "(" + " OR ".join(exprs) + ")"
+
     def _conditions(
         self,
         raw: str,
@@ -2471,14 +2517,10 @@ class RuleBasedGenerator:
                         rf"or\s+({months})", m.group(2) or "", re.IGNORECASE
                     )
                 ]
-                sql = (
-                    f"MONTH({col}) = {mos[0]}"
-                    if len(mos) == 1
-                    else "("
-                    + " OR ".join(f"MONTH({col}) = {mo}" for mo in mos)
-                    + ")"
+                found.append(
+                    (m.start(), m.end(),
+                     self._or_list([f"MONTH({col}) = {mo}" for mo in mos]))
                 )
-                found.append((m.start(), m.end(), sql))
         for m in re.finditer(
             r"\bin\s+(\d{4})((?:\s+or\s+(?:19|20)\d{2})+)?\b",
             raw,
@@ -2508,11 +2550,7 @@ class RuleBasedGenerator:
                 )
                 found.append(
                     (m.start(), m.end(),
-                     f"YEAR({col}) = {yrs[0]}"
-                     if len(yrs) == 1
-                     else "("
-                     + " OR ".join(f"YEAR({col}) = {y}" for y in yrs)
-                     + ")")
+                     self._or_list([f"YEAR({col}) = {y}" for y in yrs]))
                 )
         for m in re.finditer(
             r"(\w+)\s+(?:is\s+)?between\s+(\d{4}-\d{2}-\d{2})\s+and\s+"
@@ -2614,11 +2652,12 @@ class RuleBasedGenerator:
         ):
             if not free(m.start(), m.end()) or m.group(2).lower() in self._EQ_STOP:
                 continue
-            col = q_col(m.group(1).lower())
-            if col:
+            b = q_best(m.group(1).lower())
+            if b is not None:
+                col = f"{b[1]}{b[2]}"
                 val = m.group(2)
                 if (
-                    q_type(m.group(1).lower()) == "number"
+                    b[3].get(b[2]) == "number"
                     and not re.fullmatch(r"-?\d+(\.\d+)?", val)
                 ):
                     # a non-numeric literal against a NUMBER column is
@@ -2654,50 +2693,63 @@ class RuleBasedGenerator:
         # 'orderstatus is F or P' refused under the or-parity guard
         # once it landed — but a disjunction of VALUES for one stated
         # column is unambiguous, so it answers as an OR list). Each
-        # disjunct must NOT be followed by a comparator keyword — in
-        # 'status is F or priority is 1-URGENT' the word after 'or' is
-        # a new condition's COLUMN, and the tail must leave it for the
-        # connective logic to pick up.
+        # disjunct must NOT be followed by a comparator/filter keyword —
+        # in 'status is F or priority is 1-URGENT' the word after 'or'
+        # is a new condition's COLUMN, and the tail must leave it for
+        # the connective logic to pick up.
         for m in re.finditer(
             r"(\w+)\s+(?:is|equals|=)\s+'?([\w#./-]*[\w#/-])'?"
             r"((?:\s+or\s+'?[\w#./-]*[\w#/-]'?"
             r"(?!\s+(?:is|equals|=|contains?|starts?|ends?|over|under|"
-            r"above|below|between|greater|less|exceeds?|at)\b))*)"
+            r"above|below|between|greater|less|exceeds?|at|in|from|"
+            r"like|before|after)\b))*)"
             r"(?:\s|$)",
             raw,
             re.IGNORECASE,
         ):
-            if not free(m.start(), m.end()) or m.group(2).lower() in self._EQ_STOP:
+            if m.group(2).lower() in self._EQ_STOP:
                 continue
-            col = q_col(m.group(1).lower())
-            if col:
-                vals = [m.group(2)] + re.findall(
-                    r"\bor\s+'?([\w#./-]*[\w#/-])'?",
-                    m.group(3) or "",
-                    re.IGNORECASE,
-                )
-                if any(v.lower() in self._EQ_STOP for v in vals[1:]):
-                    # an 'or <stop-word>' tail is a mis-split, not a
-                    # value list — leave the span unclaimed (the
-                    # or-parity guard then refuses the question)
-                    continue
-                if q_type(m.group(1).lower()) == "number" and any(
-                    not re.fullmatch(r"-?\d+(\.\d+)?", v) for v in vals
-                ):
-                    # same numeric-type rule as the negated form
-                    continue
-                lits = [
-                    v if re.fullmatch(r"-?\d+(\.\d+)?", v) else f"'{v}'"
-                    for v in vals
-                ]
-                sql = (
-                    f"{col} = {lits[0]}"
-                    if len(lits) == 1
-                    else "("
-                    + " OR ".join(f"{col} = {l}" for l in lits)
-                    + ")"
-                )
-                found.append((m.start(), m.end(), sql))
+            b = q_best(m.group(1).lower())
+            if b is None:
+                continue
+            col, ctype = f"{b[1]}{b[2]}", b[3].get(b[2])
+            vals = [m.group(2)] + re.findall(
+                r"\bor\s+'?([\w#./-]*[\w#/-])'?",
+                m.group(3) or "",
+                re.IGNORECASE,
+            )
+            # a tail disjunct that is a stop word or itself resolves as
+            # a COLUMN is the start of a NEW condition, not a value
+            # (review catch: 'is F or orderdate in 1995' swallowed
+            # 'orderdate' as a literal) — fall back to claiming only
+            # the main equality; the unclaimed tail's 'or' becomes the
+            # inter-condition connective, and anything that then fails
+            # to parse refuses through the or-parity/literal guards.
+            end = m.end()
+            if any(
+                v.lower() in self._EQ_STOP
+                or (len(v) >= 3 and q_best(v.lower()) is not None)
+                for v in vals[1:]
+            ):
+                # ...the column check needs a length floor: 1-2 char
+                # VALUES ('F', 'P', '5') trivially 'resolve' through
+                # single-char containment and are never column mentions
+                vals, end = vals[:1], m.end(2)
+            if not free(m.start(), end):
+                continue
+            if ctype == "number" and any(
+                not re.fullmatch(r"-?\d+(\.\d+)?", v) for v in vals
+            ):
+                # same numeric-type rule as the negated form
+                continue
+            lits = [
+                v if re.fullmatch(r"-?\d+(\.\d+)?", v) else f"'{v}'"
+                for v in vals
+            ]
+            found.append(
+                (m.start(), end,
+                 self._or_list([f"{col} = {l}" for l in lits]))
+            )
         return sorted(found)
 
     def _where_clause(

@@ -2059,3 +2059,46 @@ def test_generator_numeric_column_string_literal_refuses():
     assert _gen_c("orders where shippriority is not 1") == (
         "SELECT * FROM orders WHERE o_shippriority <> 1"
     )
+
+
+def test_generator_review_catches_r11_followup():
+    """Pins for the review findings on the disjunction/count-walk
+    batch."""
+    # 1. a disjunct that is a COLUMN mention starts a new condition —
+    # the main equality claims alone and the 'or' becomes the
+    # connective; an unparseable tail still refuses via or-parity
+    assert _gen_full(
+        "orders where orderstatus is F or orderdate in 1995"
+    ) == (
+        "SELECT * FROM orders "
+        "WHERE o_orderstatus = 'F' OR YEAR(o_orderdate) = 1995"
+    )
+    assert _gen_full("orders where orderstatus is F or clerk like Bob") == ""
+    # ...with a length floor: 1-2 char VALUES never read as columns
+    assert _gen_full("orders where orderstatus is F or P") != ""
+    # 2. 'top N <base-table> by count of <other>' reaches the count
+    # walk instead of a degenerate local COUNT(*) per fuzzy key, and
+    # the agg twin walks instead of refusing
+    assert _gen_full("top 3 nations by count of orders") == _gen_full(
+        "top 3 nations by number of orders"
+    )
+    out = _gen_full("top 3 nations by average revenue")
+    assert "AVG(t3.o_totalprice)" in out and out.endswith("LIMIT 3")
+    # 'count of <base-table>' stays the local row count; a trailing
+    # non-'of' word is not a count target
+    assert _gen_full("top 3 orderstatus by count of orders").startswith(
+        "SELECT o_orderstatus, COUNT(*) AS n "
+    )
+    # 3. a superlative target naming the BASE table itself refuses —
+    # on a schema with no region table, 'which region has the most
+    # orders' resolved base=orders and fuzzy-ranked by o_orderstatus
+    s4 = (
+        "CREATE TABLE customer (c_custkey number, c_name text)\n"
+        "CREATE TABLE orders (o_orderkey number, o_custkey number, "
+        "o_orderstatus text, o_totalprice number)"
+    )
+    gen = t2s.RuleBasedGenerator()
+    assert gen(t2s.build_prompt(s4, "which region has the most orders")) == ""
+    assert gen(
+        t2s.build_prompt(s4, "which customer has the most orders")
+    ) != ""
