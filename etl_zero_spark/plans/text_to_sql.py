@@ -487,6 +487,10 @@ class RuleBasedGenerator:
             )
 
         if re.search(r"\bhow many\b|\bcount\b|number of", q_main):
+            if "{col}" in having:
+                # a bare-agg HAVING ('having sum over N') binds to an
+                # aggregate metric; the count paths have none -> refuse
+                return ""
             # R7: count-distinct ('how many distinct mktsegments',
             # 'number of unique clerks [per status]')
             md = re.search(r"\b(?:distinct|unique)\s+(\w+)", q_main)
@@ -944,15 +948,17 @@ class RuleBasedGenerator:
                     )
                     if osql is None:
                         return ""
+                    # a bare-agg HAVING binds to THIS branch's metric
+                    hvb = having.replace("{col}", col)
                     if ex:
                         return (
                             f"SELECT {gsel}, {fn}({col}) AS {alias} "
                             f"FROM {table} t1{ex_lead} {ex_pred} "
-                            f"GROUP BY {gby}{having}{osql}"
+                            f"GROUP BY {gby}{hvb}{osql}"
                         )
                     return (
                         f"SELECT {gsel}, {fn}({col}) AS {alias} "
-                        f"FROM {table}{where} GROUP BY {gby}{having}{osql}"
+                        f"FROM {table}{where} GROUP BY {gby}{hvb}{osql}"
                     )
                 # group column living in ANOTHER table -> FK join (the
                 # mapper's name-similarity key inference, J3, applied
@@ -2816,9 +2822,18 @@ class RuleBasedGenerator:
         if word == "count":
             return f" HAVING COUNT(*) {op} {n}"
         fn = self._AGGS.get(word)
-        col = self._resolve_column(m.group(2), cols) if m.group(2) else None
-        if fn is None or col is None:
+        if fn is None:
             return None
+        col = self._resolve_column(m.group(2), cols) if m.group(2) else None
+        if col is None:
+            if m.group(2):
+                return None  # a STATED having column must resolve
+            # R11 follow-up: a bare aggregate word ('having sum over
+            # 1e8') binds to the BRANCH's own metric — the {col}
+            # placeholder is filled by the agg branch, and any branch
+            # that has no metric to bind (the count paths) refuses
+            # instead of rendering the brace
+            return f" HAVING {fn}({{col}}) {op} {n}"
         return f" HAVING {fn}({col}) {op} {n}"
 
 

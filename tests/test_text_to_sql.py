@@ -2102,3 +2102,23 @@ def test_generator_review_catches_r11_followup():
     assert gen(
         t2s.build_prompt(s4, "which customer has the most orders")
     ) != ""
+
+
+def test_generator_bare_agg_having_binds_branch_metric():
+    """'having sum over N' without restating the column binds to the
+    aggregate branch's own metric; the count paths have no metric to
+    bind and refuse; a STATED having column that resolves nowhere
+    still refuses."""
+    assert _gen_full(
+        "total totalprice per orderstatus having sum over 100000000"
+    ) == (
+        "SELECT o_orderstatus, SUM(o_totalprice) AS o_totalprice_sum "
+        "FROM orders GROUP BY o_orderstatus "
+        "HAVING SUM(o_totalprice) > 100000000"
+    )
+    assert _gen_full(
+        "count of orders per orderstatus having sum over 1000"
+    ) == ""
+    assert _gen_full(
+        "total totalprice per orderstatus having sum of frobnicate over 5"
+    ) == ""
