@@ -259,6 +259,16 @@ class RuleBasedGenerator:
             # branch and previously shipped the grouped count with the
             # stated cap silently dropped
             return True
+        # R11 follow-up: a TRAILING 'the most/fewest' (no object — the
+        # verb carries the metric: 'which 5 customers spent the most')
+        # is a ranking; SQL without an ORDER BY dropped it and shipped
+        # a plain SELECT * before. The cue is end-anchored: 'the most
+        # totalprice per orderstatus' legitimately answers as a
+        # grouped MAX with no ORDER BY.
+        if " ORDER BY " not in s and re.search(
+            r"\bthe\s+(?:most|fewest)\s*$", q
+        ):
+            return True
         # R11: a stated 'or' the SQL does not carry is a dropped
         # alternative — 'clerk is A or B' rendered only clerk = 'A',
         # 'in 1995 or 1996' only the first year. Count standalone 'or'
@@ -377,6 +387,13 @@ class RuleBasedGenerator:
         # unambiguous revenue/sales nouns, only when no aggregate word
         # is already stated, and only with an explicit grouping cue
         # ('sorted by' stays a sort, bare 'by' stays untouched).
+        # R11 follow-up: 'of each <group>' / 'of every <group>' is the
+        # same grouping cue as 'per' — 'total revenue of each nation'
+        # previously fell through every grouping regex (the cue lists
+        # all say per/for each/in each) and either refused or, worse,
+        # dumped SELECT * with the grouping silently dropped. ONE
+        # normalization here beats growing six cue alternations.
+        q_main = re.sub(r"\bof\s+(?:each|every)\b", "per", q_main)
         if (
             re.search(
                 r"\b(?:revenue|sales)\b.*"
@@ -388,6 +405,26 @@ class RuleBasedGenerator:
             )
         ):
             q_main = f"total {q_main}"
+
+        # R11 follow-up: a bare '<rows> per <group>' with NO aggregate
+        # or count word stated ('orders per nation', 'customers per
+        # mktsegment') reads as the grouped COUNT — before this it
+        # fell through every branch and shipped SELECT * with the
+        # stated grouping silently dropped. The rewrite routes it into
+        # the count branch, whose resolution/refusal rules then apply
+        # unchanged; ranked (top/bottom N) and sorted shapes keep
+        # their own readings.
+        if (
+            re.search(
+                r"\b(?:per|for\s+each|for\s+every|in\s+each|grouped\s+by"
+                r"|(?:does|do)\s+each)\b",
+                q_main,
+            )
+            and not re.search(r"\bhow many\b|\bcount\b|number of", q_main)
+            and not re.search(r"\b(?:top|bottom)\s+\d+\b", q_main)
+            and not any(re.search(rf"\b{w}\b", q_main) for w in self._AGGS)
+        ):
+            q_main = f"number of {q_main}"
 
         # R10 probe: a DISJUNCTIVE grouping ('count of orders per part
         # name or orderstatus') is not expressible as a GROUP BY —
@@ -449,6 +486,28 @@ class RuleBasedGenerator:
             )
             if ranked is not None:
                 return "" if ex else ranked
+            # R11 follow-up: a superlative ADJECTIVE names the cost
+            # column through the _SYNONYMS cost list — 'top 3 most
+            # expensive orders' previously fell to the unranked
+            # default and ranked by the first numeric column
+            # (o_orderkey); 'cheapest' flips the direction.
+            mx = re.search(
+                r"\b(most\s+expensive|priciest|cheapest)\b", q
+            )
+            if mx:
+                cost = self._resolve_column("cost", cols)
+                if cost is None:
+                    return ""  # the stated adjective must resolve
+                dd = "ASC" if mx.group(1) == "cheapest" else "DESC"
+                if ex:
+                    return (
+                        f"SELECT * FROM {table} t1{ex_lead} {ex_pred} "
+                        f"ORDER BY {cost} {dd} LIMIT {n}"
+                    )
+                return (
+                    f"SELECT * FROM {table}{where} "
+                    f"ORDER BY {cost} {dd} LIMIT {n}"
+                )
             order = self._order_column(q, cols)
             if order is None:
                 return ""
@@ -696,24 +755,51 @@ class RuleBasedGenerator:
                 # that the fan-out walk answers these (R10 review)
                 return ""
             tw = m.group(3)
-            if (
-                tw in (table, f"{table}s", table.rstrip("s"))
-                or tw.rstrip("s") == table
-            ):
-                # the superlative target names the BASE table itself —
-                # 'which region has the most orders' on a schema with
-                # no region table resolves base=orders, and 'orders'
-                # then fuzzy-hit o_orderstatus and shipped a garbage
-                # row ranking (R11 follow-up review); there is no
-                # per-row reading of 'the most <own-table>', so refuse
-                return ""
-            col = self._resolve_column(tw, cols)
             d = (
                 "ASC"
                 if m.group(1) in
                 ("lowest", "smallest", "least", "minimum", "fewest")
                 else "DESC"
             )
+            if (
+                tw in (table, f"{table}s", table.rstrip("s"))
+                or tw.rstrip("s") == table
+            ):
+                # the superlative target names the BASE table itself.
+                # 'which <local-col> has the most <base-rows>' is the
+                # GROUPED-COUNT superlative ('which market segment has
+                # the most customers' -> COUNT per segment, top 1) —
+                # the subject phrase before has/have resolves as a
+                # base column (last word, then the joined phrase).
+                # Anything else refuses: 'which region has the most
+                # orders' on a schema with NO region table resolves
+                # base=orders, and 'orders' then fuzzy-hit
+                # o_orderstatus and shipped a garbage row ranking
+                # (R11 follow-up review) — there is no per-row reading
+                # of 'the most <own-table>'.
+                subj = re.search(
+                    r"\bwhich\s+(\w+(?:\s+\w+)?)\s+(?:has|have|had)\b",
+                    q_main,
+                )
+                if subj and not ex and not hv:
+                    words = subj.group(1).split()
+                    if not (
+                        words[-1] in (table, f"{table}s", table.rstrip("s"))
+                        or words[-1].rstrip("s") == table
+                    ):
+                        gcol = None
+                        for cand in (words[-1], "".join(words)):
+                            gcol = self._resolve_column(cand, cols)
+                            if gcol:
+                                break
+                        if gcol:
+                            return (
+                                f"SELECT {gcol}, COUNT(*) AS n "
+                                f"FROM {table}{where} GROUP BY {gcol} "
+                                f"ORDER BY n {d} LIMIT 1"
+                            )
+                return ""
+            col = self._resolve_column(tw, cols)
             if col is None:
                 # R8 late: the superlative target is another TABLE —
                 # 'which nation has the most customers' ranks base rows

@@ -2122,3 +2122,84 @@ def test_generator_bare_agg_having_binds_branch_metric():
     assert _gen_full(
         "total totalprice per orderstatus having sum of frobnicate over 5"
     ) == ""
+
+
+# ---------------------------------------------------------------------------
+# R11 paraphrase-battery batch: of-each normalization, bare grouped
+# counts, cost adjectives, trailing-superlative cue, grouped-count
+# superlative
+# ---------------------------------------------------------------------------
+
+
+def test_generator_of_each_normalizes_to_per():
+    """'of each <group>' is the same cue as 'per' — 'total revenue of
+    each nation' previously fell through every grouping regex, and
+    the bare-metric form shipped SELECT * with the grouping dropped."""
+    assert _gen_full("total revenue of each nation") == _gen_full(
+        "total revenue per nation"
+    )
+    assert _gen_full("revenue of each nation") != ""
+    assert "SUM" in _gen_full("revenue of each nation")
+
+
+def test_generator_bare_rows_per_group_counts():
+    """'<rows> per <group>' with no aggregate or count word reads as
+    the grouped COUNT — 'orders per nation' and 'customers per
+    mktsegment' shipped SELECT * with the stated grouping silently
+    dropped before."""
+    assert _gen_full("customers per mktsegment") == (
+        "SELECT c_mktsegment, COUNT(*) AS n FROM customer "
+        "GROUP BY c_mktsegment"
+    )
+    out = _gen_full("orders per nation")
+    assert "COUNT(t3.o_custkey) AS n" in out and "FROM nation t1" in out
+    # ranked and sorted shapes keep their own readings
+    assert _gen_full("top 5 orders by totalprice") == (
+        "SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 5"
+    )
+
+
+def test_generator_cost_adjective_ranking():
+    """'top 3 most expensive orders' ranks by the cost-synonym column
+    (it previously ranked by the first numeric column, o_orderkey);
+    'cheapest' flips the direction under 'top'."""
+    assert _gen_full("what are the top 3 most expensive orders") == (
+        "SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 3"
+    )
+    assert _gen_full("top 2 cheapest parts") == (
+        "SELECT * FROM part ORDER BY p_retailprice ASC LIMIT 2"
+    )
+
+
+def test_generator_trailing_superlative_cue():
+    """A trailing 'the most/fewest' with no object is a ranking the
+    SQL must carry — 'which 5 customers spent the most' shipped a
+    plain SELECT * before; grouped-MAX readings with an object stay
+    answerable."""
+    assert _gen_full("which 5 customers spent the most") == ""
+    assert _gen("which order has the most totalprice per orderstatus") != ""
+
+
+def test_generator_grouped_count_superlative():
+    """'which <local-col> has the most <base-rows>' is the grouped
+    count superlative: COUNT per group, top 1 ('which market segment
+    has the most customers'); 'fewest' flips; a subject that names
+    the base table itself still refuses."""
+    assert _gen_full("which mktsegment has the most customers") == (
+        "SELECT c_mktsegment, COUNT(*) AS n FROM customer "
+        "GROUP BY c_mktsegment ORDER BY n DESC LIMIT 1"
+    )
+    assert _gen_full("which market segment has the most customers") == (
+        "SELECT c_mktsegment, COUNT(*) AS n FROM customer "
+        "GROUP BY c_mktsegment ORDER BY n DESC LIMIT 1"
+    )
+    assert _gen_full("which mktsegment has the fewest customers").endswith(
+        "ORDER BY n ASC LIMIT 1"
+    )
+    s4 = (
+        "CREATE TABLE customer (c_custkey number, c_name text)\n"
+        "CREATE TABLE orders (o_orderkey number, o_custkey number, "
+        "o_orderstatus text, o_totalprice number)"
+    )
+    gen = t2s.RuleBasedGenerator()
+    assert gen(t2s.build_prompt(s4, "which region has the most orders")) == ""
