@@ -200,6 +200,16 @@ class RuleBasedGenerator:
         "october": 10, "november": 11, "december": 12,
     }
 
+    #: The grouping-cue alternation shared by the _generate-level
+    #: rewrites and guards (R11 review: a fifth hand-copied cue list
+    #: is exactly how the 'of each' gap arose — new cues go HERE).
+    #: The branch-level group regexes keep their own capture-bearing
+    #: variants.
+    _GROUP_CUES = (
+        r"per|for\s+each|for\s+every|in\s+each|grouped\s+by"
+        r"|(?:does|do)\s+each"
+    )
+
     def __call__(self, prompt: str) -> str:
         """Generate, then enforce the refusal contract globally: if the
         question states a cue no branch honored — a numeric comparison
@@ -259,14 +269,22 @@ class RuleBasedGenerator:
             # branch and previously shipped the grouped count with the
             # stated cap silently dropped
             return True
-        # R11 follow-up: a TRAILING 'the most/fewest' (no object — the
-        # verb carries the metric: 'which 5 customers spent the most')
-        # is a ranking; SQL without an ORDER BY dropped it and shipped
-        # a plain SELECT * before. The cue is end-anchored: 'the most
-        # totalprice per orderstatus' legitimately answers as a
-        # grouped MAX with no ORDER BY.
+        # R11 follow-up: a TRAILING 'the most/fewest/least' (no object
+        # — the verb carries the metric: 'which 5 customers spent the
+        # most') is a ranking; SQL without an ORDER BY dropped it and
+        # shipped a plain SELECT * before. The cue is end-anchored:
+        # 'the most totalprice per orderstatus' legitimately answers
+        # as a grouped MAX with no ORDER BY.
         if " ORDER BY " not in s and re.search(
-            r"\bthe\s+(?:most|fewest)\s*$", q
+            r"\bthe\s+(?:most|fewest|least)\s*$", q
+        ):
+            return True
+        # ...and a COST ADJECTIVE is a ranking too: 'the cheapest
+        # parts' / '5 cheapest parts' shipped unranked SELECT *
+        # (review catch — the top/bottom-N branches only see
+        # top/bottom phrasings)
+        if " ORDER BY " not in s and re.search(
+            r"\b(?:cheapest|priciest|most\s+expensive)\b", q
         ):
             return True
         # R11: a stated 'or' the SQL does not carry is a dropped
@@ -392,12 +410,32 @@ class RuleBasedGenerator:
         # previously fell through every grouping regex (the cue lists
         # all say per/for each/in each) and either refused or, worse,
         # dumped SELECT * with the grouping silently dropped. ONE
-        # normalization here beats growing six cue alternations.
-        q_main = re.sub(r"\bof\s+(?:each|every)\b", "per", q_main)
+        # normalization here beats growing six cue alternations. A
+        # PROJECTION reading is exempt (review catch: 'name of each
+        # customer' is 'each customer's name', not a grouping — the
+        # pre-word resolving as a COLUMN of the named table is the
+        # distinguisher; metric nouns like 'revenue' resolve to
+        # nothing there and stay groupings).
+        m_oe = re.search(r"(\w+)\s+of\s+(?:each|every)\s+(\w+)", q_main)
+        if m_oe:
+            oe_tbl = next(
+                (
+                    t
+                    for t in schema
+                    if m_oe.group(2) in (t, f"{t}s", t.rstrip("s"))
+                    or m_oe.group(2).rstrip("s") == t
+                ),
+                None,
+            )
+            if not (
+                oe_tbl is not None
+                and self._resolve_column(m_oe.group(1), schema[oe_tbl])
+                is not None
+            ):
+                q_main = re.sub(r"\bof\s+(?:each|every)\b", "per", q_main)
         if (
             re.search(
-                r"\b(?:revenue|sales)\b.*"
-                r"\b(?:per|for\s+each|for\s+every|in\s+each|grouped\s+by)\b",
+                rf"\b(?:revenue|sales)\b.*\b(?:{self._GROUP_CUES})\b",
                 q_main,
             )
             and not any(
@@ -412,16 +450,19 @@ class RuleBasedGenerator:
         # fell through every branch and shipped SELECT * with the
         # stated grouping silently dropped. The rewrite routes it into
         # the count branch, whose resolution/refusal rules then apply
-        # unchanged; ranked (top/bottom N) and sorted shapes keep
-        # their own readings.
+        # unchanged; ranked (top/bottom N), sorted, and join-listing
+        # shapes keep their own readings (review catch: 'orders sorted
+        # by totalprice per orderstatus' was re-read as a count
+        # grouped by the SORT column).
         if (
-            re.search(
-                r"\b(?:per|for\s+each|for\s+every|in\s+each|grouped\s+by"
-                r"|(?:does|do)\s+each)\b",
-                q_main,
-            )
+            re.search(rf"\b(?:{self._GROUP_CUES})\b", q_main)
             and not re.search(r"\bhow many\b|\bcount\b|number of", q_main)
             and not re.search(r"\b(?:top|bottom)\s+\d+\b", q_main)
+            and not re.search(
+                r"\b(?:sorted|ordered)\s+by\b"
+                r"|\bwith\s+(?:their|its|the)\b|\bjoin",
+                q_main,
+            )
             and not any(re.search(rf"\b{w}\b", q_main) for w in self._AGGS)
         ):
             q_main = f"number of {q_main}"
@@ -490,11 +531,16 @@ class RuleBasedGenerator:
             # column through the _SYNONYMS cost list — 'top 3 most
             # expensive orders' previously fell to the unranked
             # default and ranked by the first numeric column
-            # (o_orderkey); 'cheapest' flips the direction.
+            # (o_orderkey); 'cheapest' flips the direction. A stated
+            # 'by <col>' outranks the adjective (review catch — the
+            # adjective silently overrode an explicit sort column),
+            # and a stated grouping refuses (this is a row ranking).
             mx = re.search(
                 r"\b(most\s+expensive|priciest|cheapest)\b", q
             )
-            if mx:
+            if mx and not re.search(r"\bby\s+\w+", q):
+                if re.search(rf"\b(?:{self._GROUP_CUES})\b", q):
+                    return ""
                 cost = self._resolve_column("cost", cols)
                 if cost is None:
                     return ""  # the stated adjective must resolve
@@ -532,6 +578,30 @@ class RuleBasedGenerator:
             )
             if ranked is not None:
                 return "" if ex else ranked
+            # cost adjectives on the bottom branch (review catch —
+            # 'bottom 2 cheapest parts' ranked by the primary key):
+            # 'cheapest' agrees with ASC; 'bottom N most expensive'
+            # is contradictory and refuses
+            mx = re.search(
+                r"\b(most\s+expensive|priciest|cheapest)\b", q
+            )
+            if mx and not re.search(r"\bby\s+\w+", q):
+                if mx.group(1) != "cheapest" or re.search(
+                    rf"\b(?:{self._GROUP_CUES})\b", q
+                ):
+                    return ""
+                cost = self._resolve_column("cost", cols)
+                if cost is None:
+                    return ""
+                if ex:
+                    return (
+                        f"SELECT * FROM {table} t1{ex_lead} {ex_pred} "
+                        f"ORDER BY {cost} ASC LIMIT {n}"
+                    )
+                return (
+                    f"SELECT * FROM {table}{where} "
+                    f"ORDER BY {cost} ASC LIMIT {n}"
+                )
             order = self._order_column(q, cols)
             if order is None:
                 return ""
@@ -778,11 +848,12 @@ class RuleBasedGenerator:
                 # (R11 follow-up review) — there is no per-row reading
                 # of 'the most <own-table>'.
                 subj = re.search(
-                    r"\bwhich\s+(\w+(?:\s+\w+)?)\s+(?:has|have|had)\b",
+                    r"\bwhich\s+(?:(\d+)\s+)?(\w+(?:\s+\w+)?)\s+"
+                    r"(?:has|have|had)\b",
                     q_main,
                 )
                 if subj and not ex and not hv:
-                    words = subj.group(1).split()
+                    words = subj.group(2).split()
                     if not (
                         words[-1] in (table, f"{table}s", table.rstrip("s"))
                         or words[-1].rstrip("s") == table
@@ -793,10 +864,15 @@ class RuleBasedGenerator:
                             if gcol:
                                 break
                         if gcol:
+                            # a stated subject count ('which 5
+                            # mktsegments have the most customers')
+                            # caps the groups (review catch: LIMIT 1
+                            # silently dropped it)
+                            lim = int(subj.group(1)) if subj.group(1) else 1
                             return (
                                 f"SELECT {gcol}, COUNT(*) AS n "
                                 f"FROM {table}{where} GROUP BY {gcol} "
-                                f"ORDER BY n {d} LIMIT 1"
+                                f"ORDER BY n {d} LIMIT {lim}"
                             )
                 return ""
             col = self._resolve_column(tw, cols)

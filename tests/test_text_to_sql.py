@@ -2203,3 +2203,36 @@ def test_generator_grouped_count_superlative():
     )
     gen = t2s.RuleBasedGenerator()
     assert gen(t2s.build_prompt(s4, "which region has the most orders")) == ""
+
+
+def test_generator_review_catches_paraphrase_batch():
+    """Pins for the review findings on the paraphrase batch."""
+    # 1. a stated 'by <col>' outranks the cost adjective
+    assert _gen_full("top 3 most expensive orders by orderdate") == (
+        "SELECT * FROM orders ORDER BY o_orderdate DESC LIMIT 3"
+    )
+    # 2. a stated subject count caps the grouped-count superlative
+    assert _gen_full("which 5 mktsegments have the most customers").endswith(
+        "ORDER BY n DESC LIMIT 5"
+    )
+    # 3. a stated grouping refuses on the cost-adjective row ranking
+    assert _gen_full("top 3 most expensive orders per orderstatus") == ""
+    # 4. the bare-per rewrite leaves sorted and join-listing shapes alone
+    assert _gen_full("orders sorted by totalprice per orderstatus") == (
+        "SELECT * FROM orders ORDER BY o_totalprice"
+    )
+    assert "JOIN orders" in _gen_full(
+        "show customers with their orders per nation"
+    )
+    # 5. 'the least' joins the trailing-superlative cue
+    assert _gen_full("which 5 customers spent the least") == ""
+    # 6. cost adjectives work on the bottom branch and refuse unranked
+    assert _gen_full("bottom 2 cheapest parts") == (
+        "SELECT * FROM part ORDER BY p_retailprice ASC LIMIT 2"
+    )
+    assert _gen_full("5 cheapest parts") == ""
+    assert _gen_full("the cheapest parts") == ""
+    # 7. projection readings of 'of each' stay projections
+    assert _gen_full("show the name of each customer") == (
+        "SELECT * FROM customer"
+    )
