@@ -40,8 +40,12 @@ HEADLINE = [
     # rule: the folded workload is a different query, no cross-round
     # ratio for the new name)
     "w1_w4_window_family",
-    "e1_e2_windows",
-    "e3_sessionize_batch",
+    # R12 fold: e1_e2 + e3 run as one declared slot (rename rule: the
+    # folded workload is a different query, no cross-round ratio; the
+    # unchanged e3 workload keeps its timing as x_e3_sessionize)
+    "e1_e3_events_family",
+    # R12: pivot/unpivot declared via the freed slot (VERDICT r11 #5)
+    "pv1_pivot_unpivot",
     "aj1_asof_join",
     "rj1_range_join",
     # north-star: dedup / similarity / text
@@ -79,10 +83,11 @@ HEADLINE = [
 #: the rename rule only exempts RESIZED/FOLDED workloads). Maps
 #: current name -> the name the same workload carried last round.
 RENAMED_UNCHANGED = {
-    # r10 renamed ret1_bm25_topk (hybrid retrieval was always the
-    # workload; the key caught up with it) — one-round bridge, drop
-    # after r11's baseline carries the new name.
-    "ret1_hybrid_topk": "ret1_bm25_topk",
+    # r12: the e1+e3 fold moved e3's DECLARED slot into
+    # e1_e3_events_family, but the e3 workload itself (same function,
+    # same inputs, code untouched) keeps benching as x_e3_sessionize —
+    # it is a drift-panel member and its ratio continuity matters.
+    "x_e3_sessionize": "e3_sessionize_batch",
 }
 
 
@@ -124,6 +129,16 @@ def _extras(spark, sf_dir: str) -> dict:
             ],
         )
         return report.n_rows
+
+    def x_e3_sessionize() -> int:
+        # R12: the e1+e3 fold moved e3's declared slot into
+        # e1_e3_events_family; this keeps the UNCHANGED e3 workload's
+        # standalone timing alive (same function, same inputs) —
+        # it is a drift-panel member, and the panel needs same-workload
+        # ratio continuity (RENAMED_UNCHANGED bridges the r11 name).
+        from etl_zero_spark.plans.events_queries import e3_sessionize_batch
+
+        return e3_sessionize_batch(spark, sf_dir).count()
 
     def x_corpus_pipeline() -> int:
         # quality=False: the synthetic fixture text fails the published
@@ -366,43 +381,20 @@ def _extras(spark, sf_dir: str) -> dict:
         out, _ = corp.harden_split(split, collect_stats=False)
         return out.count()
 
-    def calib_fixed_hash_agg() -> int:
+    def calib_fixed_hash_agg_18b() -> int:
         # Host-drift calibration (VERDICT r7 ask #2): a FIXED,
-        # code-stable workload. The SIZE is part of the query NAME
-        # (calib_hash_agg_6b) — resizing the workload must rename
-        # the query, or cross-round ratios would silently mix two
-        # different workloads and read as phantom drift (2nd R8
-        # review: the 100M->6B resize inside r8 was only safe
-        # because no committed round artifact carried the 100M
-        # number).
-        # code-stable workload touching no repo operator — 6B-row
-        # range -> xxhash64 -> one global agg, pure whole-stage
-        # codegen, no IO; sized to ~1s warm so the reading is CPU
-        # signal, not scheduling noise (100M finished in 0.07s and
-        # jittered; 1.5B in 0.28s). Its round-over-round warm ratio
-        # estimates the host's speed drift (the documented ~15%
-        # multiplier), so real per-query ratios can be read
-        # drift-normalized. first() (not count()) forces the
+        # code-stable workload touching no repo operator — range ->
+        # xxhash64 -> one global agg, pure whole-stage codegen, no IO.
+        # The SIZE is part of the query NAME — resizing the workload
+        # must rename the query, or cross-round ratios would silently
+        # mix two different workloads and read as phantom drift (2nd
+        # R8 review). The original 6B sibling (~1s warm) drifted ±20%
+        # between same-code runs (R9) and was RETIRED in r12 per its
+        # own two-rounds-of-18B-history condition (VERDICT r11 #3);
+        # this ~1.8s workload amortizes scheduler jitter and now has
+        # r10/r11 history. first() (not count()) forces the
         # aggregation: a count over a global agg is provably 1 row
         # and Catalyst elides the sum.
-        row = (
-            spark.range(6_000_000_000)
-            .select(F.xxhash64("id").alias("h"))
-            .agg(F.sum("h").alias("s"))
-            .first()
-        )
-        return int(row.s is not None)
-
-    def calib_fixed_hash_agg_18b() -> int:
-        # R9: the 6B calibration's warm readings drifted ±20% between
-        # same-code runs thirty minutes apart (0.52s vs 0.65s) — too
-        # noisy for the single-query drift estimate it feeds. This 3x
-        # sibling (~1.8s warm) amortizes scheduler jitter; it runs
-        # ALONGSIDE 6B (not instead — the rename rule: a resized
-        # workload is a different query, and r9's estimate still needs
-        # the 6B ratio against r8's baseline). From r10 on, the
-        # estimate below prefers this one automatically once both
-        # rounds carry it.
         row = (
             spark.range(18_000_000_000)
             .select(F.xxhash64("id").alias("h"))
@@ -412,11 +404,11 @@ def _extras(spark, sf_dir: str) -> dict:
         return int(row.s is not None)
 
     return {
-        "calib_hash_agg_6b": calib_fixed_hash_agg,
         "calib_hash_agg_18b": calib_fixed_hash_agg_18b,
         "x_bpe_tokenize": x_bpe_tokenize,
         "x_gopher_gate": x_gopher_gate,
         "x_validate_single_scan": x_validate_single_scan,
+        "x_e3_sessionize": x_e3_sessionize,
         "x_corpus_pipeline": x_corpus_pipeline,
         "x_dd3_lsh_only": x_dd3_lsh_only,
         "x_sim4_search_only": x_sim4_search_only,
@@ -589,16 +581,13 @@ def main() -> None:
         if isinstance(_prev_of(q), (int, float)) and _prev_of(q) > 0
     }
     # Host-drift estimate, computed ONCE (R10 advice: the previous
-    # per-site `or delta["calib_hash_agg_6b"]` fallback raised KeyError
-    # if the 18B ratio was present-but-falsy after the 6B retires).
-    # Prefer the 18B workload (lower jitter) whenever both rounds
-    # carry it; the 6B ratio keeps continuity otherwise.
+    # per-site `or delta[...]` fallback raised KeyError if the ratio
+    # was present-but-falsy). The 6B workload retired in r12 (VERDICT
+    # r11 #3); the 18B row is the single-workload estimate, running
+    # alongside the panel one more round before the panel goes
+    # primary (they agreed within 0.31 in r11, the first panel round).
     drift_src = next(
-        (
-            k
-            for k in ("calib_hash_agg_18b", "calib_hash_agg_6b")
-            if delta.get(k)
-        ),
+        (k for k in ("calib_hash_agg_18b",) if delta.get(k)),
         None,
     )
     drift_est = delta[drift_src] if drift_src else None
@@ -613,9 +602,12 @@ def main() -> None:
     # delta reads as host drift (the calib rows stay alongside for
     # exactly that reason; drift_normalized prefers the panel but the
     # raw ratios always ship).
+    # (r12: the e3 member rides as x_e3_sessionize after the e1+e3
+    # fold — same workload, same code, name bridged in
+    # RENAMED_UNCHANGED, so its cross-round ratio stays valid.)
     _PANEL = (
         "dd7_dedup_transitive",
-        "e3_sessionize_batch",
+        "x_e3_sessionize",
         "scd1_type2_merge",
         "dd2_ngram_jaccard_pairs",
         "snap1_time_travel_read",

@@ -256,3 +256,64 @@ def cd_acd_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag", "n_parts", "n_suppliers", tol.alias("acd_within_tol")
     )
+
+
+@query(
+    "pv1_pivot_unpivot",
+    "§2.13-L9: pivot (long->wide) + unpivot (wide->long) — declared "
+    "in R12 via the e1+e3 fold's freed slot (VERDICT r11 #5; the "
+    "DuckDB PIVOT oracle graduated from tests/test_reshape.py)",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+        round(sum(CASE WHEN l_linestatus='F' THEN l_quantity END), 2)
+          AS f_l_quantity_sum,
+        round(avg(CASE WHEN l_linestatus='F' THEN l_extendedprice END), 2)
+          AS f_l_extendedprice_avg,
+        round(sum(CASE WHEN l_linestatus='O' THEN l_quantity END), 2)
+          AS o_l_quantity_sum,
+        round(avg(CASE WHEN l_linestatus='O' THEN l_extendedprice END), 2)
+          AS o_l_extendedprice_avg
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, value
+    FROM wide UNPIVOT INCLUDE NULLS (
+      value FOR measure IN (f_l_quantity_sum, f_l_extendedprice_avg,
+                            o_l_quantity_sum, o_l_extendedprice_avg)
+    )
+    """,
+    "Round-trip through both reshapes: lineitem pivoted wide on "
+    "l_linestatus with an explicit values list (operators/reshape."
+    "pivot_table — one shuffle, never the hidden distinct-collect of "
+    "pivot-without-values) and two aggregates per value, then melted "
+    "back long with the native unpivot (a generated projection, zero "
+    "shuffle). Every wide cell rides the long output, so the hash "
+    "checks pivot's cell values, its {value}_{col}_{fn} naming, AND "
+    "unpivot's null-keeping semantics (the (A,O)/(R,O) cells are "
+    "genuinely NULL in TPC-H and must survive as rows — DuckDB's "
+    "UNPIVOT needs INCLUDE NULLS to agree).",
+)
+def pv1_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_zero_spark.operators.reshape import pivot_table, unpivot
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = pivot_table(
+        li,
+        keys="l_returnflag",
+        pivot_col="l_linestatus",
+        values=["F", "O"],
+        agg={"l_quantity": "sum", "l_extendedprice": "avg"},
+    )
+    measures = [
+        "f_l_quantity_sum",
+        "f_l_extendedprice_avg",
+        "o_l_quantity_sum",
+        "o_l_extendedprice_avg",
+    ]
+    wide = wide.select(
+        "l_returnflag", *[F.round(m, 2).alias(m) for m in measures]
+    )
+    return unpivot(
+        wide, keys="l_returnflag", value_cols=measures,
+        var_name="measure", value_name="value",
+    )

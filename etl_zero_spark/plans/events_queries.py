@@ -38,37 +38,15 @@ def json1_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "e1_e2_windows",
-    "event-time: tumbling + sliding window aggregations (tagged union; "
-    "R8 fold freeing the slot that declares mix1 — operator ids E1+E2 "
-    "both preserved, every tumbling and sliding row hash-checked)",
-    """
-    SELECT 'e1' AS op,
-           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value), 2) AS value_sum
-    FROM events
-    GROUP BY 2, 3
-    UNION ALL
-    SELECT 'e2', ws, CAST(NULL AS VARCHAR), n_events, value_sum FROM (
-      WITH offsets AS (SELECT * FROM (VALUES (0), (1)) AS t(off))
-      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - off * INTERVAL 1 HOUR AS ws,
-             count(*) AS n_events,
-             round(sum(value), 2) AS value_sum
-      FROM events, offsets
-      GROUP BY 1
-    )
-    """,
-    "1-hour tumbling windows by event type (batch formulation of "
-    "F.window(ts, '1 hour')) unioned with 2-hour windows sliding by "
-    "1 hour — each event in exactly two windows, expressed as an "
-    "explode over window offsets (the same expansion Spark's "
-    "F.window(ts, '2 hours', '1 hour') performs); event_type is NULL "
-    "on the sliding rows. Streaming twins in streaming/events.py.",
-)
 def e1_e2_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows by event type (batch formulation of
+    F.window(ts, '1 hour')) unioned with 2-hour windows sliding by
+    1 hour — each event in exactly two windows, expressed as an
+    explode over window offsets (the same expansion Spark's
+    F.window(ts, '2 hours', '1 hour') performs); event_type is NULL
+    on the sliding rows. Streaming twins in streaming/events.py.
+    Declared (hash-checked) through `e1_e3_events_family` — the R12
+    fold that freed the slot declaring pv1_pivot_unpivot."""
     ev = load_table(spark, sf_dir, "events")
     tumbling = (
         ev.groupBy(
@@ -111,35 +89,12 @@ def e1_e2_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling.unionByName(sliding)
 
 
-@query(
-    "e3_sessionize_batch",
-    "event-time: session windows (gap-based), batch formulation",
-    f"""
-    WITH flagged AS (
-      SELECT user_id, ts, event_id, value,
-             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
-                       - lag(epoch_us(CAST(ts AS TIMESTAMP)))
-                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > {SESSION_GAP_S} * 1000000
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-    ), numbered AS (
-      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-      FROM flagged
-    )
-    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-           count(*) AS n_events,
-           min(CAST(ts AS TIMESTAMP)) AS session_start,
-           max(CAST(ts AS TIMESTAMP)) AS session_end,
-           round(sum(value), 2) AS value_sum
-    FROM numbered
-    GROUP BY user_id, session_id
-    """,
-    "30-minute-gap sessionization via lag + cumulative flag — the batch "
-    "twin of F.session_window(ts, '30 minutes').",
-)
 def e3_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization via lag + cumulative flag — the
+    batch twin of F.session_window(ts, '30 minutes'). Declared
+    (hash-checked) through `e1_e3_events_family` (R12 fold); bench
+    keeps its standalone timing as x_e3_sessionize for drift-panel
+    continuity."""
     ev = load_table(spark, sf_dir, "events")
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -159,6 +114,92 @@ def e3_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("value_sum"),
         )
     )
+
+
+@query(
+    "e1_e3_events_family",
+    "event-time: tumbling + sliding + session windows (tagged union; "
+    "R12 fold of e1_e2_windows + e3_sessionize_batch freeing the slot "
+    "that declares pv1 — operator ids E1+E2+E3 all preserved, every "
+    "window row of all three shapes hash-checked)",
+    f"""
+    SELECT 'e1' AS op,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS value_sum,
+           CAST(NULL AS BIGINT) AS user_id,
+           CAST(NULL AS BIGINT) AS session_id,
+           CAST(NULL AS TIMESTAMP) AS session_end
+    FROM events
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'e2', ws, CAST(NULL AS VARCHAR), n_events, value_sum,
+           NULL, NULL, NULL
+    FROM (
+      WITH offsets AS (SELECT * FROM (VALUES (0), (1)) AS t(off))
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - off * INTERVAL 1 HOUR AS ws,
+             count(*) AS n_events,
+             round(sum(value), 2) AS value_sum
+      FROM events, offsets
+      GROUP BY 1
+    )
+    UNION ALL
+    SELECT 'e3', session_start, CAST(NULL AS VARCHAR), n_events,
+           value_sum, user_id, session_id, session_end
+    FROM (
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > {SESSION_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+      ), numbered AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+      )
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             count(*) AS n_events,
+             min(CAST(ts AS TIMESTAMP)) AS session_start,
+             max(CAST(ts AS TIMESTAMP)) AS session_end,
+             round(sum(value), 2) AS value_sum
+      FROM numbered
+      GROUP BY user_id, session_id
+    )
+    """,
+    "The three batch event-time window shapes as one tagged union "
+    "(the w1_w4 pattern): 'e1' 1-hour tumbling by event type, 'e2' "
+    "2h/1h sliding via offset explode, 'e3' 30-minute-gap "
+    "sessionization (window_start carries session_start; user_id / "
+    "session_id / session_end ride NULL on the e1/e2 rows). Streaming "
+    "twins in streaming/events.py assert batch==stream equivalence "
+    "against the standalone functions above.",
+)
+def e1_e3_events_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    win = e1_e2_windows(spark, sf_dir).select(
+        "op",
+        "window_start",
+        "event_type",
+        "n_events",
+        "value_sum",
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("session_id"),
+        F.lit(None).cast("timestamp").alias("session_end"),
+    )
+    ses = e3_sessionize_batch(spark, sf_dir).select(
+        F.lit("e3").alias("op"),
+        F.col("session_start").alias("window_start"),
+        F.lit(None).cast("string").alias("event_type"),
+        "n_events",
+        "value_sum",
+        "user_id",
+        "session_id",
+        "session_end",
+    )
+    return win.unionByName(ses)
 
 
 @query(

@@ -7,6 +7,10 @@ from pyspark.sql import functions as F
 
 from etl_zero_spark.catalog import load_table
 from etl_zero_spark.plans.all_queries import QUERIES
+from etl_zero_spark.plans.events_queries import (
+    e1_e2_windows,
+    e3_sessionize_batch,
+)
 from etl_zero_spark.streaming import events as sev
 from tests.conftest import SF_SMOKE
 
@@ -29,21 +33,21 @@ def test_stream_reads_events(spark, stream):
 
 def test_tumbling_batch_equivalence(spark, stream):
     got = sev.run_available_now(sev.tumbling_agg(stream), "t_tumble")
-    want = QUERIES["e1_e2_windows"].fn(spark, SF_SMOKE).where("op = 'e1'")
+    want = e1_e2_windows(spark, SF_SMOKE).where("op = 'e1'")
     cols = ["window_start", "event_type", "n_events", "value_sum"]
     assert _rowset(got, cols) == _rowset(want, cols)
 
 
 def test_sliding_batch_equivalence(spark, stream):
     got = sev.run_available_now(sev.sliding_agg(stream), "t_slide")
-    want = QUERIES["e1_e2_windows"].fn(spark, SF_SMOKE).where("op = 'e2'")
+    want = e1_e2_windows(spark, SF_SMOKE).where("op = 'e2'")
     cols = ["window_start", "n_events", "value_sum"]
     assert _rowset(got, cols) == _rowset(want, cols)
 
 
 def test_session_batch_equivalence(spark, stream):
     got = sev.run_available_now(sev.session_agg(stream), "t_sess")
-    want = QUERIES["e3_sessionize_batch"].fn(spark, SF_SMOKE).select(
+    want = e3_sessionize_batch(spark, SF_SMOKE).select(
         "user_id",
         F.col("session_start"),
         "n_events",

@@ -453,7 +453,9 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
 
     def sessionize_10m():
         # window-heavy: 10M rows shuffled+sorted per user (100k users)
-        return QUERIES["e3_sessionize_batch"].fn(spark, probe_dir)
+        from etl_zero_spark.plans.events_queries import e3_sessionize_batch
+
+        return e3_sessionize_batch(spark, probe_dir)
 
     def asof_10m():
         # custom join family at 10M events: union + one window pass
