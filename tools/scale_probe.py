@@ -310,7 +310,9 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         # linearity row (its own cost gate skips it when the window
         # is already spent). R11: +100s nets the 2M midpoint +
         # split_harden_1m against the 1M row dropping to one rep.
-        budget_s = float(os.environ.get("SPARK_GRAFT_PROBE_BUDGET", "1700"))
+        # R12: +150s for contamination_1m (its exact tier is a
+        # deliberate ~107s blowup measurement).
+        budget_s = float(os.environ.get("SPARK_GRAFT_PROBE_BUDGET", "1850"))
     t_start = time.perf_counter()
     from pyspark.sql import functions as F
 
@@ -1066,6 +1068,83 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             for frame in split_harden_frames:
                 frame.unpersist()
 
+    contamination_1m_detail: dict = {}
+
+    def contamination_1m():
+        # R12 (VERDICT r11 #6): eval-set decontamination at corpus
+        # scale — the declared ct1 row runs 100k x 100k via
+        # contamination_n5; the tier's pitch is the GPT-3-appendix
+        # scan over a full corpus. 10k test docs (the eval set) vs the
+        # ~990k remaining train docs at n=8. The raw salad corpus
+        # shares no cross-split 8-grams (near-dups are
+        # predecessor-adjacent, so both sides of a chain land in the
+        # same split), so the probe PLANTS the two contamination modes
+        # the cap exists to separate, column-side (no rewrite of the
+        # cached corpus):
+        #   * BOILERPLATE: one fixed 10-word passage on every 10th
+        #     train doc (gram df ~99k) and every 7th test doc — the
+        #     ct1 fixture's densities; template noise whose exact
+        #     fan-out is ~141M pairs. The cap (max_gram_df=20)
+        #     provably drops it.
+        #   * GENUINE leakage: a 10-word passage keyed by doc_id %
+        #     4999 on every 101st train / 20th test doc — per-gram
+        #     train df ~2, far under the cap, so the capped tier must
+        #     still find these ~2.4k true pairs.
+        # Both tiers timed inside one probe: EXACT (max_gram_df=None —
+        # every gram joins) vs CAPPED (the hot-gram broadcast
+        # anti-join bounding worst-case fan-out at |test_grams| x
+        # cap), so the cap's claim carries measured exact_sec /
+        # capped_sec / pair counts instead of an argument.
+        from etl_zero_spark.operators import corpus as corp
+
+        d1m = load_table(spark, PROBE_1M_DIR, "documents")
+        did = F.col("doc_id")
+        leak = F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"leak{j}_"), (did % 4999).cast("string"))
+                for j in range(10)
+            ],
+        )
+        boiler = " quick brown foxes jump over lazy dogs every single night"
+
+        def plant(df, leak_mod, leak_res, boiler_mod, boiler_res):
+            return df.select(
+                "doc_id",
+                F.concat(
+                    F.col("text"),
+                    F.when(
+                        did % leak_mod == leak_res,
+                        F.concat(F.lit(" "), leak),
+                    ).otherwise(F.lit("")),
+                    F.when(
+                        did % boiler_mod == boiler_res, F.lit(boiler)
+                    ).otherwise(F.lit("")),
+                ).alias("text"),
+            )
+
+        test = plant(d1m.where(did < 10_000), 20, 3, 7, 1)
+        train = plant(d1m.where(did >= 10_000), 101, 5, 10, 0)
+        contamination_1m_detail["n_test"] = test.count()
+        contamination_1m_detail["n_train"] = train.count()
+        t = time.perf_counter()
+        n_exact = corp.cross_corpus_contamination(
+            train, test, n=8, min_shared=1, max_gram_df=None
+        ).count()
+        contamination_1m_detail["exact_sec"] = round(
+            time.perf_counter() - t, 2
+        )
+        contamination_1m_detail["exact_pairs"] = n_exact
+        t = time.perf_counter()
+        n_capped = corp.cross_corpus_contamination(
+            train, test, n=8, min_shared=1, max_gram_df=20
+        ).count()
+        contamination_1m_detail["capped_sec"] = round(
+            time.perf_counter() - t, 2
+        )
+        contamination_1m_detail["capped_pairs"] = n_capped
+        return spark.createDataFrame([(n_capped,)], "rows long")
+
     pipeline_2m_detail: dict = {}
 
     def corpus_pipeline_2m():
@@ -1284,6 +1363,7 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("report_1m", report_1m),
         ("bm25_1m", bm25_1m),
         ("split_harden_1m", split_harden_1m),
+        ("contamination_1m", contamination_1m),
         # LAST and budget-gated: the composed pipelines are the most
         # expensive probes; a budget stop here costs one row, not the
         # whole per-operator tier above. 4M runs after 2M after 1M so
@@ -1320,7 +1400,8 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
                 spark
             )
         if name in (
-            "report_1m", "bm25_1m", "split_harden_1m", "corpus_pipeline_1m"
+            "report_1m", "bm25_1m", "split_harden_1m",
+            "contamination_1m", "corpus_pipeline_1m"
         ):
             # the 1M corpus generates lazily HERE — only once a 1M
             # probe is actually going to run (a small-budget smoke run
@@ -1397,6 +1478,8 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
                     out[name]["probe_sec"] = round(
                         out[name]["sec"] - split_harden_detail["index_sec"], 2
                     )
+            if name == "contamination_1m" and contamination_1m_detail:
+                out[name].update(contamination_1m_detail)
             if name == "corpus_pipeline_1m" and pipeline_1m_detail:
                 out[name].update(pipeline_1m_detail)
                 out[name]["rows"] = pipeline_1m_detail.get(
