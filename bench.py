@@ -586,9 +586,8 @@ def main() -> None:
     # r11 #3); the 18B row is the single-workload estimate, running
     # alongside the panel one more round before the panel goes
     # primary (they agreed within 0.31 in r11, the first panel round).
-    drift_src = next(
-        (k for k in ("calib_hash_agg_18b",) if delta.get(k)),
-        None,
+    drift_src = (
+        "calib_hash_agg_18b" if delta.get("calib_hash_agg_18b") else None
     )
     drift_est = delta[drift_src] if drift_src else None
     # R11 (VERDICT r10 #5): a MULTI-QUERY drift panel alongside the

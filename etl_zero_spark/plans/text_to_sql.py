@@ -260,15 +260,25 @@ class RuleBasedGenerator:
             r"\b(?:contains?|starts?\s+with|ends?\s+with)\s+(?:'|\w)", q
         ):
             return True
-        if " LIMIT " not in s and re.search(
-            r"\b(?:limit|first|top|bottom)\s+\d+\b", q
+        # R11 lockstep: 'top/bottom N' joined the cue list with the
+        # ranked child-walk branches — a HAVING question like 'top 3
+        # orderstatus by count having count over 5' skips the top-N
+        # branch and previously shipped the grouped count with the
+        # stated cap silently dropped. R12 (review): the cue checks
+        # the stated N against the EMITTED LIMIT, not mere presence —
+        # '5 cheapest parts by name' skipped the bare-N cost-adjective
+        # branch (stated 'by <col>') and fell into the row-superlative
+        # branch's LIMIT 1, silently shrinking the cap; the bare
+        # 'N cheapest/priciest/most expensive' form is a row-cap cue
+        # of its own for the same reason.
+        for mq in re.finditer(
+            r"\b(?:limit|first|top|bottom)\s+(\d+)\b"
+            r"|\b(\d+)\s+(?:cheapest|priciest|most\s+expensive)\b",
+            q,
         ):
-            # R11 lockstep: 'top/bottom N' joined the cue list with the
-            # ranked child-walk branches — a HAVING question like 'top 3
-            # orderstatus by count having count over 5' skips the top-N
-            # branch and previously shipped the grouped count with the
-            # stated cap silently dropped
-            return True
+            n_stated = mq.group(1) or mq.group(2)
+            if not re.search(rf"\bLIMIT {n_stated}\b", s):
+                return True
         # R11 follow-up: a TRAILING 'the most/fewest/least' (no object
         # — the verb carries the metric: 'which 5 customers spent the
         # most') is a ranking; SQL without an ORDER BY dropped it and
@@ -285,6 +295,19 @@ class RuleBasedGenerator:
         # top/bottom phrasings)
         if " ORDER BY " not in s and re.search(
             r"\b(?:cheapest|priciest|most\s+expensive)\b", q
+        ):
+            return True
+        # R12 (review): a bare 'by <word>' outside quoted values is a
+        # sort/group mention — SQL carrying NEITHER an ORDER BY nor a
+        # GROUP BY dropped it. The r12 year-guard fix made 'orders by
+        # totalprice in 1995' render its year, which converted that
+        # question from a lockstep refusal into a silent 'by
+        # totalprice' drop; this cue restores the refusal for every
+        # branch that cannot honor the mention.
+        if (
+            " ORDER BY " not in s
+            and " GROUP BY " not in s
+            and re.search(r"\bby\s+\w+", re.sub(r"'[^']*'", " ", q))
         ):
             return True
         # R11: a stated 'or' the SQL does not carry is a dropped
@@ -1414,6 +1437,11 @@ class RuleBasedGenerator:
     #: so they cannot resolve near-gibberish (R8).
     _SYNONYMS = {
         "revenue": ("totalprice", "price", "amount", "sales"),
+        # 'sales' rides the same mass-noun grammar as 'revenue' (the
+        # rewrite treats them identically) — without its own key it
+        # fell through to difflib table matching, the exact bug class
+        # the R12 'revenue'->events fix closed (review catch).
+        "sales": ("totalprice", "price", "amount", "revenue"),
         "cost": ("retailprice", "price", "totalprice"),
         "costs": ("retailprice", "price", "totalprice"),
     }

@@ -2292,12 +2292,18 @@ def _gen_cat(question: str) -> str:
 def test_catalog_schema_fixture_matches_render(spark):
     """The static fixture IS the real rendered catalog — if a fixture
     table's schema drifts, this fails before a stale fixture can
-    green-light grammar that breaks on the real one."""
+    green-light grammar that breaks on the real one. The nl_probe
+    tool's independent pyarrow-footer rendering (a different
+    type-collapse code path) is pinned to the same string, so the
+    committed README transcript can never be generated from a schema
+    that differs from what the Q2 path feeds the generator."""
     from tests.conftest import SF_ORACLE
     from etl_zero_spark.catalog import register_views
+    from tools.nl_probe import render_from_parquet
 
     views = register_views(spark, SF_ORACLE)
     assert t2s.render_schema(spark, views) == _SCHEMA_CATALOG
+    assert render_from_parquet(SF_ORACLE) == _SCHEMA_CATALOG
 
 
 def test_catalog_grouped_superlatives_answer():
@@ -2405,3 +2411,25 @@ def test_catalog_superlatives_duckdb_verified():
         f"SELECT * FROM part ORDER BY p_retailprice ASC LIMIT 2"
     ).fetchall()
     assert [r[0] for r in two] == [r[0] for r in want2]
+
+
+def test_catalog_r12_review_pins():
+    """Pins for the r12 review findings on the grammar batch."""
+    # 1. a stated N is never silently shrunk: '5 cheapest parts by
+    # name' skipped the bare-N branch (stated 'by <col>') and fell
+    # into the row-superlative branch's LIMIT 1 before the cue
+    # compared the stated N against the emitted LIMIT
+    assert _gen_cat("5 cheapest parts by name") == ""
+    # 2. a bare 'by <word>' no branch honors refuses — the year-guard
+    # fix made the year render here, which would have shipped the
+    # question with the 'by totalprice' mention silently dropped
+    assert _gen_cat("orders by totalprice in 1995") == ""
+    # ...while the honored twin carries BOTH cues
+    sql = _gen_cat("largest order by totalprice in 1995")
+    assert "YEAR(o_orderdate) = 1995" in sql
+    assert "ORDER BY o_totalprice DESC LIMIT 1" in sql
+    # 3. 'sales' rides the revenue mass-noun grammar, never difflib
+    sql = _gen_cat("total sales per year")
+    assert "SUM(o_totalprice)" in sql and "events" not in sql
+    sql = _gen_cat("which nation has the highest total sales")
+    assert "ORDER BY o_totalprice_sum DESC LIMIT 1" in sql

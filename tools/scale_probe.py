@@ -1085,11 +1085,19 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         #     train doc (gram df ~99k) and every 7th test doc — the
         #     ct1 fixture's densities; template noise whose exact
         #     fan-out is ~141M pairs. The cap (max_gram_df=20)
-        #     provably drops it.
+        #     provably drops it. A per-doc unique token separates the
+        #     passage from the document so text-tail/boiler junction
+        #     grams are doc-unique — on this 40-word vocab, junction
+        #     grams whose 3+ leading tail words coincide slip under
+        #     the cap and added ~1.4k tail-collision pairs before the
+        #     separator (measured; leak junction grams need a K match
+        #     so they can only re-find pairs already counted).
         #   * GENUINE leakage: a 10-word passage keyed by doc_id %
         #     4999 on every 101st train / 20th test doc — per-gram
         #     train df ~2, far under the cap, so the capped tier must
-        #     still find these ~2.4k true pairs.
+        #     still find these 981 true pairs (the exact CRT count:
+        #     500 planted test docs x ~1.96 same-key train docs, and a
+        #     K-join cross-check in the r12 notes measured 981).
         # Both tiers timed inside one probe: EXACT (max_gram_df=None —
         # every gram joins) vs CAPPED (the hot-gram broadcast
         # anti-join bounding worst-case fan-out at |test_grams| x
@@ -1118,7 +1126,11 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
                         F.concat(F.lit(" "), leak),
                     ).otherwise(F.lit("")),
                     F.when(
-                        did % boiler_mod == boiler_res, F.lit(boiler)
+                        did % boiler_mod == boiler_res,
+                        F.concat(
+                            F.lit(" uniq"), did.cast("string"),
+                            F.lit(boiler),
+                        ),
                     ).otherwise(F.lit("")),
                 ).alias("text"),
             )
