@@ -1503,27 +1503,39 @@ class RuleBasedGenerator:
         not this shape (caller falls back to the raw-row ranking); ''
         when the shape IS stated but a mention fails to resolve —
         refusing beats silently ranking raw rows by a guessed column."""
+        def names_table(w: str) -> bool:
+            return table is not None and (
+                w in (table, f"{table}s", table.rstrip("s"))
+                or w.rstrip("s") == table
+            )
+
         m = re.search(
-            rf"\b(?:top|bottom|lowest|smallest)\s+\d+\s+(\w+)\s+by\s+"
+            rf"\b(?:top|bottom|lowest|smallest)\s+\d+\s+(\w+)(?:\s+(\w+))?"
+            rf"\s+by\s+"
             rf"({'|'.join(self._AGGS)}|count)\b(?:\s+of)?(?:\s+(\w+))?",
             q,
         )
         if not m:
-            # bare-metric form: 'top N <group-col> by <numeric-col>'
+            # bare-metric form: 'top N <group-col> by <numeric-col>',
+            # with the two-word self-qualified '<base-table> <col>'
+            # group tolerated like the agg form below (R12: 'top 5
+            # event types by value')
             m2 = re.search(
-                r"\b(?:top|bottom|lowest|smallest)\s+\d+\s+(\w+)\s+by\s+(\w+)\b",
+                r"\b(?:top|bottom|lowest|smallest)\s+\d+\s+(\w+)"
+                r"(?:\s+(\w+))?\s+by\s+(\w+)\b",
                 q,
             )
             if not m2:
                 return None
             gw = m2.group(1)
-            if any(
-                gw in (t, f"{t}s", t.rstrip("s")) or gw.rstrip("s") == t
-                for t in ([table] if table else [])
-            ):
+            if m2.group(2) is not None:
+                if not names_table(gw):
+                    return None  # two free words: not this shape
+                gw = m2.group(2)
+            elif names_table(gw):
                 return None  # 'top 5 orders by price' ranks raw rows
             gp = self._group_part(gw.lower(), cols)
-            metric = self._resolve_column(m2.group(2), cols)
+            metric = self._resolve_column(m2.group(3), cols)
             if (
                 gp is None
                 or metric is None
@@ -1538,11 +1550,18 @@ class RuleBasedGenerator:
                 f"{where} GROUP BY {gby} ORDER BY {alias} {direction} "
                 f"LIMIT {n}"
             )
-        gw = m.group(1)
-        if any(
-            gw in (t, f"{t}s", t.rstrip("s")) or gw.rstrip("s") == t
-            for t in ([table] if table else [])
-        ):
+        gw, two_word = m.group(1), False
+        if m.group(2) is not None:
+            # two-word group: ONLY the self-qualified '<base-table>
+            # <col>' form is this shape ('top 3 event types by total
+            # value' on the events table — the _group_parts rule); any
+            # other pair belongs to the child walk ('top 5 nation
+            # names by total revenue' ranks through the FK walk), so
+            # every failure path below returns None, never ''.
+            if not names_table(gw):
+                return None
+            gw, two_word = m.group(2), True
+        elif names_table(gw):
             # the group word names the base TABLE — the child-walk
             # branches own that shape (review catch: 'top 3 nations by
             # count of orders' fuzzy-resolved 'nations' to n_nationkey
@@ -1552,15 +1571,14 @@ class RuleBasedGenerator:
             return None
         gp = self._group_part(gw.lower(), cols)
         if gp is None:
-            return ""
+            return None if two_word else ""
         gsel, gby = gp
-        if m.group(2) == "count":
-            tgt = m.group(3)
+        if m.group(3) == "count":
+            tgt = m.group(4)
             if (
                 tgt is not None
                 and re.search(r"\bcount\s+of\b", m.group(0))
-                and tgt not in (table, f"{table}s", table.rstrip("s"))
-                and tgt.rstrip("s") != table
+                and not names_table(tgt)
                 and self._resolve_column(tgt, cols) is None
             ):
                 # 'by count of <other-table>' — not a local row count;
@@ -1572,10 +1590,10 @@ class RuleBasedGenerator:
                 f"SELECT {gsel}, COUNT(*) AS n FROM {table}{where} "
                 f"GROUP BY {gby} ORDER BY n {direction} LIMIT {n}"
             )
-        fn = self._AGGS[m.group(2)]
-        col = self._resolve_column(m.group(3), cols) if m.group(3) else None
-        if col is None:
-            return ""
+        fn = self._AGGS[m.group(3)]
+        col = self._resolve_column(m.group(4), cols) if m.group(4) else None
+        if col is None or (two_word and cols.get(col) != "number"):
+            return None if two_word else ""
         alias = f"{col}_{fn.lower()}"
         return (
             f"SELECT {gsel}, {fn}({col}) AS {alias} FROM {table}{where} "
@@ -1690,11 +1708,16 @@ class RuleBasedGenerator:
         self, word: str, cols: dict[str, str]
     ) -> tuple[str, str] | None:
         """One grouping mention -> (select_expr, group_by_expr): a
-        resolvable column groups as itself; a temporal word (naive
-        plural tolerated — 'top 3 months') buckets the unique
-        date-named column. A column match always wins over the
-        temporal reading."""
+        resolvable column groups as itself (naive plural tolerated —
+        'event types' groups by event_type, R12; the singular is tried
+        only when the stated word resolves to nothing, so it can never
+        override an exact column); a temporal word (naive plural
+        tolerated — 'top 3 months') buckets the unique date-named
+        column. A column match always wins over the temporal
+        reading."""
         col = self._resolve_column(word, cols)
+        if col is None and word.endswith("s"):
+            col = self._resolve_column(word[:-1], cols)
         if col:
             return (col, col)
         base = word if word in self._TIME_GROUPS else word.rstrip("s")

@@ -2433,3 +2433,65 @@ def test_catalog_r12_review_pins():
     assert "SUM(o_totalprice)" in sql and "events" not in sql
     sql = _gen_cat("which nation has the highest total sales")
     assert "ORDER BY o_totalprice_sum DESC LIMIT 1" in sql
+
+
+def test_catalog_non_tpch_tables_answer():
+    """The catalog's non-TPC-H tables (events/documents) work as
+    TARGETS, not just as fuzzy-collision hazards — including the R12
+    two-word self-qualified group ('event types' -> event_type via
+    the naive-plural fallback)."""
+    assert _gen_cat("top 3 event types by total value") == (
+        "SELECT event_type, SUM(value) AS value_sum FROM events "
+        "GROUP BY event_type ORDER BY value_sum DESC LIMIT 3"
+    )
+    assert _gen_cat("top 5 event types by value") == (
+        "SELECT event_type, SUM(value) AS value_sum FROM events "
+        "GROUP BY event_type ORDER BY value_sum DESC LIMIT 5"
+    )
+    assert _gen_cat("bottom 2 event types by average value") == (
+        "SELECT event_type, AVG(value) AS value_avg FROM events "
+        "GROUP BY event_type ORDER BY value_avg ASC LIMIT 2"
+    )
+    assert _gen_cat("how many documents per lang") == (
+        "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
+    )
+    assert _gen_cat("average value per event type") == (
+        "SELECT event_type, AVG(value) AS value_avg FROM events "
+        "GROUP BY event_type"
+    )
+    sql = _gen_cat("which source has the most documents")
+    assert "GROUP BY source ORDER BY n DESC LIMIT 1" in sql
+    # the plural fallback never overrides an exact column, and the
+    # TPC-H shapes through the same regex are untouched
+    assert _gen_cat("top 3 orderstatus by average totalprice") == (
+        "SELECT o_orderstatus, AVG(o_totalprice) AS o_totalprice_avg "
+        "FROM orders GROUP BY o_orderstatus "
+        "ORDER BY o_totalprice_avg DESC LIMIT 3"
+    )
+
+
+def test_catalog_non_tpch_duckdb_verified():
+    """The events/documents-table SQL executes and matches hand-written
+    oracles on the real sf0.01 parquet."""
+    import duckdb
+
+    from tests.conftest import SF_ORACLE
+
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_ORACLE}/{t}.parquet')"
+        )
+    got = con.execute(_gen_cat("top 3 event types by total value")).fetchall()
+    want = con.execute(
+        "SELECT event_type, SUM(value) v FROM events GROUP BY 1 "
+        "ORDER BY v DESC LIMIT 3"
+    ).fetchall()
+    assert [r[0] for r in got] == [r[0] for r in want]
+    assert all(abs(g[1] - w[1]) < 1e-6 * abs(w[1]) for g, w in zip(got, want))
+    got = dict(con.execute(_gen_cat("how many documents per lang")).fetchall())
+    want = dict(con.execute(
+        "SELECT lang, count(*) FROM documents GROUP BY 1"
+    ).fetchall())
+    assert got == want and got

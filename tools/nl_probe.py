@@ -45,6 +45,12 @@ QUESTIONS = [
     "show me the 2 cheapest parts",
     "what is the total revenue per year",
     "revenue by nation in 1995 or 1996",
+    # non-TPC-H tables as TARGETS (R12 — the full-schema battery must
+    # also ask about events/documents, not just dodge their names)
+    "top 3 event types by total value",
+    "how many documents per lang",
+    "which source has the most documents",
+    "average value per event type",
     # battery carried over from the r11 transcript
     "top 5 nation names by average revenue",
     "bottom 2 nations by revenue",
