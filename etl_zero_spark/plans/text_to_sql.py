@@ -350,6 +350,16 @@ class RuleBasedGenerator:
         m = re.search(r"\bin\s+((?:19|20)\d{2})\b", q)
         if m and m.group(1) not in sql:
             return True
+        # ...and a stated month-name filter must render as MONTH()
+        # ('events in march' shipped an UNFILTERED select on a table
+        # whose time column the date grammar could not resolve — no
+        # digit, no quoted value, so no other cue fired; R12)
+        if "MONTH(" not in s and re.search(
+            r"\b(?:in|between)\s+(?:january|february|march|april|may"
+            r"|june|july|august|september|october|november|december)\b",
+            q,
+        ):
+            return True
         # a stated equality against a LITERAL-looking value (quoted,
         # or ALL-CAPS-leading like the fixture's 'BUILDING'/'F') must
         # carry that literal into the SQL — R9: multi-hop walks made
@@ -1625,12 +1635,26 @@ class RuleBasedGenerator:
         mentioned date-named column wins; a non-column mention (the
         table name, 'orders between March and May') falls back to the
         table's UNIQUE date-named column — two date columns would be
-        ambiguous, so None (unresolvable) rather than a guess."""
+        ambiguous, so None (unresolvable) rather than a guess. R12: a
+        table with NO date-named column falls back to a UNIQUE
+        conventionally-named time column (ts / timestamp / time /
+        *_ts / *_time / *_at) — the events fixture's `ts` is the time
+        axis every event-time query binds, and 'count of events in
+        2024' refused while 'events in march' shipped UNFILTERED (the
+        month guard below now refuses that shape wherever resolution
+        still fails)."""
         if word:
             col = self._resolve_column(word.lower(), cols)
             if col and "date" in col.lower():
                 return col
         dated = [c for c in cols if "date" in c.lower()]
+        if not dated:
+            dated = [
+                c
+                for c in cols
+                if c.lower() in ("ts", "timestamp", "time")
+                or c.lower().endswith(("_ts", "_time", "_at"))
+            ]
         return dated[0] if len(dated) == 1 else None
 
     #: temporal grouping words -> the Spark/ANSI extraction function

@@ -349,9 +349,11 @@ def test_generator_month_filters_resolve_date_column():
         "WHERE MONTH(o_orderdate) BETWEEN 3 AND 5 "
         "GROUP BY o_orderstatus, o_orderpriority"
     )
-    # no date-named column -> the stated month filter cannot bind; the
-    # condition is dropped from WHERE, never mis-bound to a text col
-    assert _gen("show orders between march and may") == "SELECT * FROM orders"
+    # no date/time-named column -> the stated month filter cannot
+    # bind; R12 upgrades the old silently-dropped SELECT * to a
+    # refusal (the month-name guard cue — a stated filter never ships
+    # unfiltered, and it is never mis-bound to a text col either)
+    assert _gen("show orders between march and may") == ""
 
 
 def test_generator_iso_date_between():
@@ -2495,3 +2497,51 @@ def test_catalog_non_tpch_duckdb_verified():
         "SELECT lang, count(*) FROM documents GROUP BY 1"
     ).fetchall())
     assert got == want and got
+
+
+def test_catalog_events_time_column_binds():
+    """R12: a table with no date-named column binds its UNIQUE
+    conventionally-named time column (events.ts); where resolution
+    still fails, the month-name guard refuses instead of shipping an
+    unfiltered select ('events in march' was a live silent drop)."""
+    assert _gen_cat("count of events in 2024") == (
+        "SELECT COUNT(*) AS n FROM events WHERE YEAR(ts) = 2024"
+    )
+    assert _gen_cat("events in january") == (
+        "SELECT * FROM events WHERE MONTH(ts) = 1"
+    )
+    assert _gen_cat("count of events per event type in 2024") == (
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "WHERE YEAR(ts) = 2024 GROUP BY event_type"
+    )
+    assert _gen_cat("total value per month in events") == (
+        "SELECT month(ts) AS month, SUM(value) AS value_sum "
+        "FROM events GROUP BY month(ts)"
+    )
+    # customer has neither a date- nor a time-named column: refuse
+    assert _gen_cat("customers in march") == ""
+
+
+def test_catalog_events_time_duckdb_verified():
+    import duckdb
+
+    from tests.conftest import SF_ORACLE
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/events.parquet')"
+    )
+    got = con.execute(_gen_cat("count of events in 2024")).fetchone()[0]
+    want = con.execute(
+        "SELECT count(*) FROM events WHERE year(ts) = 2024"
+    ).fetchone()[0]
+    assert got == want and got > 0
+    got = dict(con.execute(
+        _gen_cat("total value per month in events")
+    ).fetchall())
+    want = dict(con.execute(
+        "SELECT month(ts), sum(value) FROM events GROUP BY 1"
+    ).fetchall())
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-6 * abs(want[k]) for k in want)

@@ -51,6 +51,9 @@ QUESTIONS = [
     "how many documents per lang",
     "which source has the most documents",
     "average value per event type",
+    "count of events in 2024",
+    "events in january",
+    "total value per month in events",
     # battery carried over from the r11 transcript
     "top 5 nation names by average revenue",
     "bottom 2 nations by revenue",
@@ -71,6 +74,7 @@ QUESTIONS = [
     "orders where clerk is Clerk#000000951",
     "orders where totalprice in 1995",
     "the cheapest parts",
+    "customers in march",
 ]
 
 
