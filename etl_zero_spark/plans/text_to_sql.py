@@ -652,6 +652,52 @@ class RuleBasedGenerator:
                 f"ORDER BY {order} ASC LIMIT {n}"
             )
 
+        # R12 sweep: attributive / postfix cost-adjective superlatives
+        # — 'which part is the most expensive', 'which 3 parts are the
+        # most expensive', 'what is the most expensive part' — are the
+        # same row ranking at LIMIT N (default 1). The subject (or
+        # trailing noun) must name the base table; the guard's cost-
+        # adjective and LIMIT cues keep mistranslations refused.
+        subj = nn = adj = None
+        m = re.search(
+            r"\b(?:which|what)\s+(?:(\d+)\s+)?(\w+)\s+(?:is|are)\s+the\s+"
+            r"(most\s+expensive|priciest|cheapest)\b",
+            q,
+        )
+        if m:
+            subj, nn, adj = (
+                m.group(2), int(m.group(1)) if m.group(1) else 1, m.group(3),
+            )
+        else:
+            m = re.search(
+                r"\b(?:which|what)\s+is\s+the\s+"
+                r"(most\s+expensive|priciest|cheapest)\s+(\w+)\b",
+                q,
+            )
+            if m:
+                subj, nn, adj = m.group(2), 1, m.group(1)
+        if subj and not hv and not re.search(r"\bby\s+\w+", q):
+            if (
+                subj
+                and (
+                    subj in (table, f"{table}s", table.rstrip("s"))
+                    or subj.rstrip("s") == table
+                )
+                and not re.search(rf"\b(?:{self._GROUP_CUES})\b", q)
+            ):
+                cost = self._resolve_column("cost", cols)
+                if cost is not None:
+                    dd = "ASC" if adj == "cheapest" else "DESC"
+                    if ex:
+                        return (
+                            f"SELECT * FROM {table} t1{ex_lead} {ex_pred} "
+                            f"ORDER BY {cost} {dd} LIMIT {nn}"
+                        )
+                    return (
+                        f"SELECT * FROM {table}{where} "
+                        f"ORDER BY {cost} {dd} LIMIT {nn}"
+                    )
+
         # R12 (VERDICT r11 #4): a BARE 'N cheapest / N most expensive
         # <rows>' — no top/bottom keyword — is the same cost-adjective
         # row ranking; the adjective carries the direction ('show me
@@ -1382,16 +1428,6 @@ class RuleBasedGenerator:
                     return t
         if re.search(r"\bfirst table\b", q):  # reference demo question
             return next(iter(schema))
-        for w in words:
-            # metric-synonym and aggregate words never fall through to
-            # edit distance (the _table_mention rule, R12): 'revenue'
-            # difflib-matched a table named `events` at 0.62 and
-            # hijacked the whole question's target table.
-            if w in self._SYNONYMS or w in self._AGGS:
-                continue
-            hit = self._fuzzy(w, list(schema))
-            if hit:
-                return hit
         # R7: no table mentioned, but a word names a column of exactly
         # ONE table ('how many distinct mktsegments are there') — that
         # table is the unambiguous target. Exact/suffix/containment
@@ -1400,8 +1436,19 @@ class RuleBasedGenerator:
         # R8 late: aggregate words are never column evidence — 'total
         # and average acctbal' must resolve through acctbal (customer),
         # not through 'total' ⊂ o_totalprice (orders).
+        # R12: this DETERMINISTIC tier outranks the difflib tier below
+        # — 'number of unique sources per lang' resolved ORDERS via
+        # difflib('sources','orders')=0.62 while 'source' names a
+        # documents column exactly (the same guess-beats-evidence
+        # inversion as the revenue->events collision).
         for w in words:
             if w in self._AGGS or w == "count":
+                continue
+            # 'number of X' is the count phrase — 'number' is not
+            # column evidence there ('number of unique sources per
+            # lang' resolved LINEITEM via l_linenumber and refused;
+            # R12 sweep). A bare 'number' elsewhere stays evidence.
+            if w == "number" and re.search(r"\bnumber\s+of\b", q):
                 continue
             owners = []
             for t, cols in schema.items():
@@ -1418,6 +1465,17 @@ class RuleBasedGenerator:
                         break
             if len(owners) == 1:
                 return owners[0]
+        for w in words:
+            # the difflib tier — typo'd table names ('custmer'). Runs
+            # AFTER column evidence (R12, see above) and never for
+            # metric-synonym / aggregate words (the _table_mention
+            # rule: 'revenue' difflib-matched a table named `events`
+            # at 0.62 and hijacked the whole question's target table).
+            if w in self._SYNONYMS or w in self._AGGS:
+                continue
+            hit = self._fuzzy(w, list(schema))
+            if hit:
+                return hit
         # R12 (VERDICT r11 #4): a metric-synonym word whose best-tier
         # owner is UNIQUE is table evidence too — 'what is the total
         # revenue per year' has no table word at all, but 'revenue'

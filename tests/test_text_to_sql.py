@@ -2545,3 +2545,41 @@ def test_catalog_events_time_duckdb_verified():
     ).fetchall())
     assert set(got) == set(want)
     assert all(abs(got[k] - want[k]) < 1e-6 * abs(want[k]) for k in want)
+
+
+def test_catalog_attributive_cost_superlatives():
+    """R12 sweep: attributive/postfix cost-adjective superlatives are
+    the same row ranking ('which part is the most expensive'); stated
+    groupings and 'by <col>' keep their refusals."""
+    assert _gen_cat("which part is the most expensive") == (
+        "SELECT * FROM part ORDER BY p_retailprice DESC LIMIT 1"
+    )
+    assert _gen_cat("what is the most expensive part") == (
+        "SELECT * FROM part ORDER BY p_retailprice DESC LIMIT 1"
+    )
+    assert _gen_cat("which 3 parts are the most expensive") == (
+        "SELECT * FROM part ORDER BY p_retailprice DESC LIMIT 3"
+    )
+    assert _gen_cat("which part is the cheapest") == (
+        "SELECT * FROM part ORDER BY p_retailprice ASC LIMIT 1"
+    )
+    assert _gen_cat("which order is the most expensive per orderstatus") == ""
+    assert _gen_cat("which part is the most expensive by brand") == ""
+
+
+def test_catalog_table_evidence_outranks_difflib():
+    """R12 sweep: deterministic column evidence outranks the difflib
+    table tier — 'sources' names a documents column exactly but
+    difflib-matched the `orders` table at 0.62 ('number of unique
+    sources per lang' resolved ORDERS and refused); 'number of' is the
+    count phrase, never column evidence (it resolved LINEITEM via
+    l_linenumber). Typo'd table names still difflib-resolve."""
+    assert _gen_cat("number of unique sources per lang") == (
+        "SELECT lang, COUNT(DISTINCT source) AS n FROM documents "
+        "GROUP BY lang"
+    )
+    assert _gen_cat("how many distinct sources per lang") == (
+        "SELECT lang, COUNT(DISTINCT source) AS n FROM documents "
+        "GROUP BY lang"
+    )
+    assert _gen_cat("show all custmer rows") == "SELECT * FROM customer"
