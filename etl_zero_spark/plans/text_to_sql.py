@@ -541,6 +541,7 @@ class RuleBasedGenerator:
         ex = self._existence(q, table, schema)
         if ex == "refuse":
             return ""
+        ex_pred = ex_lead = ""
         if ex:
             ex_pred = self._exists_pred(ex)
             jw = self._where_clause(raw_where, cols, prefix="t1.")
@@ -576,20 +577,10 @@ class RuleBasedGenerator:
                 r"\b(most\s+expensive|priciest|cheapest)\b", q
             )
             if mx and not re.search(r"\bby\s+\w+", q):
-                if re.search(rf"\b(?:{self._GROUP_CUES})\b", q):
-                    return ""
-                cost = self._resolve_column("cost", cols)
-                if cost is None:
-                    return ""  # the stated adjective must resolve
                 dd = "ASC" if mx.group(1) == "cheapest" else "DESC"
-                if ex:
-                    return (
-                        f"SELECT * FROM {table} t1{ex_lead} {ex_pred} "
-                        f"ORDER BY {cost} {dd} LIMIT {n}"
-                    )
-                return (
-                    f"SELECT * FROM {table}{where} "
-                    f"ORDER BY {cost} {dd} LIMIT {n}"
+                return self._cost_ranked_sql(
+                    q_main, table, cols, where, n, dd, ex, ex_lead,
+                    ex_pred,
                 )
             order = self._order_column(q, cols)
             if order is None:
@@ -623,21 +614,11 @@ class RuleBasedGenerator:
                 r"\b(most\s+expensive|priciest|cheapest)\b", q
             )
             if mx and not re.search(r"\bby\s+\w+", q):
-                if mx.group(1) != "cheapest" or re.search(
-                    rf"\b(?:{self._GROUP_CUES})\b", q
-                ):
+                if mx.group(1) != "cheapest":
                     return ""
-                cost = self._resolve_column("cost", cols)
-                if cost is None:
-                    return ""
-                if ex:
-                    return (
-                        f"SELECT * FROM {table} t1{ex_lead} {ex_pred} "
-                        f"ORDER BY {cost} ASC LIMIT {n}"
-                    )
-                return (
-                    f"SELECT * FROM {table}{where} "
-                    f"ORDER BY {cost} ASC LIMIT {n}"
+                return self._cost_ranked_sql(
+                    q_main, table, cols, where, n, "ASC", ex, ex_lead,
+                    ex_pred,
                 )
             order = self._order_column(q, cols)
             if order is None:
@@ -678,25 +659,14 @@ class RuleBasedGenerator:
                 subj, nn, adj = m.group(2), 1, m.group(1)
         if subj and not hv and not re.search(r"\bby\s+\w+", q):
             if (
-                subj
-                and (
-                    subj in (table, f"{table}s", table.rstrip("s"))
-                    or subj.rstrip("s") == table
-                )
-                and not re.search(rf"\b(?:{self._GROUP_CUES})\b", q)
+                subj in (table, f"{table}s", table.rstrip("s"))
+                or subj.rstrip("s") == table
             ):
-                cost = self._resolve_column("cost", cols)
-                if cost is not None:
-                    dd = "ASC" if adj == "cheapest" else "DESC"
-                    if ex:
-                        return (
-                            f"SELECT * FROM {table} t1{ex_lead} {ex_pred} "
-                            f"ORDER BY {cost} {dd} LIMIT {nn}"
-                        )
-                    return (
-                        f"SELECT * FROM {table}{where} "
-                        f"ORDER BY {cost} {dd} LIMIT {nn}"
-                    )
+                dd = "ASC" if adj == "cheapest" else "DESC"
+                return self._cost_ranked_sql(
+                    q_main, table, cols, where, nn, dd, ex, ex_lead,
+                    ex_pred,
+                )
 
         # R12 (VERDICT r11 #4): a BARE 'N cheapest / N most expensive
         # <rows>' — no top/bottom keyword — is the same cost-adjective
@@ -706,21 +676,10 @@ class RuleBasedGenerator:
         # shape, and the adjective must resolve through the cost list.
         m = re.search(r"\b(\d+)\s+(most\s+expensive|priciest|cheapest)\b", q)
         if m and not hv and not re.search(r"\bby\s+\w+", q):
-            if re.search(rf"\b(?:{self._GROUP_CUES})\b", q):
-                return ""
-            cost = self._resolve_column("cost", cols)
-            if cost is None:
-                return ""
-            n = int(m.group(1))
             dd = "ASC" if m.group(2) == "cheapest" else "DESC"
-            if ex:
-                return (
-                    f"SELECT * FROM {table} t1{ex_lead} {ex_pred} "
-                    f"ORDER BY {cost} {dd} LIMIT {n}"
-                )
-            return (
-                f"SELECT * FROM {table}{where} "
-                f"ORDER BY {cost} {dd} LIMIT {n}"
+            return self._cost_ranked_sql(
+                q_main, table, cols, where, int(m.group(1)), dd, ex,
+                ex_lead, ex_pred,
             )
 
         if re.search(r"\bhow many\b|\bcount\b|number of", q_main):
@@ -1595,22 +1554,34 @@ class RuleBasedGenerator:
             )
             if not m2:
                 return None
-            gw = m2.group(1)
-            if m2.group(2) is not None:
+            gw, two2 = m2.group(1), False
+            if m2.group(2) is not None and m2.group(2) not in (
+                "sorted", "ordered", "ranked"
+            ):
                 if not names_table(gw):
                     return None  # two free words: not this shape
-                gw = m2.group(2)
+                gw, two2 = m2.group(2), True
             elif names_table(gw):
                 return None  # 'top 5 orders by price' ranks raw rows
             gp = self._group_part(gw.lower(), cols)
+            if gp is None:
+                # self-qualified two-word form: the group IS stated, so
+                # a non-resolving group word refuses — the raw-row
+                # fallback would ship 'top 5 event kinds by value' with
+                # 'kinds' silently dropped (R12 review); the
+                # single-word form keeps the raw-row fallback
+                # ('top 5 orders by price')
+                return "" if two2 else None
             metric = self._resolve_column(m2.group(3), cols)
             if (
-                gp is None
-                or metric is None
+                metric is None
                 or metric == gp[1]
                 or cols.get(metric) != "number"
             ):
-                return None  # not this shape -> raw-row fallback
+                # a non-LOCAL metric stays None in BOTH forms — the
+                # child walk owns the rebase ('top 3 nation name by
+                # revenue' sums the walked-to o_totalprice)
+                return None
             gsel, gby = gp
             alias = f"{metric}_sum"
             return (
@@ -1619,13 +1590,17 @@ class RuleBasedGenerator:
                 f"LIMIT {n}"
             )
         gw, two_word = m.group(1), False
-        if m.group(2) is not None:
+        if m.group(2) is not None and m.group(2) not in (
+            "sorted", "ordered", "ranked"
+        ):
             # two-word group: ONLY the self-qualified '<base-table>
             # <col>' form is this shape ('top 3 event types by total
             # value' on the events table — the _group_parts rule); any
             # other pair belongs to the child walk ('top 5 nation
             # names by total revenue' ranks through the FK walk), so
-            # every failure path below returns None, never ''.
+            # the METRIC failure paths below return None — but a
+            # non-resolving stated GROUP word refuses (R12 review: the
+            # raw-row fallback silently dropped it).
             if not names_table(gw):
                 return None
             gw, two_word = m.group(2), True
@@ -1639,7 +1614,7 @@ class RuleBasedGenerator:
             return None
         gp = self._group_part(gw.lower(), cols)
         if gp is None:
-            return None if two_word else ""
+            return ""
         gsel, gby = gp
         if m.group(3) == "count":
             tgt = m.group(4)
@@ -1666,6 +1641,32 @@ class RuleBasedGenerator:
         return (
             f"SELECT {gsel}, {fn}({col}) AS {alias} FROM {table}{where} "
             f"GROUP BY {gby} ORDER BY {alias} {direction} LIMIT {n}"
+        )
+
+    def _cost_ranked_sql(
+        self, q_main: str, table: str, cols: dict[str, str], where: str,
+        n: int, dd: str, ex, ex_lead: str, ex_pred: str,
+    ) -> str:
+        """The cost-adjective row ranking, ONE emitter for the top /
+        bottom / bare-N / attributive branches (R12 review: four
+        hand-copied blocks are exactly how the of-each grouping-cue
+        gap replicated — the cue check here scans q_main, the
+        normalized text, so 'of each <group>' refuses like 'per
+        <group>' does). '' = refuse: a stated grouping makes this a
+        different shape, and the stated adjective must resolve through
+        the cost synonym list."""
+        if re.search(rf"\b(?:{self._GROUP_CUES})\b", q_main):
+            return ""
+        cost = self._resolve_column("cost", cols)
+        if cost is None:
+            return ""
+        if ex:
+            return (
+                f"SELECT * FROM {table} t1{ex_lead} {ex_pred} "
+                f"ORDER BY {cost} {dd} LIMIT {n}"
+            )
+        return (
+            f"SELECT * FROM {table}{where} ORDER BY {cost} {dd} LIMIT {n}"
         )
 
     def _order_column(self, q: str, cols: dict[str, str]) -> str | None:
@@ -1707,11 +1708,19 @@ class RuleBasedGenerator:
                 return col
         dated = [c for c in cols if "date" in c.lower()]
         if not dated:
+            # NUMBER-typed candidates are excluded (R12 review): an
+            # epoch-millis `ts number` column would render
+            # YEAR(ts)=2024 — an execution error or a silent
+            # mis-answer under implicit casts; type information is in
+            # the rendered schema, so refusing is free
             dated = [
                 c
                 for c in cols
-                if c.lower() in ("ts", "timestamp", "time")
-                or c.lower().endswith(("_ts", "_time", "_at"))
+                if (
+                    c.lower() in ("ts", "timestamp", "time")
+                    or c.lower().endswith(("_ts", "_time", "_at"))
+                )
+                and cols.get(c) != "number"
             ]
         return dated[0] if len(dated) == 1 else None
 
@@ -1755,10 +1764,13 @@ class RuleBasedGenerator:
             and (w1 in (tl, f"{tl}s", tl.rstrip("s"))
                  or w1.rstrip("s") == tl)
         ):
-            gcol = self._resolve_column(m.group(2).lower(), cols)
-            if gcol is None:
+            # through _group_part so the naive-plural fallback and the
+            # temporal reading apply here too — 'per event types'
+            # previously refused while 'top 3 event types' answered
+            # (R12 review: same phrase, two resolutions)
+            first = self._group_part(m.group(2).lower(), cols)
+            if first is None:
                 return None
-            first = (gcol, gcol)
             if m.group(3):
                 second = self._group_part(m.group(3).lower(), cols)
                 if second and second != first:
@@ -1799,7 +1811,14 @@ class RuleBasedGenerator:
         reading."""
         col = self._resolve_column(word, cols)
         if col is None and word.endswith("s"):
-            col = self._resolve_column(word[:-1], cols)
+            # DETERMINISTIC tier only (R12 review): the stripped
+            # singular must not re-enter difflib — 'sales' correctly
+            # resolves to nothing on a table without its synonyms, and
+            # letting 'sale' fuzzy-hit 'value' at 0.667 grouped a
+            # query by its own metric
+            r = self._resolve_column_tiered(word[:-1], cols)
+            if r is not None and r[1] == 0:
+                col = r[0]
         if col:
             return (col, col)
         base = word if word in self._TIME_GROUPS else word.rstrip("s")

@@ -2583,3 +2583,36 @@ def test_catalog_table_evidence_outranks_difflib():
         "GROUP BY lang"
     )
     assert _gen_cat("show all custmer rows") == "SELECT * FROM customer"
+
+
+def test_catalog_r12_second_review_pins():
+    """Pins for the second r12 review pass (six findings)."""
+    # 1. the of-each grouping cue reaches the cost-adjective branches
+    # (they checked q while the of-each->per rewrite lands in q_main)
+    assert _gen_cat("which part is the most expensive of each brand") == ""
+    assert _gen_cat("top 3 most expensive parts of each brand") == ""
+    assert _gen_cat("show me the 2 cheapest parts of each brand") == ""
+    # 2. the plural-strip group fallback is deterministic-tier only:
+    # 'sale' must not difflib-hit 'value' and group a query by its
+    # own metric
+    assert _gen_cat("average value per sales") == ""
+    # 3. a NUMBER-typed conventional time column refuses the date
+    # grammar (epoch ts would render YEAR(ts)=2024 and mis-execute)
+    s = "CREATE TABLE metrics (id number, value number, ts number)"
+    gen = t2s.RuleBasedGenerator()
+    assert gen(t2s.build_prompt(s, "count of metrics in 2024")) == ""
+    assert gen(t2s.build_prompt(s, "metrics in march")) == ""
+    # 4. a stated two-word group whose column word never resolves
+    # refuses instead of silently ranking raw rows...
+    assert _gen_cat("top 5 event kinds by value") == ""
+    # ...while sort phrasings keep the raw-row reading and foreign
+    # metrics keep the child walk
+    assert _gen_cat("top 5 events sorted by value") == (
+        "SELECT * FROM events ORDER BY value DESC LIMIT 5"
+    )
+    assert "LEFT JOIN" in _gen_full("top 3 nation name by revenue")
+    # 6. the same plural group phrase resolves on BOTH paths
+    assert _gen_cat("average value per event types") == (
+        "SELECT event_type, AVG(value) AS value_avg FROM events "
+        "GROUP BY event_type"
+    )
