@@ -1050,6 +1050,50 @@ class RuleBasedGenerator:
         aggws = "|".join(
             re.escape(k) for k in sorted(self._AGGS, key=len, reverse=True)
         )
+        # R12 sweep: the TWO-COLUMN twin — 'total quantity and average
+        # discount per returnflag' matched neither two-agg shape, so
+        # the single-agg loop shipped AVG(discount) alone with the
+        # stated SUM(quantity) silently dropped. Shape matched but a
+        # column unresolvable refuses (the fall-through would re-drop
+        # one aggregate); a stated sort refuses like the shared-metric
+        # branch below.
+        m = re.search(
+            rf"\b({aggws})\s+(\w+)\s+and\s+(?:the\s+)?({aggws})\s+(\w+)\b",
+            q_main,
+        )
+        if m and not hv:
+            c1 = self._resolve_column(m.group(2), cols)
+            c2 = self._resolve_column(m.group(4), cols)
+            if re.search(r"\b(?:sorted|ordered)\s+by\b", q_main):
+                return ""
+            if c1 is None or c2 is None:
+                return ""
+            f1, f2 = self._AGGS[m.group(1)], self._AGGS[m.group(3)]
+            sel = (
+                f"{f1}({c1}) AS {c1}_{f1.lower()}, "
+                f"{f2}({c2}) AS {c2}_{f2.lower()}"
+            )
+            gp = self._group_parts(q_main, cols, table)
+            if gp:
+                gsel, gby = gp
+                if ex:
+                    return (
+                        f"SELECT {gsel}, {sel} FROM {table} t1"
+                        f"{ex_lead} {ex_pred} GROUP BY {gby}"
+                    )
+                return (
+                    f"SELECT {gsel}, {sel} FROM {table}{where} "
+                    f"GROUP BY {gby}"
+                )
+            if re.search(
+                r"\b(?:by|per|for\s+each|for\s+every|in\s+each|"
+                r"grouped\s+by)\b",
+                q_main,
+            ):
+                return ""  # stated grouping did not resolve
+            if ex:
+                return f"SELECT {sel} FROM {table} t1{ex_lead} {ex_pred}"
+            return f"SELECT {sel} FROM {table}{where}"
         m = re.search(
             rf"\b({aggws})\s+and\s+(?:the\s+)?({aggws})\b"
             rf"(?:\s+of)?(?:\s+the)?\s+(\w+)"
@@ -1319,6 +1363,35 @@ class RuleBasedGenerator:
                     f"SELECT {sel} FROM {table} t1 "
                     f"JOIN {other} t2 ON t1.{lk} = t2.{rk}{jwhere}"
                 )
+
+        # R12 sweep: an explicit PROJECTION — 'show name and acctbal of
+        # customers' / 'select custkey, mktsegment from customers' —
+        # previously shipped SELECT * with the stated column list
+        # ignored. The trailing noun must name the resolved table and
+        # EVERY listed word must resolve as one of its columns (any
+        # failure falls through to the old reading — a projection is a
+        # superset request, so SELECT * stays the safe default); 'of
+        # each <group>' never reaches here (its pre-word resolves as a
+        # projection only in the 'name of each customer' exemption,
+        # which stays a plain select).
+        mp = re.search(
+            r"\b(?:show|select|list|display|get)(?:\s+me)?(?:\s+the)?\s+"
+            r"((?:\w+)(?:\s*,\s*\w+)*(?:\s+and\s+\w+)?)\s+"
+            r"(?:of|from)\s+(?:the\s+)?(\w+)\b",
+            q_main,
+        )
+        if mp and (
+            mp.group(2) in (table, f"{table}s", table.rstrip("s"))
+            or mp.group(2).rstrip("s") == table
+        ):
+            words_p = re.split(r"\s*,\s*|\s+and\s+", mp.group(1))
+            proj = [self._resolve_column(w, cols) for w in words_p]
+            if (
+                proj
+                and all(c is not None for c in proj)
+                and len(set(proj)) == len(proj)
+            ):
+                return f"SELECT {', '.join(proj)} FROM {table}{where}"
 
         # R6: explicit sort on the plain-select fallback ('show orders
         # sorted by totalprice descending')
@@ -3016,11 +3089,15 @@ class RuleBasedGenerator:
                 )
         # substring filters (R8 late): '<col> contains 're'' /
         # 'starts with x' / 'ends with x' -> LIKE with the value taken
-        # quoted or as one bare word (quotes doubled, LIKE wildcards
-        # escaped so a literal % in the question cannot widen the match)
+        # quoted or as one bare token (quotes doubled, LIKE wildcards
+        # escaped so a literal % in the question cannot widen the
+        # match). Bare values take the SAME extended charset as the
+        # equality parsers (R12 sweep: 'starts with Customer#0000001'
+        # truncated at the '#' under \w+ and LIKE 'Customer%' matched
+        # every row — the stated literal silently widened).
         for m in re.finditer(
             r"(\w+)\s+(contains?|starts?\s+with|ends?\s+with)\s+"
-            r"(?:'([^']+)'|(\w+))",
+            r"(?:'([^']+)'|([\w#./-]*[\w#/-]))",
             raw,
             re.IGNORECASE,
         ):

@@ -2616,3 +2616,44 @@ def test_catalog_r12_second_review_pins():
         "SELECT event_type, AVG(value) AS value_avg FROM events "
         "GROUP BY event_type"
     )
+
+
+def test_catalog_sweep2_wrong_sql_fixes():
+    """Second r12 sweep: three silent mistranslations fixed."""
+    # 1. LIKE literals take the extended charset — 'Customer#0000001'
+    # truncated at the '#' and LIKE 'Customer%' matched every row
+    assert _gen_cat("customers whose name starts with Customer#0000001") == (
+        "SELECT * FROM customer WHERE c_name LIKE 'Customer#0000001%'"
+    )
+    # 2. two aggregates over TWO columns both render — the single-agg
+    # loop shipped AVG(discount) alone, SUM(quantity) silently dropped
+    assert _gen_cat("total quantity and average discount per returnflag") == (
+        "SELECT l_returnflag, SUM(l_quantity) AS l_quantity_sum, "
+        "AVG(l_discount) AS l_discount_avg FROM lineitem "
+        "GROUP BY l_returnflag"
+    )
+    # ...the shared-metric form is untouched
+    assert _gen_cat("total and average totalprice per orderstatus") == (
+        "SELECT o_orderstatus, SUM(o_totalprice) AS o_totalprice_sum, "
+        "AVG(o_totalprice) AS o_totalprice_avg FROM orders "
+        "GROUP BY o_orderstatus"
+    )
+    # ...and unresolvable targets refuse instead of re-dropping one
+    assert _gen_cat("total foo and average bar in orders") == ""
+    # 3. stated projections render; any failure keeps the SELECT *
+    # superset default, and the of-each projection exemption holds
+    assert _gen_cat("show name and acctbal of customers") == (
+        "SELECT c_name, c_acctbal FROM customer"
+    )
+    assert _gen_cat("show the name, acctbal and mktsegment of customers") == (
+        "SELECT c_name, c_acctbal, c_mktsegment FROM customer"
+    )
+    assert _gen_cat("show name and frobnicate of customers") == (
+        "SELECT * FROM customer"
+    )
+    assert _gen_cat("show the name of each customer") == (
+        "SELECT * FROM customer"
+    )
+    assert _gen_cat("show all records from the orders table") == (
+        "SELECT * FROM orders"
+    )
