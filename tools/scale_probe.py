@@ -1303,6 +1303,31 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             "column string, psi double",
         )
 
+    def pivot_6m():
+        # R12: the pv1-declared reshape tier at 6M rows — pivot_values
+        # discovery (bounded top-N, one aggregation), pivot_table over
+        # (returnflag x linestatus x 2 aggs), unpivot back long. The
+        # wide frame is 3 rows; the cost IS the 6M-row hash aggregate,
+        # which is exactly what a 100 TB pivot pays per partition.
+        from etl_zero_spark.operators.reshape import (
+            pivot_table, pivot_values, unpivot,
+        )
+
+        li = load_table(spark, probe_dir, "lineitem")
+        vals = pivot_values(li, "l_linestatus", max_values=10)
+        wide = pivot_table(
+            li,
+            keys="l_returnflag",
+            pivot_col="l_linestatus",
+            values=vals,
+            agg={"l_quantity": "sum", "l_extendedprice": "avg"},
+        )
+        measures = [c for c in wide.columns if c != "l_returnflag"]
+        return unpivot(
+            wide, keys="l_returnflag", value_cols=measures,
+            var_name="measure", value_name="value",
+        )
+
     def zorder_6m():
         # Z-order layout at 6M rows: quantile-sketch pass + range-
         # shuffled write, then the pruning claim is ASSERTED from the
@@ -1361,6 +1386,7 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("report_100k", report_100k),
         ("drift_1m_distinct_cat", drift_1m_distinct),
         ("shuffle_100k", shuffle_100k),
+        ("pivot_6m", pivot_6m),
         ("zorder_6m", zorder_6m),
         ("bucketed_join_6m", bucketed_join_6m),
         ("scd2_merge_1m", scd2_1m),
