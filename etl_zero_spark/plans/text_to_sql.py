@@ -404,6 +404,60 @@ class RuleBasedGenerator:
             return ""
         raw = question.strip().rstrip("?.!")
         q = raw.lower()
+
+        # R12 sweep: VERB-carried metric superlatives — 'what nation
+        # earned the most revenue', 'which 5 customers spent the most'
+        # — normalize to the grouped-superlative / ranked shapes the
+        # walk machinery already answers ('which nation has the
+        # highest total revenue', 'top 5 customers by total revenue'),
+        # then re-generate ONCE on the rewritten prompt (the rewrite
+        # contains no verb cue, so it cannot recurse). The money verbs
+        # imply the revenue mass-noun unless a metric is stated;
+        # conditions in the tail ride along verbatim; everything else
+        # (subject resolution, walkability, refusals) is the target
+        # shapes' existing contract.
+        mv = re.search(
+            r"\b(?:which|what)\s+(?:(\d+)\s+)?(\w+)\s+(?:that\s+)?"
+            r"(?:earned|spent|paid|generated)\s+the\s+"
+            r"(most|least|fewest)"
+            r"(?:\s+(?!in\b|of\b|per\b|by\b|where\b|during\b|for\b"
+            r"|from\b|with\b|and\b|or\b)(\w+))?",
+            q,
+        )
+        if mv and any(
+            mv.group(2) in (t, f"{t}s", t.rstrip("s"))
+            or mv.group(2).rstrip("s") == t
+            for t in schema
+        ):
+            # ...the subject must NAME a table: 'which analyst spent
+            # the most' must fall through (and refuse via the
+            # trailing-superlative cue), not rewrite into a question
+            # whose unresolvable subject the synonym-owner tier would
+            # re-target at the metric's own table
+            hi = mv.group(3) == "most"
+            metric = mv.group(4) or "revenue"
+            tail = q[mv.end():]
+            if mv.group(1):
+                d = "top" if hi else "bottom"
+                nq = (
+                    f"{d} {mv.group(1)} {mv.group(2)} by total "
+                    f"{metric}{tail}"
+                )
+            else:
+                d = "highest" if hi else "lowest"
+                nq = (
+                    f"which {mv.group(2)} has the {d} total "
+                    f"{metric}{tail}"
+                )
+            return self._generate(
+                re.sub(
+                    r"(Question:\n).*?(\n\nAnswer:)",
+                    lambda g2: g2.group(1) + nq + g2.group(2),
+                    prompt,
+                    flags=re.DOTALL,
+                )
+            )
+
         table = self._resolve_table(q, schema)
         if table is None:
             return ""

@@ -2185,7 +2185,10 @@ def test_generator_trailing_superlative_cue():
     SQL must carry — 'which 5 customers spent the most' shipped a
     plain SELECT * before; grouped-MAX readings with an object stay
     answerable."""
-    assert _gen_full("which 5 customers spent the most") == ""
+    # R12 upgrades the old refusal: the verb-metric rewrite answers it
+    # as 'top 5 customers by total revenue' through the child walk
+    sql = _gen_full("which 5 customers spent the most")
+    assert "ORDER BY o_totalprice_sum DESC LIMIT 5" in sql
     assert _gen("which order has the most totalprice per orderstatus") != ""
 
 
@@ -2234,7 +2237,9 @@ def test_generator_review_catches_paraphrase_batch():
         "show customers with their orders per nation"
     )
     # 5. 'the least' joins the trailing-superlative cue
-    assert _gen_full("which 5 customers spent the least") == ""
+    # R12: the verb-metric rewrite answers the 'least' twin ranked ASC
+    sql = _gen_full("which 5 customers spent the least")
+    assert "ORDER BY o_totalprice_sum ASC LIMIT 5" in sql
     # 6. cost adjectives work on the bottom branch; a BARE 'N
     # cheapest' is the same ranking (R12, VERDICT r11 #4 — the
     # adjective carries the direction even without top/bottom), and
@@ -2657,3 +2662,19 @@ def test_catalog_sweep2_wrong_sql_fixes():
     assert _gen_cat("show all records from the orders table") == (
         "SELECT * FROM orders"
     )
+
+
+def test_catalog_verb_metric_superlatives():
+    """R12 sweep: money-verb superlatives normalize to the walked
+    grouped-superlative / ranked shapes; subjects that name no table
+    keep the refusal (never re-targeted at the metric's own table)."""
+    sql = _gen_cat("what nation earned the most revenue")
+    assert "SUM(t3.o_totalprice)" in sql
+    assert "ORDER BY o_totalprice_sum DESC LIMIT 1" in sql
+    sql = _gen_cat("which 5 customers spent the most")
+    assert "ORDER BY o_totalprice_sum DESC LIMIT 5" in sql
+    sql = _gen_cat("which customer spent the least")
+    assert "ORDER BY o_totalprice_sum ASC LIMIT 1" in sql
+    sql = _gen_cat("which nation earned the most revenue in 1995")
+    assert "YEAR(t3.o_orderdate) = 1995" in sql
+    assert _gen_cat("which analyst spent the most") == ""

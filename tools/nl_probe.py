@@ -51,6 +51,8 @@ QUESTIONS = [
     "how many documents per lang",
     "which source has the most documents",
     "average value per event type",
+    "what nation earned the most revenue",
+    "which 5 customers spent the most",
     "count of events in 2024",
     "events in january",
     "total value per month in events",
@@ -75,6 +77,7 @@ QUESTIONS = [
     "orders where totalprice in 1995",
     "the cheapest parts",
     "customers in march",
+    "which analyst spent the most",
 ]
 
 
