@@ -6,15 +6,30 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
  "queries": {...warm...}, "queries_cold": {...}, "sf": ...}
 
 Each query is executed to completion with .count() (full pipeline, no
-driver-side result serialization) FOUR times: the first (cold) run
-carries plan compilation + codegen + python-worker spin-up; the min of
-the three following runs is the steady-state (warm) cost a
-scheduler-driven pipeline pays — min, not mean, because local[32]
-scheduler noise is strictly additive. Both are recorded; the headline
-value is the warm total, which is what round-over-round comparisons
-should use (the round-1 bench recorded a single contended cold run and
-overstated q1/j5 by ~5x — see VERDICT.md). A corpus-wide warm-up runs
-first so JVM startup isn't attributed to the first query.
+driver-side result serialization): the first (cold) run carries plan
+compilation + codegen + python-worker spin-up; the min of the warm
+reps that follow (3, or 5 when the cold run exceeded 5s — long jobs
+need more reps to reach steady state, VERDICT r12 #5) is the
+steady-state cost a scheduler-driven pipeline pays — min, not mean,
+because local[32] scheduler noise is strictly additive. Both are
+recorded; the headline value is the warm total, which is what
+round-over-round comparisons should use (the round-1 bench recorded a
+single contended cold run and overstated q1/j5 by ~5x — see
+VERDICT.md). A corpus-wide warm-up runs first so JVM startup isn't
+attributed to the first query.
+
+CONTENTION SELF-DEFENSE (VERDICT r12 #1 — the r12 artifact shipped
+three phantom regressions from a run that overlapped other host work,
+and the tell was sitting in its own numbers): a steady-state minimum
+can never exceed its own cold run, and warm reps of the same plan
+should not spread 2x. Each query is therefore stamped
+``contended: true`` when ``min(warm reps) > cold`` or
+``max(reps)/min(reps) > 2``; after the main loop every flagged query
+is automatically re-timed once (the manual two-run screen,
+mechanized) and keeps the better reading. Queries still flagged after
+the re-time ship WITH the flag, so a judge/driver can discount those
+rows without re-running. Per-rep arrays for every query land in
+BENCH_LOCAL.json.
 """
 
 from __future__ import annotations
@@ -460,28 +475,81 @@ def main() -> None:
     # keep timing; the headline total sums the queries that ran.
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    warm_reps: dict[str, list[float]] = {}
+    contended_first: list[str] = []
+    contended: list[str] = []
     errors: dict[str, str] = {}
     runs = [(name, None) for name in HEADLINE] + [
         (name, fn) for name, fn in _extras(spark, sf_dir).items()
     ]
+    run_of: dict = {}
+
+    def _reps_for(cold_s: float) -> int:
+        # >5s-cold jobs were still descending at rep 3 (VERDICT r12 #5:
+        # dd9's min-of-3 was not steady-state) — give them 5 reps.
+        return 5 if cold_s > 5.0 else 3
+
+    def _is_contended(cold_s: float, reps: list[float]) -> bool:
+        # A steady-state MIN above its own cold run is impossible on a
+        # quiet host; a 2x spread across reps of one compiled plan means
+        # something else was competing for cores (VERDICT r12 #1).
+        return min(reps) > cold_s or max(reps) / min(reps) > 2.0
+
     for name, extra_fn in runs:
         run = extra_fn if extra_fn is not None else (
             lambda spec=QUERIES[name]: spec.fn(spark, sf_dir).count()
         )
+        run_of[name] = run
         try:
             t0 = time.perf_counter()
             run()
             cold[name] = round(time.perf_counter() - t0, 3)
             reps = []
-            for _ in range(3):
+            for _ in range(_reps_for(cold[name])):
                 t1 = time.perf_counter()
                 run()
                 reps.append(time.perf_counter() - t1)
             warm[name] = round(min(reps), 3)
-            print(f"# {name}: cold {cold[name]}s / warm {warm[name]}s", file=sys.stderr)
+            warm_reps[name] = [round(r, 3) for r in reps]
+            flag = _is_contended(cold[name], reps)
+            if flag:
+                contended_first.append(name)
+            print(
+                f"# {name}: cold {cold[name]}s / warm {warm[name]}s"
+                + (" CONTENDED" if flag else ""),
+                file=sys.stderr,
+            )
         except Exception as exc:  # noqa: BLE001 — the artifact must exist
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+
+    # Re-time pass (VERDICT r12 #1b): the two-run screen, mechanized.
+    # Every query flagged in the first pass re-runs its warm reps once,
+    # at the END of the loop — transient host contention has moved on by
+    # then; a query that is genuinely this slow reproduces. The final
+    # number is the min across both passes (a minimum estimator only
+    # improves with more samples); queries still flagged by the RETIME
+    # reps ship carrying the flag.
+    for name in contended_first:
+        run = run_of[name]
+        try:
+            reps = []
+            for _ in range(_reps_for(cold[name])):
+                t1 = time.perf_counter()
+                run()
+                reps.append(time.perf_counter() - t1)
+            warm_reps[name] += [round(r, 3) for r in reps]
+            warm[name] = round(min(warm[name], min(reps)), 3)
+            if _is_contended(cold[name], reps):
+                contended.append(name)
+            print(
+                f"# retime {name}: warm {warm[name]}s"
+                + (" STILL-CONTENDED" if name in contended else " cleared"),
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001 — keep the first-pass number
+            contended.append(name)
+            print(f"# retime {name}: ERROR {exc}", file=sys.stderr)
 
     # Scale rehearsal (sf1-equivalent: 6M lineitem / 100k docs / 100k
     # vectors, generated deterministically into a temp dir): single cold
@@ -583,9 +651,11 @@ def main() -> None:
     # Host-drift estimate, computed ONCE (R10 advice: the previous
     # per-site `or delta[...]` fallback raised KeyError if the ratio
     # was present-but-falsy). The 6B workload retired in r12 (VERDICT
-    # r11 #3); the 18B row is the single-workload estimate, running
-    # alongside the panel one more round before the panel goes
-    # primary (they agreed within 0.31 in r11, the first panel round).
+    # r11 #3); the 18B row is the single-workload CODE-FREE anchor —
+    # since R13 the five-query panel is the primary normalizer
+    # (VERDICT r12 #2: panel/18B agreed within ±0.2 two rounds
+    # running) and the 18B row rides alongside to catch a panel
+    # member's code change masquerading as host drift.
     drift_src = (
         "calib_hash_agg_18b" if delta.get("calib_hash_agg_18b") else None
     )
@@ -637,6 +707,15 @@ def main() -> None:
         "unit": "sec",
         "queries": warm,
         "queries_cold": cold,
+        # Per-rep arrays + contention stamps (VERDICT r12 #1): a row
+        # whose min-of-reps exceeded its own cold run, or whose reps
+        # spread >2x, was timed on a contended host. Flagged rows were
+        # automatically re-timed once at the end of the loop;
+        # `contended` lists the rows STILL flagged by the retime reps —
+        # discount those without re-running.
+        "queries_warm_reps": warm_reps,
+        "contended_first_pass": contended_first,
+        "contended": contended,
         "total_cold": round(sum(cold.values()), 3),
         "errors": errors,
         "n_ok": len(warm),
@@ -649,13 +728,18 @@ def main() -> None:
             # the calibration query touches no repo operator, so its
             # ratio is a pure host-speed estimate: divide any other
             # query's ratio by it to read the drift-normalized delta.
-            # drift_src records WHICH calibration workload produced it
-            # (18B auto-preferred once both rounds carry it, R9 ask #1)
+            # drift_src records WHICH calibration workload produced it.
+            # R13 (VERDICT r12 #2): the PANEL is the primary drift
+            # normalizer — its promotion condition (agreement with the
+            # 18B calib within ±0.2) held two rounds running (r11:
+            # 0.76/0.76, r12: 0.85/0.84). The 18B row stays alongside
+            # as the code-free anchor: it touches no repo operator, so
+            # panel-vs-18B disagreement >0.2 means a panel member's
+            # CODE changed and the panel must drop it that round.
             "host_drift_estimate": drift_est,
             "host_drift_source": drift_src,
-            # R11 panel (VERDICT r10 #5): median warm-ratio of five
-            # mid-weight queries; normalization prefers it over the
-            # single-workload calib when >= 3 members have ratios
+            # The five-member mid-weight panel (median warm-ratio;
+            # requires >= 3 members with ratios). PRIMARY since R13.
             "host_drift_panel": drift_panel,
             "host_drift_panel_members": list(_PANEL),
             "ratios": delta,
@@ -700,6 +784,10 @@ def main() -> None:
         "host_drift_panel": drift_panel,
         "detail_file": "BENCH_LOCAL.json",
     }
+    if contended:
+        # rows still flagged after the automatic re-time (VERDICT r12
+        # #1): warm>cold or >2x rep spread — discount these rows
+        slim["contended"] = sorted(contended)
     if errors:
         slim["error_queries"] = sorted(errors)
     line = json.dumps(slim, separators=(",", ":"))
