@@ -44,13 +44,17 @@ import time
 HEADLINE = [
     # reference-parity core
     "q1_pricing_summary",
-    "j1_j6_inner_left_join",
+    # R13 fold: j1_j6 + j7_j8 run as one declared slot (rename rule:
+    # the folded workload is a different query, no cross-round ratio)
+    "j1_j8_join_family",
     "j5_revenue_by_nation",
     # R10 fold: a1_a2 + a3 run as one declared slot (rename rule: the
     # folded workload is a different query, so no cross-round ratio)
     "a1_a3_aggregate_family",
     "o3_top_k",
     "cd_acd_count_distinct",
+    # R13: A6 quantiles declared via the freed slot (VERDICT r12 #4)
+    "qa1_quantiles",
     # R11 fold: w2's running sum joined the window-family slot (rename
     # rule: the folded workload is a different query, no cross-round
     # ratio for the new name)

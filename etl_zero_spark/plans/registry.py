@@ -351,8 +351,10 @@ def p7_p8_name_concat_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.3 joins
 # --------------------------------------------------------------------------
 @query(
-    "j1_j6_inner_left_join",
-    "J1+P1 + join family (left outer)",
+    "j1_j8_join_family",
+    "J1+P1 + join family (left outer + left semi + left anti) — the "
+    "R13 fold absorbing j7_j8_semi_anti_join to free the declared "
+    "slot for qa1 (VERDICT r12 #4); all four operator ids preserved",
     """
     SELECT 'inner' AS op, c.c_custkey, o.o_orderkey,
            o.o_totalprice AS o_totalprice_orders,
@@ -362,14 +364,31 @@ def p7_p8_name_concat_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'left', c.c_custkey, o.o_orderkey, o.o_totalprice,
            c.c_name, c.c_mktsegment
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'semi', c.c_custkey, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    UNION ALL
+    SELECT 'anti', c.c_custkey, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+           c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
     """,
-    "Inner equi-join with the mapper's source-table column aliasing "
-    "(mapping.py:105-127; customer side broadcasts) UNIONED with the "
-    "left-outer variant (unmatched customers survive with null order "
-    "columns) under an op tag — the R4 fold that freed a declared "
-    "slot for scd1 (J1 + J6 operator ids both preserved).",
+    "The four-way join family under one tagged union (the proven "
+    "fold shape): inner equi-join with the mapper's source-table "
+    "column aliasing (mapping.py:105-127; customer side broadcasts), "
+    "the left-outer variant (unmatched customers survive with null "
+    "order columns), and the semi/anti branches (EXISTS / NOT "
+    "EXISTS) with order columns padded NULL to share the schema. "
+    "Each semi/anti branch scans orders with its threshold PUSHED to "
+    "the parquet reader (row-group stats prune most of a 100 TB fact "
+    "before the join); the anti threshold keeps its set non-empty at "
+    "every SF.",
 )
-def j1_j6_inner_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def j1_j8_join_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     inner = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
@@ -388,7 +407,23 @@ def j1_j6_inner_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").alias("c_name_customer"),
         F.col("c_mktsegment").alias("c_mktsegment_customer"),
     )
-    return inner.unionByName(left)
+    semi_o = o.where(F.col("o_totalprice") > 100000)
+    anti_o = o.where(F.col("o_totalprice") > 150000)
+    pad = [
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice_orders"),
+        F.col("c_name").alias("c_name_customer"),
+        F.col("c_mktsegment").alias("c_mktsegment_customer"),
+    ]
+    semi = (
+        c.join(semi_o, c.c_custkey == semi_o.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("op"), "c_custkey", *pad)
+    )
+    anti = (
+        c.join(anti_o, c.c_custkey == anti_o.o_custkey, "left_anti")
+        .select(F.lit("anti").alias("op"), "c_custkey", *pad)
+    )
+    return inner.unionByName(left).unionByName(semi).unionByName(anti)
 
 
 @query(
@@ -490,38 +525,64 @@ def scd1_type2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "j7_j8_semi_anti_join",
-    "join family (left semi + left anti)",
+    "qa1_quantiles",
+    "A6: quantile aggregation — exact percentile tier (linear "
+    "interpolation, matches DuckDB quantile_cont) hash-checked, plus "
+    "the percentile_approx sketch tier (the 100 TB path: mergeable "
+    "fixed-size state on the shuffle) as a deterministic tolerance "
+    "boolean — the cd_acd pattern. Declared R13 via the slot freed "
+    "by folding j7_j8 into j1_j8_join_family (VERDICT r12 #4); the "
+    "DuckDB oracle graduated from tests/test_aggregate.py",
     """
-    SELECT 'semi' AS op, c.c_custkey, c.c_name FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
-    UNION ALL
-    SELECT 'anti' AS op, c.c_custkey, c.c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS l_extendedprice_p25,
+           round(quantile_cont(l_extendedprice, 0.5),  4) AS l_extendedprice_p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS l_extendedprice_p75,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS l_extendedprice_p95,
+           TRUE AS approx_within_tol
+    FROM lineitem GROUP BY l_returnflag
     """,
-    "Left-semi (EXISTS) and left-anti (NOT EXISTS) joins, tagged and "
-    "unioned; the anti threshold is chosen so its set is non-empty at "
-    "every SF.",
+    "Grouped quantiles of l_extendedprice per l_returnflag through "
+    "operators/aggregate.quantiles: the exact tier (Spark "
+    "`percentile`, linear interpolation — identical algebra to "
+    "DuckDB's quantile_cont, pinned to 1e-6 in test_aggregate.py) "
+    "carries the hash-checked values; the percentile_approx tier "
+    "(accuracy 10k — rank error <= n/10k, the only affordable shape "
+    "at 100 TB where exact percentile buffers each group) rides as "
+    "a 5%-of-value tolerance boolean the oracle pins TRUE, so a "
+    "drifting sketch flips the hash. Audit-composition row by "
+    "design: both tiers scan once each; the production path is the "
+    "sketch tier alone.",
 )
-def j7_j8_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Each branch scans orders with its threshold PUSHED to the parquet
-    # reader (row-group stats prune most of a 100 TB fact before the
-    # join) — cheaper than sharing one unfiltered per-customer
-    # aggregation, which would scan and shuffle the full table.
-    c = load_table(spark, sf_dir, "customer")
-    semi_o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 100000)
-    anti_o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
-    semi = (
-        c.join(semi_o, c.c_custkey == semi_o.o_custkey, "left_semi")
-        .select(F.lit("semi").alias("op"), "c_custkey", "c_name")
+def qa1_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_zero_spark.operators.aggregate import quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = quantiles(
+        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.95],
+        by=["l_returnflag"], exact=True,
     )
-    anti = (
-        c.join(anti_o, c.c_custkey == anti_o.o_custkey, "left_anti")
-        .select(F.lit("anti").alias("op"), "c_custkey", "c_name")
+    approx = quantiles(
+        li, "l_extendedprice", [0.5], by=["l_returnflag"], accuracy=10_000
+    ).withColumnRenamed("l_extendedprice_p50", "p50_approx")
+    # 3 groups: the approx side broadcasts; the tolerance is generous
+    # (5% of value at rank error n/10k) so the boolean is deterministic
+    # across sketch merge orders while still failing a broken sketch.
+    tol = (
+        F.abs(F.col("p50_approx") - F.col("l_extendedprice_p50"))
+        <= 0.05 * F.col("l_extendedprice_p50")
     )
-    return semi.unionByName(anti)
+    return (
+        exact.join(F.broadcast(approx), "l_returnflag")
+        .select(
+            "l_returnflag",
+            *[
+                F.round(f"l_extendedprice_p{p}", 4).alias(f"l_extendedprice_p{p}")
+                for p in (25, 50, 75, 95)
+            ],
+            tol.alias("approx_within_tol"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
