@@ -220,7 +220,18 @@ class RuleBasedGenerator:
         resolve. Branch-level refusals cover the shapes each branch
         parses; this guard covers the shapes NONE of them parsed (R8
         late — 'orders whose totalprice exceeds 1000' silently returned
-        an unfiltered SELECT * before it)."""
+        an unfiltered SELECT * before it).
+
+        A refusal may carry ``last_refusal_reason`` — a one-line
+        human-readable account of the missing word or unresolvable
+        mention (VERDICT r12 #6: 'which nation has the highest
+        quantity' should tell the user to state total/average, not
+        just go silent). The reason is advisory surface only (the
+        probe transcript and process_query print it); the contract
+        stays: refusal == '' and reasons never ship alongside SQL —
+        any branch may stamp one opportunistically, and it is cleared
+        here whenever an answer ships."""
+        self.last_refusal_reason = None
         sql = self._generate(prompt)
         if not sql:
             return ""
@@ -228,8 +239,24 @@ class RuleBasedGenerator:
         if question and self._drops_stated_constraint(
             question.strip().rstrip("?.!"), sql
         ):
+            self.last_refusal_reason = (
+                "the question states a constraint (comparison / "
+                "substring / row cap / negation / alternative) the "
+                "generated SQL did not carry — refusing beats "
+                "shipping it unfiltered"
+            )
             return ""
+        self.last_refusal_reason = None
         return sql
+
+    #: set by the most recent __call__ iff it refused; None after an
+    #: answered question (or a refusal no branch explained)
+    last_refusal_reason: str | None = None
+
+    def _refuse(self, reason: str) -> str:
+        """Record WHY and refuse — returns the refusal sentinel ''."""
+        self.last_refusal_reason = reason
+        return ""
 
     @staticmethod
     def _drops_stated_constraint(raw: str, sql: str) -> bool:
@@ -1052,6 +1079,54 @@ class RuleBasedGenerator:
                         )
                         return sql or ""
                 return ""  # stated superlative target must resolve
+            # R13 (fuzz-found mistranslation): when the which-subject
+            # resolves to a LOCAL COLUMN — 'which category has the
+            # highest total price' — the row ranking below would
+            # silently drop BOTH the stated aggregate and the category
+            # grouping. The grouped-superlative twin of the count form
+            # above answers instead: group by the subject column,
+            # aggregate the metric (stated total/average word wins; a
+            # bare superlative reads MAX/MIN — 'the category with the
+            # highest price' is the one containing it, the same winner
+            # row ranking picks), keep the top group. A which-subject
+            # that resolves to NEITHER the table nor a column refuses —
+            # a row ranking that ignores 'which analyst…' is a guess.
+            subj = re.search(
+                r"\bwhich\s+(?:(\d+)\s+)?(\w+(?:\s+\w+)?)\s+"
+                r"(?:has|have|had)\b",
+                q_main,
+            )
+            if subj and not ex:
+                words = subj.group(2).split()
+                if not (
+                    words[-1] in (table, f"{table}s", table.rstrip("s"))
+                    or words[-1].rstrip("s") == table
+                ):
+                    gcol = None
+                    for cand in (words[-1], "".join(words)):
+                        gcol = self._resolve_column(cand, cols)
+                        if gcol:
+                            break
+                    if gcol is None:
+                        return self._refuse(
+                            f"subject '{subj.group(2)}' resolves to "
+                            f"neither a table nor a column of {table}"
+                        )
+                    if gcol != col:
+                        lim = int(subj.group(1)) if subj.group(1) else 1
+                        agg_w = m.group(2) or ""
+                        if agg_w in ("average", "avg", "mean"):
+                            fn = "AVG"
+                        elif agg_w:
+                            fn = "SUM"
+                        else:
+                            fn = "MIN" if d == "ASC" else "MAX"
+                        alias = f"{col}_{fn.lower()}"
+                        return (
+                            f"SELECT {gcol}, {fn}({col}) AS {alias} "
+                            f"FROM {table}{where} GROUP BY {gcol} "
+                            f"ORDER BY {alias} {d} LIMIT {lim}"
+                        )
             if ex:
                 return (
                     f"SELECT * FROM {table} t1{ex_lead} {ex_pred} "
@@ -2553,7 +2628,17 @@ class RuleBasedGenerator:
         best = min(o[2] for o in owners)
         if max_tier is not None and best > max_tier:
             return None
-        if best >= 100 or (not explicit_agg and best == 0):
+        if best >= 100:
+            return None
+        if not explicit_agg and best == 0:
+            # The reason survives only if no later branch answers
+            # (__call__ clears it when SQL ships) — the VERDICT r12 #6
+            # ask: the refusal must NAME the missing word.
+            self.last_refusal_reason = (
+                f"bare superlative over the real column '{word}' — "
+                f"SUM would be a guess; state 'total' or 'average' "
+                f"(e.g. 'highest total {word}')"
+            )
             return None
         owners = [o for o in owners if o[2] == best]
         if len(owners) != 1:

@@ -2678,3 +2678,100 @@ def test_catalog_verb_metric_superlatives():
     sql = _gen_cat("which nation earned the most revenue in 1995")
     assert "YEAR(t3.o_orderdate) = 1995" in sql
     assert _gen_cat("which analyst spent the most") == ""
+
+
+def test_generator_grouped_metric_superlative_over_column():
+    """R13 (fuzz-found mistranslation): 'which <local-col> has the
+    highest total <metric>' previously shipped a row ranking that
+    silently dropped BOTH the stated aggregate and the grouping
+    ('which category has the highest total price' -> SELECT * ...
+    ORDER BY price LIMIT 1). It is the grouped-superlative twin of
+    the count form: GROUP BY the subject column, aggregate the
+    metric, keep the top group."""
+    s = (
+        "CREATE TABLE products (p_productkey number, p_name text, "
+        "p_price number, p_stock number, p_category text)"
+    )
+    gen = t2s.RuleBasedGenerator()
+
+    def g(q):
+        return gen(t2s.build_prompt(s, q))
+
+    assert g("which category has the highest total price") == (
+        "SELECT p_category, SUM(p_price) AS p_price_sum FROM products "
+        "GROUP BY p_category ORDER BY p_price_sum DESC LIMIT 1"
+    )
+    assert g("which category has the highest average price") == (
+        "SELECT p_category, AVG(p_price) AS p_price_avg FROM products "
+        "GROUP BY p_category ORDER BY p_price_avg DESC LIMIT 1"
+    )
+    # a bare superlative over a LOCAL metric reads MAX/MIN — 'the
+    # category with the highest price' is the one containing it (the
+    # same winner the row ranking picks), never an implied SUM
+    assert g("which category has the highest price") == (
+        "SELECT p_category, MAX(p_price) AS p_price_max FROM products "
+        "GROUP BY p_category ORDER BY p_price_max DESC LIMIT 1"
+    )
+    assert g("which category has the lowest price") == (
+        "SELECT p_category, MIN(p_price) AS p_price_min FROM products "
+        "GROUP BY p_category ORDER BY p_price_min ASC LIMIT 1"
+    )
+    # a stated subject count caps the groups
+    assert g("which 2 categories have the highest total price").endswith(
+        "ORDER BY p_price_sum DESC LIMIT 2"
+    )
+    # a table subject keeps the documented row ranking
+    assert g("which product has the highest price") == (
+        "SELECT * FROM products ORDER BY p_price DESC LIMIT 1"
+    )
+    # a subject resolving to NEITHER table nor column refuses — a row
+    # ranking that ignores 'which analyst…' is a guess
+    assert g("which analyst has the highest price") == ""
+    assert "analyst" in gen.last_refusal_reason
+
+
+def test_refusal_reasons_surface():
+    """VERDICT r12 #6: refusals NAME the missing word. The reason is
+    advisory (the '' refusal contract is unchanged) and is cleared
+    whenever an answer ships."""
+    gen = t2s.RuleBasedGenerator()
+    sql = gen(t2s.build_prompt(_SCHEMA_CATALOG,
+                               "which nation has the highest quantity"))
+    assert sql == ""
+    assert "total" in gen.last_refusal_reason
+    assert "quantity" in gen.last_refusal_reason
+    # the explicit-agg form answers, and answering clears the reason
+    sql = gen(t2s.build_prompt(_SCHEMA_CATALOG,
+                               "which nation has the highest total quantity"))
+    assert "SUM" in sql
+    assert gen.last_refusal_reason is None
+
+
+def test_catalog_column_subject_superlatives_duckdb_verified():
+    """The new grouped-superlative-over-column shapes execute in DuckDB
+    against the real sf0.01 parquet and agree with hand-written
+    oracles (the r12 adversarial-battery practice, pinned)."""
+    import duckdb
+
+    from tests.conftest import SF_ORACLE
+
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_ORACLE}/{t}.parquet')"
+        )
+    sql = _gen_cat("which mktsegment has the highest total acctbal")
+    got = con.execute(sql).fetchall()
+    want = con.execute(
+        "SELECT c_mktsegment, SUM(c_acctbal) FROM customer "
+        "GROUP BY c_mktsegment ORDER BY 2 DESC LIMIT 1"
+    ).fetchall()
+    assert got[0][0] == want[0][0] and abs(got[0][1] - want[0][1]) < 1e-6
+    sql = _gen_cat("which orderstatus has the highest average totalprice")
+    got = con.execute(sql).fetchall()
+    want = con.execute(
+        "SELECT o_orderstatus, AVG(o_totalprice) FROM orders "
+        "GROUP BY o_orderstatus ORDER BY 2 DESC LIMIT 1"
+    ).fetchall()
+    assert got[0][0] == want[0][0] and abs(got[0][1] - want[0][1]) < 1e-6

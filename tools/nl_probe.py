@@ -69,7 +69,15 @@ QUESTIONS = [
     "top 3 nations by revenue where mktsegment is BUILDING",
     "average totalprice per orderstatus where orderpriority is 1-URGENT or 2-HIGH",
     "largest order by totalprice in 1995",
-    # refusal contract (stated constraints that cannot render)
+    # R13: grouped superlative over a COLUMN subject (fuzz-found
+    # mistranslation — previously shipped a row ranking that dropped
+    # the stated aggregate and the grouping)
+    "which mktsegment has the highest total acctbal",
+    "which orderstatus has the highest average totalprice",
+    "which returnflag has the highest total quantity",
+    "which lang has the most documents",
+    # refusal contract (stated constraints that cannot render);
+    # refusals now NAME the missing word (VERDICT r12 #6)
     "which nation has the highest quantity",
     "top 3 nations by revenue per region name",
     "how many orders does each customer or supplier have",
@@ -116,7 +124,8 @@ def main() -> int:
     for q in QUESTIONS:
         sql = gen(build_prompt(schema, q))
         if not sql:
-            print(f"REFUSE {q}")
+            why = gen.last_refusal_reason
+            print(f"REFUSE {q}" + (f"  [{why}]" if why else ""))
             continue
         try:
             rows = con.execute(sql).fetchall()
