@@ -1079,54 +1079,53 @@ class RuleBasedGenerator:
                         )
                         return sql or ""
                 return ""  # stated superlative target must resolve
-            # R13 (fuzz-found mistranslation): when the which-subject
-            # resolves to a LOCAL COLUMN — 'which category has the
-            # highest total price' — the row ranking below would
-            # silently drop BOTH the stated aggregate and the category
-            # grouping. The grouped-superlative twin of the count form
-            # above answers instead: group by the subject column,
-            # aggregate the metric (stated total/average word wins; a
-            # bare superlative reads MAX/MIN — 'the category with the
+            # R13 (fuzz-found mistranslation): when the superlative's
+            # SUBJECT resolves to a LOCAL COLUMN — 'which category has
+            # the highest total price', 'the category with the highest
+            # total price' — the row ranking below would silently drop
+            # BOTH the stated aggregate and the category grouping. The
+            # grouped-superlative twin of the count form above answers
+            # instead: group by the subject column, aggregate the
+            # metric (stated total/average word wins; a bare
+            # superlative reads MAX/MIN — 'the category with the
             # highest price' is the one containing it, the same winner
-            # row ranking picks), keep the top group. A which-subject
-            # that resolves to NEITHER the table nor a column refuses —
-            # a row ranking that ignores 'which analyst…' is a guess.
-            subj = re.search(
-                r"\bwhich\s+(?:(\d+)\s+)?(\w+(?:\s+\w+)?)\s+"
-                r"(?:has|have|had)\b",
-                q_main,
+            # row ranking picks), keep the top group(s). Subject
+            # resolution is DETERMINISTIC-tier only (review catch: the
+            # full fuzzy tier let 'sale' hit 'value' at 0.667 and ship
+            # a guessed GROUP BY — the same difflib trap _group_part
+            # documents). On the which/what framing a subject that
+            # resolves to NEITHER the table nor a column refuses — a
+            # row ranking that ignores 'which analyst…' is a guess;
+            # the with-framing keeps the row ranking for generic /
+            # unresolved subjects ('the record with the highest
+            # price' IS a row question).
+            verb = q_main[m.start():].split(None, 1)[0]
+            kind, gcol, lim, subj_phrase = self._superlative_subject(
+                q_main[:m.start()], table, cols
             )
-            if subj and not ex:
-                words = subj.group(2).split()
-                if not (
-                    words[-1] in (table, f"{table}s", table.rstrip("s"))
-                    or words[-1].rstrip("s") == table
-                ):
-                    gcol = None
-                    for cand in (words[-1], "".join(words)):
-                        gcol = self._resolve_column(cand, cols)
-                        if gcol:
-                            break
-                    if gcol is None:
-                        return self._refuse(
-                            f"subject '{subj.group(2)}' resolves to "
-                            f"neither a table nor a column of {table}"
-                        )
-                    if gcol != col:
-                        lim = int(subj.group(1)) if subj.group(1) else 1
-                        agg_w = m.group(2) or ""
-                        if agg_w in ("average", "avg", "mean"):
-                            fn = "AVG"
-                        elif agg_w:
-                            fn = "SUM"
-                        else:
-                            fn = "MIN" if d == "ASC" else "MAX"
-                        alias = f"{col}_{fn.lower()}"
-                        return (
-                            f"SELECT {gcol}, {fn}({col}) AS {alias} "
-                            f"FROM {table}{where} GROUP BY {gcol} "
-                            f"ORDER BY {alias} {d} LIMIT {lim}"
-                        )
+            if not ex and gcol is not None and gcol != col:
+                agg_w = m.group(2) or ""
+                if agg_w in ("average", "avg", "mean"):
+                    fn = "AVG"
+                elif agg_w:
+                    fn = "SUM"
+                else:
+                    fn = "MIN" if d == "ASC" else "MAX"
+                alias = f"{col}_{fn.lower()}"
+                return (
+                    f"SELECT {gcol}, {fn}({col}) AS {alias} "
+                    f"FROM {table}{where} GROUP BY {gcol} "
+                    f"ORDER BY {alias} {d} LIMIT {lim}"
+                )
+            if (
+                not ex
+                and kind == "unknown_interrog"
+                and verb in ("has", "have", "had")
+            ):
+                return self._refuse(
+                    f"subject '{subj_phrase}' resolves to neither a "
+                    f"table nor a column of {table}"
+                )
             if ex:
                 return (
                     f"SELECT * FROM {table} t1{ex_lead} {ex_pred} "
@@ -1741,7 +1740,7 @@ class RuleBasedGenerator:
         m = re.search(
             rf"\b(?:top|bottom|lowest|smallest)\s+\d+\s+(\w+)(?:\s+(\w+))?"
             rf"\s+by\s+"
-            rf"({'|'.join(self._AGGS)}|count)\b(?:\s+of)?(?:\s+(\w+))?",
+            rf"({'|'.join(self._AGGS)}|count|number)\b(?:\s+of)?(?:\s+(\w+))?",
             q,
         )
         if not m:
@@ -1818,11 +1817,31 @@ class RuleBasedGenerator:
         if gp is None:
             return ""
         gsel, gby = gp
-        if m.group(3) == "count":
+        if m.group(3) == "number" and not re.search(
+            r"\bnumber\s+of\b", m.group(0)
+        ):
+            # bare 'by number' with a literal number-named local column
+            # keeps the old SUM-of-that-column reading (review catch:
+            # the count reading must not override 'a column match
+            # always wins' — _resolve_table treats a bare 'number'
+            # outside 'number of' as column evidence)
+            ncol = self._resolve_column("number", cols)
+            if ncol is not None and cols.get(ncol) == "number":
+                alias = f"{ncol}_sum"
+                return (
+                    f"SELECT {gsel}, SUM({ncol}) AS {alias} FROM {table}"
+                    f"{where} GROUP BY {gby} ORDER BY {alias} "
+                    f"{direction} LIMIT {n}"
+                )
+        if m.group(3) in ("count", "number"):
+            # R13: 'top 3 mktsegments by number of customers' — the
+            # ranked twin of the grouped-count superlative ('which
+            # mktsegment has the most customers'); 'number of' and
+            # 'count of' read identically.
             tgt = m.group(4)
             if (
                 tgt is not None
-                and re.search(r"\bcount\s+of\b", m.group(0))
+                and re.search(r"\b(?:count|number)\s+of\b", m.group(0))
                 and not names_table(tgt)
                 and self._resolve_column(tgt, cols) is None
             ):
@@ -2000,6 +2019,75 @@ class RuleBasedGenerator:
                 )
         return first
 
+    #: words that name "the row itself" in a superlative subject —
+    #: 'the record with the highest price' is a row question
+    _ROW_WORDS = frozenset({
+        "record", "records", "row", "rows", "entry", "entries",
+        "item", "items", "one", "ones",
+    })
+    #: leading fillers stripped from a superlative subject phrase
+    _SUBJ_FILLERS = frozenset({
+        "the", "a", "an", "of", "all", "me", "is", "are", "show",
+        "find", "get", "list", "who", "that", "whose", "it",
+    })
+
+    def _det_column(self, word: str, cols: dict[str, str]) -> str | None:
+        """DETERMINISTIC-tier column resolution with the naive
+        -s/-es/-ies plurals tolerated (never difflib — the _group_part
+        rule: a stripped or fuzzy candidate must not guess)."""
+        cands = [word]
+        if word.endswith("s"):
+            cands.append(word[:-1])
+        if word.endswith("es"):
+            cands.append(word[:-2])
+        if word.endswith("ies"):
+            cands.append(word[:-3] + "y")
+        for cand in dict.fromkeys(cands):
+            r = self._resolve_column_tiered(cand, cols)
+            if r is not None and r[1] == 0:
+                return r[0]
+        return None
+
+    def _superlative_subject(
+        self, lead: str, table: str, cols: dict[str, str]
+    ) -> tuple[str, str | None, int, str]:
+        """Classify the words immediately before a has/with
+        superlative verb -> (kind, group_column, limit, phrase). Kinds:
+        'table' (subject names the base table -> row ranking),
+        'column' (subject is a deterministic local column -> the
+        grouped superlative; group_column set), 'generic' (row words,
+        bare articles, or nothing -> row ranking), 'unknown' /
+        'unknown_interrog' (unresolvable; the interrogative which/what
+        framing refuses, the with-framing keeps the row reading). An
+        optional 'which/what N' lead caps the groups (review catch:
+        LIMIT 1 silently dropped a stated subject count)."""
+        mm = re.search(
+            r"(?:\b(which|what)\s+(?:(\d+)\s+)?)?(\w+(?:\s+\w+)?)\s*$",
+            lead.strip(),
+        )
+        if not mm:
+            return ("generic", None, 1, "")
+        interrog = bool(mm.group(1))
+        lim = int(mm.group(2)) if mm.group(2) else 1
+        words = [
+            w for w in mm.group(3).split() if w not in self._SUBJ_FILLERS
+        ]
+        phrase = " ".join(words)
+        if not words or all(w in self._ROW_WORDS for w in words):
+            return ("generic", None, lim, phrase)
+        if (
+            words[-1] in (table, f"{table}s", table.rstrip("s"))
+            or words[-1].rstrip("s") == table
+        ):
+            return ("table", None, lim, phrase)
+        for cand in (words[-1], "".join(words)):
+            gcol = self._det_column(cand, cols)
+            if gcol:
+                return ("column", gcol, lim, phrase)
+        return (
+            "unknown_interrog" if interrog else "unknown", None, lim, phrase
+        )
+
     def _group_part(
         self, word: str, cols: dict[str, str]
     ) -> tuple[str, str] | None:
@@ -2017,10 +2105,19 @@ class RuleBasedGenerator:
             # singular must not re-enter difflib — 'sales' correctly
             # resolves to nothing on a table without its synonyms, and
             # letting 'sale' fuzzy-hit 'value' at 0.667 grouped a
-            # query by its own metric
-            r = self._resolve_column_tiered(word[:-1], cols)
-            if r is not None and r[1] == 0:
-                col = r[0]
+            # query by its own metric. R13 widens the naive plural to
+            # the -es / -ies English forms ('statuses' -> status,
+            # 'priorities' -> priority), same deterministic-only rule.
+            singulars = [word[:-1]]
+            if word.endswith("es"):
+                singulars.append(word[:-2])
+            if word.endswith("ies"):
+                singulars.append(word[:-3] + "y")
+            for s in singulars:
+                r = self._resolve_column_tiered(s, cols)
+                if r is not None and r[1] == 0:
+                    col = r[0]
+                    break
         if col:
             return (col, col)
         base = word if word in self._TIME_GROUPS else word.rstrip("s")
@@ -3457,12 +3554,24 @@ def process_query(
 ) -> DataFrame | None:
     """End-to-end Q2 path: render schema -> prompt -> generate ->
     extract SELECT -> spark.sql. Returns None when no SELECT could be
-    extracted (the reference surfaces the same failure to the UI).
+    extracted (the reference surfaces the same failure to the UI);
+    when the default generator refused WITH a reason, the reason is
+    logged so the caller's surface can tell the user which word was
+    missing (VERDICT r12 #6) — parity surface for the reference's
+    'could not translate' message (front_end.py:215-225).
     ``generator`` defaults to ``RuleBasedGenerator()``; a learned
     model drops in as any ``prompt -> text`` callable."""
     views = register_views(spark, sf_dir, tables)
     prompt = build_prompt(render_schema(spark, views), question)
-    sql = extract_select((generator or RuleBasedGenerator())(prompt))
+    gen = generator or RuleBasedGenerator()
+    sql = extract_select(gen(prompt))
     if sql is None:
+        reason = getattr(gen, "last_refusal_reason", None)
+        if reason:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "NL->SQL refused: %s", reason
+            )
         return None
     return spark.sql(sql)

@@ -2775,3 +2775,84 @@ def test_catalog_column_subject_superlatives_duckdb_verified():
         "GROUP BY o_orderstatus ORDER BY 2 DESC LIMIT 1"
     ).fetchall()
     assert got[0][0] == want[0][0] and abs(got[0][1] - want[0][1]) < 1e-6
+
+
+def test_generator_count_ranked_local_groups():
+    """R13: 'top N <local-col-plural> by number/count of <base-rows>'
+    is the ranked twin of the grouped-count superlative; -es/-ies
+    naive plurals resolve at the deterministic tier only."""
+    assert _gen_cat("top 3 mktsegments by number of customers") == (
+        "SELECT c_mktsegment, COUNT(*) AS n FROM customer "
+        "GROUP BY c_mktsegment ORDER BY n DESC LIMIT 3"
+    )
+    assert _gen_cat("top 2 orderstatuses by number of orders") == (
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+        "GROUP BY o_orderstatus ORDER BY n DESC LIMIT 2"
+    )
+    assert _gen_cat("bottom 2 langs by count of documents") == (
+        "SELECT lang, COUNT(*) AS n FROM documents "
+        "GROUP BY lang ORDER BY n ASC LIMIT 2"
+    )
+    # the walked form is untouched: the group names the base table
+    sql = _gen_cat("top 3 nations by number of orders")
+    assert "LEFT JOIN" in sql and "COUNT(t3.o_custkey)" in sql
+    # a non-resolving stated group still refuses
+    s = (
+        "CREATE TABLE sales (sl_salekey number, sl_amount number, "
+        "sl_status text, sl_priority text)"
+    )
+    gen = t2s.RuleBasedGenerator()
+    assert gen(t2s.build_prompt(s, "top 3 flavors by number of sales")) == ""
+    # -es / -ies plurals reach the aggregate ranked groups too
+    assert gen(t2s.build_prompt(s, "top 2 statuses by total amount")) == (
+        "SELECT sl_status, SUM(sl_amount) AS sl_amount_sum FROM sales "
+        "GROUP BY sl_status ORDER BY sl_amount_sum DESC LIMIT 2"
+    )
+    assert gen(t2s.build_prompt(s, "top 2 priorities by total amount")) == (
+        "SELECT sl_priority, SUM(sl_amount) AS sl_amount_sum FROM sales "
+        "GROUP BY sl_priority ORDER BY sl_amount_sum DESC LIMIT 2"
+    )
+
+
+def test_generator_superlative_subject_review_pins():
+    """R13 code-review pins on the grouped-superlative-over-column
+    branch: (1) subject resolution is deterministic-tier only — a
+    fuzzy difflib hit must not ship a guessed GROUP BY; (2) the
+    what/with framings answer like the which form; (3) a bare 'by
+    number' with a literal number-named column keeps the SUM reading,
+    count only wins via 'number of' or when no such column exists."""
+    gen = t2s.RuleBasedGenerator()
+
+    def g(schema, q):
+        return gen(t2s.build_prompt(schema, q))
+
+    # (1) 'sale' fuzzy-matches 'value' at 0.667 — must refuse, never
+    # group by a column the user never named
+    s1 = ("CREATE TABLE documents (dockey number, lang text, "
+          "value number, score number)")
+    assert g(s1, "which sale has the highest total score") == ""
+    assert "subject" in gen.last_refusal_reason
+    # (2) framing twins of the pinned which-form
+    s2 = ("CREATE TABLE products (p_productkey number, p_name text, "
+          "p_price number, p_stock number, p_category text)")
+    want = (
+        "SELECT p_category, SUM(p_price) AS p_price_sum FROM products "
+        "GROUP BY p_category ORDER BY p_price_sum DESC LIMIT 1"
+    )
+    assert g(s2, "what category has the highest total price") == want
+    assert g(s2, "the category with the highest total price") == want
+    # generic row words keep the row reading
+    assert g(s2, "the record with the highest price") == (
+        "SELECT * FROM products ORDER BY p_price DESC LIMIT 1"
+    )
+    # (3) literal 'number' column
+    s3 = ("CREATE TABLE tickets (tk_ticketkey number, "
+          "tk_number number, tk_tier text)")
+    assert g(s3, "top 3 tiers by number") == (
+        "SELECT tk_tier, SUM(tk_number) AS tk_number_sum FROM tickets "
+        "GROUP BY tk_tier ORDER BY tk_number_sum DESC LIMIT 3"
+    )
+    assert g(s3, "top 2 tiers by number of tickets") == (
+        "SELECT tk_tier, COUNT(*) AS n FROM tickets "
+        "GROUP BY tk_tier ORDER BY n DESC LIMIT 2"
+    )

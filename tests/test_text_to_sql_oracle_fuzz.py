@@ -58,7 +58,8 @@ MEASURES = [
     "price", "stock", "weight", "score", "budget", "salary",
     "rating", "hours", "balance", "points", "mileage", "quota",
 ]
-DIMS = ["category", "region", "grade", "segment", "channel", "tier"]
+DIMS = ["category", "region", "grade", "segment", "channel", "tier",
+        "status", "priority"]
 DIM_VALUES = {
     "category": ["toys", "games", "tools", "books"],
     "region": ["north", "south", "east", "west"],
@@ -66,7 +67,17 @@ DIM_VALUES = {
     "segment": ["retail", "wholesale", "online"],
     "channel": ["web", "phone", "branch"],
     "tier": ["gold", "silver", "bronze"],
+    "status": ["open", "closed", "pending"],
+    "priority": ["urgent", "high", "low"],
 }
+
+
+def _pluralize(w: str) -> str:
+    if w.endswith("y"):
+        return w[:-1] + "ies"
+    if w.endswith(("s", "x", "ch", "sh")):
+        return w + "es"
+    return w + "s"
 NAMES = [
     "widget", "gadget", "sprocket", "gizmo", "doohickey", "flange",
     "bracket", "spindle", "grommet", "ferrule", "toggle", "swivel",
@@ -310,8 +321,7 @@ def gen_cases() -> list[Case]:
         t, p, m1, _, dim, schema, tabs = _mk_single_table(rng)
         n = rng.randint(2, 3)
         agg, fn = [("total", "SUM"), ("average", "AVG")][i % 2]
-        plural = dim + ("s" if not dim.endswith("y") else "")
-        plural = dim[:-1] + "ies" if dim.endswith("y") else plural
+        plural = _pluralize(dim)
         cases.append(Case(
             "ranked_group",
             f"top {n} {plural} by {agg} {m1}",
@@ -323,12 +333,18 @@ def gen_cases() -> list[Case]:
                        f"GROUP BY {p}_{dim} ORDER BY 1 DESC", n),
         ))
 
-    for i in range(14):  # which-<column> superlative (the R13 fix)
+    for i in range(18):  # <column>-subject superlative (the R13 fix),
+        # across the which/what/with framings the outer regex accepts
         t, p, m1, _, dim, schema, tabs = _mk_single_table(rng)
         agg, fn = [("total", "SUM"), ("average", "AVG")][i % 2]
+        framing = [
+            f"which {dim} has the highest {agg} {m1}",
+            f"what {dim} has the highest {agg} {m1}",
+            f"the {dim} with the highest {agg} {m1}",
+        ][i % 3]
         cases.append(Case(
             "col_superlative",
-            f"which {dim} has the highest {agg} {m1}",
+            framing,
             f"SELECT {p}_{dim}, {fn}({p}_{m1}) AS {p}_{m1}_{fn.lower()} "
             f"FROM {t} GROUP BY {p}_{dim} "
             f"ORDER BY {p}_{m1}_{fn.lower()} DESC LIMIT 1",
@@ -347,6 +363,20 @@ def gen_cases() -> list[Case]:
             schema, tabs,
             tie_check=(f"SELECT {p}_{m1} FROM {t} "
                        f"ORDER BY {p}_{m1} DESC", 1),
+        ))
+
+    for _ in range(14):  # count-ranked local groups (R13 gap-close)
+        t, p, _, _, dim, schema, tabs = _mk_single_table(rng)
+        n = rng.randint(2, 3)
+        kind = rng.choice(["number", "count"])
+        cases.append(Case(
+            "count_ranked",
+            f"top {n} {_pluralize(dim)} by {kind} of {t}",
+            f"SELECT {p}_{dim}, COUNT(*) AS n FROM {t} "
+            f"GROUP BY {p}_{dim} ORDER BY n DESC LIMIT {n}",
+            schema, tabs,
+            tie_check=(f"SELECT COUNT(*) FROM {t} GROUP BY {p}_{dim} "
+                       f"ORDER BY 1 DESC", n),
         ))
 
     for _ in range(14):  # ranked child walk (foreign metric)
@@ -400,6 +430,7 @@ MIN_ANSWER_RATE = {
     "like_filter": 0.9, "multi_cond": 0.9, "agg_scalar": 0.9,
     "agg_grouped": 0.9, "double_agg": 0.9, "count": 0.9,
     "distinct": 0.9, "topn_rows": 0.9, "ranked_group": 0.7,
+    "count_ranked": 0.7,
     "col_superlative": 0.9, "row_superlative": 0.9,
     "walk_ranked": 0.5, "walk_superlative": 0.5,
 }

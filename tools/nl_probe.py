@@ -76,6 +76,11 @@ QUESTIONS = [
     "which orderstatus has the highest average totalprice",
     "which returnflag has the highest total quantity",
     "which lang has the most documents",
+    # R13: count-ranked local groups + -es/-ies naive plurals
+    "top 3 mktsegments by number of customers",
+    "top 2 orderstatuses by number of orders",
+    "top 3 langs by number of documents",
+    "top 2 orderpriorities by average totalprice",
     # refusal contract (stated constraints that cannot render);
     # refusals now NAME the missing word (VERDICT r12 #6)
     "which nation has the highest quantity",
