@@ -365,6 +365,38 @@ def gen_cases() -> list[Case]:
                        f"ORDER BY {p}_{m1} DESC", 1),
         ))
 
+    for i in range(14):  # stated projections (an r12 sweep catch)
+        t, p, m1, m2, dim, schema, tabs = _mk_single_table(rng)
+        if i % 2:
+            q = f"show the name, {m1} and {dim} of {t}"
+            sql = f"SELECT {p}_name, {p}_{m1}, {p}_{dim} FROM {t}"
+        else:
+            q = f"show the name and {m2} of {t}"
+            sql = f"SELECT {p}_name, {p}_{m2} FROM {t}"
+        cases.append(Case("projection", q, sql, schema, tabs))
+
+    for i in range(14):  # HAVING on grouped aggregates
+        t, p, m1, _, dim, schema, tabs = _mk_single_table(rng)
+        hn = rng.randint(1000, 100000)
+        if i % 3 == 0:
+            q = (f"total {m1} of {t} per {dim} having count over "
+                 f"{hn % 20}")
+            sql = (f"SELECT {p}_{dim}, SUM({p}_{m1}) AS {p}_{m1}_sum "
+                   f"FROM {t} GROUP BY {p}_{dim} "
+                   f"HAVING COUNT(*) > {hn % 20}")
+        elif i % 3 == 1:
+            q = (f"total {m1} of {t} per {dim} having sum over {hn}")
+            sql = (f"SELECT {p}_{dim}, SUM({p}_{m1}) AS {p}_{m1}_sum "
+                   f"FROM {t} GROUP BY {p}_{dim} "
+                   f"HAVING SUM({p}_{m1}) > {hn}")
+        else:
+            q = (f"average {m1} per {dim} having average {m1} "
+                 f"under {hn}")
+            sql = (f"SELECT {p}_{dim}, AVG({p}_{m1}) AS {p}_{m1}_avg "
+                   f"FROM {t} GROUP BY {p}_{dim} "
+                   f"HAVING AVG({p}_{m1}) < {hn}")
+        cases.append(Case("having", q, sql, schema, tabs))
+
     for _ in range(14):  # count-ranked local groups (R13 gap-close)
         t, p, _, _, dim, schema, tabs = _mk_single_table(rng)
         n = rng.randint(2, 3)
@@ -430,7 +462,7 @@ MIN_ANSWER_RATE = {
     "like_filter": 0.9, "multi_cond": 0.9, "agg_scalar": 0.9,
     "agg_grouped": 0.9, "double_agg": 0.9, "count": 0.9,
     "distinct": 0.9, "topn_rows": 0.9, "ranked_group": 0.7,
-    "count_ranked": 0.7,
+    "count_ranked": 0.7, "projection": 0.9, "having": 0.7,
     "col_superlative": 0.9, "row_superlative": 0.9,
     "walk_ranked": 0.5, "walk_superlative": 0.5,
 }
