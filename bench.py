@@ -23,13 +23,16 @@ three phantom regressions from a run that overlapped other host work,
 and the tell was sitting in its own numbers): a steady-state minimum
 can never exceed its own cold run, and warm reps of the same plan
 should not spread 2x. Each query is therefore stamped
-``contended: true`` when ``min(warm reps) > cold`` or
+``contended: true`` when ``min(warm reps) > cold*1.05+0.05`` or
 ``max(reps)/min(reps) > 2``; after the main loop every flagged query
-is automatically re-timed once (the manual two-run screen,
-mechanized) and keeps the better reading. Queries still flagged after
-the re-time ship WITH the flag, so a judge/driver can discount those
-rows without re-running. Per-rep arrays for every query land in
-BENCH_LOCAL.json.
+— plus EVERY cheap (<=2s) row unconditionally, because an episode
+that is steady across a short query's whole window leaves warm<cold
+and evades the flags — is automatically re-timed once (the manual
+two-run screen, mechanized) and keeps the better reading. Queries
+still flagged after the re-time ship WITH the flag, and cheap rows
+the retime repaired >1.3x are listed in ``retimed_improved``, so a
+judge/driver can discount or trust rows without re-running. Per-rep
+arrays for every query land in BENCH_LOCAL.json.
 """
 
 from __future__ import annotations
@@ -496,8 +499,15 @@ def main() -> None:
     def _is_contended(cold_s: float, reps: list[float]) -> bool:
         # A steady-state MIN above its own cold run is impossible on a
         # quiet host; a 2x spread across reps of one compiled plan means
-        # something else was competing for cores (VERDICT r12 #1).
-        return min(reps) > cold_s or max(reps) / min(reps) > 2.0
+        # something else was competing for cores (VERDICT r12 #1). The
+        # 5%+50ms margin absorbs scheduler jitter on queries whose cold
+        # run was already warm-shaped (shared scans hot from earlier
+        # queries) — the r12 phantom signatures were 1.4-1.8x over
+        # cold, nowhere near the margin.
+        return (
+            min(reps) > cold_s * 1.05 + 0.05
+            or max(reps) / min(reps) > 2.0
+        )
 
     for name, extra_fn in runs:
         run = extra_fn if extra_fn is not None else (
@@ -534,7 +544,25 @@ def main() -> None:
     # number is the min across both passes (a minimum estimator only
     # improves with more samples); queries still flagged by the RETIME
     # reps ship carrying the flag.
-    for name in contended_first:
+    #
+    # CHEAP rows (warm <= 2s) re-time UNCONDITIONALLY: a contention
+    # episode that is STEADY across a short query's whole cold+warm
+    # window leaves warm<cold and a flat spread — invisible to the
+    # per-query flags (observed r13: a multi-minute episode early in
+    # the loop put aj1 at 3.46s flat with cold 4.1s; its end-of-loop
+    # reading was 0.36s). Re-timing every sub-2s row costs well under
+    # a minute against the ~35-minute run and repairs exactly the rows
+    # that episode distorts most (the %-wise damage concentrates in
+    # short queries); long rows amortize contention and keep the flag
+    # path. Rows that improve >1.3x on retime are listed in
+    # `retimed_improved` — an artifact-level contention tell even when
+    # no flag survives.
+    retime_set = list(dict.fromkeys(
+        contended_first
+        + [nm for nm, w in warm.items() if w <= 2.0]
+    ))
+    retimed_improved: dict[str, float] = {}
+    for name in retime_set:
         run = run_of[name]
         try:
             reps = []
@@ -543,16 +571,20 @@ def main() -> None:
                 run()
                 reps.append(time.perf_counter() - t1)
             warm_reps[name] += [round(r, 3) for r in reps]
-            warm[name] = round(min(warm[name], min(reps)), 3)
-            if _is_contended(cold[name], reps):
+            new_warm = round(min(warm[name], min(reps)), 3)
+            if warm[name] > new_warm * 1.3:
+                retimed_improved[name] = round(warm[name] / new_warm, 2)
+            warm[name] = new_warm
+            if name in contended_first and _is_contended(cold[name], reps):
                 contended.append(name)
             print(
                 f"# retime {name}: warm {warm[name]}s"
-                + (" STILL-CONTENDED" if name in contended else " cleared"),
+                + (" STILL-CONTENDED" if name in contended else ""),
                 file=sys.stderr,
             )
         except Exception as exc:  # noqa: BLE001 — keep the first-pass number
-            contended.append(name)
+            if name in contended_first:
+                contended.append(name)
             print(f"# retime {name}: ERROR {exc}", file=sys.stderr)
 
     # Scale rehearsal (sf1-equivalent: 6M lineitem / 100k docs / 100k
@@ -720,6 +752,10 @@ def main() -> None:
         "queries_warm_reps": warm_reps,
         "contended_first_pass": contended_first,
         "contended": contended,
+        # cheap rows whose unconditional end-of-loop retime improved
+        # them >1.3x: the first-pass window was contended even though
+        # no per-query flag fired (steady episodes leave warm<cold)
+        "retimed_improved": retimed_improved,
         "total_cold": round(sum(cold.values()), 3),
         "errors": errors,
         "n_ok": len(warm),
@@ -792,6 +828,11 @@ def main() -> None:
         # rows still flagged after the automatic re-time (VERDICT r12
         # #1): warm>cold or >2x rep spread — discount these rows
         slim["contended"] = sorted(contended)
+    if len(retimed_improved) >= 3:
+        # three or more cheap rows repaired >1.3x by the retime pass =
+        # the main loop had a contention episode; the FINAL numbers are
+        # already the repaired ones, this is provenance
+        slim["retime_repaired"] = len(retimed_improved)
     if errors:
         slim["error_queries"] = sorted(errors)
     line = json.dumps(slim, separators=(",", ":"))
