@@ -763,6 +763,31 @@ class RuleBasedGenerator:
                 ex_lead, ex_pred,
             )
 
+        # R13 (closing a documented r12 refusal): a bare cost adjective
+        # with NO stated N whose noun names the base table. The
+        # SINGULAR definite form ('the cheapest part') is the top row —
+        # the what-is form's twin, LIMIT 1; the PLURAL ('the cheapest
+        # parts') states no cap, so none is invented: the full list,
+        # cost-ordered (ORDER BY is exactly what the adjective asks
+        # for — nothing stated drops). Stated 'by <col>' or grouping
+        # stays a different shape, same as every cost-adjective branch.
+        m = re.search(
+            r"\b(?:the\s+)?(most\s+expensive|priciest|cheapest)\s+(\w+)\b",
+            q,
+        )
+        if m and not hv and not re.search(r"\bby\s+\w+", q):
+            noun = m.group(2)
+            if (
+                noun in (table, f"{table}s", table.rstrip("s"))
+                or noun.rstrip("s") == table
+            ):
+                dd = "ASC" if m.group(1) == "cheapest" else "DESC"
+                cap = None if noun.endswith("s") else 1
+                return self._cost_ranked_sql(
+                    q_main, table, cols, where, cap, dd, ex, ex_lead,
+                    ex_pred,
+                )
+
         if re.search(r"\bhow many\b|\bcount\b|number of", q_main):
             if "{col}" in having:
                 # a bare-agg HAVING ('having sum over N') binds to an
@@ -1866,7 +1891,7 @@ class RuleBasedGenerator:
 
     def _cost_ranked_sql(
         self, q_main: str, table: str, cols: dict[str, str], where: str,
-        n: int, dd: str, ex, ex_lead: str, ex_pred: str,
+        n: int | None, dd: str, ex, ex_lead: str, ex_pred: str,
     ) -> str:
         """The cost-adjective row ranking, ONE emitter for the top /
         bottom / bare-N / attributive branches (R12 review: four
@@ -1875,19 +1900,21 @@ class RuleBasedGenerator:
         normalized text, so 'of each <group>' refuses like 'per
         <group>' does). '' = refuse: a stated grouping makes this a
         different shape, and the stated adjective must resolve through
-        the cost synonym list."""
+        the cost synonym list. ``n=None`` emits no LIMIT (R13: the
+        bare-plural form states no cap, so none is invented)."""
         if re.search(rf"\b(?:{self._GROUP_CUES})\b", q_main):
             return ""
         cost = self._resolve_column("cost", cols)
         if cost is None:
             return ""
+        lim = f" LIMIT {n}" if n is not None else ""
         if ex:
             return (
                 f"SELECT * FROM {table} t1{ex_lead} {ex_pred} "
-                f"ORDER BY {cost} {dd} LIMIT {n}"
+                f"ORDER BY {cost} {dd}{lim}"
             )
         return (
-            f"SELECT * FROM {table}{where} ORDER BY {cost} {dd} LIMIT {n}"
+            f"SELECT * FROM {table}{where} ORDER BY {cost} {dd}{lim}"
         )
 
     def _order_column(self, q: str, cols: dict[str, str]) -> str | None:

@@ -2243,14 +2243,18 @@ def test_generator_review_catches_paraphrase_batch():
     # 6. cost adjectives work on the bottom branch; a BARE 'N
     # cheapest' is the same ranking (R12, VERDICT r11 #4 — the
     # adjective carries the direction even without top/bottom), and
-    # the number-less plural stays a refusal (no row cap stated)
+    # R13 revision: the number-less plural no longer refuses — it is
+    # the full cost-ordered list (no cap stated, none invented); see
+    # test_generator_bare_cost_adjective_no_cap
     assert _gen_full("bottom 2 cheapest parts") == (
         "SELECT * FROM part ORDER BY p_retailprice ASC LIMIT 2"
     )
     assert _gen_full("5 cheapest parts") == (
         "SELECT * FROM part ORDER BY p_retailprice ASC LIMIT 5"
     )
-    assert _gen_full("the cheapest parts") == ""
+    assert _gen_full("the cheapest parts") == (
+        "SELECT * FROM part ORDER BY p_retailprice ASC"
+    )
     # 7. projection readings of 'of each' stay projections
     assert _gen_full("show the name of each customer") == (
         "SELECT * FROM customer"
@@ -2856,3 +2860,27 @@ def test_generator_superlative_subject_review_pins():
         "SELECT tk_tier, COUNT(*) AS n FROM tickets "
         "GROUP BY tk_tier ORDER BY n DESC LIMIT 2"
     )
+
+
+def test_generator_bare_cost_adjective_no_cap():
+    """R13 (r12 refusal backlog): a bare cost adjective with no stated
+    N. Singular definite -> the top row (LIMIT 1, the what-is twin);
+    plural -> the full cost-ordered list (no cap stated, none
+    invented). Grouping still refuses; a missing cost-synonym column
+    still refuses."""
+    assert _gen_cat("the cheapest parts") == (
+        "SELECT * FROM part ORDER BY p_retailprice ASC"
+    )
+    assert _gen_cat("the most expensive parts") == (
+        "SELECT * FROM part ORDER BY p_retailprice DESC"
+    )
+    assert _gen_cat("the cheapest part") == (
+        "SELECT * FROM part ORDER BY p_retailprice ASC LIMIT 1"
+    )
+    assert _gen_cat("show me the most expensive part") == (
+        "SELECT * FROM part ORDER BY p_retailprice DESC LIMIT 1"
+    )
+    assert _gen_cat("the cheapest parts per brand") == ""
+    assert _gen_cat("the cheapest customers") == ""  # no cost synonym
+    # the stated-N form is unchanged
+    assert _gen_cat("show me the 2 cheapest parts").endswith("LIMIT 2")

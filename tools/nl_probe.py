@@ -81,6 +81,9 @@ QUESTIONS = [
     "top 2 orderstatuses by number of orders",
     "top 3 langs by number of documents",
     "top 2 orderpriorities by average totalprice",
+    # R13: bare cost adjective without a stated N (r12 refusal backlog)
+    "the cheapest part",
+    "the most expensive parts",
     # refusal contract (stated constraints that cannot render);
     # refusals now NAME the missing word (VERDICT r12 #6)
     "which nation has the highest quantity",
@@ -88,7 +91,7 @@ QUESTIONS = [
     "how many orders does each customer or supplier have",
     "orders where clerk is Clerk#000000951",
     "orders where totalprice in 1995",
-    "the cheapest parts",
+    "the cheapest parts per brand",
     "customers in march",
     "which analyst spent the most",
 ]
