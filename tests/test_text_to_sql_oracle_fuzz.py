@@ -146,6 +146,48 @@ def _mk_single_table(rng: random.Random):
     return tname, pfx, m1, m2, dim, schema, tables
 
 
+def _mk_dated_table(rng: random.Random):
+    """One fact table carrying a date-NAMED timestamp column (the
+    temporal grammar's binding rule) for the year/month families."""
+    import datetime as dt
+
+    tname, pfx = rng.choice(TABLES)
+    m1 = rng.choice(MEASURES)
+    dim = rng.choice(DIMS)
+    dcol = f"{pfx}_shipdate"
+    cols = [
+        (f"{pfx}_{tname[:-1]}key", "number"),
+        (f"{pfx}_{m1}", "number"),
+        (f"{pfx}_{dim}", "text"),
+        (dcol, "timestamp"),
+    ]
+    n = rng.randint(40, 90)
+    vals = rng.sample(range(0, 5000), n)
+    rows = [
+        (
+            i,
+            vals[i],
+            rng.choice(DIM_VALUES[dim]),
+            dt.datetime(
+                rng.randint(1993, 1997), rng.randint(1, 12),
+                rng.randint(1, 28),
+            ),
+        )
+        for i in range(n)
+    ]
+    # rendered schema collapses timestamp to 'text' exactly like the
+    # catalog rendering does
+    schema = (
+        f"CREATE TABLE {tname} ("
+        + ", ".join(
+            f"{c} {'number' if ty == 'number' else 'text'}"
+            for c, ty in cols
+        )
+        + ")"
+    )
+    return tname, pfx, m1, dim, dcol, schema, {tname: (cols, rows)}
+
+
 def _mk_parent_child(rng: random.Random):
     """Parent + child linked by a name-inferable FK, plus a distractor
     metric only the child owns (the walk families' precondition)."""
@@ -411,6 +453,69 @@ def gen_cases() -> list[Case]:
                        f"ORDER BY 1 DESC", n),
         ))
 
+    MONTHS = ["january", "february", "march", "april", "may", "june",
+              "july", "august", "september", "october", "november",
+              "december"]
+
+    for i in range(14):  # year filters (the r12 bug-rich area)
+        t, p, m1, _, dc, schema, tabs = _mk_dated_table(rng)
+        y, y2 = rng.randint(1993, 1997), rng.randint(1993, 1997)
+        if i % 3 == 0:
+            q = f"{t} in {y}"
+            sql = f"SELECT * FROM {t} WHERE YEAR({dc}) = {y}"
+        elif i % 3 == 1:
+            q = f"count of {t} in {y}"
+            sql = f"SELECT COUNT(*) AS n FROM {t} WHERE YEAR({dc}) = {y}"
+        else:
+            q = f"count of {t} in {y} or {y2}"
+            sql = (f"SELECT COUNT(*) AS n FROM {t} WHERE "
+                   f"(YEAR({dc}) = {y} OR YEAR({dc}) = {y2})")
+        cases.append(Case("t_year_filter", q, sql, schema, tabs))
+
+    for i in range(12):  # month filters (the r12 silent-drop shape)
+        t, p, m1, _, dc, schema, tabs = _mk_dated_table(rng)
+        mi = rng.randint(1, 12)
+        if i % 2:
+            m2i = rng.randint(mi, 12)
+            q = f"{t} between {MONTHS[mi - 1]} and {MONTHS[m2i - 1]}"
+            sql = (f"SELECT * FROM {t} WHERE MONTH({dc}) "
+                   f"BETWEEN {mi} AND {m2i}")
+        else:
+            q = f"{t} in {MONTHS[mi - 1]}"
+            sql = f"SELECT * FROM {t} WHERE MONTH({dc}) = {mi}"
+        cases.append(Case("t_month_filter", q, sql, schema, tabs))
+
+    for i in range(12):  # temporal groupings
+        t, p, m1, _, dc, schema, tabs = _mk_dated_table(rng)
+        if i % 2:
+            q = f"total {m1} of {t} per year"
+            sql = (f"SELECT year({dc}) AS year, SUM({p}_{m1}) AS "
+                   f"{p}_{m1}_sum FROM {t} GROUP BY year({dc})")
+        else:
+            q = f"average {m1} of {t} per month"
+            sql = (f"SELECT month({dc}) AS month, AVG({p}_{m1}) AS "
+                   f"{p}_{m1}_avg FROM {t} GROUP BY month({dc})")
+        cases.append(Case("t_group", q, sql, schema, tabs))
+
+    for _ in range(12):  # year filter + dim grouping composed
+        t, p, m1, dim, dc, schema, tabs = _mk_dated_table(rng)
+        y = rng.randint(1993, 1997)
+        cases.append(Case(
+            "t_year_grouped",
+            f"average {m1} of {t} in {y} per {dim}",
+            f"SELECT {p}_{dim}, AVG({p}_{m1}) AS {p}_{m1}_avg FROM {t} "
+            f"WHERE YEAR({dc}) = {y} GROUP BY {p}_{dim}",
+            schema, tabs,
+        ))
+
+    for _ in range(10):  # explicit DATE BETWEEN on a named column
+        t, p, m1, _, dc, schema, tabs = _mk_dated_table(rng)
+        y = rng.randint(1993, 1996)
+        q = (f"{t} where shipdate between {y}-03-01 and {y}-09-30")
+        sql = (f"SELECT * FROM {t} WHERE {dc} BETWEEN "
+               f"DATE '{y}-03-01' AND DATE '{y}-09-30'")
+        cases.append(Case("t_date_between", q, sql, schema, tabs))
+
     for _ in range(14):  # ranked child walk (foreign metric)
         (pn, pp, psing, cn, cp, cm, pcols, schema, tabs) = \
             _mk_parent_child(rng)
@@ -463,6 +568,8 @@ MIN_ANSWER_RATE = {
     "agg_grouped": 0.9, "double_agg": 0.9, "count": 0.9,
     "distinct": 0.9, "topn_rows": 0.9, "ranked_group": 0.7,
     "count_ranked": 0.7, "projection": 0.9, "having": 0.7,
+    "t_year_filter": 0.9, "t_month_filter": 0.9, "t_group": 0.9,
+    "t_year_grouped": 0.7, "t_date_between": 0.9,
     "col_superlative": 0.9, "row_superlative": 0.9,
     "walk_ranked": 0.5, "walk_superlative": 0.5,
 }
@@ -471,9 +578,9 @@ MIN_ANSWER_RATE = {
 def _load(con, tables):
     for t, (cols, rows) in tables.items():
         con.execute(f"DROP TABLE IF EXISTS {t}")
+        duck = {"number": "BIGINT", "timestamp": "TIMESTAMP"}
         ddl = ", ".join(
-            f"{c} {'BIGINT' if ty == 'number' else 'VARCHAR'}"
-            for c, ty in cols
+            f"{c} {duck.get(ty, 'VARCHAR')}" for c, ty in cols
         )
         con.execute(f"CREATE TABLE {t} ({ddl})")
         if rows:
