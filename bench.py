@@ -24,15 +24,15 @@ and the tell was sitting in its own numbers): a steady-state minimum
 can never exceed its own cold run, and warm reps of the same plan
 should not spread 2x. Each query is therefore stamped
 ``contended: true`` when ``min(warm reps) > cold*1.05+0.05`` or
-``max(reps)/min(reps) > 2``; after the main loop every flagged query
-— plus EVERY cheap (<=2s) row unconditionally, because an episode
-that is steady across a short query's whole window leaves warm<cold
-and evades the flags — is automatically re-timed once (the manual
-two-run screen, mechanized) and keeps the better reading. Queries
-still flagged after the re-time ship WITH the flag, and cheap rows
-the retime repaired >1.3x are listed in ``retimed_improved``, so a
-judge/driver can discount or trust rows without re-running. Per-rep
-arrays for every query land in BENCH_LOCAL.json.
+``max(reps)/min(reps) > 2``; after the main loop EVERY query
+re-times unconditionally (an episode that is steady across a query's
+whole window leaves warm<cold and evades the flags; a cheap-row-only
+gate would read the contaminated number it is gating on) and keeps
+the min across both passes. Queries still flagged after the re-time
+ship WITH the flag, and rows the retime repaired >1.3x are listed in
+``retimed_improved``, so a judge/driver can discount or trust rows
+without re-running. Per-rep arrays for every query land in
+BENCH_LOCAL.json.
 """
 
 from __future__ import annotations
@@ -545,22 +545,20 @@ def main() -> None:
     # improves with more samples); queries still flagged by the RETIME
     # reps ship carrying the flag.
     #
-    # CHEAP rows (warm <= 2s) re-time UNCONDITIONALLY: a contention
-    # episode that is STEADY across a short query's whole cold+warm
-    # window leaves warm<cold and a flat spread — invisible to the
-    # per-query flags (observed r13: a multi-minute episode early in
-    # the loop put aj1 at 3.46s flat with cold 4.1s; its end-of-loop
-    # reading was 0.36s). Re-timing every sub-2s row costs well under
-    # a minute against the ~35-minute run and repairs exactly the rows
-    # that episode distorts most (the %-wise damage concentrates in
-    # short queries); long rows amortize contention and keep the flag
-    # path. Rows that improve >1.3x on retime are listed in
-    # `retimed_improved` — an artifact-level contention tell even when
-    # no flag survives.
-    retime_set = list(dict.fromkeys(
-        contended_first
-        + [nm for nm, w in warm.items() if w <= 2.0]
-    ))
+    # EVERY row re-times UNCONDITIONALLY: a contention episode that is
+    # STEADY across a query's whole cold+warm window leaves warm<cold
+    # and a flat spread — invisible to the per-query flags (observed
+    # r13: a multi-minute episode early in the loop put aj1 at 3.46s
+    # flat with cold 4.1s; its end-of-loop reading was 0.36s). A
+    # warm<=2s gate was tried first, but the gate itself reads the
+    # CONTAMINATED first-pass number — the rows an episode pushes over
+    # the cutoff are exactly the ones that need the retime (review
+    # catch). Re-timing everything costs one extra warm pass (~3x the
+    # warm total, a few minutes against the ~35-minute run) and makes
+    # the min-of-both-passes estimator uniformly two-window. Rows that
+    # improve >1.3x on retime are listed in `retimed_improved` — an
+    # artifact-level contention tell even when no flag survives.
+    retime_set = list(dict.fromkeys(contended_first + list(warm)))
     retimed_improved: dict[str, float] = {}
     for name in retime_set:
         run = run_of[name]
@@ -752,9 +750,9 @@ def main() -> None:
         "queries_warm_reps": warm_reps,
         "contended_first_pass": contended_first,
         "contended": contended,
-        # cheap rows whose unconditional end-of-loop retime improved
-        # them >1.3x: the first-pass window was contended even though
-        # no per-query flag fired (steady episodes leave warm<cold)
+        # rows whose unconditional end-of-loop retime improved them
+        # >1.3x: the first-pass window was contended even though no
+        # per-query flag fired (steady episodes leave warm<cold)
         "retimed_improved": retimed_improved,
         "total_cold": round(sum(cold.values()), 3),
         "errors": errors,
@@ -829,8 +827,8 @@ def main() -> None:
         # #1): warm>cold or >2x rep spread — discount these rows
         slim["contended"] = sorted(contended)
     if len(retimed_improved) >= 3:
-        # three or more cheap rows repaired >1.3x by the retime pass =
-        # the main loop had a contention episode; the FINAL numbers are
+        # three or more rows repaired >1.3x by the retime pass = the
+        # main loop had a contention episode; the FINAL numbers are
         # already the repaired ones, this is provenance
         slim["retime_repaired"] = len(retimed_improved)
     if errors:

@@ -727,9 +727,16 @@ class RuleBasedGenerator:
             q,
         )
         if m:
-            subj, nn, adj = (
-                m.group(2), int(m.group(1)) if m.group(1) else 1, m.group(3),
-            )
+            # R13 doctrine alignment (review): a marked-plural subject
+            # with no stated N gets NO invented cap — 'which parts are
+            # the cheapest' reads like 'the cheapest parts' (full
+            # cost-ordered list), not LIMIT 1; the singular and
+            # stated-N forms keep their caps.
+            subj, adj = m.group(2), m.group(3)
+            if m.group(1):
+                nn = int(m.group(1))
+            else:
+                nn = None if self._marked_plural(subj) else 1
         else:
             m = re.search(
                 r"\b(?:which|what)\s+is\s+the\s+"
@@ -739,10 +746,7 @@ class RuleBasedGenerator:
             if m:
                 subj, nn, adj = m.group(2), 1, m.group(1)
         if subj and not hv and not re.search(r"\bby\s+\w+", q):
-            if (
-                subj in (table, f"{table}s", table.rstrip("s"))
-                or subj.rstrip("s") == table
-            ):
+            if self._names_table(subj, table):
                 dd = "ASC" if adj == "cheapest" else "DESC"
                 return self._cost_ranked_sql(
                     q_main, table, cols, where, nn, dd, ex, ex_lead,
@@ -766,23 +770,42 @@ class RuleBasedGenerator:
         # R13 (closing a documented r12 refusal): a bare cost adjective
         # with NO stated N whose noun names the base table. The
         # SINGULAR definite form ('the cheapest part') is the top row —
-        # the what-is form's twin, LIMIT 1; the PLURAL ('the cheapest
-        # parts') states no cap, so none is invented: the full list,
-        # cost-ordered (ORDER BY is exactly what the adjective asks
-        # for — nothing stated drops). Stated 'by <col>' or grouping
-        # stays a different shape, same as every cost-adjective branch.
+        # the what-is form's twin, LIMIT 1; the marked-PLURAL ('the
+        # cheapest parts') states no cap, so none is invented: the
+        # full list, cost-ordered (ORDER BY is exactly what the
+        # adjective asks for — nothing stated drops). Guards (R13
+        # review — the unanchored regex converted refusals into
+        # silent drops): a stated count/aggregate/distinct operation
+        # is a DIFFERENT question ('count of the cheapest parts' must
+        # not ship an uncounted row list), and a trailing noun after
+        # the table word is part of a phrase this branch cannot carry
+        # ('the most expensive part types'); both fall through to the
+        # other branches' resolution/refusal rules. Stated 'by <col>'
+        # or grouping stays a different shape, as in every
+        # cost-adjective branch.
         m = re.search(
             r"\b(?:the\s+)?(most\s+expensive|priciest|cheapest)\s+(\w+)\b",
             q,
         )
         if m and not hv and not re.search(r"\bby\s+\w+", q):
             noun = m.group(2)
+            nxt = re.match(r"\s+(\w+)", q[m.end():])
+            trailing_ok = nxt is None or nxt.group(1) in (
+                "in", "where", "with", "without", "that", "whose",
+                "from", "for", "and", "or", "having", "sorted",
+                "ordered", "between", "are", "is", "was", "were",
+            )
+            stated_op = re.search(
+                r"\b(?:how\s+many|count|number\s+of|distinct|unique|"
+                r"average|avg|mean|total|sum|minimum|maximum)\b", q
+            )
             if (
-                noun in (table, f"{table}s", table.rstrip("s"))
-                or noun.rstrip("s") == table
+                trailing_ok
+                and not stated_op
+                and self._names_table(noun, table)
             ):
                 dd = "ASC" if m.group(1) == "cheapest" else "DESC"
-                cap = None if noun.endswith("s") else 1
+                cap = None if self._marked_plural(noun) else 1
                 return self._cost_ranked_sql(
                     q_main, table, cols, where, cap, dd, ex, ex_lead,
                     ex_pred,
@@ -2046,6 +2069,25 @@ class RuleBasedGenerator:
                 )
         return first
 
+    @staticmethod
+    def _names_table(word: str, table: str) -> bool:
+        """``word`` names ``table`` (naive plural tolerated both
+        ways) — THE shared idiom (R13 review: the inline expression
+        had been hand-copied six times; new sites use this)."""
+        return (
+            word in (table, f"{table}s", table.rstrip("s"))
+            or word.rstrip("s") == table
+        )
+
+    @staticmethod
+    def _marked_plural(word: str) -> bool:
+        """English surface plural: trailing -s, excluding the
+        -ss/-us/-is classes (address, status, analysis) that are
+        s-final singulars (R13 review: `endswith('s')` alone read
+        'the cheapest address' as a plural and shipped an uncapped
+        list for a singular definite ask)."""
+        return word.endswith("s") and not word.endswith(("ss", "us", "is"))
+
     #: words that name "the row itself" in a superlative subject —
     #: 'the record with the highest price' is a row question
     _ROW_WORDS = frozenset({
@@ -2102,10 +2144,7 @@ class RuleBasedGenerator:
         phrase = " ".join(words)
         if not words or all(w in self._ROW_WORDS for w in words):
             return ("generic", None, lim, phrase)
-        if (
-            words[-1] in (table, f"{table}s", table.rstrip("s"))
-            or words[-1].rstrip("s") == table
-        ):
+        if self._names_table(words[-1], table):
             return ("table", None, lim, phrase)
         for cand in (words[-1], "".join(words)):
             gcol = self._det_column(cand, cols)

@@ -2884,3 +2884,32 @@ def test_generator_bare_cost_adjective_no_cap():
     assert _gen_cat("the cheapest customers") == ""  # no cost synonym
     # the stated-N form is unchanged
     assert _gen_cat("show me the 2 cheapest parts").endswith("LIMIT 2")
+
+
+def test_generator_cost_adjective_second_review_pins():
+    """Second R13 /code-review pass on the bare-cost-adjective branch:
+    (1) a stated count/aggregate/distinct operation is a different
+    question — never an uncounted row list; (2) a trailing noun after
+    the table word is a phrase this branch cannot carry; (3) plural
+    doctrine is consistent across phrasings ('which parts are the
+    cheapest' == 'the cheapest parts': no invented cap); (4) s-final
+    singular classes (-ss/-us/-is) read as singular."""
+    assert _gen_cat("count of the cheapest parts") == ""
+    assert _gen_cat("how many of the cheapest parts are there") == ""
+    assert _gen_cat("average retailprice of the cheapest parts") == ""
+    assert _gen_cat("distinct cheapest parts") == ""
+    assert _gen_cat("the most expensive part types") == ""
+    assert _gen_cat("which parts are the cheapest") == (
+        "SELECT * FROM part ORDER BY p_retailprice ASC"
+    )
+    assert _gen_cat("which part is the cheapest") == (
+        "SELECT * FROM part ORDER BY p_retailprice ASC LIMIT 1"
+    )
+    assert _gen_cat("which 3 parts are the most expensive") == (
+        "SELECT * FROM part ORDER BY p_retailprice DESC LIMIT 3"
+    )
+    # -us/-ss/-is singulars stay LIMIT 1
+    s = ("CREATE TABLE status (st_statuskey number, st_price number, "
+         "st_label text)")
+    gen = t2s.RuleBasedGenerator()
+    assert gen(t2s.build_prompt(s, "the cheapest status")).endswith("LIMIT 1")
