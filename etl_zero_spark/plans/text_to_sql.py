@@ -795,12 +795,22 @@ class RuleBasedGenerator:
                 "from", "for", "and", "or", "having", "sorted",
                 "ordered", "between", "are", "is", "was", "were",
             )
+            # R14 (ADVICE r13 #1): an allowlisted tail must have
+            # actually RENDERED into a constraint — 'the cheapest
+            # parts with brand B1' has a tail the where-extractor
+            # cannot parse, and shipping the unfiltered ORDER BY list
+            # is exactly the silent drop the allowlist was meant to
+            # prevent (all three probe phrasings refused at the base
+            # revision). A tail with no WHERE and no EXISTS predicate
+            # falls through to the other branches' refusal rules.
+            tail_rendered = nxt is None or bool(where) or bool(ex)
             stated_op = re.search(
                 r"\b(?:how\s+many|count|number\s+of|distinct|unique|"
                 r"average|avg|mean|total|sum|minimum|maximum)\b", q
             )
             if (
                 trailing_ok
+                and tail_rendered
                 and not stated_op
                 and self._names_table(noun, table)
             ):
@@ -1174,12 +1184,27 @@ class RuleBasedGenerator:
                     f"subject '{subj_phrase}' resolves to neither a "
                     f"table nor a column of {table}"
                 )
+            if kind == "malformed":
+                # R14 (ADVICE r13 #2): a bare digit survived in the
+                # subject phrase — shipping any LIMIT would guess at a
+                # stated count; refuse in every framing.
+                return self._refuse(
+                    f"subject phrase '{subj_phrase}' carries a number "
+                    f"this branch cannot place — state it as 'which N "
+                    f"<rows>' or 'top N'"
+                )
+            # R14 (ADVICE r13 #3): the row ranking carries the parsed
+            # subject count — 'which 3 customers have the highest
+            # acctbal' stated 3 and the literal LIMIT 1 dropped it.
             if ex:
                 return (
                     f"SELECT * FROM {table} t1{ex_lead} {ex_pred} "
-                    f"ORDER BY {col} {d} LIMIT 1"
+                    f"ORDER BY {col} {d} LIMIT {lim}"
                 )
-            return f"SELECT * FROM {table}{where} ORDER BY {col} {d} LIMIT 1"
+            return (
+                f"SELECT * FROM {table}{where} ORDER BY {col} {d} "
+                f"LIMIT {lim}"
+            )
 
         # R8 late: '<superlative> <table> by <col>' without a count —
         # 'largest order by totalprice' is the TOP ROW (ORDER BY col
@@ -2127,11 +2152,17 @@ class RuleBasedGenerator:
         grouped superlative; group_column set), 'generic' (row words,
         bare articles, or nothing -> row ranking), 'unknown' /
         'unknown_interrog' (unresolvable; the interrogative which/what
-        framing refuses, the with-framing keeps the row reading). An
-        optional 'which/what N' lead caps the groups (review catch:
-        LIMIT 1 silently dropped a stated subject count)."""
+        framing refuses, the with-framing keeps the row reading),
+        'malformed' (a bare digit survived in the subject phrase —
+        every framing must refuse rather than drop a stated count).
+        An optional stated N caps the groups (review catch: LIMIT 1
+        silently dropped a stated subject count). R14 (ADVICE r13
+        #2): the count capture sits OUTSIDE the interrogative group —
+        'the 3 mktsegments with the highest total acctbal' states a
+        count with no which/what lead, and the old nesting let the
+        digit land in the subject words and be ignored."""
         mm = re.search(
-            r"(?:\b(which|what)\s+(?:(\d+)\s+)?)?(\w+(?:\s+\w+)?)\s*$",
+            r"(?:\b(which|what)\s+)?(?:\b(\d+)\s+)?(\w+(?:\s+\w+)?)\s*$",
             lead.strip(),
         )
         if not mm:
@@ -2142,6 +2173,8 @@ class RuleBasedGenerator:
             w for w in mm.group(3).split() if w not in self._SUBJ_FILLERS
         ]
         phrase = " ".join(words)
+        if any(w.isdigit() for w in words):
+            return ("malformed", None, lim, phrase)
         if not words or all(w in self._ROW_WORDS for w in words):
             return ("generic", None, lim, phrase)
         if self._names_table(words[-1], table):

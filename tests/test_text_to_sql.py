@@ -2913,3 +2913,45 @@ def test_generator_cost_adjective_second_review_pins():
          "st_label text)")
     gen = t2s.RuleBasedGenerator()
     assert gen(t2s.build_prompt(s, "the cheapest status")).endswith("LIMIT 1")
+
+
+def test_generator_r14_advice_pins():
+    """R14 pins for the three ADVICE r13 findings.
+
+    (1) The bare cost-adjective branch requires an allowlisted tail to
+    have RENDERED into a constraint (WHERE/EXISTS) — an unparsed tail
+    refuses instead of shipping the unfiltered ORDER BY list.
+    (2) _superlative_subject captures a stated count outside the
+    which/what group — the with-framing carries it to the grouped
+    superlative's LIMIT; a digit SURVIVING in the subject phrase
+    refuses in every framing.
+    (3) The which-N row ranking threads the parsed count instead of
+    the literal LIMIT 1."""
+    # (1) unrendered tails refuse (all three refused at the r12 base)
+    assert _gen_cat("the cheapest parts with brand B1") == ""
+    assert _gen_cat("the cheapest parts in segment BUILDING") == ""
+    assert _gen_cat("the most expensive orders that are open") == ""
+    # ...while a tail the where-extractor consumes still answers
+    assert _gen_cat("the cheapest parts with retailprice over 100") == (
+        "SELECT * FROM part WHERE p_retailprice > 100 "
+        "ORDER BY p_retailprice ASC"
+    )
+    # (2) with-framing stated count reaches the grouped superlative
+    assert _gen_cat("the 3 mktsegments with the highest total acctbal") == (
+        "SELECT c_mktsegment, SUM(c_acctbal) AS c_acctbal_sum "
+        "FROM customer GROUP BY c_mktsegment "
+        "ORDER BY c_acctbal_sum DESC LIMIT 3"
+    )
+    # ...and a digit surviving in the subject phrase refuses
+    gen = t2s.RuleBasedGenerator()
+    assert gen(t2s.build_prompt(
+        _SCHEMA_CATALOG, "the 3 4 parts with the highest retailprice"
+    )) == ""
+    assert gen.last_refusal_reason is not None
+    # (3) which-N row ranking carries the stated N
+    assert _gen_cat("which 3 customers have the highest acctbal") == (
+        "SELECT * FROM customer ORDER BY c_acctbal DESC LIMIT 3"
+    )
+    assert _gen_cat("which customer has the highest acctbal") == (
+        "SELECT * FROM customer ORDER BY c_acctbal DESC LIMIT 1"
+    )
