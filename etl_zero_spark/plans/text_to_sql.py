@@ -304,7 +304,12 @@ class RuleBasedGenerator:
             q,
         ):
             n_stated = mq.group(1) or mq.group(2)
-            if not re.search(rf"\bLIMIT {n_stated}\b", s):
+            # R14: the per-partition ranking carries its cap as a
+            # ROW_NUMBER filter ('top 3 nations by revenue per region
+            # name' -> WHERE rk <= 3), not a LIMIT
+            if not re.search(
+                rf"\bLIMIT {n_stated}\b|\bRK <= {n_stated}\b", s
+            ):
                 return True
         # R11 follow-up: a TRAILING 'the most/fewest/least' (no object
         # — the verb carries the metric: 'which 5 customers spent the
@@ -2733,6 +2738,7 @@ class RuleBasedGenerator:
         order: str | None = None,
         limit: int | None = None,
         osql: str = "",
+        part: tuple[str, str, str, bool] | None = None,
     ) -> str | None:
         """The grouped aggregate over a child-direction walk FROM the
         group table (R11, VERDICT r10 #1) — one renderer for the
@@ -2751,7 +2757,19 @@ class RuleBasedGenerator:
         (their NULL has no sane rank, and 0 would be a wrong value).
         ``order``+``limit`` render the ranking tail; ``osql`` is a
         pre-rendered ORDER BY for unranked callers. None = refuse (a
-        stated OR the ON/WHERE split cannot honor)."""
+        stated OR the ON/WHERE split cannot honor).
+
+        ``part`` (R14, VERDICT r13 #3) turns the ranking into a
+        PER-PARTITION top-N — 'top 3 nations by revenue per region
+        name' ranks within each region via ROW_NUMBER over the
+        partition, tie-broken by the group columns so the winner set
+        is deterministic on every engine: ``(pjoin_sql, pexpr, pname,
+        add_select)``, where ``pjoin_sql`` walks to the partition
+        table (empty for a base-local partition column), ``pexpr`` is
+        the qualified partition expression, ``pname`` its output name,
+        and ``add_select`` whether it must join the inner select/group
+        list (False when it already sits among the group columns).
+        Requires ``order``+``limit``."""
         jw = self._child_join_where(raw_where, gtable, steps, schema)
         if jw is None:
             return None
@@ -2779,6 +2797,30 @@ class RuleBasedGenerator:
             # re-opens the Spark/DuckDB ordering divergence this
             # HAVING exists to close
             having = f" HAVING COUNT({last}.{mcol}) > 0"
+        if part is not None:
+            pjoin, pexpr, pname, add_select = part
+            if order is None or limit is None:
+                return None
+            inner_sel = f"{pexpr} AS {pname}, " if add_select else ""
+            inner_gby = f"{pexpr}, {gsel}" if add_select else gsel
+            # the window's ORDER BY tie-breaks on the group columns so
+            # rk (and therefore the surviving rows) is deterministic
+            # across engines — ROW_NUMBER alone would let Spark and
+            # DuckDB keep different rows on a metric tie
+            rk = (
+                f"ROW_NUMBER() OVER (PARTITION BY {pexpr} "
+                f"ORDER BY {expr} {order}, {gsel}) AS rk"
+            )
+            out_g = ", ".join(c.split(".", 1)[1] for c in gsel.split(", "))
+            if add_select:
+                out_g = f"{pname}, {out_g}"
+            return (
+                f"SELECT {out_g}, {alias} FROM "
+                f"(SELECT {inner_sel}{gsel}, {expr} AS {alias}, {rk} "
+                f"FROM {gtable} t1{join_sql}{pjoin}{jwhere} "
+                f"GROUP BY {inner_gby}{having}) ranked "
+                f"WHERE rk <= {limit} ORDER BY {pname}, rk"
+            )
         tail = f" ORDER BY {alias} {order} LIMIT {limit}" if order else osql
         return (
             f"SELECT {gsel}, {expr} AS {alias} FROM {gtable} t1{join_sql}"
@@ -2918,32 +2960,122 @@ class RuleBasedGenerator:
             gcol = self._resolve_column(m.group(2), schema[table])
             if gcol is None:
                 return ""  # a stated base-side group column must resolve
-        # a sort or grouping stated BEYOND the consumed 'by <metric>'
-        # would be silently dropped by this ranked answer — refuse.
-        # A SECOND bare 'by' is a group cue too ('top 3 nations by
-        # revenue by region' — review catch: the per-style check alone
-        # let it ship with the second grouping dropped); with the sort
-        # mention already refused above, the shape owns exactly one.
-        if self._sort_mention(q) or re.search(
-            r"\b(?:per|for\s+each|for\s+every|in\s+each|grouped\s+by)\b",
-            q,
-        ):
+        # a sort stated BEYOND the consumed 'by <metric>' would be
+        # silently dropped by this ranked answer — refuse. A SECOND
+        # bare 'by' is a group cue too ('top 3 nations by revenue by
+        # region' — review catch: the per-style check alone let it
+        # ship with the second grouping dropped); 'grouped by' stays
+        # refused for the same reason.
+        # R14 (VERDICT r13 #3): a 'per <parent> [<col>]' mention no
+        # longer refuses wholesale — it partitions the ranking ('top 3
+        # nations by revenue per region name' keeps the top 3 WITHIN
+        # each region, ROW_NUMBER over the parent-walked partition);
+        # a per-mention with no parent walk / unresolvable column
+        # refuses with the named reason.
+        if self._sort_mention(q) or re.search(r"\bgrouped\s+by\b", q):
             return ""
         if len(re.findall(r"\bby\b", q)) > 1:
             return ""
+        part = None
+        pm = re.search(
+            r"\b(?:per|for\s+each|for\s+every|in\s+each)\s+(\w+)"
+            r"(?:\s+(\w+))?",
+            q,
+        )
+        walk_steps = count_steps if count_steps is not None else mt[2]
+        if pm is not None:
+            part = self._partition_mention(
+                pm, table, schema[table], schema, len(walk_steps)
+            )
+            if part is None:
+                return ""  # reason stamped by _partition_mention
+            pjoin, pexpr, pname, is_local = part
+            add_select = not (
+                is_local and (gcol is None or pexpr == f"t1.{gcol}")
+            )
+            base_names = (
+                [gcol] if gcol else list(schema[table])
+            )
+            if add_select and pname in base_names:
+                self.last_refusal_reason = (
+                    f"partition column '{pname}' collides with a "
+                    f"{table} column name — the per-group ranking "
+                    f"cannot emit both"
+                )
+                return ""
+            part = (pjoin, pexpr, pname, add_select)
         if count_steps is not None:
             sql = self._child_agg_sql(
                 raw_where, table, gcol, count_steps, schema, "COUNT",
-                fanned=fanned, order=direction, limit=n,
+                fanned=fanned, order=direction, limit=n, part=part,
             )
             return "" if sql is None else sql
         fn = self._AGGS.get(aggword or "", "SUM")
         _, mcol, steps = mt
         sql = self._child_agg_sql(
             raw_where, table, gcol, steps, schema, fn, mcol=mcol,
-            order=direction, limit=n,
+            order=direction, limit=n, part=part,
         )
         return "" if sql is None else sql
+
+    #: words after 'per <table>' that are NOT a partition column
+    #: mention — 'per region where ...' carries the filter tail
+    _PART_STOP = frozenset({
+        "where", "with", "without", "that", "whose", "having",
+        "sorted", "ordered", "and", "or", "in", "for", "from",
+        "between", "are", "is", "was", "were",
+    })
+
+    def _partition_mention(
+        self, pm, table: str, cols: dict, schema: dict, walk_len: int
+    ) -> tuple[str, str, str, bool] | None:
+        """Resolve a 'per <word> [<word2>]' mention on a ranked child
+        walk into ``(pjoin_sql, pexpr, pname, is_local)`` (R14,
+        VERDICT r13 #3). A PARENT-table mention walks parent-direction
+        from the base (nation -> region; aliases continue past the
+        metric walk's so the two chains never collide) and partitions
+        by the stated column, else the walk's landing key; INNER
+        joins — a base row with no parent has no partition to rank
+        in. A base-LOCAL column partitions directly. Anything else —
+        including a child/fan-out-only mention, where partitioning
+        ranked base rows by a table they fan INTO has no single value
+        per row — refuses with the named reason (None)."""
+        pw, pw2 = pm.group(1), pm.group(2)
+        if pw2 and pw2.lower() in self._PART_STOP:
+            pw2 = None
+        pt = self._table_mention(pw, table, schema)
+        if pt is not None:
+            psteps = self._oriented_walk(table, pt, schema, "parent")
+            if psteps is None:
+                self.last_refusal_reason = (
+                    f"'per {pw}' — {pt} is not reachable from {table} "
+                    f"by a parent-direction walk, so each {table} row "
+                    f"has no single {pt} to partition by"
+                )
+                return None
+            if pw2 is not None:
+                pcol = self._resolve_column(pw2, schema[pt])
+                if pcol is None:
+                    self.last_refusal_reason = (
+                        f"stated partition column '{pw2}' does not "
+                        f"resolve in {pt}"
+                    )
+                    return None
+            else:
+                pcol = psteps[-1][2]
+            pjoin, plast = self._render_fk_joins(
+                psteps, base_alias="t1", start=walk_len + 2
+            )
+            return (pjoin, f"{plast}.{pcol}", pcol, False)
+        if pw2 is None:
+            pcol = self._resolve_column(pw, cols)
+            if pcol is not None:
+                return ("", f"t1.{pcol}", pcol, True)
+        self.last_refusal_reason = (
+            f"'per {pw}' resolves to neither a parent table nor a "
+            f"column of {table}"
+        )
+        return None
 
     def _foreign_join(
         self, table: str, other: str, schema: dict
