@@ -234,23 +234,35 @@ class RuleBasedGenerator:
         self.last_refusal_reason = None
         sql = self._generate(prompt)
         if not sql:
+            if self.last_refusal_reason is None:
+                # R14 (VERDICT r13 #6): EVERY refusal carries a
+                # reason — branches stamp specific ones; this generic
+                # fallback marks the unmatched-grammar family so the
+                # transcript can still rank it
+                self.last_refusal_reason = (
+                    "no grammar rule matched the question against the "
+                    "rendered schema"
+                )
             return ""
         _, question = self._split_prompt(prompt)
-        if question and self._drops_stated_constraint(
-            question.strip().rstrip("?.!"), sql
-        ):
-            self.last_refusal_reason = (
-                "the question states a constraint (comparison / "
-                "substring / row cap / negation / alternative) the "
-                "generated SQL did not carry — refusing beats "
-                "shipping it unfiltered"
+        if question:
+            dropped = self._drops_stated_constraint(
+                question.strip().rstrip("?.!"), sql
             )
-            return ""
+            if dropped:
+                # R14 (VERDICT r13 #6): the backstop NAMES the tripped
+                # cue so the transcript can rank refusal families
+                self.last_refusal_reason = (
+                    f"{dropped} — refusing beats shipping it unfiltered"
+                )
+                return ""
         self.last_refusal_reason = None
         return sql
 
-    #: set by the most recent __call__ iff it refused; None after an
-    #: answered question (or a refusal no branch explained)
+    #: set by the most recent __call__ iff it refused (every refusal
+    #: carries one since R14 — specific when a branch stamped it,
+    #: else the generic unmatched-grammar fallback); None after an
+    #: answered question
     last_refusal_reason: str | None = None
 
     def _refuse(self, reason: str) -> str:
@@ -259,12 +271,15 @@ class RuleBasedGenerator:
         return ""
 
     @staticmethod
-    def _drops_stated_constraint(raw: str, sql: str) -> bool:
-        """True when the question states a constraint the SQL does not
-        carry. Cues are deliberately NARROW (keyword + a number or a
-        quoted value) so paraphrase text cannot trip them; refusing a
-        parseable question is the acceptable failure mode here,
-        answering a stated filter with an unfiltered query is not."""
+    def _drops_stated_constraint(raw: str, sql: str) -> str | None:
+        """A reason string when the question states a constraint the
+        SQL does not carry (truthy — callers may treat it as a bool),
+        else None. Cues are deliberately NARROW (keyword + a number or
+        a quoted value) so paraphrase text cannot trip them; refusing
+        a parseable question is the acceptable failure mode here,
+        answering a stated filter with an unfiltered query is not.
+        R14 (VERDICT r13 #6): each cue returns its OWN name so the
+        probe transcript can rank refusal families by frequency."""
         q = raw.lower()
         s = f" {sql.upper()} "
         # COUNT numeric comparison cues against comparison operators in
@@ -282,11 +297,14 @@ class RuleBasedGenerator:
                 r"(?:<=|>=|<>|!=|<|>)\s*-?\d|\bBETWEEN\s", s
             ))
             if op_n < cue_n:
-                return True
+                return (
+                    f"stated numeric comparison(s) not fully carried "
+                    f"({cue_n} stated, {op_n} rendered)"
+                )
         if " LIKE " not in s and re.search(
             r"\b(?:contains?|starts?\s+with|ends?\s+with)\s+(?:'|\w)", q
         ):
-            return True
+            return "stated substring filter not carried as LIKE"
         # R11 lockstep: 'top/bottom N' joined the cue list with the
         # ranked child-walk branches — a HAVING question like 'top 3
         # orderstatus by count having count over 5' skips the top-N
@@ -310,7 +328,10 @@ class RuleBasedGenerator:
             if not re.search(
                 rf"\bLIMIT {n_stated}\b|\bRK <= {n_stated}\b", s
             ):
-                return True
+                return (
+                    f"stated row cap {n_stated} not carried as a "
+                    f"LIMIT or rank filter"
+                )
         # R11 follow-up: a TRAILING 'the most/fewest/least' (no object
         # — the verb carries the metric: 'which 5 customers spent the
         # most') is a ranking; SQL without an ORDER BY dropped it and
@@ -320,7 +341,10 @@ class RuleBasedGenerator:
         if " ORDER BY " not in s and re.search(
             r"\bthe\s+(?:most|fewest|least)\s*$", q
         ):
-            return True
+            return (
+                "stated ranking ('the most/fewest/least') not carried "
+                "as an ORDER BY"
+            )
         # ...and a COST ADJECTIVE is a ranking too: 'the cheapest
         # parts' / '5 cheapest parts' shipped unranked SELECT *
         # (review catch — the top/bottom-N branches only see
@@ -328,7 +352,7 @@ class RuleBasedGenerator:
         if " ORDER BY " not in s and re.search(
             r"\b(?:cheapest|priciest|most\s+expensive)\b", q
         ):
-            return True
+            return "stated cost-adjective ranking not carried as an ORDER BY"
         # R12 (review): a bare 'by <word>' outside quoted values is a
         # sort/group mention — SQL carrying NEITHER an ORDER BY nor a
         # GROUP BY dropped it. The r12 year-guard fix made 'orders by
@@ -341,7 +365,10 @@ class RuleBasedGenerator:
             and " GROUP BY " not in s
             and re.search(r"\bby\s+\w+", re.sub(r"'[^']*'", " ", q))
         ):
-            return True
+            return (
+                "stated 'by <word>' sort/group mention carried neither "
+                "an ORDER BY nor a GROUP BY"
+            )
         # R11: a stated 'or' the SQL does not carry is a dropped
         # alternative — 'clerk is A or B' rendered only clerk = 'A',
         # 'in 1995 or 1996' only the first year. Count standalone 'or'
@@ -359,7 +386,7 @@ class RuleBasedGenerator:
         if q_or and len(
             re.findall(r" OR ", re.sub(r"'[^']*'", " ", sql))
         ) < q_or:
-            return True
+            return "stated alternative ('or') not fully carried"
         # the NOT of NOT EXISTS is an existence predicate, not a value
         # negation — it must not satisfy a stated '!= / is not' filter
         # (a dropped negation shipped silently whenever the question
@@ -374,14 +401,14 @@ class RuleBasedGenerator:
                 q,
             )
         ):
-            return True
+            return "stated negation not carried"
         # a stated 'in <year>' must render (as YEAR(col) = y or some
         # parsed reading carrying the literal) — the date grammar bails
         # when the preceding word is a numeric column ('... by
         # totalprice in 1995'), which silently dropped the year before
         m = re.search(r"\bin\s+((?:19|20)\d{2})\b", q)
         if m and m.group(1) not in sql:
-            return True
+            return f"stated year {m.group(1)} not carried"
         # ...and a stated month-name filter must render as MONTH()
         # ('events in march' shipped an UNFILTERED select on a table
         # whose time column the date grammar could not resolve — no
@@ -391,7 +418,7 @@ class RuleBasedGenerator:
             r"|june|july|august|september|october|november|december)\b",
             q,
         ):
-            return True
+            return "stated month filter not carried as MONTH()"
         # a stated equality against a LITERAL-looking value (quoted,
         # or ALL-CAPS-leading like the fixture's 'BUILDING'/'F') must
         # carry that literal into the SQL — R9: multi-hop walks made
@@ -427,8 +454,8 @@ class RuleBasedGenerator:
                 rf"[=<>]\s*{re.escape(v)}\b", sql
             ):
                 continue
-            return True
-        return False
+            return f"stated equality literal '{v}' not carried"
+        return None
 
     def _generate(self, prompt: str) -> str:
         schema, question = self._split_prompt(prompt)
@@ -456,6 +483,18 @@ class RuleBasedGenerator:
             r"|from\b|with\b|and\b|or\b)(\w+))?",
             q,
         )
+        if mv and not any(
+            mv.group(2) in (t, f"{t}s", t.rstrip("s"))
+            or mv.group(2).rstrip("s") == t
+            for t in schema
+        ):
+            # opportunistic (cleared if any later branch answers):
+            # name WHY the verb rewrite declined, so the transcript's
+            # REFUSE row carries a reason (VERDICT r13 #6)
+            self.last_refusal_reason = (
+                f"the money-verb rewrite requires a subject that "
+                f"names a table — '{mv.group(2)}' names none"
+            )
         if mv and any(
             mv.group(2) in (t, f"{t}s", t.rstrip("s"))
             or mv.group(2).rstrip("s") == t

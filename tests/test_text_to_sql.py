@@ -2874,6 +2874,29 @@ def test_refusal_reasons_surface():
     assert gen.last_refusal_reason is None
 
 
+def test_refusal_reasons_every_refusal_carries_one():
+    """R14 (VERDICT r13 #6): EVERY refusal carries a reason — the
+    backstop names its tripped cue, branch refusals stamp specifics,
+    and an unmatched question gets the generic fallback — so the
+    probe transcript can rank refusal families by frequency."""
+    gen = t2s.RuleBasedGenerator()
+    cases = {
+        "orders where clerk is Clerk#000000951": "equality literal",
+        "orders where totalprice in 1995": "year 1995",
+        "the cheapest parts per brand": "cost-adjective",
+        "customers in march": "month filter",
+        "which analyst spent the most": "money-verb",
+        "how many orders does each customer or supplier have":
+            "alternative",
+        "tell me a joke": "no grammar rule matched",
+    }
+    for q, want in cases.items():
+        assert gen(t2s.build_prompt(_SCHEMA_CATALOG, q)) == ""
+        assert gen.last_refusal_reason and want in gen.last_refusal_reason, (
+            q, gen.last_refusal_reason,
+        )
+
+
 def test_catalog_column_subject_superlatives_duckdb_verified():
     """The new grouped-superlative-over-column shapes execute in DuckDB
     against the real sf0.01 parquet and agree with hand-written

@@ -84,10 +84,16 @@ QUESTIONS = [
     # R13: bare cost adjective without a stated N (r12 refusal backlog)
     "the cheapest part",
     "the most expensive parts",
-    # refusal contract (stated constraints that cannot render);
-    # refusals now NAME the missing word (VERDICT r12 #6)
-    "which nation has the highest quantity",
+    # R14 (VERDICT r13 #3): walked superlative WITH a second stated
+    # grouping — per-partition ranking through the parent walk
     "top 3 nations by revenue per region name",
+    "top 2 nations by number of customers per region name",
+    "bottom 2 nations by revenue per region",
+    # refusal contract (stated constraints that cannot render);
+    # every refusal carries a reason since R14 (VERDICT r13 #6)
+    "which nation has the highest quantity",
+    "top 3 nations by revenue per widget",
+    "the cheapest parts with brand B1",
     "how many orders does each customer or supplier have",
     "orders where clerk is Clerk#000000951",
     "orders where totalprice in 1995",
