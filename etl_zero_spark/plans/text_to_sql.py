@@ -1136,6 +1136,18 @@ class RuleBasedGenerator:
                 # customer). An unresolvable target, an ambiguous
                 # walk, or an existence constraint still refuses.
                 other = self._table_mention(m.group(3), table, schema)
+                # R14 (walk-fuzz catch): a stated AGGREGATE word
+                # ('highest TOTAL score') makes the target a METRIC —
+                # the count-of-table reading must not hijack it when
+                # the table match is only a FUZZY hit ('score'
+                # difflib-matched a table named `stores` and shipped a
+                # COUNT of stores, silently dropping both the stated
+                # SUM and the metric). An exact/plural table name
+                # still counts; under an agg word the fuzzy tier is
+                # guess-on-guess.
+                if other is not None and m.group(2):
+                    if not self._is_table_word(m.group(3), schema):
+                        other = None
                 steps, fanned = None, False
                 if other:
                     steps = self._oriented_walk(

@@ -2874,6 +2874,28 @@ def test_refusal_reasons_surface():
     assert gen.last_refusal_reason is None
 
 
+def test_generator_agg_word_blocks_fuzzy_table_count():
+    """R14 walk-fuzz catch (first run of the walk battery): 'which
+    movie has the highest total score' on a schema where the metric
+    `se_score` lives two hops away and a table named `stores` exists —
+    the count-of-table reading fuzzy-matched 'score' -> `stores` and
+    shipped a COUNT of stores, silently dropping both the stated SUM
+    and the metric. Under a stated aggregate word the table reading
+    requires an EXACT/plural table name; the metric walk answers."""
+    s = (
+        "CREATE TABLE movies (mv_moviekey number, mv_name text)\n"
+        "CREATE TABLE stores (st_storekey number, st_moviekey number)\n"
+        "CREATE TABLE sellers (se_sellerkey number, se_storekey number, "
+        "se_score number)"
+    )
+    gen = t2s.RuleBasedGenerator()
+    sql = gen(t2s.build_prompt(s, "which movie has the highest total score"))
+    assert "SUM(t3.se_score)" in sql and "COUNT" not in sql
+    # the exact-table count reading is untouched
+    sql = gen(t2s.build_prompt(s, "which movie has the most stores"))
+    assert "COUNT(t2.st_moviekey)" in sql
+
+
 def test_refusal_reasons_every_refusal_carries_one():
     """R14 (VERDICT r13 #6): EVERY refusal carries a reason — the
     backstop names its tripped cue, branch refusals stamp specifics,
