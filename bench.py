@@ -75,7 +75,10 @@ HEADLINE = [
     "dd3_minhash_lsh_pairs",
     "dd4_simhash_pairs",
     "dd5_embedding_neardup",
-    "dd7_dedup_transitive",
+    # R14 fold: dd6 keep-min + dd7 transitive run as one declared slot
+    # (rename rule: the folded workload is a different query, no
+    # cross-round ratio for the new name)
+    "dd6_dd7_dedup_family",
     "dd8_neardup_lsh",
     "sim1_cosine_topk",
     "sim2_sim3_lsh_topk",
@@ -98,6 +101,8 @@ HEADLINE = [
     "pipe1_prepare_corpus",
     # R11: eval-set decontamination declared (VERDICT r10 #2)
     "ct1_decontamination",
+    # R14: ANALYZE column stats declared via the dd6/dd7-freed slot
+    "stats1_analyze",
 ]
 
 #: Cross-round ratio pairing for UNCHANGED workloads that changed
@@ -708,8 +713,11 @@ def main() -> None:
     # (r12: the e3 member rides as x_e3_sessionize after the e1+e3
     # fold — same workload, same code, name bridged in
     # RENAMED_UNCHANGED, so its cross-round ratio stays valid.)
+    # (r14: dd7_dedup_transitive left the panel — its slot folded with
+    # dd6 into dd6_dd7_dedup_family, a DIFFERENT workload; replaced by
+    # dd5_embedding_neardup, 0.53s warm in r13, code untouched.)
     _PANEL = (
-        "dd7_dedup_transitive",
+        "dd5_embedding_neardup",
         "x_e3_sessionize",
         "scd1_type2_merge",
         "dd2_ngram_jaccard_pairs",

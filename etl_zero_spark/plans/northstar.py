@@ -259,43 +259,23 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "dd6_dedup_keep_min",
-    "dedup: resolve pairs -> deduped table",
+    "dd6_dd7_dedup_family",
+    "dd6 (keep-min resolution) + dd7 (transitive/connected-components "
+    "resolution) — the R14 tagged-union fold (VERDICT r13 #2, the "
+    "j1_j8 shape) freeing the declared slot for stats1_analyze; both "
+    "operator ids preserved",
     f"""
-    WITH {_DUCK_SHINGLES},
+    WITH RECURSIVE {_DUCK_SHINGLES},
     pairs AS (
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              len(list_intersect(a.shingles, b.shingles))::DOUBLE
                / (len(a.shingles) + len(b.shingles)
                   - len(list_intersect(a.shingles, b.shingles))) AS jac
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    )
-    SELECT d.doc_id, d.lang, d.source FROM documents d
-    WHERE d.doc_id NOT IN (SELECT DISTINCT b_id FROM pairs WHERE jac >= 0.3)
-    """,
-    "Documents surviving near-dup removal (keep-min-id policy, anti-join).",
-)
-def dd6_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = _jaccard_pairs_cached(spark, sf_dir)
-    return dedup.dedup_keep_min(docs.select("doc_id", "lang", "source"), pairs)
-
-
-@query(
-    "dd7_dedup_transitive",
-    "dedup: transitive resolution (connected components)",
-    f"""
-    WITH RECURSIVE {_DUCK_SHINGLES},
-    pairs AS (
-      SELECT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-              / (len(a.shingles) + len(b.shingles)
-                 - len(list_intersect(a.shingles, b.shingles))) >= 0.3
     ),
     edges AS (
-      SELECT a_id AS u, b_id AS v FROM pairs
-      UNION SELECT b_id, a_id FROM pairs
+      SELECT a_id AS u, b_id AS v FROM pairs WHERE jac >= 0.3
+      UNION SELECT b_id, a_id FROM pairs WHERE jac >= 0.3
     ),
     reach(u, v) AS (
       SELECT u, v FROM edges
@@ -303,18 +283,35 @@ def dd6_dedup_keep_min(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
     ),
     label AS (SELECT u AS id, min(v) AS mn FROM reach GROUP BY u)
-    SELECT d.doc_id, d.lang, d.source FROM documents d
+    SELECT 'keep_min' AS op, d.doc_id, d.lang, d.source FROM documents d
+    WHERE d.doc_id NOT IN
+      (SELECT DISTINCT b_id FROM pairs WHERE jac >= 0.3)
+    UNION ALL
+    SELECT 'transitive', d.doc_id, d.lang, d.source FROM documents d
     LEFT JOIN label l ON d.doc_id = l.id
     WHERE l.id IS NULL OR least(l.mn, d.doc_id) = d.doc_id
     """,
-    "One survivor (min doc_id) per connected component of the near-dup "
-    "graph — min-label propagation to a fixpoint; collapses chains "
-    "A~B~C that single-pass keep-min leaves partially duplicated.",
+    "Both near-dup RESOLUTION policies over one shared pair set, as a "
+    "tagged union: 'keep_min' = documents surviving single-pass "
+    "keep-min-id removal (anti-join); 'transitive' = one survivor "
+    "(min doc_id) per connected component — min-label propagation to "
+    "a fixpoint, collapsing chains A~B~C that single-pass keep-min "
+    "leaves partially duplicated. The Jaccard pair set is computed "
+    "once and cached across the family (the production shape: pairs "
+    "are the expensive side, resolution is cheap).",
 )
-def dd7_dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def dd6_dd7_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
     pairs = _jaccard_pairs_cached(spark, sf_dir)
-    return dedup.dedup_transitive(docs.select("doc_id", "lang", "source"), pairs)
+    km = dedup.dedup_keep_min(docs, pairs).select(
+        F.lit("keep_min").alias("op"), "doc_id", "lang", "source"
+    )
+    tr = dedup.dedup_transitive(docs, pairs).select(
+        F.lit("transitive").alias("op"), "doc_id", "lang", "source"
+    )
+    return km.unionByName(tr)
 
 
 @query(

@@ -717,3 +717,97 @@ def o3_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "p_name")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# §2.13 L13: ANALYZE column stats — NEW declared r14 (VERDICT r13 #2,
+# the slot freed by the dd6/dd7 fold)
+# --------------------------------------------------------------------------
+@query(
+    "stats1_analyze",
+    "L13: ANALYZE column stats, one scan (operators/stats.py) — NEW "
+    "declared r14; exact tiers (count / null fraction / min / max / "
+    "avg length) hash-checked vs a DuckDB per-column recompute, the "
+    "HLL ndv as an oracle-pinned tolerance boolean (the cd_acd "
+    "pattern: sketch values differ across engines, the bound does not)",
+    """
+    WITH cols("column", dtype) AS (
+      VALUES ('doc_id', 'bigint'), ('text', 'string'),
+             ('lang', 'string'), ('source', 'string'),
+             ('n_chars', 'bigint')
+    ),
+    prof AS (
+      SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(doc_id) AS n_nulls,
+             MIN(doc_id)::VARCHAR AS min_value,
+             MAX(doc_id)::VARCHAR AS max_value,
+             CAST(NULL AS DOUBLE) AS avg_length,
+             COUNT(DISTINCT doc_id) AS exact_ndv
+      FROM documents
+      UNION ALL
+      SELECT 'text', COUNT(*), COUNT(*) - COUNT(text),
+             MIN(text)::VARCHAR, MAX(text)::VARCHAR,
+             AVG(LENGTH(text)), COUNT(DISTINCT text) FROM documents
+      UNION ALL
+      SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+             MIN(lang)::VARCHAR, MAX(lang)::VARCHAR,
+             AVG(LENGTH(lang)), COUNT(DISTINCT lang) FROM documents
+      UNION ALL
+      SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+             MIN(source)::VARCHAR, MAX(source)::VARCHAR,
+             AVG(LENGTH(source)), COUNT(DISTINCT source) FROM documents
+      UNION ALL
+      SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+             MIN(n_chars)::VARCHAR, MAX(n_chars)::VARCHAR,
+             CAST(NULL AS DOUBLE), COUNT(DISTINCT n_chars) FROM documents
+    )
+    SELECT c."column", c.dtype, p.n_rows, p.n_nulls,
+           p.n_nulls::DOUBLE / p.n_rows AS null_fraction,
+           p.min_value, p.max_value, p.avg_length,
+           TRUE AS ndv_within_tol
+    FROM cols c JOIN prof p ON c."column" = p."column"
+    """,
+    "The one-scan ANALYZE battery over the documents table: every "
+    "per-column measure folds into a single physical Aggregate (no "
+    "per-column jobs — the only acceptable cost model at 100 TB). "
+    "Exact measures hash-check against DuckDB's independent "
+    "per-column recompute; the HLL distinct-count sketch "
+    "(approx_count_distinct, mergeable fixed state — the affordable "
+    "shape at scale) is compared to an exact COUNT(DISTINCT) audit "
+    "tier computed alongside and shipped as the deterministic "
+    "boolean |approx - exact| <= max(2, 15%) (~3 sigma at the "
+    "default rsd 0.05), which the oracle pins TRUE.",
+)
+def stats1_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_zero_spark.operators import stats as stats_op
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = stats_op.analyze(docs)
+    # exact-ndv audit tier: one extra agg -> 1-row frame -> stack long
+    # (the declared query is the AUDIT composition; production runs
+    # analyze() alone and keeps the sketch)
+    cols = docs.columns
+    exact = docs.agg(
+        *[F.countDistinct(c).alias(f"__e_{i}") for i, c in enumerate(cols)]
+    )
+    stack = ", ".join(f"'{c}', __e_{i}" for i, c in enumerate(cols))
+    exact_long = exact.select(
+        F.expr(f"stack({len(cols)}, {stack}) AS (column, exact_ndv)")
+    )
+    tol = F.greatest(F.lit(2.0), 0.15 * F.col("exact_ndv"))
+    return (
+        rep.join(F.broadcast(exact_long), "column")
+        .select(
+            "column",
+            "dtype",
+            "n_rows",
+            "n_nulls",
+            "null_fraction",
+            "min_value",
+            "max_value",
+            "avg_length",
+            (F.abs(F.col("approx_ndv") - F.col("exact_ndv")) <= tol).alias(
+                "ndv_within_tol"
+            ),
+        )
+    )
