@@ -163,6 +163,14 @@ PROBE_2M_DIR = os.path.join(
 )
 N_DOCS_2M = 2_000_000
 
+#: 8M-doc corpus (R14, VERDICT r13 #5): the band's 1m->4m s/M-docs
+#: drifts upward ~35%; one 8M point tells whether that is fixed-cost
+#: amortization noise or the start of a knee.
+PROBE_8M_DIR = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), "etlzero_scale_probe_8m"
+)
+N_DOCS_8M = 8_000_000
+
 
 def _generate_docs_only(spark, out_dir: str, n_docs: int, parts: int) -> str:
     marker = os.path.join(out_dir, "_COMPLETE")
@@ -191,6 +199,12 @@ def generate_2m(spark, out_dir: str = PROBE_2M_DIR, parts: int = 32) -> str:
 def generate_4m(spark, out_dir: str = PROBE_4M_DIR, parts: int = 32) -> str:
     """Documents-only 4M corpus (R10); idempotent."""
     return _generate_docs_only(spark, out_dir, N_DOCS_4M, parts)
+
+
+def generate_8m(spark, out_dir: str = PROBE_8M_DIR, parts: int = 64) -> str:
+    """Documents-only 8M corpus (R14); idempotent. 64 generation
+    partitions keep the per-task row count at the 4M run's level."""
+    return _generate_docs_only(spark, out_dir, N_DOCS_8M, parts)
 
 
 def generate(spark, out_dir: str = PROBE_DIR, parts: int = 32) -> str:
@@ -311,8 +325,11 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         # is already spent). R11: +100s nets the 2M midpoint +
         # split_harden_1m against the 1M row dropping to one rep.
         # R12: +150s for contamination_1m (its exact tier is a
-        # deliberate ~107s blowup measurement).
-        budget_s = float(os.environ.get("SPARK_GRAFT_PROBE_BUDGET", "1850"))
+        # deliberate ~107s blowup measurement). R14: +1250s for the
+        # corpus_pipeline_8m linearity point (VERDICT r13 #5 — ~8x the
+        # 1M row's pipeline-only time; its own cost gate skips it when
+        # the window is already spent, as the 4M row was in r13).
+        budget_s = float(os.environ.get("SPARK_GRAFT_PROBE_BUDGET", "3100"))
     t_start = time.perf_counter()
     from pyspark.sql import functions as F
 
@@ -1202,6 +1219,48 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         return spark.createDataFrame([(n,)], "rows long")
 
+    pipeline_8m_detail: dict = {}
+
+    def corpus_pipeline_8m():
+        # R14 (VERDICT r13 #5): the band's fourth point. Identical
+        # stage shape and thresholds to the 1m/2m/4m rows, report
+        # excluded; 256 shuffle partitions extend the same
+        # rows-per-partition sizing rule (the 4M row pins 128).
+        from etl_zero_spark.functions.artifacts import corpus_key
+        from etl_zero_spark.operators import classifier as qc
+        from etl_zero_spark.plans.corpus_pipeline import prepare_corpus
+
+        d8m = load_table(spark, PROBE_8M_DIR, "documents")
+        pos = d8m.where(F.col("doc_id") % 100 == 0).select("doc_id", "text")
+        neg = pos.select("doc_id", F.reverse(F.col("text")).alias("text"))
+        model = qc.cached_quality_classifier(
+            pos, neg,
+            corpus_key(
+                os.path.join(PROBE_8M_DIR, "documents.parquet"),
+                pos="mod100", neg="mod100-reversed",
+            ),
+            max_iter=10,
+        )
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "256")
+        try:
+            res = prepare_corpus(
+                d8m,
+                quality=False,
+                classifier_model=model,
+                line_dedup_min_docs=2,
+                near_dedup_threshold=0.5,
+                substring_dedup_k=25,
+                pack_budget=2048,
+                collect_stats=True,
+            )
+            n = res.df.count()
+            pipeline_8m_detail["stage_survivors"] = dict(res.stats)
+            res.unpersist()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return spark.createDataFrame([(n,)], "rows long")
+
     def lm_ppl_100k():
         # R6: CCNet-style quality signal at 100k docs — train the
         # pruned bigram LM on a 20k-doc reference slice (two groupBy
@@ -1409,18 +1468,26 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("corpus_pipeline_1m", corpus_pipeline_1m),
         ("corpus_pipeline_2m", corpus_pipeline_2m),
         ("corpus_pipeline_4m", corpus_pipeline_4m),
+        ("corpus_pipeline_8m", corpus_pipeline_8m),
     ]:
         if time.perf_counter() - t_start > budget_s:
             out[name] = {"skipped": f"probe budget {budget_s}s spent"}
             print(f"# probe {name}: {out[name]}", file=sys.stderr)
             continue
-        if name in ("corpus_pipeline_2m", "corpus_pipeline_4m"):
+        if name in (
+            "corpus_pipeline_2m", "corpus_pipeline_4m",
+            "corpus_pipeline_8m",
+        ):
             # the composed pipeline costs ~Nx the 1M row's
             # pipeline-only time; running it into a nearly-spent
             # budget would blow well past the cap mid-probe (the
             # budget check is per-probe, not preemptive), so it needs
             # this much left
-            scale = 2.0 if name == "corpus_pipeline_2m" else 4.0
+            scale = {
+                "corpus_pipeline_2m": 2.0,
+                "corpus_pipeline_4m": 4.0,
+                "corpus_pipeline_8m": 8.0,
+            }[name]
             remaining = budget_s - (time.perf_counter() - t_start)
             est = scale * max(
                 out.get("corpus_pipeline_1m", {}).get("sec", 120) or 120,
@@ -1434,9 +1501,11 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
                 }
                 print(f"# probe {name}: {out[name]}", file=sys.stderr)
                 continue
-            (generate_2m if name == "corpus_pipeline_2m" else generate_4m)(
-                spark
-            )
+            {
+                "corpus_pipeline_2m": generate_2m,
+                "corpus_pipeline_4m": generate_4m,
+                "corpus_pipeline_8m": generate_8m,
+            }[name](spark)
         if name in (
             "report_1m", "bm25_1m", "split_harden_1m",
             "contamination_1m", "corpus_pipeline_1m"
@@ -1562,6 +1631,29 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
                     band["2m"] = p2["sec_per_mdocs"]
                 band["4m"] = out[name]["sec_per_mdocs"]
                 out[name]["sec_per_mdocs_band"] = band
+            if name == "corpus_pipeline_8m" and pipeline_8m_detail:
+                out[name].update(pipeline_8m_detail)
+                out[name]["rows"] = pipeline_8m_detail.get(
+                    "stage_survivors", {}
+                ).get("packed", rows)
+                out[name]["sec_per_mdocs"] = round(out[name]["sec"] / 8.0, 2)
+                # the full four-point band on the newest row (R14):
+                # each smaller point copied when its row completed
+                band8 = {}
+                p1 = out.get("corpus_pipeline_1m", {})
+                if isinstance(p1.get("sec"), (int, float)):
+                    band8["1m"] = round(
+                        p1["sec"] - p1.get("report_sec", 0), 2
+                    )
+                for key, nm in (
+                    ("2m", "corpus_pipeline_2m"),
+                    ("4m", "corpus_pipeline_4m"),
+                ):
+                    pn = out.get(nm, {})
+                    if isinstance(pn.get("sec_per_mdocs"), (int, float)):
+                        band8[key] = pn["sec_per_mdocs"]
+                band8["8m"] = out[name]["sec_per_mdocs"]
+                out[name]["sec_per_mdocs_band"] = band8
         except Exception as exc:  # noqa: BLE001 — probe must not kill bench
             out[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
         print(f"# probe {name}: {out[name]}", file=sys.stderr)
