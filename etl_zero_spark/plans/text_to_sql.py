@@ -240,8 +240,9 @@ class RuleBasedGenerator:
                 # fallback marks the unmatched-grammar family so the
                 # transcript can still rank it
                 self.last_refusal_reason = (
-                    "no grammar rule matched the question against the "
-                    "rendered schema"
+                    "no rule answered the question as stated — no "
+                    "grammar family matched, or a branch refused "
+                    "without a more specific reason"
                 )
             return ""
         _, question = self._split_prompt(prompt)
@@ -2756,6 +2757,13 @@ class RuleBasedGenerator:
             "t3.",
         )
         if conds and re.search(r"\bor\b", raw_where, re.IGNORECASE):
+            # opportunistic reason (cleared if another branch answers,
+            # R14 review: this refusal read 'no grammar rule matched')
+            self.last_refusal_reason = (
+                "a stated OR cannot split across the walk's ON/WHERE "
+                "sides without silently becoming the zero-row "
+                "conjunction"
+            )
             return None
         by_alias = {
             i: [c for _, _, c in conds if f"t{i}." in c]
@@ -3010,7 +3018,12 @@ class RuleBasedGenerator:
         if m.group(2):
             gcol = self._resolve_column(m.group(2), schema[table])
             if gcol is None:
-                return ""  # a stated base-side group column must resolve
+                # a stated base-side group column must resolve
+                self.last_refusal_reason = (
+                    f"stated group column '{m.group(2)}' does not "
+                    f"resolve in {table}"
+                )
+                return ""
         # a sort stated BEYOND the consumed 'by <metric>' would be
         # silently dropped by this ranked answer — refuse. A SECOND
         # bare 'by' is a group cue too ('top 3 nations by revenue by
@@ -3024,10 +3037,32 @@ class RuleBasedGenerator:
         # a per-mention with no parent walk / unresolvable column
         # refuses with the named reason.
         if self._sort_mention(q) or re.search(r"\bgrouped\s+by\b", q):
+            self.last_refusal_reason = (
+                "a stated sort/'grouped by' beyond the consumed "
+                "'by <metric>' would be silently dropped by the "
+                "ranked answer"
+            )
             return ""
         if len(re.findall(r"\bby\b", q)) > 1:
+            self.last_refusal_reason = (
+                "a second bare 'by' states another sort/grouping the "
+                "ranked answer cannot carry"
+            )
             return ""
         part = None
+        per_mentions = re.findall(
+            r"\b(?:per|for\s+each|for\s+every|in\s+each)\b", q
+        )
+        if len(per_mentions) > 1:
+            # R14 second review pass: ONE per-mention partitions the
+            # ranking; a SECOND would be silently dropped (the regex
+            # below consumes only the first) — refuse, the doctrine
+            # the partition feature must not regress
+            self.last_refusal_reason = (
+                "two stated groupings ('per ... per ...') — the "
+                "partitioned ranking carries exactly one"
+            )
+            return ""
         pm = re.search(
             r"\b(?:per|for\s+each|for\s+every|in\s+each)\s+(\w+)"
             r"(?:\s+(\w+))?",

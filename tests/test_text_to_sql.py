@@ -1798,6 +1798,27 @@ def test_generator_ranked_child_walk_partition_refusals():
         _SCHEMA_FULL, "top 3 nations by revenue per region frobnicate"
     )) == ""
     assert "frobnicate" in gen.last_refusal_reason
+    # R14 second review pass: a SECOND per-family mention would be
+    # silently dropped (the partition consumes only the first) —
+    # refuse with the named reason, across all three per-family forms
+    for second in ("per mktsegment", "for each mktsegment",
+                   "in each mktsegment"):
+        assert gen(t2s.build_prompt(
+            _SCHEMA_FULL,
+            f"top 3 nations by revenue per region name {second}",
+        )) == ""
+        assert "two stated groupings" in gen.last_refusal_reason
+    # ...and the branch refusals carry specific reasons now
+    assert gen(t2s.build_prompt(
+        _SCHEMA_FULL, "top 3 nations by revenue sorted by name"
+    )) == ""
+    assert "silently dropped" in gen.last_refusal_reason
+    assert gen(t2s.build_prompt(
+        _SCHEMA_FULL,
+        "top 3 nations by revenue per region name "
+        "where mktsegment is BUILDING or AUTOMOBILE",
+    )) == ""
+    assert "ON/WHERE" in gen.last_refusal_reason
 
 
 def test_generator_ranked_child_walk_partitioned_duckdb():
@@ -2910,7 +2931,7 @@ def test_refusal_reasons_every_refusal_carries_one():
         "which analyst spent the most": "money-verb",
         "how many orders does each customer or supplier have":
             "alternative",
-        "tell me a joke": "no grammar rule matched",
+        "tell me a joke": "no rule answered",
     }
     for q, want in cases.items():
         assert gen(t2s.build_prompt(_SCHEMA_CATALOG, q)) == ""

@@ -33,7 +33,6 @@ import pytest
 from etl_zero_spark.plans import text_to_sql as t2s
 from tests.test_text_to_sql_oracle_fuzz import (
     DIMS, DIM_VALUES, MEASURES, NAMES, TABLES, Case, _canon, _load,
-    _pluralize,
 )
 
 
@@ -249,20 +248,6 @@ def _diamond(rng: random.Random):
 def gen_walk_cases() -> list[Case]:
     rng = random.Random(0xF14)
     cases: list[Case] = []
-
-    def chain_case(family, hops, question_fn, intended_fn, tie_fn=None):
-        names, pfx, sings, metric, schema, tabs = _chain(rng, hops)
-        q = question_fn(names, sings, metric)
-        sql = intended_fn(names, pfx, sings, metric)
-        tie = tie_fn(names, pfx, sings, metric) if tie_fn else None
-        cases.append(Case(family, q, sql, schema, tabs, tie_check=tie))
-
-    def topcols(names, pfx, sings):
-        return ", ".join(
-            f"t1.{c}" for c in (
-                f"{pfx[0]}_{sings[0]}key", f"{pfx[0]}_name",
-            )
-        )
 
     # --- 2-hop ranked SUM walk -------------------------------------------
     for _ in range(12):

@@ -312,6 +312,18 @@ def generate(spark, out_dir: str = PROBE_DIR, parts: int = 32) -> str:
     return out_dir
 
 
+
+def _band_point_1m(row: dict) -> float | None:
+    """The 1M row's like-for-like band point: its sec MINUS the
+    in-probe report_sec (the 2m/4m/8m rows exclude the report), or
+    None when the row did not complete. One copy (R14 review) so the
+    like-for-like rule cannot desynchronize between the 4m and 8m
+    band blocks."""
+    if isinstance(row.get("sec"), (int, float)):
+        return round(row["sec"] - row.get("report_sec", 0), 2)
+    return None
+
+
 def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) -> dict:
     """One cold run per op; failures record an err string, never raise.
 
@@ -1624,8 +1636,9 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
                 # points in one place, so the claim reads off a band,
                 # not a point-vs-bimodal-median comparison
                 band = {}
-                if isinstance(p1.get("sec"), (int, float)):
-                    band["1m"] = round(p1["sec"] - p1.get("report_sec", 0), 2)
+                bp1 = _band_point_1m(p1)
+                if bp1 is not None:
+                    band["1m"] = bp1
                 p2 = out.get("corpus_pipeline_2m", {})
                 if isinstance(p2.get("sec_per_mdocs"), (int, float)):
                     band["2m"] = p2["sec_per_mdocs"]
@@ -1640,11 +1653,9 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
                 # the full four-point band on the newest row (R14):
                 # each smaller point copied when its row completed
                 band8 = {}
-                p1 = out.get("corpus_pipeline_1m", {})
-                if isinstance(p1.get("sec"), (int, float)):
-                    band8["1m"] = round(
-                        p1["sec"] - p1.get("report_sec", 0), 2
-                    )
+                bp1 = _band_point_1m(out.get("corpus_pipeline_1m", {}))
+                if bp1 is not None:
+                    band8["1m"] = bp1
                 for key, nm in (
                     ("2m", "corpus_pipeline_2m"),
                     ("4m", "corpus_pipeline_4m"),
