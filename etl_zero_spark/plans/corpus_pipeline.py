@@ -129,12 +129,31 @@ def prepare_corpus(
     stats: dict[str, int] = {}
     persisted: list = []
     df = docs
+    prev_cached: list = []
 
     def record(stage: str, frame: DataFrame) -> DataFrame:
         if collect_stats:
             frame = frame.cache()
             persisted.append(frame)
             stats[stage] = frame.count()
+            # R14 (8M probe post-mortem): release the PREVIOUS
+            # stage's cache as soon as this stage has materialized
+            # from it — the chain is linear, so nothing downstream
+            # ever reads an older frame, and keeping every stage
+            # cached (MEMORY_AND_DISK spills blocks to disk) held
+            # ~11 full copies of the corpus alive at once: at 8M
+            # docs that overflowed the host's scratch disk
+            # mid-shuffle ("No space left on device" in the span
+            # stage). Fork consumers are safe: both subtrees of a
+            # forked input are consumed INSIDE the very next
+            # record()'s count. The final frame stays cached for
+            # the caller (CorpusResult.unpersist()).
+            while prev_cached:
+                old = prev_cached.pop()
+                old.unpersist()
+                if old in persisted:
+                    persisted.remove(old)
+            prev_cached.append(frame)
         return frame
 
     def fork(frame: DataFrame) -> DataFrame:
