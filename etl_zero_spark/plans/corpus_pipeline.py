@@ -154,6 +154,20 @@ def prepare_corpus(
                 if old in persisted:
                     persisted.remove(old)
             prev_cached.append(frame)
+            # ...and release the dead stages' SHUFFLE files: the
+            # ContextCleaner only removes shuffles whose RDDs the JVM
+            # has garbage-collected, and its periodic-GC default (30
+            # minutes, spark.cleaner.periodicGC.interval) never fires
+            # inside one pipeline run — so every completed stage's
+            # shuffle stayed on scratch disk for the whole run, and
+            # at 8M docs their SUM (not any one stage's peak)
+            # overflowed the host. One System.gc() per stage bounds
+            # scratch at ~the live stage's footprint; its 0.1-1s cost
+            # is noise against any stage this matters for.
+            try:
+                frame.sparkSession.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001 — cleanup must not fail a run
+                pass
         return frame
 
     def fork(frame: DataFrame) -> DataFrame:

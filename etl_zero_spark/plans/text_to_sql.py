@@ -711,6 +711,11 @@ class RuleBasedGenerator:
             order = self._order_column(q, cols)
             if order is None:
                 return ""
+            ranked = self._row_rank_per(
+                q, raw_where, table, cols, schema, order, "DESC", n, ex
+            )
+            if ranked is not None:
+                return ranked
             if ex:
                 return (
                     f"SELECT * FROM {table} t1{ex_lead} {ex_pred} "
@@ -749,6 +754,11 @@ class RuleBasedGenerator:
             order = self._order_column(q, cols)
             if order is None:
                 return ""
+            ranked = self._row_rank_per(
+                q, raw_where, table, cols, schema, order, "ASC", n, ex
+            )
+            if ranked is not None:
+                return ranked
             if ex:
                 return (
                     f"SELECT * FROM {table} t1{ex_lead} {ex_pred} "
@@ -1066,6 +1076,53 @@ class RuleBasedGenerator:
             q_main,
         )
         sort_stated = re.search(r"\b(?:sorted|ordered)\s+by\b", q_main)
+        # R14 second pass: a which/what TABLE-subject superlative WITH
+        # a stated per-style grouping previously fell through to the
+        # aggregate branch, which shipped the grouped aggregate with
+        # the stated subject and superlative silently DROPPED ('which
+        # nation has the highest total revenue per region name'
+        # answered as revenue per n_regionkey). The shape is the
+        # partitioned ranking's LIMIT-1 twin: rewrite ONCE into the
+        # ranked form and let that machinery — and its refusal
+        # lockstep — answer ('top 1 nation by total revenue per
+        # region name'). 'most/fewest <table>' becomes the count
+        # form. The rewrite contains no which/what-has lead, so it
+        # cannot recurse. Metric-subject superlatives ('the largest
+        # totalprice per orderstatus') keep their grouped-MAX reading
+        # in the aggregate branch.
+        if m and not hv and not sort_stated and re.search(
+            r"\b(?:per|for\s+each|for\s+every|in\s+each)\s", q_main
+        ):
+            subj_m = re.search(
+                r"\b(?:which|what)\s+(\w+)\s+(?:has|have|had)\b", q_main
+            )
+            if subj_m and self._is_table_word(subj_m.group(1), schema):
+                sup = m.group(1)
+                d_word = (
+                    "bottom"
+                    if sup in ("lowest", "smallest", "least", "minimum",
+                               "fewest")
+                    else "top"
+                )
+                aggw, target = m.group(2), m.group(3)
+                if (
+                    sup in ("most", "fewest")
+                    and aggw is None
+                    and self._is_table_word(target, schema)
+                ):
+                    metric = f"number of {target}"
+                else:
+                    metric = f"{aggw} {target}" if aggw else target
+                tail = raw[m.end():]
+                nq = f"{d_word} 1 {subj_m.group(1)} by {metric}{tail}"
+                return self._generate(
+                    re.sub(
+                        r"(Question:\n).*?(\n\nAnswer:)",
+                        lambda g2: g2.group(1) + nq + g2.group(2),
+                        prompt,
+                        flags=re.DOTALL,
+                    )
+                )
         if m and not hv and not grouped:
             if sort_stated:
                 return ""  # a stated sort is meaningless on a 1-row answer
@@ -3103,6 +3160,68 @@ class RuleBasedGenerator:
             order=direction, limit=n, part=part,
         )
         return "" if sql is None else sql
+
+    def _row_rank_per(
+        self, q: str, raw_where: str, table: str, cols: dict,
+        schema: dict, order: str, d: str, n: int, ex,
+    ) -> str | None:
+        """Per-partition RAW-ROW ranking — the local twin of the
+        walked partitioned ranking (R14 second pass: 'top 5 orders by
+        totalprice per orderstatus' previously shipped the global
+        LIMIT 5 with the stated per-grouping silently dropped).
+        Returns None when no per-style mention is stated (the caller
+        keeps its plain ranking); '' = the mention is stated but
+        cannot be honored -> refuse with the stamped reason. A LOCAL
+        partition column needs no join; a parent-table mention joins
+        the parent walk and emits the partition column first. The
+        window tie-breaks on every base column, so the surviving rows
+        are deterministic on every engine."""
+        pm = re.search(
+            r"\b(?:per|for\s+each|for\s+every|in\s+each)\s+(\w+)"
+            r"(?:\s+(\w+))?",
+            q,
+        )
+        if pm is None:
+            return None
+        if ex:
+            self.last_refusal_reason = (
+                "a per-grouped row ranking cannot host the stated "
+                "existence constraint's subquery aliases"
+            )
+            return ""
+        if len(re.findall(
+            r"\b(?:per|for\s+each|for\s+every|in\s+each)\b", q
+        )) > 1:
+            self.last_refusal_reason = (
+                "two stated groupings ('per ... per ...') — the "
+                "partitioned ranking carries exactly one"
+            )
+            return ""
+        part = self._partition_mention(pm, table, cols, schema, 0)
+        if part is None:
+            return ""  # reason stamped by _partition_mention
+        pjoin, pexpr, pname, is_local = part
+        base_cols = list(cols)
+        if not is_local and pname in base_cols:
+            self.last_refusal_reason = (
+                f"partition column '{pname}' collides with a {table} "
+                f"column name — the per-group ranking cannot emit both"
+            )
+            return ""
+        jwhere = self._where_clause(raw_where, cols, prefix="t1.")
+        inner_sel = ", ".join(f"t1.{c}" for c in base_cols)
+        extra = f"{pexpr} AS {pname}, " if not is_local else ""
+        tie = ", ".join(f"t1.{c}" for c in base_cols)
+        out = ", ".join(base_cols)
+        if not is_local:
+            out = f"{pname}, {out}"
+        return (
+            f"SELECT {out} FROM (SELECT {extra}{inner_sel}, "
+            f"ROW_NUMBER() OVER (PARTITION BY {pexpr} "
+            f"ORDER BY t1.{order} {d}, {tie}) AS rk "
+            f"FROM {table} t1{pjoin}{jwhere}) ranked "
+            f"WHERE rk <= {n} ORDER BY {pname}, rk"
+        )
 
     #: words after 'per <table>' that are NOT a partition column
     #: mention — 'per region where ...' carries the filter tail

@@ -1821,6 +1821,65 @@ def test_generator_ranked_child_walk_partition_refusals():
     assert "ON/WHERE" in gen.last_refusal_reason
 
 
+def test_generator_row_rank_partitioned_local():
+    """R14 second pass: 'top N <rows> by <col> per <dim>' previously
+    shipped the GLOBAL LIMIT N with the stated per-grouping silently
+    dropped. It now ranks within each partition: a LOCAL dim needs no
+    join; a parent-table mention joins the parent walk and emits the
+    partition column first; refusals stay in lockstep (unresolvable
+    partition, two per-mentions, existence constraints)."""
+    out = _gen_full("top 5 orders by totalprice per orderstatus")
+    assert "PARTITION BY t1.o_orderstatus" in out
+    assert "WHERE rk <= 5" in out and "ORDER BY o_orderstatus, rk" in out
+    out = _gen_full("bottom 2 orders by totalprice per orderstatus")
+    assert "ORDER BY t1.o_totalprice ASC" in out and "rk <= 2" in out
+    out = _gen_full("top 2 customers by acctbal per nation name")
+    assert out.startswith("SELECT n_name, c_custkey")
+    assert "JOIN nation t2 ON t1.c_nationkey = t2.n_nationkey" in out
+    # plain rankings are untouched
+    assert _gen_full("top 5 orders by totalprice") == (
+        "SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 5"
+    )
+    gen = t2s.RuleBasedGenerator()
+    assert gen(t2s.build_prompt(
+        _SCHEMA_FULL, "top 5 orders by totalprice per widget"
+    )) == ""
+    assert "per widget" in gen.last_refusal_reason
+    assert gen(t2s.build_prompt(
+        _SCHEMA_FULL,
+        "top 5 orders by totalprice per orderstatus per orderpriority",
+    )) == ""
+    assert "two stated groupings" in gen.last_refusal_reason
+
+
+def test_generator_table_subject_superlative_per_rewrite():
+    """R14 second pass: a which/what TABLE-subject superlative WITH a
+    per-grouping previously fell through to the aggregate branch and
+    shipped the grouped aggregate with the subject and superlative
+    silently dropped ('which nation has the highest total revenue per
+    region name' answered as revenue per n_regionkey). It rewrites
+    once into the ranked form — the partitioned LIMIT-1 twin."""
+    out = _gen_full(
+        "which nation has the highest total revenue per region name"
+    )
+    assert "PARTITION BY t4.r_name" in out and "WHERE rk <= 1" in out
+    assert "COALESCE(SUM(t3.o_totalprice), 0)" in out
+    # lowest flips the window direction
+    out = _gen_full(
+        "which nation has the lowest total revenue per region name"
+    )
+    assert "ORDER BY COALESCE(SUM(t3.o_totalprice), 0) ASC" in out
+    # 'most <table>' becomes the count form
+    out = _gen_full("which nation has the most customers per region name")
+    assert "COUNT(t2.c_nationkey) AS n" in out and "WHERE rk <= 1" in out
+    # local metric: the row-rank partitioned path answers
+    out = _gen_full("which customer has the highest acctbal per nation name")
+    assert "PARTITION BY t2.n_name" in out and "rk <= 1" in out
+    # metric-subject superlatives keep the grouped-MAX reading
+    out = _gen_full("the largest totalprice per orderstatus")
+    assert "MAX(o_totalprice)" in out and "GROUP BY o_orderstatus" in out
+
+
 def test_generator_ranked_child_walk_partitioned_duckdb():
     """The partitioned ranking executes and matches an independently
     written oracle on the sf0.001 parquet (per-region top-2 nations

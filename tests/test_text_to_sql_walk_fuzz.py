@@ -495,6 +495,55 @@ def gen_walk_cases() -> list[Case]:
             schema, tabs,
         ))
 
+    # --- R14 second pass: which-table-subject superlative with a per
+    # grouping rewrites into the partitioned LIMIT-1 ranking ---------------
+    for i in range(8):
+        names, pfx, sings, metric, schema, tabs = _chain(rng, 2)
+        top, mid, leaf = names
+        tp_, mp, lp = pfx
+        tsing, msing = sings[0], sings[1]
+        midcols = [c for c, _ in tabs[mid][0]]
+        gsel = ", ".join(f"m.{c}" for c in midcols)
+        bare = ", ".join(midcols)
+        hi = i % 2 == 0
+        d = "DESC" if hi else "ASC"
+        word = "highest" if hi else "lowest"
+        alias = f"{lp}_{metric}_sum"
+        expr = f"COALESCE(SUM(l.{lp}_{metric}), 0)"
+        cases.append(Case(
+            "walk_part_superlative",
+            f"which {msing} has the {word} total {metric} "
+            f"per {tsing} name",
+            f"SELECT {tp_}_name, {bare}, {alias} FROM ("
+            f"SELECT p.{tp_}_name, {gsel}, {expr} AS {alias}, "
+            f"ROW_NUMBER() OVER (PARTITION BY p.{tp_}_name "
+            f"ORDER BY {expr} {d}, {gsel}) AS rk "
+            f"FROM {mid} m "
+            f"JOIN {top} p ON m.{mp}_{tsing}key = p.{tp_}_{tsing}key "
+            f"LEFT JOIN {leaf} l ON m.{mp}_{msing}key = "
+            f"l.{lp}_{msing}key "
+            f"GROUP BY p.{tp_}_name, {gsel}) x WHERE rk <= 1",
+            schema, tabs,
+        ))
+
+    # --- R14 second pass: LOCAL partitioned raw-row ranking ---------------
+    from tests.test_text_to_sql_oracle_fuzz import _mk_single_table
+
+    for _ in range(8):
+        n = rng.randint(2, 4)
+        t, p, m1, _, dim, schema, tabs = _mk_single_table(rng)
+        colnames = [c for c, _ in tabs[t][0]]
+        inner = ", ".join(f"t1.{c}" for c in colnames)
+        cases.append(Case(
+            "row_rank_part_local",
+            f"top {n} {t} by {m1} per {dim}",
+            f"SELECT {', '.join(colnames)} FROM (SELECT {inner}, "
+            f"ROW_NUMBER() OVER (PARTITION BY t1.{p}_{dim} "
+            f"ORDER BY t1.{p}_{m1} DESC, {inner}) AS rk "
+            f"FROM {t} t1) x WHERE rk <= {n}",
+            schema, tabs,
+        ))
+
     # --- must-refuse: same-parent key pun ----------------------------------
     for i in range(8):
         pn, c1n, c2n, c2sing, m, schema, tabs = _pun(rng)
@@ -524,7 +573,8 @@ MIN_ANSWER_RATE = {
     "walk2_count_superlative": 0.7, "walk3_ranked": 0.6,
     "walk3_count_superlative": 0.6, "fan_count_ranked": 0.6,
     "fan_sum_group": 0.6, "fan_avg_group": 0.6, "fan_count_group": 0.6,
-    "walk_partitioned": 0.6,
+    "walk_partitioned": 0.6, "walk_part_superlative": 0.6,
+    "row_rank_part_local": 0.6,
 }
 MUST_REFUSE = {"pun_refuse", "diamond_refuse"}
 

@@ -89,6 +89,10 @@ QUESTIONS = [
     "top 3 nations by revenue per region name",
     "top 2 nations by number of customers per region name",
     "bottom 2 nations by revenue per region",
+    # R14 second pass: the which-subject and raw-row partitioned twins
+    # (both previously shipped SQL that silently dropped a stated part)
+    "which nation has the highest total revenue per region name",
+    "top 5 orders by totalprice per orderstatus",
     # refusal contract (stated constraints that cannot render);
     # every refusal carries a reason since R14 (VERDICT r13 #6)
     "which nation has the highest quantity",
