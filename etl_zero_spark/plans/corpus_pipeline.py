@@ -36,6 +36,7 @@ off, or let the zone writes between stages provide the counts.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -61,6 +62,10 @@ from ..operators.text import scrub_pii
 class CorpusResult:
     df: DataFrame
     stats: dict[str, int] = field(default_factory=dict)
+    #: wall seconds to materialize each stage (collect_stats only) —
+    #: the per-stage breakdown the scale probes report so a band
+    #: drift names its culprit stage instead of guessing (R14)
+    stage_secs: dict[str, float] = field(default_factory=dict)
     #: frames this run persisted (stage caches or fork inputs); call
     #: :meth:`unpersist` when done consuming ``df``.
     persisted: list = field(default_factory=list)
@@ -104,6 +109,7 @@ def prepare_corpus(
     pack_budget: int | None = None,
     pack_streams: int = 256,
     collect_stats: bool = True,
+    eager_release: bool = False,
 ) -> CorpusResult:
     """Run the full preparation chain; every stage is optional via its
     parameter (``None``/``False`` skips it). Returns the prepared
@@ -125,8 +131,19 @@ def prepare_corpus(
     chain once per consumer (observed 4-6x recompute at bench). All
     frames this call persisted are listed in ``CorpusResult.persisted``
     — call ``result.unpersist()`` when done.
+
+    ``eager_release`` (R14, default OFF) unpersists each stage's cache
+    as soon as the next stage has materialized, and nudges a JVM GC so
+    the dead stage's shuffle files are reclaimed. MEASURED at the 4M
+    scale probe (same host, same session family): retained mode 533s,
+    eager mode 797-836s — eager is ~1.5x SLOWER (Spark's
+    non-cascading cache invalidation recompiles dependent cached
+    plans on every unpersist), and it did NOT save the 8M rung from
+    its scratch-disk overflow. Keep it OFF unless executor storage
+    memory, not scratch disk, is the binding constraint.
     """
     stats: dict[str, int] = {}
+    stage_secs: dict[str, float] = {}
     persisted: list = []
     df = docs
     prev_cached: list = []
@@ -135,7 +152,11 @@ def prepare_corpus(
         if collect_stats:
             frame = frame.cache()
             persisted.append(frame)
+            t0 = time.perf_counter()
             stats[stage] = frame.count()
+            stage_secs[stage] = round(time.perf_counter() - t0, 2)
+            if not eager_release:
+                return frame
             # R14 (8M probe post-mortem): release the PREVIOUS
             # stage's cache as soon as this stage has materialized
             # from it — the chain is linear, so nothing downstream
@@ -354,4 +375,6 @@ def prepare_corpus(
                 n_streams=pack_streams,
             ),
         )
-    return CorpusResult(df=df, stats=stats, persisted=persisted)
+    return CorpusResult(
+        df=df, stats=stats, stage_secs=stage_secs, persisted=persisted
+    )

@@ -968,6 +968,7 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         pipeline_1m_detail.update(
             {
                 "stage_survivors": dict(res.stats),
+                "stage_secs": dict(res.stage_secs),
                 "report_sec": round(time.perf_counter() - t_rep, 2),
                 "report_n_docs": rep["n_docs"],
                 "report_dup_fraction": rep["exact_dup_fraction"],
@@ -1026,6 +1027,7 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             )
             n = res.df.count()
             pipeline_4m_detail["stage_survivors"] = dict(res.stats)
+            pipeline_4m_detail["stage_secs"] = dict(res.stage_secs)
             res.unpersist()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -1226,6 +1228,7 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             )
             n = res.df.count()
             pipeline_2m_detail["stage_survivors"] = dict(res.stats)
+            pipeline_2m_detail["stage_secs"] = dict(res.stage_secs)
             res.unpersist()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -1268,6 +1271,7 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             )
             n = res.df.count()
             pipeline_8m_detail["stage_survivors"] = dict(res.stats)
+            pipeline_8m_detail["stage_secs"] = dict(res.stage_secs)
             res.unpersist()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -1486,6 +1490,28 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
             out[name] = {"skipped": f"probe budget {budget_s}s spent"}
             print(f"# probe {name}: {out[name]}", file=sys.stderr)
             continue
+        if name == "corpus_pipeline_8m":
+            # R14 disk preflight: the 8M run's in-flight shuffle plus
+            # retained stage caches need ~110+ GB of scratch — both
+            # r14 attempts on a 78GB-free host died mid-shuffle with
+            # "No space left on device" (eager cache release did not
+            # save it; the binding constraint is disk, not memory).
+            # Record the honest skip instead of wedging the bench.
+            import shutil as _sh
+
+            free_gb = _sh.disk_usage(
+                os.environ.get("TMPDIR", "/tmp")
+            ).free / 1e9
+            if free_gb < 110:
+                out[name] = {
+                    "skipped": (
+                        f"disk-bound: needs ~110 GB scratch for the "
+                        f"8M shuffle tier, {free_gb:.0f} GB free "
+                        f"(two r14 attempts aborted mid-shuffle)"
+                    )
+                }
+                print(f"# probe {name}: {out[name]}", file=sys.stderr)
+                continue
         if name in (
             "corpus_pipeline_2m", "corpus_pipeline_4m",
             "corpus_pipeline_8m",
