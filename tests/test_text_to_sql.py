@@ -592,10 +592,17 @@ def test_generator_superlative_synonyms_and_second_group():
         == "SELECT o_orderstatus, MAX(o_totalprice) AS o_totalprice_max "
         "FROM orders GROUP BY o_orderstatus"
     )
-    assert (
-        _gen("which order has the most totalprice per orderstatus")
-        == "SELECT o_orderstatus, MAX(o_totalprice) AS o_totalprice_max "
-        "FROM orders GROUP BY o_orderstatus"
+    # r14: "which order ... per X" names a ROW subject — the ranked-walk
+    # machinery (f4b6527) now answers with the top order per partition
+    # instead of a grouped MAX that never says WHICH order (DuckDB-verified:
+    # the per-status winner's totalprice equals the per-status MAX)
+    assert _gen("which order has the most totalprice per orderstatus") == (
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM "
+        "(SELECT t1.o_orderkey, t1.o_custkey, t1.o_totalprice, "
+        "t1.o_orderstatus, ROW_NUMBER() OVER (PARTITION BY t1.o_orderstatus "
+        "ORDER BY t1.o_totalprice DESC, t1.o_orderkey, t1.o_custkey, "
+        "t1.o_totalprice, t1.o_orderstatus) AS rk FROM orders t1) ranked "
+        "WHERE rk <= 1 ORDER BY o_orderstatus, rk"
     )
     assert (
         _gen("count of orders per mktsegment and orderstatus")
