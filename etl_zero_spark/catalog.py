@@ -66,6 +66,66 @@ FIXTURE_FKS: dict[str, dict[str, tuple[str, str]]] = {
 }
 
 
+#: Tables smaller than this skip the under-parallel-scan spread: a
+#: dimension this small is broadcast-join fodder and spreading it buys
+#: nothing while adding a shuffle stage in front of every use.
+_SPREAD_MIN_BYTES = 256 * 1024
+
+
+def _table_bytes(path: str) -> int | None:
+    """On-disk bytes of a parquet table (file or small directory);
+    None when unknown or when the directory holds many files — a
+    many-file table is already scan-parallel and never needs the
+    spread, so the caller treats None as 'big'."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):
+            total = 0
+            for i, entry in enumerate(os.scandir(path)):
+                if i >= 64:
+                    return None
+                if entry.is_file():
+                    total += entry.stat().st_size
+            return total
+    except OSError:
+        return None
+    return None
+
+
+def _spread_if_underparallel(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-robin repartition a scan whose split count is far below
+    the session's parallelism (guide §2.5, input skew: a single small
+    parquet file yields ONE scan task, serializing every downstream
+    per-row expression — shingle/n-gram explodes, signatures,
+    tokenization — while the other cores idle; measured 4.4x on the
+    sf0.1 gram explode, R14).
+
+    Scale-adaptive by construction: the split estimate is
+    ceil(bytes / maxPartitionBytes), so any table big enough to span
+    ~half the cluster's cores is returned untouched — at production
+    scale this is a no-op and no extra shuffle is ever added. The
+    round-robin exchange this adds on small inputs is a few MB;
+    deterministic under retries (sortBeforeRepartition is on by
+    default), and Catalyst still pushes filters/pruning through a
+    Repartition node into the scan."""
+    size = _table_bytes(path)
+    if size is None or size < _SPREAD_MIN_BYTES:
+        return df
+    try:
+        max_pb = int(
+            str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+            .lower().rstrip("b")
+        )
+    except ValueError:
+        max_pb = 134217728
+    parallelism = spark.sparkContext.defaultParallelism
+    splits = max(1, -(-size // max_pb))
+    if splits * 2 <= parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (operator S1: full table scan).
 
@@ -89,14 +149,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as-of join, the DuckDB ``CAST(ts AS TIMESTAMP)`` oracles — stable
     when the fixture's physical encoding changes.
     """
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
         ts_dtype = dict(df.dtypes).get("ts")
         if ts_dtype == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_dtype == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    return _spread_if_underparallel(spark, df, path)
 
 
 def register_views(

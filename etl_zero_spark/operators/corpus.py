@@ -116,6 +116,65 @@ def cross_corpus_contamination(
     )
 
 
+def cross_corpus_contamination_tiered(
+    train: DataFrame,
+    test: DataFrame,
+    n: int = 8,
+    capped_gram_df: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact AND hot-gram-capped contamination counts in ONE inverted-
+    index join — the fused audit path (R14 optimization round).
+
+    :func:`cross_corpus_contamination` called once per tier explodes
+    both corpora and runs the gram join once PER TIER; an audit that
+    wants both tiers (ct1) pays the n-gram explode of each corpus
+    twice and the join twice. Since the exact tier already joins on
+    EVERY gram (hot included), the capped count is recoverable from
+    the same joined rows by flagging each train-gram row hot/cold and
+    counting conditionally — one explode per corpus, one join, one
+    pair aggregation, tier-identical results by construction:
+    ``shared_ngrams`` counts all shared distinct grams (== the exact
+    tier), ``shared_ngrams_capped`` counts only grams whose TRAIN
+    document frequency is <= ``capped_gram_df`` (== the capped tier; a
+    pair row with ``shared_ngrams_capped = 0`` does not appear in the
+    capped tier's output).
+
+    This path inherits the EXACT tier's unbounded worst case (that is
+    what the audit demands); production capped-only callers should
+    keep using :func:`cross_corpus_contamination`, whose join never
+    sees hot grams at all.
+
+    Output: (test_id, train_id, shared_ngrams, shared_ngrams_capped).
+    """
+    tr = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(_ngram_hashes(F.col(text_col), n)).alias("gram"),
+    )
+    hot = (
+        tr.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") > capped_gram_df)
+        .select("gram", F.lit(True).alias("__hot"))
+    )
+    tr_flagged = tr.join(F.broadcast(hot), "gram", "left")
+    te = test.select(
+        F.col(id_col).alias("test_id"),
+        F.explode(_ngram_hashes(F.col(text_col), n)).alias("gram"),
+    )
+    return (
+        te.join(tr_flagged, "gram")
+        .groupBy("test_id", "train_id")
+        .agg(
+            F.count(F.lit(1)).alias("shared_ngrams"),
+            F.count(F.when(F.col("__hot").isNull(), F.lit(1))).alias(
+                "shared_ngrams_capped"
+            ),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     test: DataFrame,

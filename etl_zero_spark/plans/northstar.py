@@ -416,9 +416,18 @@ def dd9_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = dedup.build_minhash_index(docs)
     inc = dedup.incremental_minhash_pairs(delta, idx, threshold=0.3)
     union = docs.unionByName(delta)
+    # R14 optimization: ngram_jaccard_pairs guarantees a_id < b_id and
+    # every delta id (>= offset) exceeds every corpus id, so
+    # "(a_id >= offset) OR (b_id >= offset)" is exactly "b_id >= offset"
+    # — and a single-side predicate pushes through the pair aggregation
+    # (b_id is a grouping key) into the b side of the shingle join, so
+    # the b-side index explodes only the 100 delta docs instead of the
+    # whole union (the OR form referenced both sides and could not move
+    # below the join; the exact twin was paying a full corpus-vs-corpus
+    # candidate join just to discard the corpus-corpus pairs).
     exact = dedup.ngram_jaccard_pairs(
         union, threshold=0.3, stop_shingles=[]
-    ).where((F.col("a_id") >= offset) | (F.col("b_id") >= offset))
+    ).where(F.col("b_id") >= offset)
     extra = inc.select("a_id", "b_id").join(
         exact.select("a_id", "b_id"), ["a_id", "b_id"], "left_anti"
     )
@@ -2181,13 +2190,32 @@ def ct1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = planted.where(F.col("doc_id") % 2 == 0)
     test = planted.where(F.col("doc_id") % 2 == 1)
-    exact = corpus_ops.cross_corpus_contamination(
-        train, test, n=_CT_N, max_gram_df=None
+    # R14 optimization: one fused inverted-index join yields BOTH tiers
+    # (before: cross_corpus_contamination ran once per tier plus a third
+    # full scan inside decontaminate — 6 gram explodes and 3 gram joins
+    # per invocation; after: 3 explodes, 1 join, 1 pair aggregation).
+    # Tier results are identical by construction: the exact tier is the
+    # unconditional count, the capped tier counts only sub-cap grams
+    # (pairs whose surviving count is 0 drop out, exactly as when the
+    # hot grams never entered the join), and 'cleaned' anti-joins the
+    # exact tier's train ids — the oracle's own definition (the previous
+    # decontaminate(max_gram_df=10_000) call equalled the exact rule
+    # only because no fixture gram reaches that df; deriving from the
+    # exact pair table makes the equality structural at ANY scale).
+    pairs = corpus_ops.cross_corpus_contamination_tiered(
+        train, test, n=_CT_N, capped_gram_df=_CT_CAP
     )
-    capped = corpus_ops.cross_corpus_contamination(
-        train, test, n=_CT_N, max_gram_df=_CT_CAP
+    exact = pairs.select("test_id", "train_id", "shared_ngrams")
+    capped = pairs.where(F.col("shared_ngrams_capped") >= 1).select(
+        "test_id",
+        "train_id",
+        F.col("shared_ngrams_capped").alias("shared_ngrams"),
     )
-    cleaned = corpus_ops.decontaminate(train, test, n=_CT_N)
+    cleaned = train.join(
+        pairs.select(F.col("train_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
     tag = lambda df, t: df.select(
         F.lit(t).alias("tier"), "test_id", "train_id", "shared_ngrams"
     )

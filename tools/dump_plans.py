@@ -60,7 +60,11 @@ def main() -> None:
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
             formatted = buf.getvalue()
-            df.count()  # finalize AQE
+            # collect() executes THIS DataFrame's own QueryExecution, so
+            # the executedPlan below is the final AQE plan (reused query
+            # stages visible); count() would plan a different query and
+            # leave this one isFinalPlan=false.
+            df.collect()
             executed = df._jdf.queryExecution().executedPlan().toString()
             dt = time.perf_counter() - t0
             with open(path, "w") as fh:

@@ -49,27 +49,41 @@ def main() -> None:
         _noop_warm, "id long"
     ).count()
 
+    import bench as benchmod
+
+    extras = benchmod._extras(spark, args.sf)
     names = (
         list(QUERIES) if args.queries == ["all"] else args.queries
     )
     for name in names:
-        spec = QUERIES[name]
-        actions = [("count", lambda df: df.count())]
-        if args.noop:
-            actions.append((
-                "noop",
-                lambda df: df.write.format("noop").mode("overwrite").save(),
-            ))
+        if name in extras:
+            # bench extras are callables that run their own action —
+            # time them as-is (count-only)
+            fn = extras[name]
+            actions = [("extra", lambda df: None)]
+        else:
+            spec = QUERIES[name]
+            fn = None
+            actions = [("count", lambda df: df.count())]
+            if args.noop:
+                actions.append((
+                    "noop",
+                    lambda df: df.write.format("noop").mode("overwrite").save(),
+                ))
         for aname, act in actions:
             spark.sparkContext.setJobDescription(f"{name}:{aname}")
+            run = (
+                fn if fn is not None
+                else (lambda act=act: act(QUERIES[name].fn(spark, args.sf)))
+            )
             try:
                 t0 = time.perf_counter()
-                act(spec.fn(spark, args.sf))
+                run()
                 cold = time.perf_counter() - t0
                 reps = []
                 for _ in range(args.reps):
                     t1 = time.perf_counter()
-                    act(spec.fn(spark, args.sf))
+                    run()
                     reps.append(time.perf_counter() - t1)
                 print(
                     f"{name:32s} {aname:5s} cold {cold:6.2f}s  "
