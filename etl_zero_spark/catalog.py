@@ -108,7 +108,18 @@ def _spread_if_underparallel(spark: SparkSession, df: DataFrame, path: str) -> D
     round-robin exchange this adds on small inputs is a few MB;
     deterministic under retries (sortBeforeRepartition is on by
     default), and Catalyst still pushes filters/pruning through a
-    Repartition node into the scan."""
+    Repartition node into the scan.
+
+    Vector tables (array payload, no string column) are exempt: in
+    this engine their scan-stage work is a cheap vectorized bucket/
+    block assignment — the heavy GEMM kernels run in cogroups BEHIND
+    their own exchanges, which already parallelize — so the spread
+    only multiplies tiny Arrow batches and python task launches
+    (measured 1.5x SLOWER on sim2_sim3 at sf0.1). Row-wise expression
+    work here is string work (shingles, grams, tokens, regexes), and
+    that is what the spread parallelizes."""
+    if not any(t == "string" for _, t in df.dtypes):
+        return df
     size = _table_bytes(path)
     if size is None or size < _SPREAD_MIN_BYTES:
         return df
