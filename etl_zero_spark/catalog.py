@@ -71,6 +71,47 @@ FIXTURE_FKS: dict[str, dict[str, tuple[str, str]]] = {
 #: nothing while adding a shuffle stage in front of every use.
 _SPREAD_MIN_BYTES = 256 * 1024
 
+#: Minimum average uncompressed bytes/row of a single column for a
+#: table to count as document-class (see _spread_if_underparallel).
+_SPREAD_MIN_COL_WIDTH = 128.0
+
+
+def _max_avg_col_width(path: str) -> float | None:
+    """Largest per-column average uncompressed bytes/row, from parquet
+    footer metadata only (no data read). For a directory table the
+    first part file is a representative sample. None when unreadable."""
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            parts = [e.path for e in os.scandir(path)
+                     if e.is_file() and e.name.endswith(".parquet")]
+            if not parts:
+                return None
+            path = parts[0]
+        md = pq.ParquetFile(path).metadata
+        if md.num_rows == 0:
+            return None
+        # only string/binary leaves: the spread targets text-expression
+        # work, and counting numeric array payloads (embeddings) here
+        # would re-admit the vector tables the exemption exists for
+        per_col: dict[str, int] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for c in range(g.num_columns):
+                col = g.column(c)
+                if col.physical_type != "BYTE_ARRAY":
+                    continue
+                per_col[col.path_in_schema] = (
+                    per_col.get(col.path_in_schema, 0)
+                    + col.total_uncompressed_size
+                )
+        if not per_col:
+            return None
+        return max(per_col.values()) / md.num_rows
+    except Exception:  # noqa: BLE001 — metadata probe must never fail a read
+        return None
+
 
 def _table_bytes(path: str) -> int | None:
     """On-disk bytes of a parquet table (file or small directory);
@@ -110,18 +151,24 @@ def _spread_if_underparallel(spark: SparkSession, df: DataFrame, path: str) -> D
     default), and Catalyst still pushes filters/pruning through a
     Repartition node into the scan.
 
-    Vector tables (array payload, no string column) are exempt: in
-    this engine their scan-stage work is a cheap vectorized bucket/
-    block assignment — the heavy GEMM kernels run in cogroups BEHIND
-    their own exchanges, which already parallelize — so the spread
-    only multiplies tiny Arrow batches and python task launches
-    (measured 1.5x SLOWER on sim2_sim3 at sf0.1). Row-wise expression
-    work here is string work (shingles, grams, tokens, regexes), and
-    that is what the spread parallelizes."""
-    if not any(t == "string" for _, t in df.dtypes):
-        return df
+    Only DOCUMENT-CLASS tables qualify — some column averages >=
+    _SPREAD_MIN_COL_WIDTH uncompressed bytes/row (parquet footer
+    metadata, no data read): the per-row expression work this spread
+    parallelizes (shingle/n-gram explodes, signatures, tokenization,
+    PII regexes) scales with text payload, and only such tables have
+    any. Measured at sf0.1: spreading documents (text ~300 B/row) cut
+    the gram explode 4.4x, while spreading narrow fact/dimension
+    tables (every column <= 24 B/row) only taxed their scans with a
+    shuffle (+0.3-1s per query across the lineitem/orders/events
+    family), and spreading the 2000-row embeddings table multiplied
+    tiny Arrow batches into python task launches (1.5x slower on
+    sim2_sim3 — vector kernels parallelize behind their own cogroup
+    exchanges already)."""
     size = _table_bytes(path)
     if size is None or size < _SPREAD_MIN_BYTES:
+        return df
+    width = _max_avg_col_width(path)
+    if width is None or width < _SPREAD_MIN_COL_WIDTH:
         return df
     try:
         max_pb = int(
