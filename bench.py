@@ -173,8 +173,10 @@ def _extras(spark, sf_dir: str) -> dict:
         # would make every later stage a no-op — the gate itself is
         # benchmarked as x_gopher_gate. Fork inputs persist (and are
         # released after the count) so the single action computes each
-        # stage once.
-        docs = load_table(spark, sf_dir, "documents")
+        # stage once. spread=False: same rationale as pipe1 — the
+        # pipeline's work is shuffle-structured, and the spread only
+        # multiplied cached partitions (R14).
+        docs = load_table(spark, sf_dir, "documents", spread=False)
         res = prepare_corpus(
             docs,
             quality=False,

@@ -184,8 +184,18 @@ def _spread_if_underparallel(spark: SparkSession, df: DataFrame, path: str) -> D
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
     """Scan one fixture table (operator S1: full table scan).
+
+    ``spread=False`` opts out of the under-parallel-scan spread
+    (_spread_if_underparallel) for callers whose heavy work is
+    shuffle-structured rather than scan-stage: the staged corpus
+    pipeline caches ~10 intermediate frames, and spreading its tiny
+    input only multiplies cached partitions and task launches
+    (measured +2s steady state and unstable 45-60s outliers under
+    cache pressure at sf0.1, R14).
 
     Reference does ``SELECT * FROM t`` into pandas
     (data_extraction.py:46); here it is a lazy parquet scan — Catalyst
@@ -215,7 +225,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_dtype == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return _spread_if_underparallel(spark, df, path)
+    return _spread_if_underparallel(spark, df, path) if spread else df
 
 
 def register_views(

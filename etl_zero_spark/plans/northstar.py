@@ -847,7 +847,10 @@ def sim4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _ivf_centroids_cached(emb, sf_dir)
     queries_df = emb.where(F.col("vec_id") < 20)
-    exact = _fanin(ivf.ivf_topk(queries_df, emb, k=5, centroids=cents, nprobe=16))
+    # no _fanin here (R14 A/B): the IVF subtree is cheap to recompute and
+    # its three references run as PARALLEL branches of one DAG — the
+    # checkpoint serialized them and measured 1.5x slower
+    exact = ivf.ivf_topk(queries_df, emb, k=5, centroids=cents, nprobe=16)
     ann = ivf.ivf_topk(queries_df, emb, k=5, centroids=cents, nprobe=8)
     hits = ann.join(
         exact.select("query_id", "neighbor_id"),
@@ -1359,7 +1362,7 @@ def ret1_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "query_id bigint, query_text string",
     )
-    bm = _fanin(retrieval.bm25_topk(docs, queries_df, top_k=10))
+    bm = retrieval.bm25_topk(docs, queries_df, top_k=10)
     ann = similarity.brute_force_topk_distributed(
         emb.where(F.col("vec_id") < 3), emb, k=10
     )
@@ -1554,7 +1557,12 @@ def _pipe1_sql() -> str:
 def pipe1_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_zero_spark.plans.corpus_pipeline import prepare_corpus
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    # spread=False (R14): the staged pipeline's heavy work is shuffle-
+    # structured (line dedup / exact dedup / gram join / packing), not
+    # scan-stage, and collect_stats caches ~10 intermediate frames —
+    # spreading the tiny input only multiplied cached partitions and
+    # task launches (+2s steady, 45-60s outliers under cache pressure)
+    docs = load_table(spark, sf_dir, "documents", spread=False).select(
         "doc_id", "source", "text"
     )
     restructured = F.regexp_replace(
@@ -2232,10 +2240,11 @@ def ct1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decontaminate(max_gram_df=10_000) call equalled the exact rule
     # only because no fixture gram reaches that df; deriving from the
     # exact pair table makes the equality structural at ANY scale).
-    pairs = _fanin(
-        corpus_ops.cross_corpus_contamination_tiered(
-            train, test, n=_CT_N, capped_gram_df=_CT_CAP
-        )
+    # no _fanin (R14 A/B): the three tier branches recompute the fused
+    # pair aggregation in parallel inside one DAG; materializing it
+    # first measured slower than the parallel recompute
+    pairs = corpus_ops.cross_corpus_contamination_tiered(
+        train, test, n=_CT_N, capped_gram_df=_CT_CAP
     )
     exact = pairs.select("test_id", "train_id", "shared_ngrams")
     capped = pairs.where(F.col("shared_ngrams_capped") >= 1).select(
