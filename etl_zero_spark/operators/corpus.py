@@ -878,6 +878,9 @@ def leakage_pairs(
     pairs = incremental_minhash_pairs(
         train, idx, threshold=threshold, text_col=text_col, id_col=id_col,
         delta_vs_index_only=True,
+        # the heldout index is percents of the corpus — broadcast it so
+        # the train-sized band table never shuffles (R14)
+        broadcast_index=True,
     )
     hid = heldout.select(F.col(id_col)).dropDuplicates()
     flagged = pairs.join(

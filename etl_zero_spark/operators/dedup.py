@@ -157,6 +157,7 @@ def ngram_jaccard_pairs(
     max_stop_broadcast: int = 10_000,
     stop_shingles: list[str] | None = None,
     max_exact_docs: int | None = 2_000_000,
+    b_id_filter=None,
 ) -> DataFrame:
     """All pairs with word-k-shingle Jaccard >= threshold, computed by
     exploding shingles and joining on the shingle (an inverted index —
@@ -223,10 +224,27 @@ def ngram_jaccard_pairs(
     the probe path the count is reused by the stop-shingle doc-count
     short-circuit (no extra job vs pre-guard behavior).
 
+    ``b_id_filter`` (R14 optimization round): a ``Column -> Column``
+    predicate over the id restricting the RIGHT side of the candidate
+    join. Because every output pair satisfies a_id < b_id, this equals
+    filtering the result on ``b_id`` afterward — but the b-side index
+    shrinks BEFORE the join and is broadcast, so the corpus-sized
+    a-side index is never shuffled at all (guide §3.1: broadcast the
+    small side). The probe/delta regime: pass it only when the
+    filtered side is broadcast-sized (a 100-doc daily delta, not a
+    re-pairing); larger deltas belong on minhash_lsh_pairs'
+    incremental path. Counting path only (raises with the prefix
+    filter, whose rescore shape differs).
+
     Columns: a_id, b_id (a_id < b_id), jaccard.
     """
     if prefix_filter is None:
         prefix_filter = threshold >= 0.5
+    if b_id_filter is not None and prefix_filter:
+        raise ValueError(
+            "ngram_jaccard_pairs: b_id_filter is implemented for the "
+            "counting path only — pass prefix_filter=False explicitly"
+        )
     # The guard count runs only on the probe path (stop_shingles is
     # None) — exactly the calls that already paid a corpus count for
     # the stop-shingle short-circuit pre-R6. A caller passing a
@@ -343,7 +361,16 @@ def ngram_jaccard_pairs(
         F.col("b.n_shingles") >= t * F.col("a.n_shingles")
     )
     rare = drop_stop_shingles(flat)
-    a, b = rare.hint("shuffle_hash").alias("a"), rare.hint("shuffle_hash").alias("b")
+    if b_id_filter is not None:
+        # asymmetric probe: tiny filtered index broadcast, corpus index
+        # streamed — no exchange carries the corpus-sized side
+        a = rare.alias("a")
+        b = F.broadcast(rare.where(b_id_filter(F.col("id"))).alias("b"))
+    else:
+        a, b = (
+            rare.hint("shuffle_hash").alias("a"),
+            rare.hint("shuffle_hash").alias("b"),
+        )
     common = (
         a.join(
             b,
@@ -802,28 +829,39 @@ def connected_components(
             n_e = edges.count()
             loop_parts = max(1, min(shuffle_partitions, -(-n_e // 10_000)))
             spark.conf.set(conf_key, str(loop_parts))
-        labels = edges.select("id").dropDuplicates().withColumn("label", F.col("id"))
+        # R14: the first propagation round is folded into the label
+        # initialization — with every label equal to its id, round 1's
+        # "min(own, neighbors' labels)" is just min(id, min(nbr)), one
+        # aggregation with NO join — so the loop starts one hop closer
+        # to the fixpoint (same fixpoint, one fewer join+checkpoint+
+        # count cycle at any scale). Every node appears as `id` in the
+        # symmetric edge view, so the groupBy covers all nodes.
+        labels = edges.groupBy("id").agg(
+            F.least(F.col("id"), F.min("nbr")).alias("label")
+        )
         for _ in range(max_iter):
             nbr_min = (
                 edges.join(labels.withColumnRenamed("id", "nbr"), "nbr")
                 .groupBy("id")
                 .agg(F.min("label").alias("nbr_label"))
             )
+            # change detection rides the checkpointed frame as a flag
+            # column (R14) — the old label is already present in this
+            # join, so the previous per-round new-vs-old join + count
+            # collapses to one filter-count over materialized blocks
             new_labels = ckpt(
                 labels.join(nbr_min, "id", "left").select(
                     "id",
                     F.least(
                         F.col("label"), F.coalesce("nbr_label", "label")
                     ).alias("label"),
+                    (
+                        F.coalesce("nbr_label", "label") < F.col("label")
+                    ).alias("__chg"),
                 )
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
+            changed = new_labels.where(F.col("__chg")).count()
+            labels = new_labels.drop("__chg")
             if changed == 0:
                 converged = True
                 break
@@ -1138,6 +1176,7 @@ def incremental_minhash_pairs(
     id_col: str = "doc_id",
     check_disjoint_ids: bool = False,
     delta_vs_index_only: bool = False,
+    broadcast_index: bool = False,
 ) -> DataFrame:
     """Near-dup pairs INVOLVING the delta batch: delta-vs-corpus plus
     delta-vs-delta, never corpus-vs-corpus — the daily-ingest shape
@@ -1162,7 +1201,15 @@ def incremental_minhash_pairs(
     train side, where the within-block would be a train-vs-train LSH
     self-join whose candidates are Jaccard-rescored just to be thrown
     away) must set it — the default keeps the daily-ingest composition
-    contract (delta+delta pairs included)."""
+    contract (delta+delta pairs included).
+
+    ``broadcast_index`` (R14): the daily-ingest regime indexes the
+    LAKE and probes with a small delta, so the band join shuffles both
+    sides by default. leakage_pairs inverts that — the index is the
+    heldout (percents of the corpus) and the delta is ~the whole train
+    split — and there the small INDEX side should broadcast so the
+    train-sized band table is never shuffled (guide §3.1). Set it only
+    when the index side is broadcast-sized."""
     if check_disjoint_ids:
         clash = (
             index.shingles.select("id")
@@ -1184,7 +1231,10 @@ def incremental_minhash_pairs(
     d_idx = build_minhash_index(
         delta, index.k, index.num_hashes, index.n_bands, text_col, id_col
     )
-    db, cb = d_idx.bands.alias("d"), index.bands.alias("c")
+    db = d_idx.bands.alias("d")
+    cb = index.bands.alias("c")
+    if broadcast_index:
+        cb = F.broadcast(cb)
     cross = (
         db.join(
             cb,

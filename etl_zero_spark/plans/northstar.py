@@ -441,16 +441,20 @@ def dd9_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # R14 optimization: ngram_jaccard_pairs guarantees a_id < b_id and
     # every delta id (>= offset) exceeds every corpus id, so
     # "(a_id >= offset) OR (b_id >= offset)" is exactly "b_id >= offset"
-    # — and a single-side predicate pushes through the pair aggregation
-    # (b_id is a grouping key) into the b side of the shingle join, so
-    # the b-side index explodes only the 100 delta docs instead of the
-    # whole union (the OR form referenced both sides and could not move
-    # below the join; the exact twin was paying a full corpus-vs-corpus
-    # candidate join just to discard the corpus-corpus pairs).
+    # — which b_id_filter applies BEFORE the candidate join: the delta
+    # index (100 docs) is broadcast and the union's corpus-sized
+    # shingle index is never shuffled (the OR form referenced both
+    # sides and the exact twin was paying a full corpus-vs-corpus
+    # candidate join just to discard the corpus-corpus pairs;
+    # pair-set equality verified at sf0.1 and against the oracle).
     exact = _fanin(
         dedup.ngram_jaccard_pairs(
-            union, threshold=0.3, stop_shingles=[]
-        ).where(F.col("b_id") >= offset)
+            union,
+            threshold=0.3,
+            stop_shingles=[],
+            prefix_filter=False,
+            b_id_filter=lambda c: c >= offset,
+        )
     )
     extra = inc.select("a_id", "b_id").join(
         exact.select("a_id", "b_id"), ["a_id", "b_id"], "left_anti"
@@ -1199,7 +1203,10 @@ def mm1_mm3_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mix1_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_zero_spark.operators import corpus as corp
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread=False (R14): mixture allocation touches only (doc_id,
+    # source) groupBys and hash sampling — no text-expression work,
+    # so the spread exchange was a pure tax (+0.3s at sf0.1)
+    docs = load_table(spark, sf_dir, "documents", spread=False)
     weights = {"src0": 0.6, "src1": 0.3, "src2": 0.1}
     mix = corp.mix_corpus(docs, weights, total_docs=50, exact=True)
     half = corp.mix_corpus(docs, weights, total_docs=24, exact=True)

@@ -781,7 +781,10 @@ def o3_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats1_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_zero_spark.operators import stats as stats_op
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread=False (R14): pure one-scan aggregation — no row-expansion
+    # work for the spread to parallelize; the exchange it adds cost
+    # ~2x this query's warm time at sf0.1
+    docs = load_table(spark, sf_dir, "documents", spread=False)
     rep = stats_op.analyze(docs)
     # exact-ndv audit tier: one extra agg -> 1-row frame -> stack long
     # (the declared query is the AUDIT composition; production runs
