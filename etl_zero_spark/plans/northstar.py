@@ -68,6 +68,23 @@ def _fanin(df: DataFrame) -> DataFrame:
     return df.localCheckpoint()
 
 
+def _fanin_parallel(*dfs: DataFrame) -> list[DataFrame]:
+    """_fanin for several INDEPENDENT frames at once, overlapped from a
+    small driver thread pool (guide §2.6: actions are only sequential
+    because the driver calls them sequentially). A single _fanin per
+    frame serializes pipelines that share no lineage — dd3's LSH pair
+    set and its exact twin, dd9's incremental probe and its all-pairs
+    oracle — so the audit rows were paying sum-of-pipelines wall time
+    where max-of-pipelines is available on an idle-core host. Each
+    checkpoint is still per-invocation and self-contained."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(dfs) == 1:
+        return [dfs[0].localCheckpoint()]
+    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+        return list(pool.map(lambda d: d.localCheckpoint(), dfs))
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -197,8 +214,10 @@ def dd2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    lsh = _fanin(dedup.minhash_lsh_pairs(docs, threshold=0.3))
-    exact = _fanin(_jaccard_pairs_cached(spark, sf_dir))
+    lsh, exact = _fanin_parallel(
+        dedup.minhash_lsh_pairs(docs, threshold=0.3),
+        _jaccard_pairs_cached(spark, sf_dir),
+    )
     extra = lsh.select("a_id", "b_id").join(
         exact.select("a_id", "b_id"), ["a_id", "b_id"], "left_anti"
     )
@@ -363,10 +382,10 @@ def dd6_dd7_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd8_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    lsh = _fanin(
-        similarity.lsh_neardup_pairs(emb, threshold=0.4, n_planes=3, n_tables=12)
+    lsh, exact = _fanin_parallel(
+        similarity.lsh_neardup_pairs(emb, threshold=0.4, n_planes=3, n_tables=12),
+        dedup.embedding_neardup_pairs_blocked(emb, threshold=0.4),
     )
-    exact = _fanin(dedup.embedding_neardup_pairs_blocked(emb, threshold=0.4))
     extra = lsh.select("a_id", "b_id").join(
         exact.select("a_id", "b_id"), ["a_id", "b_id"], "left_anti"
     )
@@ -436,7 +455,7 @@ def dd9_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + offset).alias("doc_id"), "text"
     )
     idx = dedup.build_minhash_index(docs)
-    inc = _fanin(dedup.incremental_minhash_pairs(delta, idx, threshold=0.3))
+    inc = dedup.incremental_minhash_pairs(delta, idx, threshold=0.3)
     union = docs.unionByName(delta)
     # R14 optimization: ngram_jaccard_pairs guarantees a_id < b_id and
     # every delta id (>= offset) exceeds every corpus id, so
@@ -447,14 +466,15 @@ def dd9_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides and the exact twin was paying a full corpus-vs-corpus
     # candidate join just to discard the corpus-corpus pairs;
     # pair-set equality verified at sf0.1 and against the oracle).
-    exact = _fanin(
+    inc, exact = _fanin_parallel(
+        inc,
         dedup.ngram_jaccard_pairs(
             union,
             threshold=0.3,
             stop_shingles=[],
             prefix_filter=False,
             b_id_filter=lambda c: c >= offset,
-        )
+        ),
     )
     extra = inc.select("a_id", "b_id").join(
         exact.select("a_id", "b_id"), ["a_id", "b_id"], "left_anti"
@@ -750,16 +770,14 @@ def sim2_sim3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 20)
     # exact-by-construction through the LSH machinery: 0 planes = 1 bucket
-    bexact = _fanin(
-        similarity.lsh_bucketed_topk(queries_df, emb, k=5, n_planes=0, n_tables=1)
+    bexact, b, d = _fanin_parallel(
+        similarity.lsh_bucketed_topk(queries_df, emb, k=5, n_planes=0, n_tables=1),
+        # real geometry, both tiers (the plans a production call runs)
+        similarity.lsh_bucketed_topk(queries_df, emb, k=5),
+        similarity.lsh_partitioned_topk(queries_df, emb, k=5, n_planes=6, n_tables=6),
     )
     dexact = similarity.lsh_partitioned_topk(
         queries_df, emb, k=5, n_planes=0, n_tables=1
-    )
-    # real geometry, both tiers (the plans a production call runs)
-    b = _fanin(similarity.lsh_bucketed_topk(queries_df, emb, k=5))
-    d = _fanin(
-        similarity.lsh_partitioned_topk(queries_df, emb, k=5, n_planes=6, n_tables=6)
     )
     mism = b.exceptAll(d).unionByName(d.exceptAll(b))
     tiers_ok = mism.agg((F.count(F.lit(1)) == 0).alias("tiers_match"))
@@ -908,12 +926,12 @@ def sdd1_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # dim from the persisted centroid artifact — no driver-side scan
     cents = _ivf_centroids_cached(emb, sf_dir)
-    exact = _fanin(
+    exact, prod = _fanin_parallel(
         similarity.semantic_dedup_pairs(
             emb, np.ones((1, cents.shape[1])), threshold=0.4
-        )
+        ),
+        similarity.semantic_dedup_pairs(emb, cents, threshold=0.4),
     )
-    prod = _fanin(similarity.semantic_dedup_pairs(emb, cents, threshold=0.4))
     extra = prod.select("a_id", "b_id").join(
         exact.select("a_id", "b_id"), ["a_id", "b_id"], "left_anti"
     )
