@@ -465,11 +465,14 @@ def test_q1_greedy_flips_on_naive_window_count(spark, monkeypatch):
 
 
 def test_ct1_capped_tier_flips_on_ignored_cap(spark, monkeypatch):
-    """Mutation: cross_corpus_contamination ignores max_gram_df (the
-    hot-gram bound that keeps the 100 TB join fan-out linear). The
-    declared query's 'capped' tier must then regain the planted
-    hot-gram pairs — i.e. differ row-for-row from the committed
-    oracle expectation — while the 'exact' tier stays identical."""
+    """Mutation: the contamination scan ignores the hot-gram cap (the
+    bound that keeps the 100 TB join fan-out linear). The declared
+    query's 'capped' tier must then regain the planted hot-gram pairs —
+    i.e. differ row-for-row from the committed oracle expectation —
+    while the 'exact' tier stays identical. (R14: ct1 computes both
+    tiers through cross_corpus_contamination_tiered, so the sabotage
+    targets that seam — a cap pushed beyond every gram's df is exactly
+    'the cap stopped applying'.)"""
     from etl_zero_spark.operators import corpus as corpus_ops
 
     healthy = {
@@ -481,13 +484,15 @@ def test_ct1_capped_tier_flips_on_ignored_cap(spark, monkeypatch):
     # the plant worked: hot pairs exist in exact and are absent capped
     assert len(h_exact) > len(h_capped)
 
-    orig = corpus_ops.cross_corpus_contamination
+    orig = corpus_ops.cross_corpus_contamination_tiered
 
     def no_cap(train, test, **kw):
-        kw["max_gram_df"] = None
+        kw["capped_gram_df"] = 1_000_000_000
         return orig(train, test, **kw)
 
-    monkeypatch.setattr(corpus_ops, "cross_corpus_contamination", no_cap)
+    monkeypatch.setattr(
+        corpus_ops, "cross_corpus_contamination_tiered", no_cap
+    )
     mutated = {
         (r.tier, r.test_id, r.train_id, r.shared_ngrams)
         for r in _run(spark, "ct1_decontamination")
