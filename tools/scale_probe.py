@@ -341,7 +341,17 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         # corpus_pipeline_8m linearity point (VERDICT r13 #5 — ~8x the
         # 1M row's pipeline-only time; its own cost gate skips it when
         # the window is already spent, as the 4M row was in r13).
-        budget_s = float(os.environ.get("SPARK_GRAFT_PROBE_BUDGET", "3100"))
+        # R15 (VERDICT r14 #1): the 3100s default is sized for the
+        # 32-core driver host; a lower-core companion run executes
+        # every op proportionally slower, so an unscaled budget blows
+        # any driver window (r14's 8-core bench died rc=124 mid-probe).
+        # An explicit SPARK_GRAFT_PROBE_BUDGET is honored verbatim.
+        env = os.environ.get("SPARK_GRAFT_PROBE_BUDGET")
+        if env is not None:
+            budget_s = float(env)
+        else:
+            cores = spark.sparkContext.defaultParallelism
+            budget_s = 3100.0 * min(1.0, cores / 32.0)
     t_start = time.perf_counter()
     from pyspark.sql import functions as F
 
@@ -1486,10 +1496,33 @@ def run_probe(spark, probe_dir: str = PROBE_DIR, budget_s: float | None = None) 
         ("corpus_pipeline_4m", corpus_pipeline_4m),
         ("corpus_pipeline_8m", corpus_pipeline_8m),
     ]:
-        if time.perf_counter() - t_start > budget_s:
+        elapsed = time.perf_counter() - t_start
+        if elapsed > budget_s:
             out[name] = {"skipped": f"probe budget {budget_s}s spent"}
             print(f"# probe {name}: {out[name]}", file=sys.stderr)
             continue
+        # R15 per-op preflight (VERDICT r14 #1): the budget used to be
+        # checked only BETWEEN ops, so one op launched with seconds of
+        # budget left could overshoot the driver's whole window. Gate
+        # each launch on a conservative next-op estimate — the worst of
+        # the last completed op and the running median (this list is
+        # roughly cost-ordered, so the recent past bounds the near
+        # future) — and record an honest skip instead of overshooting.
+        done_secs = [
+            r["sec"] for r in out.values()
+            if isinstance(r, dict) and isinstance(r.get("sec"), (int, float))
+        ]
+        if done_secs:
+            est = max(done_secs[-1], statistics.median(done_secs), 10.0)
+            if elapsed + est > budget_s:
+                out[name] = {
+                    "skipped": (
+                        f"preflight: ~{est:.0f}s estimated, "
+                        f"{budget_s - elapsed:.0f}s of budget left"
+                    )
+                }
+                print(f"# probe {name}: {out[name]}", file=sys.stderr)
+                continue
         if name == "corpus_pipeline_8m":
             # R14 disk preflight: the 8M run's in-flight shuffle plus
             # retained stage caches need ~110+ GB of scratch — both
