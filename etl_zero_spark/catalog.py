@@ -117,21 +117,46 @@ def _table_bytes(path: str) -> int | None:
     """On-disk bytes of a parquet table (file or small directory);
     None when unknown or when the directory holds many files — a
     many-file table is already scan-parallel and never needs the
-    spread, so the caller treats None as 'big'."""
+    spread, so the caller treats None as 'big'.
+
+    Counts only ``*.parquet`` entries (consistent with
+    _max_avg_col_width) — metadata files (_SUCCESS, .crc) are not scan
+    input — and treats a directory containing subdirectories
+    (partitioned layout) as size-unknown rather than summing the top
+    level to ~0 bytes, which would silently misread a nested table as
+    'below minimum' (ADVICE r14)."""
     try:
         if os.path.isfile(path):
             return os.path.getsize(path)
         if os.path.isdir(path):
             total = 0
             for i, entry in enumerate(os.scandir(path)):
-                if i >= 64:
+                if i >= 64 or entry.is_dir():
                     return None
-                if entry.is_file():
+                if entry.is_file() and entry.name.endswith(".parquet"):
                     total += entry.stat().st_size
             return total
     except OSError:
         return None
     return None
+
+
+def _parse_byte_conf(v, default: int) -> int:
+    """Parse a Spark byte-string conf value ('134217728', '134217728b',
+    '128m', '64mb', '1g', '512k') into bytes. The old
+    ``int(str(v).rstrip('b'))`` was a character strip, not a suffix
+    parse — '128m' silently fell back to the default (ADVICE r14)."""
+    s = str(v).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in "kmgt":
+        mult = 1024 ** ("kmgt".index(s[-1]) + 1)
+        s = s[:-1]
+    try:
+        return int(float(s) * mult) if s else default
+    except ValueError:
+        return default
 
 
 def _spread_if_underparallel(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
@@ -170,13 +195,10 @@ def _spread_if_underparallel(spark: SparkSession, df: DataFrame, path: str) -> D
     width = _max_avg_col_width(path)
     if width is None or width < _SPREAD_MIN_COL_WIDTH:
         return df
-    try:
-        max_pb = int(
-            str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-            .lower().rstrip("b")
-        )
-    except ValueError:
-        max_pb = 134217728
+    max_pb = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"),
+        134217728,
+    )
     parallelism = spark.sparkContext.defaultParallelism
     splits = max(1, -(-size // max_pb))
     if splits * 2 <= parallelism:
