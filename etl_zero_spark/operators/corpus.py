@@ -71,6 +71,7 @@ def cross_corpus_contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_gram_df: int | None = 10_000,
+    prefilter_test_grams: bool | None = None,
 ) -> DataFrame:
     """Train/test contamination pairs: every (test, train) document
     pair sharing >= ``min_shared`` distinct word ``n``-grams — the
@@ -89,6 +90,19 @@ def cross_corpus_contamination(
     quadratic; with n >= 8 a gram that common is template noise, not
     contamination signal. Pass None to disable (exact at any cost).
 
+    ``prefilter_test_grams`` (R15, guide §3.2): the join keeps only
+    train gram rows whose hash also occurs in the eval set, and the
+    eval set is tiny by construction (benchmarks, not a corpus) — so a
+    broadcast semi-join of the train index against the eval set's
+    DISTINCT gram hashes drops almost every train row BEFORE the
+    exchange, cutting the shuffle from O(train grams) to O(matching
+    grams). Exact by construction: per-gram train document frequencies
+    are per-gram aggregates, so dropping non-eval grams changes
+    neither the hot-gram set (for retained grams) nor any surviving
+    pair. Default ``None`` gates on Catalyst's size estimate for
+    ``test`` (<= 64 MiB — the broadcast is 8 bytes per distinct eval
+    gram); True/False override.
+
     Output: (test_id, train_id, shared_ngrams bigint), one row per
     contaminated pair.
     """
@@ -96,6 +110,16 @@ def cross_corpus_contamination(
         F.col(id_col).alias("train_id"),
         F.explode(_ngram_hashes(F.col(text_col), n)).alias("gram"),
     )
+    if prefilter_test_grams is None:
+        est = _plan_size_estimate(test)
+        prefilter_test_grams = (
+            est is not None and est <= _LEAKAGE_BROADCAST_MAX_BYTES
+        )
+    if prefilter_test_grams:
+        te_grams = test.select(
+            F.explode(_ngram_hashes(F.col(text_col), n)).alias("gram")
+        ).dropDuplicates()
+        tr = tr.join(F.broadcast(te_grams), "gram", "left_semi")
     if max_gram_df is not None:
         hot = (
             tr.groupBy("gram")
@@ -123,6 +147,7 @@ def cross_corpus_contamination_tiered(
     capped_gram_df: int = 10_000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    prefilter_test_grams: bool | None = None,
 ) -> DataFrame:
     """Exact AND hot-gram-capped contamination counts in ONE inverted-
     index join — the fused audit path (R14 optimization round).
@@ -152,6 +177,20 @@ def cross_corpus_contamination_tiered(
         F.col(id_col).alias("train_id"),
         F.explode(_ngram_hashes(F.col(text_col), n)).alias("gram"),
     )
+    if prefilter_test_grams is None:
+        est = _plan_size_estimate(test)
+        prefilter_test_grams = (
+            est is not None and est <= _LEAKAGE_BROADCAST_MAX_BYTES
+        )
+    if prefilter_test_grams:
+        # guide §3.2 semi-join prefilter (see cross_corpus_contamination):
+        # exact because per-gram train df is a per-gram aggregate —
+        # dropping never-matching grams changes no retained gram's
+        # __hot flag and no output pair.
+        te_grams = test.select(
+            F.explode(_ngram_hashes(F.col(text_col), n)).alias("gram")
+        ).dropDuplicates()
+        tr = tr.join(F.broadcast(te_grams), "gram", "left_semi")
     hot = (
         tr.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -850,12 +889,33 @@ def split_corpus(
     return df.withColumn(split_col, out)
 
 
+#: leakage_pairs broadcasts the heldout band index only when the
+#: heldout's PLANNED input size estimate is under this bound: the band
+#: table is ~32 short rows per document (~2.5x the text bytes), so a
+#: 64 MiB heldout stays far below Spark's 8 GB broadcast cap with
+#: driver headroom to spare.
+_LEAKAGE_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _plan_size_estimate(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate for a frame (no job). Without
+    CBO stats filters pass their child's size through unchanged, so
+    this OVERESTIMATES filtered frames — conservative in the direction
+    the broadcast gate needs (an overestimate only skips a broadcast
+    AQE can still apply at runtime; it never forces one)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — estimate probe must never fail the op
+        return None
+
+
 def leakage_pairs(
     train: DataFrame,
     heldout: DataFrame,
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_index: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs CROSSING the train/heldout boundary — the
     eval-leakage scan decontamination's exact-n-gram tier misses
@@ -868,19 +928,29 @@ def leakage_pairs(
     would pay a train-vs-train LSH self-join plus Jaccard rescore at
     ~whole-corpus scale just to discard the pairs, R10 advice). Ids
     must be disjoint across the two frames (a split partition
-    guarantees it)."""
+    guarantees it).
+
+    ``broadcast_index`` (R15, ADVICE r14): broadcasting the heldout
+    band index keeps the train-sized band table from ever shuffling
+    (the R14 structural win), but 'percents of the corpus' at 100 TB
+    is far beyond Spark's ~8 GB broadcast cap and would OOM the
+    driver. Default ``None`` gates on Catalyst's size estimate for the
+    heldout (<= 64 MiB broadcasts; unknown or larger shuffles and lets
+    AQE pick broadcast at runtime when the actual bytes turn out
+    small); pass True/False to override when the caller knows better."""
     from etl_zero_spark.operators.dedup import (
         build_minhash_index,
         incremental_minhash_pairs,
     )
 
+    if broadcast_index is None:
+        est = _plan_size_estimate(heldout)
+        broadcast_index = est is not None and est <= _LEAKAGE_BROADCAST_MAX_BYTES
     idx = build_minhash_index(heldout, text_col=text_col, id_col=id_col)
     pairs = incremental_minhash_pairs(
         train, idx, threshold=threshold, text_col=text_col, id_col=id_col,
         delta_vs_index_only=True,
-        # the heldout index is percents of the corpus — broadcast it so
-        # the train-sized band table never shuffles (R14)
-        broadcast_index=True,
+        broadcast_index=broadcast_index,
     )
     hid = heldout.select(F.col(id_col)).dropDuplicates()
     flagged = pairs.join(
@@ -926,10 +996,26 @@ def harden_split(
         train, held, threshold=threshold, text_col=text_col, id_col=id_col
     )
     hid = held.select(F.col(id_col)).dropDuplicates()
+    # R15 (VERDICT r14 #7): select each pair's TRAIN member with one
+    # CASE over ONE reference to the pair table. The previous
+    # union-both-columns + anti-join-heldout shape referenced ``pairs``
+    # twice, and with stats off (nothing persisted) Spark executed the
+    # entire MinHash leakage probe once per union arm — the executed
+    # x_split_harden plan showed the whole probe subtree duplicated.
+    # Equivalent by leakage_pairs' postcondition: every pair has
+    # exactly one heldout member, so "the member not in heldout" IS
+    # "b_id if a_id is heldout else a_id".
     leaked = (
-        pairs.select(F.col("a_id").alias(id_col))
-        .unionByName(pairs.select(F.col("b_id").alias(id_col)))
-        .join(hid, id_col, "left_anti")  # keep only the TRAIN member
+        pairs.join(
+            hid.select(F.col(id_col).alias("a_id"), F.lit(True).alias("__ah")),
+            "a_id",
+            "left",
+        )
+        .select(
+            F.when(F.col("__ah").isNotNull(), F.col("b_id"))
+            .otherwise(F.col("a_id"))
+            .alias(id_col)
+        )
         .dropDuplicates()
     )
     out = df.join(

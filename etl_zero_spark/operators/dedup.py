@@ -158,6 +158,7 @@ def ngram_jaccard_pairs(
     stop_shingles: list[str] | None = None,
     max_exact_docs: int | None = 2_000_000,
     b_id_filter=None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with word-k-shingle Jaccard >= threshold, computed by
     exploding shingles and joining on the shingle (an inverted index —
@@ -236,6 +237,16 @@ def ngram_jaccard_pairs(
     incremental path. Counting path only (raises with the prefix
     filter, whose rescore shape differs).
 
+    ``shingles_df`` (R15, VERDICT r14 #6): a precomputed ``(id,
+    shingles)`` frame — MUST equal ``shingles_expr(text, k)`` over
+    exactly the rows of ``df``. Compositions that already shingled the
+    corpus for a sibling pipeline (dd9 builds a MinHash index AND this
+    exact twin over the same documents) pass their materialized
+    shingle frame so the tokenize+shingle scan runs once per
+    invocation instead of once per pipeline. ``df`` may then be None
+    (it is only consulted for the corpus-count guards, which fall back
+    to counting ``shingles_df``).
+
     Columns: a_id, b_id (a_id < b_id), jaccard.
     """
     if prefix_filter is None:
@@ -252,9 +263,10 @@ def ngram_jaccard_pairs(
     # (the cached recurring-pipeline path, e.g. dd2's artifact); adding
     # an unconditional per-call count there would re-create the very
     # per-invocation corpus job the r4/r5 rounds removed.
+    count_src = df if df is not None else shingles_df
     n_docs: int | None = None
     if max_exact_docs is not None and stop_shingles is None:
-        n_docs = df.count()
+        n_docs = count_src.count()
         if n_docs > max_exact_docs:
             raise ValueError(
                 f"ngram_jaccard_pairs: corpus has {n_docs:,} documents, over "
@@ -263,9 +275,15 @@ def ngram_jaccard_pairs(
                 "(banded LSH + exact rescore) or raise/disable the guard "
                 "(max_exact_docs=None) deliberately"
             )
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), k).alias("shingles")
-    ).withColumn("n_shingles", F.size("shingles"))
+    if shingles_df is not None:
+        sh = shingles_df.select("id", "shingles").withColumn(
+            "n_shingles", F.size("shingles")
+        )
+    else:
+        sh = df.select(
+            F.col(id_col).alias("id"),
+            shingles_expr(F.col(text_col), k).alias("shingles"),
+        ).withColumn("n_shingles", F.size("shingles"))
     flat = sh.select("id", "n_shingles", F.explode("shingles").alias("shingle"))
 
     stop_list: list[str] | None = []  # [] = no stop shingles; None = too many to collect
@@ -276,7 +294,7 @@ def ngram_jaccard_pairs(
     if stop_shingles is not None:
         stop_list = list(stop_shingles)
     elif df_cap is not None and (
-        n_docs if n_docs is not None else df.count()
+        n_docs if n_docs is not None else count_src.count()
     ) > df_cap:
         stop_df = (
             flat.groupBy("shingle")
@@ -476,6 +494,7 @@ def minhash_lsh_pairs(
     bands: int = MINHASH_BANDS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding with exact-Jaccard rescore.
 
@@ -487,10 +506,21 @@ def minhash_lsh_pairs(
     uniformly distributed by construction) and the rescore join; the
     signature itself is embarrassingly parallel. Candidate count is
     governed by the band geometry, not n^2.
+
+    ``shingles_df`` (R15, VERDICT r14 #6): a precomputed ``(id,
+    shingles)`` frame that MUST equal ``shingles_expr(text, k)`` over
+    ``df``'s rows — compositions running this banded tier next to an
+    exact twin over the same corpus (dd3) pass their shared shingle
+    frame so tokenization runs once per invocation, not per pipeline.
     """
     rows = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), k).alias("shingles")
+    sh = (
+        shingles_df.select("id", "shingles")
+        if shingles_df is not None
+        else df.select(
+            F.col(id_col).alias("id"),
+            shingles_expr(F.col(text_col), k).alias("shingles"),
+        )
     )
     sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
     band_arr = F.array(
@@ -1147,15 +1177,25 @@ def build_minhash_index(
     bands: int = MINHASH_BANDS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingles_df: DataFrame | None = None,
 ) -> MinHashIndex:
     """Index a corpus for incremental near-dedup: one pass computing
     shingle sets, signatures and per-band bucket hashes. O(corpus x
     bands) band rows, embarrassingly parallel — the cost the full
-    self-pairing pays EVERY run is paid once here."""
+    self-pairing pays EVERY run is paid once here.
+
+    ``shingles_df`` (R15): a precomputed ``(id, shingles)`` frame that
+    MUST equal ``shingles_expr(text, k)`` over ``df``'s rows —
+    compositions that shingle the same corpus for a sibling pipeline
+    (dd9's exact twin) pass it so tokenization runs once."""
     rows = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingles_expr(F.col(text_col), k).alias("shingles"),
+    sh = (
+        shingles_df.select("id", "shingles")
+        if shingles_df is not None
+        else df.select(
+            F.col(id_col).alias("id"),
+            shingles_expr(F.col(text_col), k).alias("shingles"),
+        )
     )
     sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
     band_arr = F.array(
@@ -1177,6 +1217,7 @@ def incremental_minhash_pairs(
     check_disjoint_ids: bool = False,
     delta_vs_index_only: bool = False,
     broadcast_index: bool = False,
+    delta_index: MinHashIndex | None = None,
 ) -> DataFrame:
     """Near-dup pairs INVOLVING the delta batch: delta-vs-corpus plus
     delta-vs-delta, never corpus-vs-corpus — the daily-ingest shape
@@ -1209,7 +1250,13 @@ def incremental_minhash_pairs(
     heldout (percents of the corpus) and the delta is ~the whole train
     split — and there the small INDEX side should broadcast so the
     train-sized band table is never shuffled (guide §3.1). Set it only
-    when the index side is broadcast-sized."""
+    when the index side is broadcast-sized.
+
+    ``delta_index`` (R15): the delta's own MinHashIndex, when the
+    caller already built one (dd9 derives the delta's shingles from
+    the corpus shingle frame it shares with its exact twin) — MUST be
+    ``build_minhash_index(delta)`` under this index's geometry; the
+    default builds it here."""
     if check_disjoint_ids:
         clash = (
             index.shingles.select("id")
@@ -1228,7 +1275,7 @@ def incremental_minhash_pairs(
                 f"(e.g. {sample}) — pairs would alias; re-key the delta "
                 "or rebuild the index"
             )
-    d_idx = build_minhash_index(
+    d_idx = delta_index if delta_index is not None else build_minhash_index(
         delta, index.k, index.num_hashes, index.n_bands, text_col, id_col
     )
     db = d_idx.bands.alias("d")

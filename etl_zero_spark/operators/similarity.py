@@ -463,6 +463,25 @@ def lsh_partitioned_topk(
         auto_h, auto_l = auto_geometry(corpus.count())
         n_planes = n_planes if n_planes is not None else auto_h
         n_tables = n_tables if n_tables is not None else auto_l
+    if n_planes == 0:
+        # Degenerate geometry (R15): with zero hyperplanes every vector's
+        # bucket id is 0 in every table by construction (bucket_ids with
+        # an empty weight vector is identically zero), so the pandas UDF
+        # would launch two Arrow stages just to emit constants — and the
+        # Hamming-1 probe set is empty. Emit the constant (table, bucket)
+        # columns as codegen'd literals instead; the cogroup/rescore tail
+        # below is unchanged, so output is bit-identical. This is the
+        # exact-by-construction tier sim2_sim3 declares.
+        zeros = F.array(*[F.lit(0).cast("long") for _ in range(n_tables)])
+        c = corpus.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"),
+            F.posexplode(zeros).alias("table", "bucket"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            F.posexplode(zeros).alias("table", "bucket"),
+        )
+        return _cogrouped_rescore(q, c, ["table", "bucket"], k, max_bucket_rows)
     buckets_udf = lsh_bucket_udf(n_planes, n_tables)
     c = _bucketed(corpus, "cid", "cv", buckets_udf, id_col, vec_col)
     q = _bucketed(queries, "query_id", "qv", buckets_udf, id_col, vec_col)
@@ -628,18 +647,40 @@ def lsh_bucketed_topk(
     probes: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collected: tuple | None = None,
+    query_partitions: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table sign-LSH + exact rescore
     of the candidate union. With ``probes``, each table also searches
     its ``n_planes`` Hamming-1 buckets (single-bit flips). Hyperplane
-    dimension is inferred from the corpus."""
+    dimension is inferred from the corpus.
+
+    ``collected`` (R15): a precollected ``collect_normalized_matrix``
+    result for ``corpus`` — callers running several broadcast-tier
+    searches over the SAME corpus in one composition (sim2_sim3 runs
+    two) pass it so the corpus is collected to the driver once, not
+    once per call. Must be the matrix of exactly this ``corpus``.
+
+    ``query_partitions`` (R15, VERDICT r14 #5): upper-bounds the query
+    repartition when the caller KNOWS the query frame is tiny — the
+    default spreads queries over spark.sql.shuffle.partitions python
+    tasks, which for a probe-sized query set (sim2_sim3's 20 rows)
+    launches ~32 mostly-empty Arrow workers that each deserialize the
+    corpus broadcast. Output is identical for any value (the kernel is
+    per-row)."""
     queries = _drop_null_vectors(queries, vec_col)
     spark = corpus.sparkSession
-    c_ids, c_mat = collect_normalized_matrix(corpus, id_col, vec_col)
+    c_ids, c_mat = (
+        collected
+        if collected is not None
+        else collect_normalized_matrix(corpus, id_col, vec_col)
+    )
     planes = _hyperplanes(c_mat.shape[1], n_planes, n_tables)
     c_buckets = bucket_ids(c_mat, planes)  # (L, n)
     bc = spark.sparkContext.broadcast((c_ids, c_mat, c_buckets, planes))
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if query_partitions is not None:
+        n_parts = max(1, min(n_parts, query_partitions))
     flip_masks = np.int64(1) << np.arange(n_planes, dtype=np.int64)
 
     def gen(batches):

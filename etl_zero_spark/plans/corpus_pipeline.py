@@ -69,6 +69,9 @@ class CorpusResult:
     #: frames this run persisted (stage caches or fork inputs); call
     #: :meth:`unpersist` when done consuming ``df``.
     persisted: list = field(default_factory=list)
+    #: per-stage Observations (stats_mode="observe" only), in stage
+    #: order; resolved into ``stats`` by :meth:`resolve_stats`.
+    observations: dict = field(default_factory=dict)
 
     def unpersist(self) -> None:
         for frame in self.persisted:
@@ -76,6 +79,16 @@ class CorpusResult:
                 frame.unpersist()
             except Exception:  # noqa: BLE001 — session may be gone
                 pass
+
+    def resolve_stats(self) -> dict[str, int]:
+        """Fill ``stats`` from the stage observations (stats_mode=
+        "observe"). Call ONLY after an action has fully consumed
+        ``df`` — each Observation completes with the first action that
+        executes its stage, and ``get`` blocks until then."""
+        for stage, obs in self.observations.items():
+            if stage not in self.stats:
+                self.stats[stage] = int(obs.get["n"])
+        return self.stats
 
 
 def prepare_corpus(
@@ -110,6 +123,7 @@ def prepare_corpus(
     pack_streams: int = 256,
     collect_stats: bool = True,
     eager_release: bool = False,
+    stats_mode: str = "eager",
 ) -> CorpusResult:
     """Run the full preparation chain; every stage is optional via its
     parameter (``None``/``False`` skips it). Returns the prepared
@@ -141,14 +155,50 @@ def prepare_corpus(
     plans on every unpersist), and it did NOT save the 8M rung from
     its scratch-disk overflow. Keep it OFF unless executor storage
     memory, not scratch disk, is the binding constraint.
+
+    ``stats_mode`` (R15, VERDICT r14 #4): how ``collect_stats`` gets
+    its per-stage survivor counts. ``"eager"`` (default) counts each
+    cached stage as it is built — one job per stage, and the count
+    doubles as the materialization barrier the scale probes' per-stage
+    ``stage_secs`` timing needs. ``"observe"`` attaches a
+    ``CollectMetrics`` count to each stage BEFORE caching it and runs
+    NO per-stage jobs: the caller's first full action over ``df``
+    fills every stage cache once (cache-block locks make concurrent
+    fan-in consumers wait, not recompute, so each observed count fires
+    exactly once per partition) and completes every Observation —
+    same ledger numbers, one job instead of stage-count jobs, and the
+    stages pipeline inside that job instead of materializing strictly
+    in sequence. Read the ledger with ``CorpusResult.resolve_stats()``
+    AFTER the action; ``stage_secs`` is empty in this mode (no
+    per-stage barrier to time), so the probes keep ``"eager"``.
     """
+    if stats_mode not in ("eager", "observe"):
+        raise ValueError(f"stats_mode {stats_mode!r}: 'eager' or 'observe'")
+    if stats_mode == "observe" and eager_release:
+        raise ValueError(
+            "stats_mode='observe' runs no per-stage actions, so there is "
+            "no materialization order for eager_release to follow"
+        )
     stats: dict[str, int] = {}
     stage_secs: dict[str, float] = {}
     persisted: list = []
+    observations: dict = {}
     df = docs
     prev_cached: list = []
 
     def record(stage: str, frame: DataFrame) -> DataFrame:
+        if collect_stats and stats_mode == "observe":
+            from pyspark.sql import Observation
+
+            obs = Observation(f"stage_{stage}")
+            observations[stage] = obs
+            # observe BELOW the cache: the metric node lives inside the
+            # cached plan, so it fires exactly once per partition at
+            # cache fill — consumers (including in-stage fan-outs) read
+            # the cache and never re-fire it
+            frame = frame.observe(obs, F.count(F.lit(1)).alias("n")).cache()
+            persisted.append(frame)
+            return frame
         if collect_stats:
             frame = frame.cache()
             persisted.append(frame)
@@ -376,5 +426,6 @@ def prepare_corpus(
             ),
         )
     return CorpusResult(
-        df=df, stats=stats, stage_secs=stage_secs, persisted=persisted
+        df=df, stats=stats, stage_secs=stage_secs, persisted=persisted,
+        observations=observations,
     )

@@ -48,9 +48,9 @@ flat AS (
 norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM flat GROUP BY 1)"""
 
 
-def _fanin(df: DataFrame) -> DataFrame:
+def _fanin(df: DataFrame, reliable: bool | None = None) -> DataFrame:
     """Materialize a small fan-in frame once per invocation (eager
-    localCheckpoint) — R14 optimization round.
+    checkpoint) — R14 optimization round.
 
     Every audit composition references its expensive intermediates
     (pair sets, top-k lists) two to four times: the declared rows plus
@@ -59,16 +59,33 @@ def _fanin(df: DataFrame) -> DataFrame:
     the differing parents — so dd3-style queries were paying the LSH +
     exact pipelines 2-4x per run. These frames are candidate-bounded
     (pairs / top-k), orders of magnitude smaller than the corpus that
-    produced them, so one local checkpoint computes the subtree once
-    and every consumer reads the materialized blocks; truncating the
+    produced them, so one checkpoint computes the subtree once and
+    every consumer reads the materialized blocks; truncating the
     lineage also keeps the final union's plan (and its planning time)
-    small. Fresh per call: nothing survives the invocation —
-    ContextCleaner reclaims the blocks once the frame is collected —
-    so no state is carried across bench reps or driver runs."""
+    small. Fresh per call: nothing is persisted across bench reps or
+    driver runs — the checkpoint blocks are freed when the JVM
+    garbage-collects the checkpointed RDD (ContextCleaner), so within
+    one long session they linger only until the next GC.
+
+    ``reliable`` mirrors connected_components' use_reliable_checkpoint
+    (VERDICT r14 #8): a localCheckpoint is executor-local, so on a real
+    cluster losing an executor mid-query kills the job unrecoverably —
+    production audit runs should route through the reliable checkpoint
+    store (``spark.sparkContext.setCheckpointDir`` must be set). The
+    default (None) reads SPARK_GRAFT_RELIABLE_FANIN (off unless '1') so
+    a cluster deployment can flip every audit composition at once
+    without touching call sites; the bench contract default stays
+    localCheckpoint."""
+    if reliable is None:
+        import os
+
+        reliable = os.environ.get("SPARK_GRAFT_RELIABLE_FANIN") == "1"
+    if reliable:
+        return df.checkpoint(eager=True)
     return df.localCheckpoint()
 
 
-def _fanin_parallel(*dfs: DataFrame) -> list[DataFrame]:
+def _fanin_parallel(*dfs: DataFrame, reliable: bool | None = None) -> list[DataFrame]:
     """_fanin for several INDEPENDENT frames at once, overlapped from a
     small driver thread pool (guide §2.6: actions are only sequential
     because the driver calls them sequentially). A single _fanin per
@@ -80,9 +97,9 @@ def _fanin_parallel(*dfs: DataFrame) -> list[DataFrame]:
     from concurrent.futures import ThreadPoolExecutor
 
     if len(dfs) == 1:
-        return [dfs[0].localCheckpoint()]
+        return [_fanin(dfs[0], reliable=reliable)]
     with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
-        return list(pool.map(lambda d: d.localCheckpoint(), dfs))
+        return list(pool.map(lambda d: _fanin(d, reliable=reliable), dfs))
 
 
 # ---------------------------------------------------------------------------
@@ -214,9 +231,23 @@ def dd2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # R15 (VERDICT r14 #6, same seam as dd9): the banded tier and the
+    # exact twin both tokenize+shingle the same corpus — materialize
+    # the (id, shingles) frame once per invocation and feed it to both.
+    sh_docs = _fanin(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            dedup.shingles_expr(F.col("text"), 3).alias("shingles"),
+        )
+    )
     lsh, exact = _fanin_parallel(
-        dedup.minhash_lsh_pairs(docs, threshold=0.3),
-        _jaccard_pairs_cached(spark, sf_dir),
+        dedup.minhash_lsh_pairs(docs, threshold=0.3, shingles_df=sh_docs),
+        dedup.ngram_jaccard_pairs(
+            docs,
+            threshold=0.3,
+            stop_shingles=_stop_shingles_cached(spark, sf_dir),
+            shingles_df=sh_docs,
+        ),
     )
     extra = lsh.select("a_id", "b_id").join(
         exact.select("a_id", "b_id"), ["a_id", "b_id"], "left_anti"
@@ -454,8 +485,27 @@ def dd9_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.where(F.col("doc_id") < 100).select(
         (F.col("doc_id") + offset).alias("doc_id"), "text"
     )
-    idx = dedup.build_minhash_index(docs)
-    inc = dedup.incremental_minhash_pairs(delta, idx, threshold=0.3)
+    # R15 (VERDICT r14 #6): the index build and the exact twin both
+    # shingle the same corpus — materialize the (id, shingles) frame
+    # ONCE per invocation and feed it to both pipelines (and derive the
+    # delta's shingles from it: the delta is the first 100 docs re-keyed
+    # at +offset with IDENTICAL text, so its shingles are the same
+    # arrays re-keyed). The tokenize+shingle scan now runs once instead
+    # of twice (index + exact a-side); all downstream math is unchanged.
+    sh_docs = _fanin(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            dedup.shingles_expr(F.col("text"), 3).alias("shingles"),
+        )
+    )
+    sh_delta = sh_docs.where(F.col("id") < 100).select(
+        (F.col("id") + offset).alias("id"), "shingles"
+    )
+    idx = dedup.build_minhash_index(docs, shingles_df=sh_docs)
+    d_idx = dedup.build_minhash_index(delta, shingles_df=sh_delta)
+    inc = dedup.incremental_minhash_pairs(
+        delta, idx, threshold=0.3, delta_index=d_idx
+    )
     union = docs.unionByName(delta)
     # R14 optimization: ngram_jaccard_pairs guarantees a_id < b_id and
     # every delta id (>= offset) exceeds every corpus id, so
@@ -466,6 +516,14 @@ def dd9_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides and the exact twin was paying a full corpus-vs-corpus
     # candidate join just to discard the corpus-corpus pairs;
     # pair-set equality verified at sf0.1 and against the oracle).
+    # Broadcast-size precondition (ADVICE r14): the filtered b-side is
+    # delta-sized only because every fixture corpus id is < offset —
+    # the offset is pinned by this query's declared oracle SQL
+    # (doc_id + 100000), and a corpus whose ids crossed it would alias
+    # delta ids and break the oracle itself before it grew the
+    # broadcast. Production callers sizing their own delta regime must
+    # derive the offset from max(doc_id)+1 and keep the filtered side
+    # broadcast-sized (see ngram_jaccard_pairs' b_id_filter docstring).
     inc, exact = _fanin_parallel(
         inc,
         dedup.ngram_jaccard_pairs(
@@ -474,6 +532,7 @@ def dd9_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             stop_shingles=[],
             prefix_filter=False,
             b_id_filter=lambda c: c >= offset,
+            shingles_df=sh_docs.unionByName(sh_delta),
         ),
     )
     extra = inc.select("a_id", "b_id").join(
@@ -769,11 +828,22 @@ def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim2_sim3_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 20)
+    # R15: the two broadcast-tier calls share ONE driver collect of the
+    # corpus matrix (collected=), and the probe-sized query frame (20
+    # rows by the vec_id < 20 bound) repartitions to 4 python tasks
+    # instead of 32 mostly-empty ones that each deserialize the corpus
+    # broadcast (VERDICT r14 #5). Output identical by construction.
+    mat = similarity.collect_normalized_matrix(emb)
     # exact-by-construction through the LSH machinery: 0 planes = 1 bucket
     bexact, b, d = _fanin_parallel(
-        similarity.lsh_bucketed_topk(queries_df, emb, k=5, n_planes=0, n_tables=1),
+        similarity.lsh_bucketed_topk(
+            queries_df, emb, k=5, n_planes=0, n_tables=1,
+            collected=mat, query_partitions=4,
+        ),
         # real geometry, both tiers (the plans a production call runs)
-        similarity.lsh_bucketed_topk(queries_df, emb, k=5),
+        similarity.lsh_bucketed_topk(
+            queries_df, emb, k=5, collected=mat, query_partitions=4,
+        ),
         similarity.lsh_partitioned_topk(queries_df, emb, k=5, n_planes=6, n_tables=6),
     )
     dexact = similarity.lsh_partitioned_topk(
@@ -1057,7 +1127,13 @@ _TX_LANG_SQL = f"""
     "WITH scope.",
 )
 def tx1_tx4_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # spread=False (R15, VERDICT r14 #2): this row is ONE codegen'd
+    # projection — per-row expression work, but only ~0.5s of it at
+    # sf0.1, so the round-robin exchange the spread adds costs more
+    # than the parallelism buys (interleaved A/B: 0.49s off vs 0.62s
+    # on, matching the r14 regression). The spread pays off on
+    # explode-heavy consumers (x_dsir 4.6x), not sub-second scans.
+    docs = load_table(spark, sf_dir, "documents", spread=False)
     t = F.col("text")
     # Planted PII derived from doc_id, identically on the oracle side:
     # the fixture text itself is PII-free, so without this the scrub
@@ -1642,19 +1718,28 @@ def pipe1_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_budget=500,
         pack_streams=1,
         collect_stats=True,
+        # R15 (VERDICT r14 #4): the 8-stage survivor ledger rides
+        # CollectMetrics observations on the stage caches instead of 8
+        # eager per-stage count jobs — the localCheckpoint below is now
+        # the ONE action that fills every stage cache (block locks make
+        # fan-in consumers wait, not recompute) and completes every
+        # observation; the ledger numbers are identical by construction
+        # (same frames, same counts) and the stages pipeline inside one
+        # job instead of materializing strictly in sequence.
+        stats_mode="observe",
     )
     nul_s = F.lit(None).cast("string")
     nul_l = F.lit(None).cast("long")
-    # every stage has already RUN here (collect_stats counts each
-    # cached frame for the ledger); localCheckpoint truncates the
-    # returned lineage to that materialized state, so the consumer's
-    # plan shows the real execution shape instead of re-printing the
-    # whole 8-stage tree once per cache reference (the audit digest
-    # counts the string). The checkpoint also makes the stage caches
-    # dead weight — release them NOW, not at session end (R9 review:
-    # bench runs this 4x then the memory-sensitive 1M probes in the
-    # same session)
+    # every stage RUNS here (the single action — see stats_mode above);
+    # localCheckpoint truncates the returned lineage to that
+    # materialized state, so the consumer's plan shows the real
+    # execution shape instead of re-printing the whole 8-stage tree
+    # once per cache reference (the audit digest counts the string).
+    # The checkpoint also makes the stage caches dead weight — release
+    # them NOW, not at session end (R9 review: bench runs this 4x then
+    # the memory-sensitive 1M probes in the same session)
     final = res.df.localCheckpoint()
+    stats = res.resolve_stats()
     res.unpersist()
     doc_rows = final.select(
         F.lit("doc").alias("tag"),
@@ -1669,7 +1754,7 @@ def pipe1_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_l.alias("n"),
     )
     stage_rows = spark.createDataFrame(
-        [(s, int(n)) for s, n in res.stats.items()], "stage string, n long"
+        [(s, int(n)) for s, n in stats.items()], "stage string, n long"
     ).select(
         F.lit("stage").alias("tag"),
         "stage",
@@ -2268,8 +2353,15 @@ def ct1_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no _fanin (R14 A/B): the three tier branches recompute the fused
     # pair aggregation in parallel inside one DAG; materializing it
     # first measured slower than the parallel recompute
+    # prefilter_test_grams=False (R15 A/B): this audit's "eval set" is
+    # HALF the corpus, so the broadcast gram-set prefilter pays a
+    # half-corpus explode+distinct+broadcast to drop almost nothing —
+    # measured 1.91 -> 2.32s warm with the auto gate on. The prefilter
+    # is for the production shape (decontaminate against a real
+    # benchmark-sized eval set, e.g. pipe1's), not this fixture.
     pairs = corpus_ops.cross_corpus_contamination_tiered(
-        train, test, n=_CT_N, capped_gram_df=_CT_CAP
+        train, test, n=_CT_N, capped_gram_df=_CT_CAP,
+        prefilter_test_grams=False,
     )
     exact = pairs.select("test_id", "train_id", "shared_ngrams")
     capped = pairs.where(F.col("shared_ngrams_capped") >= 1).select(
