@@ -170,7 +170,11 @@ def prepare_corpus(
     stages pipeline inside that job instead of materializing strictly
     in sequence. Read the ledger with ``CorpusResult.resolve_stats()``
     AFTER the action; ``stage_secs`` is empty in this mode (no
-    per-stage barrier to time), so the probes keep ``"eager"``.
+    per-stage barrier to time), so the probes keep ``"eager"``. On a
+    cluster where executor loss forces stage resubmission, prefer
+    ``"eager"`` for audit-grade ledgers: its per-stage count is a plain
+    action result, with no reliance on accumulator semantics under
+    retried tasks.
     """
     if stats_mode not in ("eager", "observe"):
         raise ValueError(f"stats_mode {stats_mode!r}: 'eager' or 'observe'")
