@@ -916,6 +916,8 @@ def leakage_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_index: bool | None = None,
+    train_shingles_df: DataFrame | None = None,
+    heldout_shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs CROSSING the train/heldout boundary — the
     eval-leakage scan decontamination's exact-n-gram tier misses
@@ -937,7 +939,15 @@ def leakage_pairs(
     driver. Default ``None`` gates on Catalyst's size estimate for the
     heldout (<= 64 MiB broadcasts; unknown or larger shuffles and lets
     AQE pick broadcast at runtime when the actual bytes turn out
-    small); pass True/False to override when the caller knows better."""
+    small); pass True/False to override when the caller knows better.
+
+    ``train_shingles_df`` / ``heldout_shingles_df`` (R15): precomputed
+    ``(id, shingles)`` frames (MUST equal ``shingles_expr(text, 3)``
+    over the respective side's rows — the MinHash-index geometry). The
+    probe's plan references each side's shingle subtree several times
+    (band index + both rescore arms); a caller that MATERIALIZES the
+    frames first (harden_split does) makes those re-references read
+    the materialized blocks instead of re-tokenizing the corpus."""
     from etl_zero_spark.operators.dedup import (
         build_minhash_index,
         incremental_minhash_pairs,
@@ -946,11 +956,23 @@ def leakage_pairs(
     if broadcast_index is None:
         est = _plan_size_estimate(heldout)
         broadcast_index = est is not None and est <= _LEAKAGE_BROADCAST_MAX_BYTES
-    idx = build_minhash_index(heldout, text_col=text_col, id_col=id_col)
+    idx = build_minhash_index(
+        heldout, text_col=text_col, id_col=id_col,
+        shingles_df=heldout_shingles_df,
+    )
+    d_idx = (
+        build_minhash_index(
+            train, text_col=text_col, id_col=id_col,
+            shingles_df=train_shingles_df,
+        )
+        if train_shingles_df is not None
+        else None
+    )
     pairs = incremental_minhash_pairs(
         train, idx, threshold=threshold, text_col=text_col, id_col=id_col,
         delta_vs_index_only=True,
         broadcast_index=broadcast_index,
+        delta_index=d_idx,
     )
     hid = heldout.select(F.col(id_col)).dropDuplicates()
     flagged = pairs.join(
@@ -992,6 +1014,14 @@ def harden_split(
     is_held = F.col(split_col).isin(*heldout_splits)
     train = df.where(~is_held)
     held = df.where(is_held)
+    # NO shingle materialization here (R15 A/B, the sim4 lesson): the
+    # probe's plan does reference each side's shingle subtree 2-3x
+    # (band index + both rescore arms), but those references execute
+    # as PARALLEL branches of one DAG — eagerly localCheckpointing the
+    # shingle frames first serialized that work and measured SLOWER
+    # (interleaved at sf0.1: plain 3.18s vs materialized 3.55s warm
+    # min). Callers that already hold a materialized shingle frame can
+    # still pass it through leakage_pairs' *_shingles_df params.
     pairs = leakage_pairs(
         train, held, threshold=threshold, text_col=text_col, id_col=id_col
     )

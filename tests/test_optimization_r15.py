@@ -94,6 +94,31 @@ def test_leakage_pairs_broadcast_gate_result_identity(spark, sf_dir):
     assert rows[True]  # planted twins must actually leak
 
 
+def test_leakage_pairs_shingles_df_identity(spark, sf_dir):
+    from etl_zero_spark.operators import dedup
+    from etl_zero_spark.operators.corpus import leakage_pairs, split_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    full = split_corpus(docs, {"train": 0.9, "val": 0.1}, seed=5)
+    train = full.where(F.col("split") == "train")
+    held = full.where(F.col("split") == "val")
+
+    def sh(side):
+        return side.select(
+            F.col("doc_id").alias("id"),
+            dedup.shingles_expr(F.col("text"), 3).alias("shingles"),
+        )
+
+    base = leakage_pairs(train, held, threshold=0.5)
+    via = leakage_pairs(
+        train, held, threshold=0.5,
+        train_shingles_df=sh(train), heldout_shingles_df=sh(held),
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, via.collect())
+    )
+
+
 def test_lsh_partitioned_topk_degenerate_matches_udf_path(spark, sf_dir):
     """The n_planes=0 literal-bucket bypass must be bit-identical to the
     general UDF path at the same geometry (both are the exact top-k)."""
