@@ -94,9 +94,36 @@ def _report_body(slim, source_col, lang_col, top_n) -> dict:
     # sketch above forces Catalyst off the hash-aggregate path (an
     # Expand + sort-based plan measured ~10x slower than the two
     # aggregations run separately against the persisted slim frame).
-    n_distinct_content = slim.agg(
-        F.countDistinct("content_key").alias("n")
-    ).collect()[0].n
+    # R15 (guide §2.6): the distinct count and the per-dimension top-N
+    # jobs below are INDEPENDENT reads of the now-filled slim cache —
+    # the first agg above materialized it — so they overlap from a
+    # small driver thread pool instead of running as three sequential
+    # jobs whose tails leave the host idle. Same queries, same rows.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _distinct() -> int:
+        return slim.agg(F.countDistinct("content_key").alias("n")).collect()[0].n
+
+    def _top(col: str):
+        return (
+            slim.groupBy(F.coalesce(F.col(col), F.lit("(null)")).alias("k"))
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.coalesce(F.sum("words"), F.lit(0)).alias("words"),
+            )
+            .orderBy(F.col("docs").desc(), F.col("k"))
+            .limit(top_n)
+            .collect()
+        )
+
+    dims = [(d, c) for d, c in
+            (("by_source", source_col), ("by_lang", lang_col))
+            if c is not None]
+    with ThreadPoolExecutor(max_workers=1 + len(dims)) as pool:
+        fut_distinct = pool.submit(_distinct)
+        fut_dims = {dim: pool.submit(_top, col) for dim, col in dims}
+        n_distinct_content = fut_distinct.result()
+        dim_rows = {dim: fut.result() for dim, fut in fut_dims.items()}
     n = agg.n_docs
     report: dict = {
         "n_docs": n,
@@ -115,19 +142,8 @@ def _report_body(slim, source_col, lang_col, top_n) -> dict:
         ),
         "mean_quality": agg.mean_quality,
     }
-    for dim, col in (("by_source", source_col), ("by_lang", lang_col)):
-        if col is None:
-            continue
-        top = (
-            slim.groupBy(F.coalesce(F.col(col), F.lit("(null)")).alias("k"))
-            .agg(
-                F.count(F.lit(1)).alias("docs"),
-                F.coalesce(F.sum("words"), F.lit(0)).alias("words"),
-            )
-            .orderBy(F.col("docs").desc(), F.col("k"))
-            .limit(top_n)
-            .collect()
-        )
+    for dim, col in dims:
+        top = dim_rows[dim]
         shown_docs = sum(r.docs for r in top)
         rows = [
             {"key": r.k, "docs": r.docs, "words": r.words} for r in top
